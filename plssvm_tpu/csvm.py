@@ -1,0 +1,306 @@
+"""The C-SVM front end: fit / predict / score.
+
+reference: include/plssvm/csvm.hpp:129-375 (csvm base class) and
+include/plssvm/csvm_factory.hpp:123-171 (make_csvm).  The reference's five
+vendor backends collapse into one XLA path with two implementations of the
+hot kernel matvec (``xla`` everywhere, ``pallas`` fused kernel on TPU); the
+backend factory therefore only selects the matvec implementation.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data_set import DataSet
+from .exceptions import InvalidParameterError, UnsupportedBackendError
+from .model import Model
+from .ops.matvec import DEFAULT_ROW_BLOCK
+from .ops.predict import calculate_w, predict_values as predict_values_op
+from .parameter import BackendType, KernelFunctionType, Parameter, TargetPlatform
+from .solver.cg import solve_ls_svm
+from .utils.logger import VerbosityLevel, log
+from .utils.tracker import add_tracking_entry
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+def _ensure_x64_if_needed(dtype) -> None:
+    """Enable JAX x64 mode when float64 math is requested."""
+    if np.dtype(dtype) == np.float64 and not jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", True)
+
+
+def _has_tpu() -> bool:
+    try:
+        return any(d.platform in ("tpu", "axon") for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+class CSVM:
+    """LS-SVM classifier trained with matrix-free Conjugate Gradient.
+
+    reference: include/plssvm/csvm.hpp (fit 263-323, predict 325-343,
+    score 345-375).
+    """
+
+    def __init__(
+        self,
+        backend: Union[str, BackendType] = BackendType.AUTOMATIC,
+        target: Union[str, TargetPlatform] = TargetPlatform.AUTOMATIC,
+        *,
+        params: Optional[Parameter] = None,
+        dtype=np.float32,
+        row_block: int = DEFAULT_ROW_BLOCK,
+        **named_params,
+    ):
+        backend = BackendType.from_string(backend)
+        self.target = TargetPlatform.from_string(target)
+        if backend == BackendType.AUTOMATIC:
+            backend = BackendType.PALLAS if _has_tpu() else BackendType.XLA
+        if backend == BackendType.PALLAS and not _has_tpu():
+            # Pallas TPU kernels need a TPU (or interpret mode); fall back
+            backend = BackendType.XLA
+        self.backend = backend
+        self.dtype = np.dtype(dtype)
+        self.row_block = int(row_block)
+
+        self._params = params.copy() if params is not None else Parameter()
+        if named_params:
+            provided = Parameter(**named_params)
+            self._params.merge_non_defaults(provided)
+        self._params.sanity_check()
+
+    # -- parameters --------------------------------------------------------
+    @property
+    def params(self) -> Parameter:
+        return self._params
+
+    def get_params(self) -> Parameter:
+        return self._params.copy()
+
+    def set_params(self, params: Optional[Parameter] = None, **named_params) -> None:
+        """Override hyperparameters with user-set values (csvm.hpp:243-257)."""
+        if params is not None:
+            self._params = params.copy()
+        if named_params:
+            provided = Parameter(**named_params)
+            self._params.merge_non_defaults(provided)
+        self._params.sanity_check()
+
+    # -- fit ----------------------------------------------------------------
+    def fit(
+        self,
+        data: DataSet,
+        *,
+        epsilon: float = 0.001,
+        max_iter: Optional[int] = None,
+    ) -> Model:
+        """Solve the LS-SVM dual with CG and return the model.
+
+        Defaults: ``epsilon = 1e-3`` (relative, squared residual),
+        ``max_iter = num_data_points`` (reference: csvm.hpp:268-269).
+        """
+        if epsilon <= 0.0:
+            raise InvalidParameterError(
+                f"epsilon must be less than 0.0, but is {epsilon}!"
+            )
+        if not data.has_labels():
+            raise InvalidParameterError(
+                "No labels given for training! Maybe the data is only usable for prediction?"
+            )
+        if max_iter is None:
+            max_iter = data.num_data_points
+        elif max_iter <= 0:
+            raise InvalidParameterError(
+                f"max_iter must be greater than 0, but is {max_iter}!"
+            )
+
+        params = self._params.copy()
+        if params.gamma.is_default():
+            # gamma default = 1 / num_features (reference: csvm.hpp:304-307)
+            params.gamma.value = 1.0 / data.num_features
+        kind = params.kernel_type.value
+        degree = params.degree.value
+
+        _ensure_x64_if_needed(self.dtype)
+        start = time.perf_counter()
+
+        X = np.asarray(data.data, dtype=self.dtype)
+        y = np.asarray(data.y, dtype=self.dtype)
+        n, d = X.shape
+        dept = n - 1
+
+        # pad the dept axis so blockwise/Pallas kernels see aligned shapes;
+        # replaces the reference's boundary padding of 16*6=96 (gpu_csvm.hpp:494)
+        if self.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR:
+            m_pad = max(_round_up(dept, 128), 128)
+            d_pad = _round_up(d, 128)
+        elif dept <= self.row_block:
+            m_pad = max(_round_up(dept, 8), 8)
+            d_pad = d
+        else:
+            m_pad = _round_up(dept, self.row_block)
+            d_pad = d
+
+        Xp = np.zeros((m_pad, d_pad), dtype=self.dtype)
+        Xp[:dept, :d] = X[:dept]
+        x_last = np.zeros((d_pad,), dtype=self.dtype)
+        x_last[:d] = X[-1]
+        yp = np.zeros((m_pad,), dtype=self.dtype)
+        yp[:dept] = y[:dept]
+        mask = np.zeros((m_pad,), dtype=self.dtype)
+        mask[:dept] = 1.0
+
+        impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
+        result = solve_ls_svm(
+            jnp.asarray(Xp),
+            jnp.asarray(x_last),
+            jnp.asarray(yp),
+            jnp.asarray(y[-1], dtype=self.dtype),
+            jnp.asarray(mask),
+            jnp.asarray(params.resolved_gamma(d), dtype=self.dtype),
+            jnp.asarray(params.coef0.value, dtype=self.dtype),
+            jnp.asarray(params.cost.value, dtype=self.dtype),
+            jnp.asarray(epsilon, dtype=self.dtype),
+            jnp.asarray(max_iter, dtype=jnp.int32),
+            kind=kind,
+            degree=degree,
+            impl=impl,
+            row_block=min(self.row_block, m_pad),
+        )
+        x_sol = np.asarray(jax.device_get(result.x))[:dept]
+        alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
+        rho = float(result.rho)
+        iterations = int(result.iterations)
+        delta = float(result.delta)
+        delta0 = float(result.delta0)
+        total_ms = (time.perf_counter() - start) * 1000.0
+
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Finished after {}/{} iterations with a residuum of {} (target: {}).\n",
+            iterations, max_iter, delta, epsilon * epsilon * delta0,
+        )
+        log(VerbosityLevel.LIBSVM, "optimization finished, #iter = {}\n", iterations)
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Solved minimization problem (r = b - Ax) using the Conjugate Gradient (CG) methode in {:.2f}ms.\n\n",
+            total_ms,
+        )
+        add_tracking_entry("cg", "iterations", iterations)
+        add_tracking_entry("cg", "max_iterations", int(max_iter))
+        add_tracking_entry("cg", "residuum", delta)
+        add_tracking_entry("cg", "target_residuum", epsilon * epsilon * delta0)
+        add_tracking_entry("cg", "epsilon", epsilon)
+        add_tracking_entry(
+            "cg", "avg_iteration_time", total_ms / max(iterations, 1)
+        )
+        add_tracking_entry("cg", "total_runtime", total_ms)
+
+        return Model(params, data, alpha=alpha, rho=rho)
+
+    # -- predict ------------------------------------------------------------
+    def predict_values(self, model: Model, data: DataSet) -> np.ndarray:
+        """Decision values f(x) = sum_i alpha_i k(sv_i, x) - rho.
+
+        reference: csvm.hpp:325-343 + gpu_csvm.hpp:656-730.
+        """
+        if model.num_features != data.num_features:
+            raise InvalidParameterError(
+                f"Number of features per data point ({data.num_features}) must match "
+                f"the number of features per support vector of the provided model "
+                f"({model.num_features})!"
+            )
+        _ensure_x64_if_needed(self.dtype)
+        params = model.params
+        kind = params.kernel_type.value
+        sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
+        alpha = jnp.asarray(model.alpha, dtype=self.dtype)
+        points = jnp.asarray(data.data, dtype=self.dtype)
+        gamma = jnp.asarray(params.resolved_gamma(model.num_features), dtype=self.dtype)
+        coef0 = jnp.asarray(params.coef0.value, dtype=self.dtype)
+
+        if kind == KernelFunctionType.LINEAR:
+            if model.w is None:
+                # compute & cache w once (gpu_csvm.hpp:696-705, model.hpp:162-166)
+                model.w = np.asarray(calculate_w(sv, alpha))
+            w = jnp.asarray(model.w, dtype=self.dtype)
+        else:
+            w = jnp.zeros((sv.shape[1],), dtype=self.dtype)
+
+        values = predict_values_op(
+            sv, alpha, jnp.asarray(model.rho, dtype=self.dtype), w, points,
+            gamma, coef0, kind=kind, degree=params.degree.value,
+        )
+        return np.asarray(jax.device_get(values))
+
+    def predict(self, model: Model, data: DataSet) -> np.ndarray:
+        """Predicted labels: sign(f) mapped back to the original labels.
+
+        sign(0) is -1 like the reference (operators.hpp:179-181).
+        """
+        values = self.predict_values(model, data)
+        mapper = model.data.mapper
+        neg, pos = mapper.labels()
+        return np.asarray([pos if v > 0 else neg for v in values])
+
+    def score(self, model: Model, data: Optional[DataSet] = None) -> float:
+        """Classification accuracy (reference: csvm.hpp:345-375)."""
+        if data is None:
+            data = model.data
+        if not data.has_labels():
+            raise InvalidParameterError("The data set to score must have labels!")
+        if model.num_features != data.num_features:
+            raise InvalidParameterError(
+                f"Number of features per data point ({data.num_features}) must match "
+                f"the number of features per support vector of the provided model "
+                f"({model.num_features})!"
+            )
+        predicted = self.predict(model, data)
+        correct = sum(
+            1 for p, c in zip(predicted, data.labels) if p == c
+        )
+        return correct / len(predicted)
+
+
+def make_csvm(
+    backend: Union[str, BackendType] = BackendType.AUTOMATIC,
+    target: Union[str, TargetPlatform] = TargetPlatform.AUTOMATIC,
+    **kwargs,
+) -> CSVM:
+    """Factory mirroring the reference's make_csvm (csvm_factory.hpp:123-171)."""
+    return CSVM(backend=backend, target=target, **kwargs)
+
+
+def csvm_backend_exists(backend: Union[str, BackendType]) -> bool:
+    """Whether the given implementation can run here (csvm.hpp:399-416)."""
+    try:
+        backend = BackendType.from_string(backend)
+    except (InvalidParameterError, UnsupportedBackendError):
+        return False
+    if backend == BackendType.PALLAS:
+        return _has_tpu()
+    return True
+
+
+def list_available_backends() -> list:
+    available = [BackendType.AUTOMATIC, BackendType.XLA]
+    if _has_tpu():
+        available.append(BackendType.PALLAS)
+    return available
+
+
+def list_available_target_platforms() -> list:
+    platforms = [TargetPlatform.AUTOMATIC, TargetPlatform.CPU]
+    if _has_tpu():
+        platforms.append(TargetPlatform.TPU)
+    return platforms

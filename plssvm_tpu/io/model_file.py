@@ -1,0 +1,289 @@
+"""LIBSVM model file parsing and writing.
+
+reference: include/plssvm/detail/io/libsvm_model_parsing.hpp —
+header ``svm_type c_svc / kernel_type / [degree/gamma/coef0] / nr_class /
+total_sv / rho / label / nr_sv / SV`` followed by one ``alpha idx:val ...``
+row per support vector, grouped per class.  The parser rejects parameters
+irrelevant to the stored kernel (e.g. an explicit gamma in a linear-kernel
+model, libsvm_model_parsing.hpp:201-224) and validates all header
+cross-consistency rules; the writer groups support vectors by class in
+``different_labels()`` order (libsvm_model_parsing.hpp:294-500).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..exceptions import InvalidFileFormatError
+from ..parameter import KernelFunctionType, Parameter
+from . import libsvm
+
+
+def parse_model_header(
+    lines: List[str],
+) -> Tuple[Parameter, float, List[str], int]:
+    """Parse the model-file header.
+
+    Returns ``(params, rho, per_point_labels, num_header_lines)`` where
+    ``per_point_labels`` holds the label string of each SV row, expanded from
+    the ``label`` / ``nr_sv`` header entries.
+
+    reference: libsvm_model_parsing.hpp:83-272 (parse_libsvm_model_header).
+    """
+    params = Parameter()
+    rho: Optional[float] = None
+    num_support_vectors: Optional[int] = None
+    nr_class: Optional[int] = None
+    labels: Optional[List[str]] = None
+    nr_sv: Optional[List[int]] = None
+    svm_type_set = False
+    kernel_type_set = False
+
+    header_line = 0
+    found_sv = False
+    for header_line, raw in enumerate(lines):
+        line = raw.strip()
+        lower = line.lower()
+        # value = everything after the first space
+        space = lower.find(" ")
+        value = lower[space + 1:].lstrip() if space != -1 else ""
+
+        if lower.startswith("svm_type"):
+            if value != "c_svc":
+                raise InvalidFileFormatError(
+                    f"Can only use c_svc as svm_type, but '{value}' was given!"
+                )
+            svm_type_set = True
+        elif lower.startswith("kernel_type"):
+            try:
+                params.kernel_type.value = KernelFunctionType.from_string(value)
+            except Exception:
+                raise InvalidFileFormatError(
+                    f"Unrecognized kernel type '{value}'!"
+                ) from None
+            kernel_type_set = True
+        elif lower.startswith("gamma"):
+            params.gamma.value = _to_float(value, "gamma")
+        elif lower.startswith("degree"):
+            params.degree.value = _to_int(value, "degree")
+        elif lower.startswith("coef0"):
+            params.coef0.value = _to_float(value, "coef0")
+        elif lower.startswith("nr_class"):
+            nr_class = _to_int(value, "nr_class")
+        elif lower.startswith("total_sv"):
+            num_support_vectors = _to_int(value, "total_sv")
+            if num_support_vectors == 0:
+                raise InvalidFileFormatError(
+                    "The number of support vectors must be greater than 0!"
+                )
+        elif lower.startswith("rho"):
+            rho = _to_float(value, "rho")
+        elif lower.startswith("label"):
+            # preserve the original case of the labels
+            original = line[line.find(" ") + 1:].lstrip() if " " in line else ""
+            labels = original.split()
+            if len(labels) < 2:
+                raise InvalidFileFormatError(
+                    f"At least two labels must be set, but only {len(labels)} "
+                    f"label ([{', '.join(labels)}]) was given!"
+                )
+            if len(set(labels)) != len(labels):
+                raise InvalidFileFormatError(
+                    f"Provided {len(labels)} labels but only {len(set(labels))} "
+                    "of them was/where unique!"
+                )
+        elif lower.startswith("nr_sv"):
+            try:
+                nr_sv = [int(tok) for tok in value.split()]
+            except ValueError:
+                raise InvalidFileFormatError(
+                    f"Can't convert nr_sv values '{value}' to integers!"
+                ) from None
+            if len(nr_sv) < 2:
+                raise InvalidFileFormatError(
+                    f"At least two nr_sv must be set, but only {len(nr_sv)} "
+                    f"([{', '.join(map(str, nr_sv))}]) was given!"
+                )
+        elif lower == "sv":
+            found_sv = True
+            break
+        else:
+            raise InvalidFileFormatError(
+                f"Unrecognized header entry '{raw}'! Maybe SV is missing?"
+            )
+
+    if not svm_type_set:
+        raise InvalidFileFormatError("Missing svm_type!")
+    if not kernel_type_set:
+        raise InvalidFileFormatError("Missing kernel_type!")
+
+    # reject explicitly-set parameters the kernel does not use
+    # (reference: libsvm_model_parsing.hpp:201-224)
+    kt = params.kernel_type.value
+    if kt == KernelFunctionType.LINEAR:
+        if not params.degree.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the degree parameter which is "
+                "not used in the linear kernel!"
+            )
+        if not params.gamma.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the gamma parameter which is "
+                "not used in the linear kernel!"
+            )
+        if not params.coef0.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the coef0 parameter which is "
+                "not used in the linear kernel!"
+            )
+    elif kt == KernelFunctionType.RBF:
+        if not params.degree.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the degree parameter which is "
+                "not used in the radial basis function kernel!"
+            )
+        if not params.coef0.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the coef0 parameter which is "
+                "not used in the radial basis function kernel!"
+            )
+
+    if nr_class is None:
+        raise InvalidFileFormatError("Missing number of different classes nr_class!")
+    if num_support_vectors is None:
+        raise InvalidFileFormatError("Missing total number of support vectors total_sv!")
+    if rho is None:
+        raise InvalidFileFormatError("Missing rho value!")
+    if labels is None:
+        raise InvalidFileFormatError("Missing class label specification!")
+    if nr_class != len(labels):
+        raise InvalidFileFormatError(
+            f"The number of classes (nr_class) is {nr_class}, but the provided "
+            f"number of different labels is {len(labels)} (label)!"
+        )
+    if nr_sv is None:
+        raise InvalidFileFormatError("Missing number of support vectors per class nr_sv!")
+    if nr_class != len(nr_sv):
+        raise InvalidFileFormatError(
+            f"The number of classes (nr_class) is {nr_class}, but the provided "
+            f"number of different labels is {len(nr_sv)} (nr_sv)!"
+        )
+    if sum(nr_sv) != num_support_vectors:
+        raise InvalidFileFormatError(
+            f"The total number of support vectors is {num_support_vectors}, "
+            f"but the sum of nr_sv is {sum(nr_sv)}!"
+        )
+    if not found_sv or header_line + 1 >= len(lines):
+        raise InvalidFileFormatError(
+            "Can't parse file: no support vectors are given or SV is missing!"
+        )
+
+    # expand per-class counts into the per-point label vector
+    per_point_labels: List[str] = []
+    for lab, count in zip(labels, nr_sv):
+        per_point_labels.extend([lab] * count)
+
+    if nr_class != 2:
+        raise InvalidFileFormatError(
+            "Currently only binary classification is supported, but "
+            f"{nr_class} different label where given!"
+        )
+
+    return params, rho, per_point_labels, header_line + 1
+
+
+def _to_float(value: str, name: str) -> float:
+    try:
+        return float(value)
+    except ValueError:
+        raise InvalidFileFormatError(
+            f"Can't convert '{value}' to a value of type real_type ({name})!"
+        ) from None
+
+
+def _to_int(value: str, name: str) -> int:
+    try:
+        return int(value)
+    except ValueError:
+        raise InvalidFileFormatError(
+            f"Can't convert '{value}' to a value of type int ({name})!"
+        ) from None
+
+
+def parse_model_file(
+    filename: str, dtype: np.dtype = np.float64
+) -> Tuple[Parameter, float, np.ndarray, np.ndarray, List[str]]:
+    """Read a full model file.
+
+    Returns ``(params, rho, support_vectors, alpha, labels)``; the alpha
+    values are the "label column" of the SV rows
+    (reference: model.hpp:169-201 — alpha is parsed as the label of a regular
+    LIBSVM data section).
+    """
+    from .file_reader import read_lines
+
+    lines = read_lines(filename, comment="#")
+    params, rho, labels, num_header_lines = parse_model_header(lines)
+    data, alpha_strings = libsvm.parse_libsvm_lines(lines[num_header_lines:], dtype=dtype)
+    if alpha_strings is None:
+        raise InvalidFileFormatError("Missing alpha values in the model file!")
+    alpha = np.asarray(alpha_strings, dtype=dtype)
+    if len(labels) != data.shape[0]:
+        raise InvalidFileFormatError(
+            f"Found {data.shape[0]} support vectors, but expected {len(labels)}!"
+        )
+    return params, rho, data, alpha, labels
+
+
+def write_model_file(
+    filename: str,
+    params: Parameter,
+    rho: float,
+    alpha: np.ndarray,
+    support_vectors: np.ndarray,
+    labels: np.ndarray,
+    different_labels: List[str],
+) -> None:
+    """Write the model file, grouping SVs per class in ``different_labels`` order.
+
+    reference: libsvm_model_parsing.hpp:294-500 (write_libsvm_model_data).
+    """
+    labels = np.asarray([str(lab) for lab in labels])
+    kt = params.kernel_type.value
+
+    header = [f"# This model file has been created at {datetime.datetime.now().isoformat()}"]
+    header.append("svm_type c_svc")
+    header.append(f"kernel_type {kt}")
+    if kt == KernelFunctionType.POLYNOMIAL:
+        header.append(f"degree {params.degree.value}")
+        header.append(f"gamma {_fmt_g(params.gamma.value)}")
+        header.append(f"coef0 {_fmt_g(params.coef0.value)}")
+    elif kt == KernelFunctionType.RBF:
+        header.append(f"gamma {_fmt_g(params.gamma.value)}")
+    counts = [int(np.sum(labels == lab)) for lab in different_labels]
+    header.append(f"nr_class {len(different_labels)}")
+    header.append(f"label {' '.join(str(lab) for lab in different_labels)}")
+    header.append(f"total_sv {len(labels)}")
+    header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
+    header.append(f"rho {_fmt_g(rho)}")
+    header.append("SV")
+
+    with open(filename, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(header))
+        fh.write("\n")
+        sv = np.asarray(support_vectors)
+        alpha = np.asarray(alpha)
+        for lab in different_labels:
+            for i in np.nonzero(labels == str(lab))[0]:
+                row = sv[i]
+                cols = np.nonzero(row != 0.0)[0]
+                entries = "".join(f"{j + 1}:{row[j]:.10e} " for j in cols)
+                fh.write(f"{_fmt_g(alpha[i])} {entries}\n")
+
+
+def _fmt_g(value: float) -> str:
+    """Format a float the way fmt's ``{}`` does (shortest round-trip)."""
+    return repr(float(value))

@@ -1,0 +1,113 @@
+"""The learned model: support vectors, alpha weights, rho, cached w.
+
+reference: include/plssvm/model.hpp — in LS-SVM *all* training points are
+support vectors; the model stores the training data_set, the weight vector
+``alpha`` (one weight per point), the bias term ``rho``, and lazily caches the
+``w`` vector for the linear-kernel prediction fast path (model.hpp:162-166).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .data_set import DataSet
+from .io.model_file import parse_model_file, write_model_file
+from .parameter import Parameter
+from .utils.logger import VerbosityLevel, log
+from .utils.tracker import add_tracking_entry
+
+
+class Model:
+    """Fit result; loadable/savable as a LIBSVM model file.
+
+    reference: model.hpp:49 (class model), file ctor 169-201, save 207-222.
+    """
+
+    def __init__(
+        self,
+        params: Parameter,
+        data: DataSet,
+        alpha: Optional[np.ndarray] = None,
+        rho: float = 0.0,
+    ):
+        self.params = params
+        self.data = data
+        self.alpha = alpha
+        self.rho = float(rho)
+        #: cached w vector for the linear prediction fast path (model.hpp:162-166)
+        self.w: Optional[np.ndarray] = None
+
+    # -- file IO ----------------------------------------------------------
+    @classmethod
+    def load(cls, filename: str, label_type=None, dtype=np.float64) -> "Model":
+        """Read a LIBSVM model file (reference: model.hpp:169-201)."""
+        start = time.perf_counter()
+        params, rho, support_vectors, alpha, raw_labels = parse_model_file(
+            filename, dtype=dtype
+        )
+        from .data_set import _infer_label_array
+
+        labels = _infer_label_array(raw_labels, label_type)
+        data = DataSet(support_vectors, labels, dtype=dtype)
+        model = cls(params, data, alpha=alpha, rho=rho)
+        elapsed_ms = (time.perf_counter() - start) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Read {} support vectors with {} features in {:.2f}ms using the libsvm model parser from file '{}'.\n",
+            data.num_data_points, data.num_features, elapsed_ms, filename,
+        )
+        add_tracking_entry("model_read", "filename", filename)
+        add_tracking_entry("model_read", "num_support_vectors", data.num_data_points)
+        add_tracking_entry("model_read", "num_features", data.num_features)
+        add_tracking_entry("model_read", "time", elapsed_ms)
+        return model
+
+    def save(self, filename: str) -> None:
+        """Write the LIBSVM model file (reference: model.hpp:207-222)."""
+        if self.alpha is None:
+            raise ValueError("Cannot save a model that has not been fit!")
+        start = time.perf_counter()
+        write_model_file(
+            filename,
+            self.params,
+            self.rho,
+            np.asarray(self.alpha),
+            self.data.data,
+            self.data.labels,
+            [str(lab) for lab in self.data.different_labels],
+        )
+        elapsed_ms = (time.perf_counter() - start) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Write {} support vectors with {} features in {:.2f}ms to the libsvm model file '{}'.\n",
+            self.num_support_vectors, self.num_features, elapsed_ms, filename,
+        )
+        add_tracking_entry("model_write", "filename", filename)
+        add_tracking_entry("model_write", "time", elapsed_ms)
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def num_support_vectors(self) -> int:
+        return self.data.num_data_points
+
+    @property
+    def num_features(self) -> int:
+        return self.data.num_features
+
+    @property
+    def support_vectors(self) -> np.ndarray:
+        return self.data.data
+
+    @property
+    def different_labels(self) -> Optional[List]:
+        return self.data.different_labels
+
+    def __repr__(self) -> str:
+        return (
+            f"Model(params={self.params!r}, rho={self.rho!r}, "
+            f"num_support_vectors={self.num_support_vectors}, "
+            f"num_features={self.num_features})"
+        )

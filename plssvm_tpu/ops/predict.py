@@ -1,0 +1,60 @@
+"""Batched prediction ops.
+
+reference: gpu_csvm.hpp:656-730 (predict_values_impl),
+src/plssvm/backends/CUDA/predict_kernel.cu:17-74 —
+for the linear kernel a ``w = sum_i alpha_i sv_i`` vector is computed once and
+cached so prediction is a single dot product per point; polynomial/RBF predict
+runs a 2-D kernel over (support vector x predict point).
+
+TPU-native: the poly/RBF path is one Gram matmul on the MXU with the kernel
+epilogue fused by XLA, contracted against alpha — no atomics, no 2-D
+scatter grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..kernel_functions import apply_kernel_to_gram
+from ..parameter import KernelFunctionType
+
+
+@jax.jit
+def calculate_w(support_vectors: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """w[j] = sum_i alpha_i * sv[i, j] (reference: gpu_csvm.hpp:386-429)."""
+    return support_vectors.T @ alpha
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree"))
+def predict_values(
+    support_vectors: jnp.ndarray,  # (n_sv, d)
+    alpha: jnp.ndarray,            # (n_sv,)
+    rho: jnp.ndarray,              # scalar
+    w: jnp.ndarray,                # (d,) — used by the linear fast path
+    predict_points: jnp.ndarray,   # (n_pred, d)
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+) -> jnp.ndarray:
+    """Decision values f(x) = sum_i alpha_i k(sv_i, x) - rho for each point."""
+    if kind == KernelFunctionType.LINEAR:
+        return predict_points @ w - rho
+
+    gram = jax.lax.dot_general(
+        predict_points, support_vectors,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32
+        if predict_points.dtype == jnp.float32
+        else None,
+    )  # (n_pred, n_sv)
+    sq_pred = jnp.sum(predict_points * predict_points, axis=-1)
+    sq_sv = jnp.sum(support_vectors * support_vectors, axis=-1)
+    K = apply_kernel_to_gram(
+        gram, sq_pred[:, None], sq_sv[None, :], kind, gamma, coef0, degree
+    )
+    return K @ alpha - rho

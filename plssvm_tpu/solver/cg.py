@@ -1,0 +1,176 @@
+"""Matrix-free Conjugate Gradient solver for the LS-SVM dual system.
+
+Solves ``(K + I/C) a = y`` after the dimensionality reduction that folds the
+last data point into the system (reference: include/plssvm/backends/
+gpu_csvm.hpp:477-654, src/plssvm/backends/OpenMP/csvm.cpp:71-183):
+
+- ``dept = n - 1`` rows are solved, not ``n``
+- ``q[i] = k(x_i, x_last)``; ``QA_cost = k(x_last, x_last) + 1/C``
+- rhs ``b[i] = y[i] - y[n-1]``
+- implicit matrix ``A_hat[i][j] = k(x_i,x_j) + QA_cost - q[i] - q[j]``
+  plus ``1/C`` on the diagonal
+- start vector ``x = 1``; residual ``r = b - A_hat x``
+- stop when ``r.r <= eps^2 * (r0.r0)``; every 50th iteration the residual is
+  recomputed exactly as ``r = b - A_hat x`` to fight floating-point drift —
+  this cadence is what keeps f32 CG viable on TPU
+- bias ``= y_last + QA_cost * sum(alpha) - q.alpha``;
+  ``alpha_n = -sum(alpha)``; returns ``rho = -bias``
+
+TPU-native design: the whole solve is ONE jitted function whose loop is a
+``lax.while_loop`` — every CG iteration stays on device.  The reference
+instead round-trips vectors between host and device twice per iteration
+(gpu_csvm.hpp:585-633); removing that is the main structural speedup.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kernel_functions import apply_kernel_to_gram, kernel_against_point
+from ..parameter import KernelFunctionType
+from ..ops.matvec import (
+    DEFAULT_ROW_BLOCK,
+    assemble_matvec,
+    kernel_matvec_xla,
+    linear_kernel_matvec,
+)
+
+#: exact-residual recomputation cadence (reference: gpu_csvm.hpp:595)
+EXACT_RESIDUAL_INTERVAL = 50
+
+
+class CGResult(NamedTuple):
+    """Solve outputs (still padded; the host wrapper unpads)."""
+
+    x: jnp.ndarray        # solution over the padded dept axis
+    rho: jnp.ndarray      # -bias
+    alpha_last: jnp.ndarray  # the folded-out last alpha = -sum(x)
+    iterations: jnp.ndarray
+    delta: jnp.ndarray    # final squared residual norm
+    delta0: jnp.ndarray   # initial squared residual norm
+
+
+def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_block: int):
+    """Select the K@v implementation for the static configuration."""
+    if impl == "pallas" and kind != KernelFunctionType.LINEAR:
+        # the linear kernel always uses the factored O(n d) path — a fused
+        # Pallas walk over the full kernel matrix could never beat it
+        from ..ops.pallas_matvec import kernel_matvec_pallas
+
+        def kv(X, sq_norms, v, gamma, coef0):
+            return kernel_matvec_pallas(
+                X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0, degree=degree
+            )
+
+        return kv
+
+    def kv(X, sq_norms, v, gamma, coef0):
+        if kind == KernelFunctionType.LINEAR:
+            return linear_kernel_matvec(X, v)
+        return kernel_matvec_xla(
+            X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
+            degree=degree, row_block=row_block,
+        )
+
+    return kv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "degree", "impl", "row_block"),
+)
+def solve_ls_svm(
+    X: jnp.ndarray,        # (m, d) zero-padded rows 0..dept-1 (dept = n-1)
+    x_last: jnp.ndarray,   # (d,) the folded-out last data point
+    y: jnp.ndarray,        # (m,) mapped labels of rows 0..dept-1, 0 on padding
+    y_last: jnp.ndarray,   # scalar mapped label of the last point
+    mask: jnp.ndarray,     # (m,) 1.0 on real rows, 0.0 on padding
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,     # the SVM C parameter
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    impl: str = "xla",
+    row_block: int = DEFAULT_ROW_BLOCK,
+) -> CGResult:
+    """Run the full LS-SVM CG solve on device."""
+    dtype = X.dtype
+    kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+
+    cost_inv = 1.0 / cost
+    sq_norms = jnp.sum(X * X, axis=-1)
+
+    # q[i] = k(x_i, x_last)  (reference: gpu_csvm.hpp:505, q_kernel.cu:16-49)
+    q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
+    # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508)
+    qa = apply_kernel_to_gram(
+        jnp.dot(x_last, x_last),
+        jnp.dot(x_last, x_last),
+        jnp.dot(x_last, x_last),
+        kind,
+        gamma,
+        coef0,
+        degree,
+    )
+    QA_cost = qa + cost_inv
+
+    # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
+    b = (y - y_last) * mask
+
+    def matvec(v):
+        return assemble_matvec(
+            kernel_mv(X, sq_norms, v, gamma, coef0), v, q, QA_cost, cost_inv, mask
+        )
+
+    # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
+    x0 = mask.astype(dtype)
+    r0 = b - matvec(x0)
+    delta0 = jnp.dot(r0, r0)
+    target = eps * eps * delta0
+
+    class State(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        r: jnp.ndarray
+        d: jnp.ndarray
+        delta: jnp.ndarray
+
+    def cond(s: State):
+        return jnp.logical_and(s.it < max_iter, s.delta > target)
+
+    def body(s: State) -> State:
+        Ad = matvec(s.d)
+        alpha_cd = s.delta / jnp.dot(s.d, Ad)
+        x = s.x + alpha_cd * s.d
+        # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
+        r = jax.lax.cond(
+            (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
+            lambda: b - matvec(x),
+            lambda: s.r - alpha_cd * Ad,
+        )
+        delta = jnp.dot(r, r)
+        beta = delta / s.delta
+        d = beta * s.d + r
+        return State(s.it + 1, x, r, d, delta)
+
+    init = State(jnp.asarray(0, jnp.int32), x0, r0, r0, delta0)
+    final = jax.lax.while_loop(cond, body, init)
+
+    # bias and the folded-out last alpha (gpu_csvm.hpp:648-653)
+    alpha_sum = jnp.sum(final.x)
+    bias = y_last + QA_cost * alpha_sum - jnp.dot(q, final.x)
+    return CGResult(
+        x=final.x,
+        rho=-bias,
+        alpha_last=-alpha_sum,
+        iterations=final.it,
+        delta=final.delta,
+        delta0=delta0,
+    )
