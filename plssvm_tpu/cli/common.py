@@ -1,0 +1,88 @@
+"""Shared CLI plumbing for the three tools.
+
+reference: src/plssvm/detail/cmd/parser_{train,predict,scale}.cpp — the
+flags and their semantics are reproduced 1:1 (argparse replaces cxxopts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..utils.logger import VerbosityLevel, set_verbosity
+from ..version import DESCRIPTION, __version__
+
+
+def add_common_options(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--performance_tracking",
+        metavar="FILE",
+        default=None,
+        help="the output YAML file where the performance tracking results are "
+        "written to; if not provided, the results are dumped to stderr",
+    )
+    parser.add_argument(
+        "--use_strings_as_labels",
+        action="store_true",
+        help="use strings as labels instead of plane numbers",
+    )
+    parser.add_argument(
+        "--use_float_as_real_type",
+        action="store_true",
+        help="use floats as real types instead of doubles "
+        "(float32 is already the default on TPU)",
+    )
+    parser.add_argument(
+        "--use_double_as_real_type",
+        action="store_true",
+        help="use doubles as real types (CPU only; TPUs have no fast float64)",
+    )
+    parser.add_argument(
+        "--verbosity",
+        choices=["full", "timing", "libsvm", "quiet"],
+        default=None,
+        help="choose the level of verbosity",
+    )
+    parser.add_argument(
+        "-q", "--quiet",
+        action="store_true",
+        help="quiet mode (no outputs regardless the provided verbosity level!)",
+    )
+    parser.add_argument(
+        "-v", "--version", action="version",
+        version=f"%(prog)s {__version__} — {DESCRIPTION}",
+    )
+
+
+def resolve_verbosity(args: argparse.Namespace) -> None:
+    """-q/--quiet has precedence over --verbosity (parser_train.cpp:194-210)."""
+    if args.quiet:
+        if args.verbosity and args.verbosity != "quiet":
+            print(
+                "WARNING: explicitly set the -q/--quiet flag, but the provided "
+                f"verbosity level isn't \"quiet\"; setting --verbosity={args.verbosity} "
+                "to --verbosity=quiet",
+                file=sys.stderr,
+            )
+        set_verbosity(VerbosityLevel.QUIET)
+    elif args.verbosity:
+        set_verbosity(args.verbosity)
+
+
+def resolve_dtype(args: argparse.Namespace):
+    """Pick the real type.
+
+    The reference defaults to float64 with ``--use_float_as_real_type``
+    opting into float32 (parser_train.cpp:67).  TPUs have no fast float64,
+    so the default here is float32; ``--use_double_as_real_type`` restores
+    the reference behavior for CPU runs.
+    """
+    if args.use_double_as_real_type:
+        return np.float64
+    return np.float32
+
+
+def resolve_label_type(args: argparse.Namespace):
+    return str if args.use_strings_as_labels else None

@@ -1,0 +1,114 @@
+"""plssvm-train equivalent: fit an LS-SVM and write the model file.
+
+reference: src/main_train.cpp:24-70 + src/plssvm/detail/cmd/parser_train.cpp.
+Usage: ``python -m plssvm_tpu.cli.train [options] training_set_file [model_file]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..csvm import CSVM
+from ..data_set import DataSet
+from ..exceptions import PLSSVMError
+from ..parameter import KernelFunctionType
+from ..utils.logger import VerbosityLevel, log
+from ..utils.tracker import add_tracking_entry, global_tracker
+from .common import (
+    add_common_options,
+    resolve_dtype,
+    resolve_label_type,
+    resolve_verbosity,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="plssvm-train",
+        description="LS-SVM trainer (TPU-native, JAX/XLA/Pallas)",
+    )
+    parser.add_argument(
+        "-t", "--kernel_type", default="0",
+        help="set type of kernel function.\n"
+        " 0 -- linear: u'*v\n"
+        " 1 -- polynomial: (gamma*u'*v + coef0)^degree\n"
+        " 2 -- radial basis function: exp(-gamma*|u-v|^2)",
+    )
+    parser.add_argument("-d", "--degree", type=int, default=None,
+                        help="set degree in kernel function")
+    parser.add_argument("-g", "--gamma", type=float, default=None,
+                        help="set gamma in kernel function (default: 1 / num_features)")
+    parser.add_argument("-r", "--coef0", type=float, default=None,
+                        help="set coef0 in kernel function")
+    parser.add_argument("-c", "--cost", type=float, default=None,
+                        help="set the parameter C")
+    parser.add_argument("-e", "--epsilon", type=float, default=0.001,
+                        help="set the tolerance of termination criterion")
+    parser.add_argument("-i", "--max_iter", type=int, default=None,
+                        help="set the maximum number of CG iterations (default: num_data_points)")
+    parser.add_argument("-b", "--backend", default="automatic",
+                        help="choose the backend: automatic|xla|pallas")
+    parser.add_argument("-p", "--target_platform", default="automatic",
+                        help="choose the target platform: automatic|cpu|tpu")
+    add_common_options(parser)
+    parser.add_argument("input", metavar="training_set_file")
+    parser.add_argument("model", metavar="model_file", nargs="?", default=None)
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    resolve_verbosity(args)
+
+    if args.gamma is not None and args.gamma <= 0.0:
+        print(f"gamma must be greater than 0.0, but is {args.gamma}!", file=sys.stderr)
+        return 1
+    if args.max_iter is not None and args.max_iter <= 0:
+        print(f"max_iter must be greater than 0, but is {args.max_iter}!", file=sys.stderr)
+        return 1
+
+    model_filename = args.model
+    if model_filename is None:
+        # default model filename: <input basename>.model (parser_train.cpp:218-221)
+        model_filename = os.path.basename(args.input) + ".model"
+
+    start = time.perf_counter()
+    try:
+        kernel = KernelFunctionType.from_string(args.kernel_type)
+        data = DataSet(
+            args.input,
+            label_type=resolve_label_type(args),
+            dtype=resolve_dtype(args),
+        )
+        svm = CSVM(
+            backend=args.backend,
+            target=args.target_platform,
+            dtype=resolve_dtype(args),
+            kernel_type=kernel,
+            degree=args.degree,
+            gamma=args.gamma,
+            coef0=args.coef0,
+            cost=args.cost,
+        )
+        add_tracking_entry("parameter", "kernel_type", str(kernel))
+        add_tracking_entry("parameter", "epsilon", args.epsilon)
+        model = svm.fit(data, epsilon=args.epsilon, max_iter=args.max_iter)
+        model.save(model_filename)
+    except PLSSVMError as exc:
+        print(exc, file=sys.stderr)
+        return 1
+
+    total_ms = (time.perf_counter() - start) * 1000.0
+    log(VerbosityLevel.FULL | VerbosityLevel.TIMING, "\nTotal runtime: {:.2f}ms\n", total_ms)
+    add_tracking_entry("", "total_time", total_ms)
+    if args.performance_tracking is not None:
+        global_tracker.save(args.performance_tracking)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,8 +39,17 @@ def _ensure_x64_if_needed(dtype) -> None:
 
 
 def _has_tpu() -> bool:
+    """True when the *effective default device* is a TPU.
+
+    Respects ``jax.config.jax_default_device`` / ``jax.default_device`` so
+    that CPU-pinned runs (tests, f64 parity checks) never select the Pallas
+    TPU path even on machines with a TPU attached.
+    """
     try:
-        return any(d.platform in ("tpu", "axon") for d in jax.devices())
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return getattr(dev, "platform", None) in ("tpu", "axon")
+        return jax.devices()[0].platform in ("tpu", "axon")
     except RuntimeError:
         return False
 
@@ -71,6 +80,17 @@ class CSVM:
             backend = BackendType.XLA
         self.backend = backend
         self.dtype = np.dtype(dtype)
+        if self.dtype == np.float64 and _has_tpu():
+            # TPUs have no f64 compute; the reference's f64 default maps to
+            # f32 on TPU (SURVEY.md §7 precision decision)
+            import warnings
+
+            warnings.warn(
+                "float64 requested but the default device is a TPU (no f64 "
+                "support) — using float32. Pin a CPU default device for f64.",
+                stacklevel=2,
+            )
+            self.dtype = np.dtype(np.float32)
         self.row_block = int(row_block)
 
         self._params = params.copy() if params is not None else Parameter()

@@ -1,0 +1,71 @@
+"""Test configuration.
+
+Multi-chip logic is tested on CPU with 8 virtual devices
+(``--xla_force_host_platform_device_count=8``) — the fake-backend capability
+the reference lacks (its multi-GPU tests need real GPUs, SURVEY.md §4).
+
+NOTE: on machines with the experimental tunneled-TPU plugin,
+``JAX_PLATFORMS=cpu`` is unreliable; we instead pin the default device to a
+CPU device explicitly.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import plssvm_tpu  # noqa: E402
+
+plssvm_tpu.set_verbosity("quiet")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA_DIR = os.path.join(HERE, "data")
+REFERENCE_DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture
+def data_dir():
+    return DATA_DIR
+
+
+@pytest.fixture
+def reference_data_dir():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference test data not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(params=[np.float32, np.float64], ids=["f32", "f64"])
+def real_dtype(request):
+    """The {float, double} real-type matrix (reference: types_to_test.hpp)."""
+    return request.param
+
+
+@pytest.fixture(params=["linear", "polynomial", "rbf"])
+def kernel_name(request):
+    return request.param
+
+
+def make_blobs(n, d, seed=0, dtype=np.float64):
+    """Two separable Gaussian blobs — deterministic synthetic data."""
+    rng = np.random.default_rng(seed)
+    half = n // 2
+    X = np.concatenate([
+        rng.normal(-1.0, 1.0, size=(half, d)),
+        rng.normal(+1.0, 1.0, size=(n - half, d)),
+    ]).astype(dtype)
+    y = np.concatenate([-np.ones(half), np.ones(n - half)]).astype(np.int64)
+    perm = rng.permutation(n)
+    return X[perm], y[perm]

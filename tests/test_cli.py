@@ -1,0 +1,126 @@
+"""CLI smoke tests (train/predict/scale).
+
+reference analog: tests/CMakeLists.txt:181-210 executable-level tests
+(--help, --version, minimal train/predict/scale runs, expected failures).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from plssvm_tpu.cli import predict as cli_predict
+from plssvm_tpu.cli import scale as cli_scale
+from plssvm_tpu.cli import train as cli_train
+
+
+@pytest.fixture
+def train_file(data_dir):
+    return os.path.join(data_dir, "libsvm", "6x3.libsvm")
+
+
+class TestTrainCLI:
+    def test_help(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            cli_train.main(["--help"])
+        assert e.value.code == 0
+        assert "kernel_type" in capsys.readouterr().out
+
+    def test_version(self):
+        with pytest.raises(SystemExit) as e:
+            cli_train.main(["--version"])
+        assert e.value.code == 0
+
+    def test_minimal_train(self, train_file, tmp_path, capsys):
+        model_file = str(tmp_path / "out.model")
+        rc = cli_train.main(["-q", "--use_double_as_real_type", train_file, model_file])
+        assert rc == 0
+        assert os.path.isfile(model_file)
+        content = open(model_file).read()
+        assert "svm_type c_svc" in content
+        assert "kernel_type linear" in content
+
+    def test_train_rbf_with_params(self, train_file, tmp_path):
+        model_file = str(tmp_path / "out.model")
+        rc = cli_train.main([
+            "-q", "--use_double_as_real_type", "-t", "2", "-g", "0.5",
+            "-c", "2.0", "-e", "1e-6", train_file, model_file,
+        ])
+        assert rc == 0
+        content = open(model_file).read()
+        assert "kernel_type rbf" in content
+        assert "gamma 0.5" in content
+
+    def test_missing_input_fails(self):
+        rc = cli_train.main(["-q", "/nonexistent/input.libsvm", "/tmp/x.model"])
+        assert rc != 0
+
+    def test_bad_gamma_fails(self, train_file):
+        rc = cli_train.main(["-q", "-g", "-1.0", train_file])
+        assert rc != 0
+
+    def test_default_model_filename(self, train_file, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        rc = cli_train.main(["-q", "--use_double_as_real_type", train_file])
+        assert rc == 0
+        assert os.path.isfile("6x3.libsvm.model")
+
+
+class TestPredictCLI:
+    def test_train_then_predict(self, train_file, tmp_path, capsys):
+        model_file = str(tmp_path / "m.model")
+        out_file = str(tmp_path / "p.predict")
+        assert cli_train.main(["-q", "--use_double_as_real_type", train_file, model_file]) == 0
+        rc = cli_predict.main([
+            "--use_double_as_real_type", "--verbosity", "libsvm",
+            train_file, model_file, out_file,
+        ])
+        assert rc == 0
+        captured = capsys.readouterr().out
+        # libsvm-style accuracy line (main_predict.cpp:79-83)
+        assert "Accuracy =" in captured
+        assert "(classification)" in captured
+        labels = open(out_file).read().split()
+        assert len(labels) == 6
+
+    def test_predict_missing_model(self, train_file, tmp_path):
+        rc = cli_predict.main(["-q", train_file, "/nonexistent/m.model"])
+        assert rc != 0
+
+
+class TestScaleCLI:
+    def test_scale_to_file(self, train_file, tmp_path):
+        out = str(tmp_path / "scaled.libsvm")
+        factors = str(tmp_path / "factors.txt")
+        rc = cli_scale.main(["-q", "-l", "-1", "-u", "1", "-s", factors, train_file, out])
+        assert rc == 0
+        from plssvm_tpu import DataSet
+        ds = DataSet(out)
+        assert ds.data.min() >= -1.0 - 1e-9
+        assert ds.data.max() <= 1.0 + 1e-9
+        assert os.path.isfile(factors)
+
+    def test_scale_to_stdout(self, train_file, capsys):
+        rc = cli_scale.main(["-q", train_file])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "1:" in out
+
+    def test_scale_restore(self, train_file, tmp_path):
+        factors = str(tmp_path / "factors.txt")
+        out1 = str(tmp_path / "a.libsvm")
+        out2 = str(tmp_path / "b.libsvm")
+        assert cli_scale.main(["-q", "-s", factors, train_file, out1]) == 0
+        assert cli_scale.main(["-q", "-r", factors, train_file, out2]) == 0
+        assert open(out1).read() == open(out2).read()
+
+    def test_save_and_restore_mutually_exclusive(self, train_file, tmp_path):
+        rc = cli_scale.main([
+            "-q", "-s", str(tmp_path / "s.txt"), "-r", str(tmp_path / "r.txt"),
+            train_file,
+        ])
+        assert rc != 0
+
+    def test_invalid_interval(self, train_file):
+        rc = cli_scale.main(["-q", "-l", "1", "-u", "-1", train_file])
+        assert rc != 0

@@ -1,0 +1,288 @@
+"""Parser/writer tests over the fixture corpus.
+
+reference analog: tests/detail/io/{libsvm_parsing,arff_parsing,
+libsvm_model_parsing,scaling_factors_parsing}.cpp — every invalid fixture
+asserts the exact exception class.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from plssvm_tpu.exceptions import FileNotFoundError_, InvalidFileFormatError
+from plssvm_tpu.io import (
+    parse_arff_lines,
+    parse_libsvm_lines,
+    parse_model_file,
+    parse_scaling_factors,
+    read_lines,
+    write_scaling_factors,
+)
+from plssvm_tpu.io.libsvm import write_libsvm_lines
+from plssvm_tpu.io.model_file import parse_model_header
+
+
+class TestFileReader:
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError_):
+            read_lines("/nonexistent/file.libsvm")
+
+    def test_comments_and_blank_lines_skipped(self, tmp_path):
+        f = tmp_path / "x.libsvm"
+        f.write_text("# comment\n\n1 1:2.0\n   \n# another\n-1 1:3.0\n")
+        assert len(read_lines(str(f))) == 2
+
+
+class TestLibsvmParser:
+    def test_dense(self, data_dir):
+        lines = read_lines(os.path.join(data_dir, "libsvm", "6x3.libsvm"))
+        X, labels = parse_libsvm_lines(lines)
+        assert X.shape == (6, 3)
+        assert labels == ["1", "1", "1", "-1", "-1", "-1"]
+        np.testing.assert_allclose(X[0], [0.5, -1.25, 2.0])
+
+    def test_sparse(self, data_dir):
+        lines = read_lines(os.path.join(data_dir, "libsvm", "6x3_sparse.libsvm"))
+        X, labels = parse_libsvm_lines(lines)
+        assert X.shape == (6, 3)
+        np.testing.assert_allclose(X[0], [0.0, -1.25, 0.0])
+        np.testing.assert_allclose(X[2], [0.0, 0.0, 1.0])
+
+    def test_without_labels(self, data_dir):
+        lines = read_lines(os.path.join(data_dir, "libsvm", "3x2_without_label.libsvm"))
+        X, labels = parse_libsvm_lines(lines)
+        assert labels is None
+        assert X.shape == (3, 2)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "zero_based_features",
+            "non_increasing_indices",
+            "non_strictly_increasing_indices",
+            "inconsistent_label_specification",
+            "missing_feature_value",
+            "feature_with_alpha_char_at_the_beginning",
+            "index_with_alpha_char_at_the_beginning",
+            "empty",
+        ],
+    )
+    def test_invalid(self, data_dir, name):
+        path = os.path.join(data_dir, "libsvm", "invalid", f"{name}.libsvm")
+        lines = read_lines(path)
+        with pytest.raises(InvalidFileFormatError):
+            parse_libsvm_lines(lines)
+
+    def test_write_round_trip(self):
+        X = np.array([[0.5, 0.0, -2.0], [0.0, 1.25, 0.0]])
+        labels = np.array([1, -1])
+        lines = write_libsvm_lines(X, labels)
+        # zeros must be omitted (sparse writer)
+        assert "2:" not in lines[0]
+        X2, labels2 = parse_libsvm_lines(lines)
+        np.testing.assert_allclose(X2, X)
+        assert labels2 == ["1", "-1"]
+
+    def test_reference_fixture_parity(self, reference_data_dir):
+        lines = read_lines(os.path.join(reference_data_dir, "libsvm", "5x4.libsvm"))
+        X, labels = parse_libsvm_lines(lines)
+        assert X.shape == (5, 4)
+        assert labels == ["1", "1", "-1", "-1", "-1"]
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "zero_based_features",
+            "non_increasing_indices",
+            "non_strictly_increasing_indices",
+            "inconsistent_label_specification",
+            "missing_feature_value",
+            "feature_with_alpha_char_at_the_beginning",
+            "index_with_alpha_char_at_the_beginning",
+            "invalid_colon_at_the_beginning",
+            "invalid_colon_in_the_middle",
+            "missing_index_value",
+        ],
+    )
+    def test_reference_invalid_corpus(self, reference_data_dir, name):
+        path = os.path.join(reference_data_dir, "libsvm", "invalid", f"{name}.libsvm")
+        if not os.path.isfile(path):
+            pytest.skip(f"fixture {name} absent")
+        with pytest.raises(InvalidFileFormatError):
+            parse_libsvm_lines(read_lines(path))
+
+
+class TestArffParser:
+    def test_dense(self, data_dir):
+        lines = read_lines(os.path.join(data_dir, "arff", "6x3.arff"), comment="%")
+        X, labels = parse_arff_lines(lines)
+        assert X.shape == (6, 3)
+        assert labels == ["1", "1", "1", "-1", "-1", "-1"]
+
+    def test_sparse_with_class_mid_attributes(self, data_dir):
+        lines = read_lines(os.path.join(data_dir, "arff", "6x3_sparse.arff"), comment="%")
+        X, labels = parse_arff_lines(lines)
+        assert X.shape == (4, 3)
+        # class attr at header index 1 shifts later features down
+        np.testing.assert_allclose(X[0], [0.5, -1.25, 2.0])
+        assert labels == ["1", "1", "-1", "-1"]
+        np.testing.assert_allclose(X[3], [0.0, 0.5, 0.0])
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "no_data",
+            "wrong_label",
+            "class_numeric",
+            "sparse_missing_closing_brace",
+            "at_inside_data",
+        ],
+    )
+    def test_invalid(self, data_dir, name):
+        path = os.path.join(data_dir, "arff", "invalid", f"{name}.arff")
+        with pytest.raises(InvalidFileFormatError):
+            parse_arff_lines(read_lines(path, comment="%"))
+
+    def test_reference_arff_parity(self, reference_data_dir):
+        lines = read_lines(
+            os.path.join(reference_data_dir, "arff", "5x4.arff"), comment="%"
+        )
+        X, labels = parse_arff_lines(lines)
+        assert X.shape == (5, 4)
+
+    def test_reference_sparse_arff(self, reference_data_dir):
+        lines = read_lines(
+            os.path.join(reference_data_dir, "arff", "5x4_sparse.arff"), comment="%"
+        )
+        X, labels = parse_arff_lines(lines)
+        assert X.shape == (5, 4)
+        # row 0: only class (index 2) set -> all features zero
+        np.testing.assert_allclose(X[0], [0.0, 0.0, 0.0, 0.0])
+        assert labels[0] == "-1"
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "@_inside_data_section", "class_same_label_multiple_times",
+            "class_with_only_one_label", "class_with_wrong_label",
+            "dense_too_many_values", "multiple_classes",
+            "nominal_attribute_with_wrong_name", "numeric_without_name",
+            "relation_not_at_beginning", "relation_without_name",
+            "sparse_missing_closing_brace", "sparse_missing_opening_brace",
+            "sparse_missing_label", "usage_of_undefined_label",
+            "no_features",
+        ],
+    )
+    def test_reference_invalid_arff_corpus(self, reference_data_dir, name):
+        path = os.path.join(reference_data_dir, "arff", "invalid", f"{name}.arff")
+        if not os.path.isfile(path):
+            pytest.skip(f"fixture {name} absent")
+        with pytest.raises(InvalidFileFormatError):
+            parse_arff_lines(read_lines(path, comment="%"))
+
+
+class TestModelParser:
+    def test_valid(self, data_dir):
+        params, rho, sv, alpha, labels = parse_model_file(
+            os.path.join(data_dir, "model", "6x3_linear.libsvm.model")
+        )
+        assert rho == pytest.approx(0.1234567890123456)
+        assert sv.shape == (6, 3)
+        assert alpha.shape == (6,)
+        assert labels == ["-1", "-1", "-1", "1", "1", "1"]
+        assert params.gamma.is_default()
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "missing_svm_type", "missing_kernel_type", "missing_nr_class",
+            "missing_total_sv", "missing_rho", "missing_label", "missing_nr_sv",
+            "explicit_gamma_in_linear_kernel", "explicit_degree_in_linear_kernel",
+            "explicit_coef0_in_linear_kernel", "explicit_coef0_in_rbf_kernel",
+            "explicit_degree_in_rbf_kernel", "wrong_svm_type", "wrong_kernel_type",
+            "nr_class_and_label_mismatch", "total_sv_and_nr_sv_mismatch",
+            "too_many_classes", "unrecognized_header_entry",
+            "same_class_multiple_times", "missing_support_vectors",
+        ],
+    )
+    def test_invalid(self, data_dir, name):
+        path = os.path.join(data_dir, "model", "invalid", f"{name}.libsvm.model")
+        with pytest.raises(InvalidFileFormatError):
+            parse_model_file(path)
+
+    def test_reference_model_parity(self, reference_data_dir):
+        params, rho, sv, alpha, labels = parse_model_file(
+            os.path.join(reference_data_dir, "model", "5x4_rbf.libsvm.model")
+        )
+        assert rho == pytest.approx(0.37330625882191915)
+        assert params.gamma.value == pytest.approx(0.025)
+        assert sv.shape == (5, 4)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "explicit_coef0_in_linear_kernel", "explicit_coef0_in_rbf_kernel",
+            "explicit_degree_in_linear_kernel", "explicit_degree_in_rbf_kernel",
+            "explicit_gamma_in_linear_kernel", "missing_kernel_type",
+            "missing_label", "missing_nr_class", "missing_nr_sv", "missing_rho",
+            "missing_support_vectors", "missing_sv", "missing_svm_type",
+            "missing_total_sv", "nr_class_and_label_mismatch",
+            "nr_class_and_nr_sv_mismatch", "same_class_multiple_times",
+            "too_few_label", "too_few_nr_sv", "too_many_classes",
+            "total_sv_and_nr_sv_mismatch", "unrecognized_header_entry",
+            "wrong_kernel_type", "wrong_nr_class", "wrong_svm_type",
+            "wrong_total_sv",
+        ],
+    )
+    def test_reference_invalid_model_corpus(self, reference_data_dir, name):
+        path = os.path.join(
+            reference_data_dir, "model", "invalid", f"{name}.libsvm.model"
+        )
+        if not os.path.isfile(path):
+            pytest.skip(f"fixture {name} absent")
+        with pytest.raises(InvalidFileFormatError):
+            parse_model_file(path)
+
+
+class TestScalingFactors:
+    def test_valid(self, data_dir):
+        (lo, hi), factors = parse_scaling_factors(
+            os.path.join(data_dir, "scaling", "valid.txt")
+        )
+        assert (lo, hi) == (-1.0, 1.0)
+        assert factors.shape == (2, 3)
+        # one-based in the file, zero-based in memory
+        assert factors[0, 0] == 0 and factors[1, 0] == 2
+
+    @pytest.mark.parametrize("name", ["zero_based", "no_header", "bad_interval"])
+    def test_invalid(self, data_dir, name):
+        with pytest.raises(InvalidFileFormatError):
+            parse_scaling_factors(os.path.join(data_dir, "scaling", f"{name}.txt"))
+
+    def test_round_trip(self, tmp_path):
+        f = str(tmp_path / "factors.txt")
+        factors = np.array([[0, -1.5, 2.5], [4, 0.0, 1.0]])
+        write_scaling_factors(f, (-1.0, 1.0), factors)
+        (lo, hi), read_back = parse_scaling_factors(f)
+        np.testing.assert_allclose(read_back, factors)
+
+    def test_reference_scaling_parity(self, reference_data_dir):
+        (lo, hi), factors = parse_scaling_factors(
+            os.path.join(reference_data_dir, "scaling_factors", "scaling_factors.txt")
+        )
+        assert (lo, hi) == (-1.4, 2.6)
+        assert factors.shape == (4, 3)
+
+
+class TestModelHeaderOrdering:
+    def test_header_entries_any_order(self):
+        # rho/label/nr_sv order varies across files (cf. 5x4 vs 500x200 models)
+        lines = [
+            "svm_type c_svc", "kernel_type rbf", "gamma 0.25", "nr_class 2",
+            "total_sv 3", "rho 1.5", "label a b", "nr_sv 1 2", "SV", "dummy",
+        ]
+        params, rho, labels, n = parse_model_header(lines)
+        assert rho == 1.5
+        assert labels == ["a", "b", "b"]
+        assert n == 9

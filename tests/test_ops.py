@@ -1,0 +1,168 @@
+"""Device-op tests against the NumPy golden implementations.
+
+reference analog: tests/backends/generic_csvm_tests.hpp (GenericGPUCSVM:
+generate_q, calculate_w, run_device_kernel) compared against
+tests/backends/compare.cpp.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import golden
+from plssvm_tpu.kernel_functions import (
+    apply_kernel_to_gram,
+    kernel_against_point,
+    kernel_function,
+)
+from plssvm_tpu.ops.matvec import (
+    assemble_matvec,
+    kernel_matvec_xla,
+    linear_kernel_matvec,
+)
+from plssvm_tpu.ops.predict import calculate_w, predict_values
+from plssvm_tpu.parameter import KernelFunctionType, Parameter
+
+KINDS = {
+    "linear": KernelFunctionType.LINEAR,
+    "polynomial": KernelFunctionType.POLYNOMIAL,
+    "rbf": KernelFunctionType.RBF,
+}
+PARAMS = dict(gamma=0.25, coef0=1.5, degree=3)
+
+
+@pytest.fixture
+def X():
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(17, 6)).astype(np.float64)
+
+
+class TestKernelFunction:
+    def test_scalar_matches_golden(self, X, kernel_name):
+        p = Parameter(kernel_type=kernel_name, **PARAMS)
+        for i in range(3):
+            expected = golden.kernel(X[i], X[-1], kernel_name, **PARAMS)
+            actual = kernel_function(X[i], X[-1], p)
+            assert actual == pytest.approx(expected, rel=1e-12)
+
+    def test_gram_epilogue_matches_golden(self, X, kernel_name):
+        G = X @ X.T
+        sq = np.sum(X * X, axis=1)
+        K = np.asarray(
+            apply_kernel_to_gram(
+                jnp.asarray(G), jnp.asarray(sq)[:, None], jnp.asarray(sq)[None, :],
+                KINDS[kernel_name], PARAMS["gamma"], PARAMS["coef0"], PARAMS["degree"],
+            )
+        )
+        expected = golden.kernel_matrix(X, kernel_name, **PARAMS)
+        np.testing.assert_allclose(K, expected, rtol=1e-10, atol=1e-12)
+
+    def test_q_vector_matches_golden(self, X, kernel_name):
+        q = np.asarray(
+            kernel_against_point(
+                jnp.asarray(X[:-1]), jnp.asarray(X[-1]),
+                KINDS[kernel_name], PARAMS["gamma"], PARAMS["coef0"], PARAMS["degree"],
+            )
+        )
+        expected = golden.generate_q(X, kernel_name, **PARAMS)
+        np.testing.assert_allclose(q, expected, rtol=1e-10, atol=1e-12)
+
+
+class TestKernelMatvec:
+    def test_matches_dense_golden(self, X, kernel_name):
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=X.shape[0])
+        K = golden.kernel_matrix(X, kernel_name, **PARAMS)
+        expected = K @ v
+        actual = np.asarray(
+            kernel_matvec_xla(
+                jnp.asarray(X), jnp.asarray(np.sum(X * X, axis=1)), jnp.asarray(v),
+                kind=KINDS[kernel_name], gamma=PARAMS["gamma"],
+                coef0=PARAMS["coef0"], degree=PARAMS["degree"],
+            )
+        )
+        np.testing.assert_allclose(actual, expected, rtol=1e-9, atol=1e-10)
+
+    def test_linear_factored_equals_blocked(self, X):
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=X.shape[0])
+        factored = np.asarray(linear_kernel_matvec(jnp.asarray(X), jnp.asarray(v)))
+        expected = (X @ X.T) @ v
+        np.testing.assert_allclose(factored, expected, rtol=1e-10)
+
+    def test_row_blocking_invariance(self, X, kernel_name):
+        """The blockwise result must not depend on the block size."""
+        rng = np.random.default_rng(3)
+        m = 32  # divisible by 4, 8, 16
+        Xp = np.zeros((m, X.shape[1]))
+        Xp[:17] = X
+        v = np.zeros(m)
+        v[:17] = rng.normal(size=17)
+        results = []
+        for rb in (4, 8, 16, 32):
+            results.append(
+                np.asarray(
+                    kernel_matvec_xla(
+                        jnp.asarray(Xp), jnp.asarray(np.sum(Xp * Xp, axis=1)),
+                        jnp.asarray(v), kind=KINDS[kernel_name],
+                        gamma=PARAMS["gamma"], coef0=PARAMS["coef0"],
+                        degree=PARAMS["degree"], row_block=rb,
+                    )
+                )
+            )
+        for r in results[1:]:
+            np.testing.assert_allclose(r, results[0], rtol=1e-9)
+
+
+class TestImplicitMatrixMatvec:
+    def test_assembled_matches_golden_device_kernel(self, X, kernel_name):
+        """Full A_hat @ d against the dense golden (reference run_device_kernel)."""
+        cost = 2.0
+        n = X.shape[0]
+        dept = n - 1
+        rng = np.random.default_rng(4)
+        d_vec = rng.normal(size=dept)
+
+        expected = golden.device_kernel(
+            None, d_vec, X, None, cost, +1.0, kernel_name, **PARAMS
+        )
+
+        q = golden.generate_q(X, kernel_name, **PARAMS)
+        QA_cost = golden.kernel(X[-1], X[-1], kernel_name, **PARAMS) + 1.0 / cost
+        kv = kernel_matvec_xla(
+            jnp.asarray(X[:dept]), jnp.asarray(np.sum(X[:dept] * X[:dept], axis=1)),
+            jnp.asarray(d_vec), kind=KINDS[kernel_name],
+            gamma=PARAMS["gamma"], coef0=PARAMS["coef0"], degree=PARAMS["degree"],
+        )
+        actual = np.asarray(
+            assemble_matvec(kv, jnp.asarray(d_vec), jnp.asarray(q), QA_cost, 1.0 / cost, None)
+        )
+        np.testing.assert_allclose(actual, expected, rtol=1e-8, atol=1e-9)
+
+
+class TestPredictOps:
+    def test_calculate_w(self, X):
+        rng = np.random.default_rng(5)
+        alpha = rng.normal(size=X.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(calculate_w(jnp.asarray(X), jnp.asarray(alpha))),
+            golden.calculate_w(X, alpha),
+            rtol=1e-12,
+        )
+
+    def test_predict_values_matches_golden(self, X, kernel_name):
+        rng = np.random.default_rng(6)
+        alpha = rng.normal(size=X.shape[0])
+        rho = 0.375
+        points = rng.normal(size=(5, X.shape[1]))
+        w = golden.calculate_w(X, alpha)
+        actual = np.asarray(
+            predict_values(
+                jnp.asarray(X), jnp.asarray(alpha), jnp.asarray(rho),
+                jnp.asarray(w), jnp.asarray(points),
+                jnp.asarray(PARAMS["gamma"]), jnp.asarray(PARAMS["coef0"]),
+                kind=KINDS[kernel_name], degree=PARAMS["degree"],
+            )
+        )
+        expected = golden.predict_values(X, alpha, rho, points, kernel_name, **PARAMS)
+        np.testing.assert_allclose(actual, expected, rtol=1e-8, atol=1e-10)

@@ -1,0 +1,116 @@
+"""CG solver tests.
+
+reference analog: tests/backends/generic_csvm_tests.hpp —
+``solve_system_of_linear_equations_trivial`` uses data engineered so the
+implicit matrix is easy (generic_csvm_tests.hpp:99-137); here we also verify
+against a dense direct solve (golden.solve_dense).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import golden
+from conftest import make_blobs
+from plssvm_tpu.parameter import KernelFunctionType
+from plssvm_tpu.solver.cg import solve_ls_svm
+
+KINDS = {
+    "linear": KernelFunctionType.LINEAR,
+    "polynomial": KernelFunctionType.POLYNOMIAL,
+    "rbf": KernelFunctionType.RBF,
+}
+
+
+def run_solve(X, y, kind="linear", gamma=1.0, coef0=0.0, degree=3, cost=1.0,
+              eps=1e-10, max_iter=None, impl="xla", pad_to=None):
+    """Host-side wrapper: pad + call the jitted solver (mirrors CSVM.fit)."""
+    n, d = X.shape
+    dept = n - 1
+    m = pad_to if pad_to is not None else dept
+    Xp = np.zeros((m, d))
+    Xp[:dept] = X[:dept]
+    yp = np.zeros(m)
+    yp[:dept] = y[:dept]
+    mask = np.zeros(m)
+    mask[:dept] = 1.0
+    res = solve_ls_svm(
+        jnp.asarray(Xp), jnp.asarray(X[-1].astype(np.float64)), jnp.asarray(yp),
+        jnp.asarray(float(y[-1])), jnp.asarray(mask),
+        jnp.asarray(gamma), jnp.asarray(coef0), jnp.asarray(cost),
+        jnp.asarray(eps), jnp.asarray(max_iter or n, jnp.int32),
+        kind=KINDS[kind], degree=degree, impl=impl, row_block=8,
+    )
+    alpha = np.concatenate([np.asarray(res.x)[:dept], [float(res.alpha_last)]])
+    return alpha, float(res.rho), int(res.iterations)
+
+
+class TestCGSolver:
+    def test_matches_dense_direct_solve(self, kernel_name):
+        X, y = make_blobs(24, 5, seed=7)
+        y = y.astype(np.float64)
+        gamma, coef0, degree, cost = 0.2, 1.0, 3, 1.0
+        alpha, rho, iters = run_solve(
+            X, y, kernel_name, gamma=gamma, coef0=coef0, degree=degree, cost=cost,
+            max_iter=5000,
+        )
+        expected_alpha, expected_rho = golden.solve_dense(
+            X, y, cost=cost, kind=kernel_name, gamma=gamma, coef0=coef0, degree=degree
+        )
+        np.testing.assert_allclose(alpha, expected_alpha, rtol=1e-3, atol=1e-6)
+        assert rho == pytest.approx(expected_rho, rel=1e-4, abs=1e-6)
+
+    def test_padding_invariance(self):
+        """Zero-padding the dept axis must not change the solution (the RBF
+        padding trap from SURVEY.md §7)."""
+        X, y = make_blobs(20, 4, seed=8)
+        y = y.astype(np.float64)
+        a1, rho1, _ = run_solve(X, y, "rbf", gamma=0.3)
+        a2, rho2, _ = run_solve(X, y, "rbf", gamma=0.3, pad_to=64)
+        np.testing.assert_allclose(a1, a2, rtol=1e-9, atol=1e-12)
+        assert rho1 == pytest.approx(rho2, rel=1e-9)
+
+    def test_alpha_sums_to_zero(self, kernel_name):
+        """sum(alpha) == 0 by construction (last alpha = -sum of the rest)."""
+        X, y = make_blobs(16, 3, seed=9)
+        alpha, _, _ = run_solve(X, y.astype(np.float64), kernel_name, gamma=0.5)
+        assert np.sum(alpha) == pytest.approx(0.0, abs=1e-9)
+
+    def test_max_iter_respected(self):
+        X, y = make_blobs(32, 4, seed=10)
+        _, _, iters = run_solve(X, y.astype(np.float64), "rbf", gamma=0.5,
+                                eps=1e-14, max_iter=3)
+        assert iters <= 3
+
+    def test_exact_residual_cadence_improves_long_runs(self):
+        """Runs longer than 50 iterations still converge (exercises the
+        every-50th exact-residual branch, gpu_csvm.hpp:595-609)."""
+        rng = np.random.default_rng(11)
+        n, d = 96, 64
+        X = rng.normal(size=(n, d))
+        y = np.sign(rng.normal(size=n))
+        y[y == 0] = 1.0
+        alpha, rho, iters = run_solve(X, y, "linear", cost=1000.0, eps=1e-8)
+        expected_alpha, expected_rho = golden.solve_dense(X, y, cost=1000.0, kind="linear")
+        # hard problem: solutions agree to CG tolerance
+        np.testing.assert_allclose(alpha, expected_alpha, rtol=1e-3, atol=1e-5)
+        assert iters > 50
+
+
+class TestTrivialSystem:
+    def test_identity_like_system(self):
+        """Data engineered so solving is trivial: one-hot rows scaled by
+        1/sqrt(2) with the last row zero make K = I/2 on the dept block
+        (reference: generic_csvm_tests.hpp:99-137 uses the same trick)."""
+        dept = 4
+        X = np.zeros((dept + 1, dept))
+        for i in range(dept):
+            X[i, i] = 1.0
+        y = np.array([1.0, 1.0, -1.0, -1.0, 1.0])
+        cost = 4.0
+        # A_hat = K + QA - q_i - q_j + I/C; x_last = 0 -> q = 0, QA = 0 + 1/C
+        # A_hat = I (K=I on diag ... ) sanity-check against the dense solve
+        alpha, rho, iters = run_solve(X, y, "linear", cost=cost, eps=1e-12)
+        expected_alpha, expected_rho = golden.solve_dense(X, y, cost=cost, kind="linear")
+        np.testing.assert_allclose(alpha, expected_alpha, rtol=1e-8, atol=1e-10)
+        assert rho == pytest.approx(expected_rho, rel=1e-8)
