@@ -9,6 +9,32 @@ Public API mirrors the reference's (csvm/data_set/model/parameter/make_csvm,
 include/plssvm/*.hpp) with Pythonic naming.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: plays the role of the reference's OpenCL
+# JIT-binary cache (src/plssvm/backends/OpenCL/detail/utility.cpp:233-327 —
+# compiled kernels cached in a temp dir keyed by sha256).  Without it every
+# CLI invocation pays the full TPU compile (tens of seconds over a tunneled
+# chip).  Opt out with PLSSVM_TPU_NO_COMPILE_CACHE=1.
+if (
+    not _os.environ.get("PLSSVM_TPU_NO_COMPILE_CACHE")
+    # the experimental tunneled-TPU plugin hangs on executable serialization;
+    # its server already caches compiles remotely, so skip the local cache
+    and _os.environ.get("JAX_PLATFORMS", "") != "axon"
+):
+    _cache_dir = _os.environ.get(
+        "PLSSVM_TPU_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "plssvm_tpu", "jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort; never block import
+        pass
+
 from .version import __version__
 from .exceptions import (
     DataSetError,

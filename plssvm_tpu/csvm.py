@@ -69,6 +69,7 @@ class CSVM:
         params: Optional[Parameter] = None,
         dtype=np.float32,
         row_block: int = DEFAULT_ROW_BLOCK,
+        devices=None,
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -92,6 +93,21 @@ class CSVM:
             )
             self.dtype = np.dtype(np.float32)
         self.row_block = int(row_block)
+
+        # multi-chip: row-shard the CG solve over a 1-D device mesh
+        # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
+        # devices=<list> → exactly those; devices=None → automatic: all TPU
+        # chips when the default platform is a multi-chip TPU, else one device.
+        if devices == "all":
+            self.devices = list(jax.devices())
+        elif devices is not None:
+            self.devices = list(devices)
+        elif _has_tpu() and len(jax.devices()) > 1:
+            self.devices = list(jax.devices())
+        else:
+            self.devices = None  # single-device path
+        if self.devices is not None and len(self.devices) < 2:
+            self.devices = None
 
         self._params = params.copy() if params is not None else Parameter()
         if named_params:
@@ -161,7 +177,12 @@ class CSVM:
 
         # pad the dept axis so blockwise/Pallas kernels see aligned shapes;
         # replaces the reference's boundary padding of 16*6=96 (gpu_csvm.hpp:494)
-        if self.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR:
+        n_dev = len(self.devices) if self.devices is not None else 1
+        if n_dev > 1:
+            # sharded: every chip's row block is a multiple of the MXU tile
+            m_pad = max(_round_up(dept, n_dev * 128), n_dev * 128)
+            d_pad = d
+        elif self.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR:
             m_pad = max(_round_up(dept, 128), 128)
             d_pad = _round_up(d, 128)
         elif dept <= self.row_block:
@@ -180,23 +201,42 @@ class CSVM:
         mask = np.zeros((m_pad,), dtype=self.dtype)
         mask[:dept] = 1.0
 
-        impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
-        result = solve_ls_svm(
-            jnp.asarray(Xp),
-            jnp.asarray(x_last),
-            jnp.asarray(yp),
-            jnp.asarray(y[-1], dtype=self.dtype),
-            jnp.asarray(mask),
-            jnp.asarray(params.resolved_gamma(d), dtype=self.dtype),
-            jnp.asarray(params.coef0.value, dtype=self.dtype),
-            jnp.asarray(params.cost.value, dtype=self.dtype),
-            jnp.asarray(epsilon, dtype=self.dtype),
-            jnp.asarray(max_iter, dtype=jnp.int32),
-            kind=kind,
-            degree=degree,
-            impl=impl,
-            row_block=min(self.row_block, m_pad),
-        )
+        gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
+        coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
+        cost_v = jnp.asarray(params.cost.value, dtype=self.dtype)
+        eps_v = jnp.asarray(epsilon, dtype=self.dtype)
+        max_iter_v = jnp.asarray(max_iter, dtype=jnp.int32)
+
+        if n_dev > 1:
+            from .parallel.sharded import (
+                build_sharded_solver, make_row_mesh, shard_arrays,
+            )
+
+            mesh = make_row_mesh(self.devices)
+            solver = build_sharded_solver(mesh, kind=kind, degree=degree)
+            sharded = shard_arrays(
+                mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
+                mask, self.dtype,
+            )
+            result = solver(*sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_v)
+        else:
+            impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
+            result = solve_ls_svm(
+                jnp.asarray(Xp),
+                jnp.asarray(x_last),
+                jnp.asarray(yp),
+                jnp.asarray(y[-1], dtype=self.dtype),
+                jnp.asarray(mask),
+                gamma_v,
+                coef0_v,
+                cost_v,
+                eps_v,
+                max_iter_v,
+                kind=kind,
+                degree=degree,
+                impl=impl,
+                row_block=min(self.row_block, m_pad),
+            )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
         alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
         rho = float(result.rho)

@@ -1,0 +1,24 @@
+"""Multi-chip parallelism: row-sharded CG over a TPU device mesh.
+
+Replaces the reference's feature-split + host-staged all-reduce multi-GPU
+scheme (include/plssvm/backends/gpu_csvm.hpp:284-346,449-475) with
+`shard_map` + ICI collectives; see `plssvm_tpu.parallel.sharded`.
+"""
+
+from .sharded import (
+    ROW_AXIS,
+    build_sharded_solver,
+    linear_sharded_matvec,
+    make_row_mesh,
+    ring_kernel_matvec,
+    shard_arrays,
+)
+
+__all__ = [
+    "ROW_AXIS",
+    "build_sharded_solver",
+    "linear_sharded_matvec",
+    "make_row_mesh",
+    "ring_kernel_matvec",
+    "shard_arrays",
+]

@@ -1,0 +1,180 @@
+"""Multi-chip LS-SVM training: row-sharded CG over a TPU device mesh.
+
+TPU-native replacement for the reference's multi-device scheme
+(include/plssvm/backends/gpu_csvm.hpp:284-346,449-475), which
+
+- splits the *feature* axis across GPUs, **linear kernel only** (poly/rbf are
+  forced to a single device, gpu_csvm.hpp:288-291), and
+- all-reduces per CG iteration by staging every device buffer through the
+  host (`device_reduction`, gpu_csvm.hpp:449-475).
+
+Here instead the **data-point (row) axis** is sharded across the mesh — this
+works for *all three* kernels (a deliberate capability the reference lacks):
+
+- Each chip owns a row block ``X_p`` of the training data, its slice of every
+  CG vector (r, d, x, q, b), and computes its rows of ``K @ v``.
+- For poly/RBF the column blocks needed to form ``K[rows_p, :] @ v`` are
+  obtained by **ring-rotating** ``(X_q, |X_q|^2, v_q)`` around the mesh with
+  ``lax.ppermute`` over ICI — the kernel-matvec analog of ring attention:
+  memory stays O(n d / P) per chip, every hop is a nearest-neighbour transfer
+  XLA can overlap with the current block's MXU work.
+- For the linear kernel ``K @ v = X (X^T v)`` needs only one ``psum`` of the
+  d-length partial ``X_p^T v_p`` — O(n d / P) compute, O(d) communication.
+- CG scalar reductions (r.r, d.Ad, sum(v), q.v) are ``psum``s over ICI; every
+  chip sees identical scalars so the `lax.while_loop` control flow stays in
+  lock-step with zero host round-trips (the reference's per-iteration
+  host-staged all-reduce disappears entirely).
+
+The CG algorithm itself is the single-chip one — `cg_ls_svm_core` — run
+inside `jax.shard_map`; only the reductions and the kernel matvec differ.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernel_functions import apply_kernel_to_gram
+from ..parameter import KernelFunctionType
+from ..solver.cg import CGResult, cg_ls_svm_core
+
+#: mesh axis name for the row (data-point) sharding
+ROW_AXIS = "rows"
+
+
+def make_row_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D mesh over ``devices`` (default: all local devices)."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (ROW_AXIS,))
+
+
+def ring_kernel_matvec(
+    X_local: jnp.ndarray,     # (m_local, d) this chip's row block
+    sq_local: jnp.ndarray,    # (m_local,) squared norms of the row block
+    v_local: jnp.ndarray,     # (m_local,) this chip's slice of v
+    gamma,
+    coef0,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    axis_name: str,
+    num_devices: int,
+) -> jnp.ndarray:
+    """This chip's rows of ``K @ v`` via a ring rotation of column blocks.
+
+    out_p = sum_q K(X_p, X_q) @ v_q.  Step s computes the block against the
+    chunk originally owned by chip (p - s) mod P, then forwards it to the
+    right neighbour.  The loop is unrolled (P is static and small) so XLA can
+    overlap each `ppermute` hop with the current block's MXU work.
+    """
+    perm = [(j, (j + 1) % num_devices) for j in range(num_devices)]
+    Xc, sqc, vc = X_local, sq_local, v_local
+    acc = jnp.zeros_like(v_local)
+    for step in range(num_devices):
+        gram = jax.lax.dot_general(
+            X_local, Xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32 if X_local.dtype == jnp.float32 else None,
+        )  # (m_local, m_local)
+        K_blk = apply_kernel_to_gram(
+            gram, sq_local[:, None], sqc[None, :], kind, gamma, coef0, degree
+        )
+        acc = acc + K_blk @ vc
+        if step + 1 < num_devices:
+            Xc = jax.lax.ppermute(Xc, axis_name, perm)
+            sqc = jax.lax.ppermute(sqc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+    return acc
+
+
+def linear_sharded_matvec(
+    X_local: jnp.ndarray, v_local: jnp.ndarray, axis_name: str
+) -> jnp.ndarray:
+    """Row-sharded ``(X X^T) @ v`` via the factored O(n d / P) path.
+
+    The only communication is one psum of the d-length partial ``X_p^T v_p``.
+    """
+    xtv = jax.lax.psum(X_local.T @ v_local, axis_name)
+    return X_local @ xtv
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def build_sharded_solver(mesh: Mesh, *, kind: KernelFunctionType, degree: int):
+    """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
+
+    Inputs are expected already placed with `shard_arrays` (X/y/mask row-
+    sharded, everything else replicated); the returned `CGResult.x` is
+    row-sharded, scalars replicated.
+    """
+    key = (mesh, kind, degree)
+    cached = _SOLVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    num_devices = mesh.devices.size
+
+    def local_solve(X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter):
+        def dot(a, b):
+            return jax.lax.psum(jnp.dot(a, b), ROW_AXIS)
+
+        def vsum(v):
+            return jax.lax.psum(jnp.sum(v), ROW_AXIS)
+
+        if kind == KernelFunctionType.LINEAR:
+            def kernel_mv(Xl, sq, v, g, c0):
+                return linear_sharded_matvec(Xl, v, ROW_AXIS)
+        else:
+            def kernel_mv(Xl, sq, v, g, c0):
+                return ring_kernel_matvec(
+                    Xl, sq, v, g, c0,
+                    kind=kind, degree=degree,
+                    axis_name=ROW_AXIS, num_devices=num_devices,
+                )
+
+        return cg_ls_svm_core(
+            X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+            kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
+        )
+
+    row = P(ROW_AXIS)
+    rep = P()
+    solve = jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), rep, row, rep, row,
+                      rep, rep, rep, rep, rep),
+            out_specs=CGResult(
+                x=row, rho=rep, alpha_last=rep,
+                iterations=rep, delta=rep, delta0=rep,
+            ),
+        )
+    )
+    _SOLVER_CACHE[key] = solve
+    return solve
+
+
+def shard_arrays(mesh: Mesh, X, x_last, y, y_last, mask, dtype):
+    """Place the padded training arrays onto the mesh.
+
+    ``X``/``y``/``mask`` row-sharded, the rest replicated.  Row count must be
+    divisible by the mesh size (the CSVM front end pads accordingly).
+    """
+    row2 = NamedSharding(mesh, P(ROW_AXIS, None))
+    row1 = NamedSharding(mesh, P(ROW_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(X, dtype), row2),
+        jax.device_put(jnp.asarray(x_last, dtype), rep),
+        jax.device_put(jnp.asarray(y, dtype), row1),
+        jax.device_put(jnp.asarray(y_last, dtype), rep),
+        jax.device_put(jnp.asarray(mask, dtype), row1),
+    )

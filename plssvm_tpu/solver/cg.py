@@ -20,12 +20,17 @@ TPU-native design: the whole solve is ONE jitted function whose loop is a
 ``lax.while_loop`` — every CG iteration stays on device.  The reference
 instead round-trips vectors between host and device twice per iteration
 (gpu_csvm.hpp:585-633); removing that is the main structural speedup.
+
+The core (:func:`cg_ls_svm_core`) is written against abstract ``dot`` /
+``vsum`` reductions and an abstract kernel matvec so the multi-chip solver
+(plssvm_tpu.parallel.sharded) can run the *same* algorithm inside a
+``shard_map`` with ``psum``-reduced scalars — no second CG implementation.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +39,6 @@ from ..kernel_functions import apply_kernel_to_gram, kernel_against_point
 from ..parameter import KernelFunctionType
 from ..ops.matvec import (
     DEFAULT_ROW_BLOCK,
-    assemble_matvec,
     kernel_matvec_xla,
     linear_kernel_matvec,
 )
@@ -79,6 +83,101 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
     return kv
 
 
+def cg_ls_svm_core(
+    X: jnp.ndarray,        # (m_local, d) rows owned by this shard (zero-padded)
+    x_last: jnp.ndarray,   # (d,) the folded-out last data point (replicated)
+    y: jnp.ndarray,        # (m_local,) mapped labels, 0 on padding
+    y_last: jnp.ndarray,   # scalar mapped label of the last point
+    mask: jnp.ndarray,     # (m_local,) 1.0 on real rows, 0.0 on padding
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    kernel_mv: Callable,   # (X, sq_norms, v, gamma, coef0) -> K @ v over local rows
+    dot: Callable = jnp.dot,    # GLOBAL dot product (psum'd when sharded)
+    vsum: Callable = jnp.sum,   # GLOBAL vector sum (psum'd when sharded)
+) -> CGResult:
+    """The CG algorithm, agnostic to single-chip vs sharded execution.
+
+    When sharded, ``X/y/mask`` hold this chip's row block, ``kernel_mv``
+    computes this chip's rows of ``K @ v`` (e.g. via a ring rotation of column
+    blocks over ICI), and ``dot``/``vsum`` are psum-reduced so every chip sees
+    identical CG scalars.
+    """
+    dtype = X.dtype
+    cost_inv = 1.0 / cost
+    sq_norms = jnp.sum(X * X, axis=-1)
+
+    # q[i] = k(x_i, x_last)  (reference: gpu_csvm.hpp:505, q_kernel.cu:16-49)
+    q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
+    # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508)
+    xl_sq = jnp.dot(x_last, x_last)
+    qa = apply_kernel_to_gram(xl_sq, xl_sq, xl_sq, kind, gamma, coef0, degree)
+    QA_cost = qa + cost_inv
+
+    # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
+    b = (y - y_last) * mask
+
+    def matvec(v):
+        # A_hat @ v = K@v + (QA_cost - q)*sum(v) - (q.v)*1 + (1/C)*v; the
+        # rank-1 epilogue needs the GLOBAL sum(v) and q.v
+        s = vsum(v)
+        qv = dot(q, v)
+        out = kernel_mv(X, sq_norms, v, gamma, coef0)
+        out = out + (QA_cost - q) * s - qv + cost_inv * v
+        return out * mask
+
+    # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
+    x0 = mask.astype(dtype)
+    r0 = b - matvec(x0)
+    delta0 = dot(r0, r0)
+    target = eps * eps * delta0
+
+    class State(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        r: jnp.ndarray
+        d: jnp.ndarray
+        delta: jnp.ndarray
+
+    def cond(s: State):
+        return jnp.logical_and(s.it < max_iter, s.delta > target)
+
+    def body(s: State) -> State:
+        Ad = matvec(s.d)
+        alpha_cd = s.delta / dot(s.d, Ad)
+        x = s.x + alpha_cd * s.d
+        # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
+        r = jax.lax.cond(
+            (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
+            lambda: b - matvec(x),
+            lambda: s.r - alpha_cd * Ad,
+        )
+        delta = dot(r, r)
+        beta = delta / s.delta
+        d = beta * s.d + r
+        return State(s.it + 1, x, r, d, delta)
+
+    init = State(jnp.asarray(0, jnp.int32), x0, r0, r0, delta0)
+    final = jax.lax.while_loop(cond, body, init)
+
+    # bias and the folded-out last alpha (gpu_csvm.hpp:648-653)
+    alpha_sum = vsum(final.x)
+    bias = y_last + QA_cost * alpha_sum - dot(q, final.x)
+    return CGResult(
+        x=final.x,
+        rho=-bias,
+        alpha_last=-alpha_sum,
+        iterations=final.it,
+        delta=final.delta,
+        delta0=delta0,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "degree", "impl", "row_block"),
@@ -100,77 +199,9 @@ def solve_ls_svm(
     impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
 ) -> CGResult:
-    """Run the full LS-SVM CG solve on device."""
-    dtype = X.dtype
+    """Run the full LS-SVM CG solve on a single device."""
     kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
-
-    cost_inv = 1.0 / cost
-    sq_norms = jnp.sum(X * X, axis=-1)
-
-    # q[i] = k(x_i, x_last)  (reference: gpu_csvm.hpp:505, q_kernel.cu:16-49)
-    q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
-    # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508)
-    qa = apply_kernel_to_gram(
-        jnp.dot(x_last, x_last),
-        jnp.dot(x_last, x_last),
-        jnp.dot(x_last, x_last),
-        kind,
-        gamma,
-        coef0,
-        degree,
-    )
-    QA_cost = qa + cost_inv
-
-    # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
-    b = (y - y_last) * mask
-
-    def matvec(v):
-        return assemble_matvec(
-            kernel_mv(X, sq_norms, v, gamma, coef0), v, q, QA_cost, cost_inv, mask
-        )
-
-    # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
-    x0 = mask.astype(dtype)
-    r0 = b - matvec(x0)
-    delta0 = jnp.dot(r0, r0)
-    target = eps * eps * delta0
-
-    class State(NamedTuple):
-        it: jnp.ndarray
-        x: jnp.ndarray
-        r: jnp.ndarray
-        d: jnp.ndarray
-        delta: jnp.ndarray
-
-    def cond(s: State):
-        return jnp.logical_and(s.it < max_iter, s.delta > target)
-
-    def body(s: State) -> State:
-        Ad = matvec(s.d)
-        alpha_cd = s.delta / jnp.dot(s.d, Ad)
-        x = s.x + alpha_cd * s.d
-        # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
-        r = jax.lax.cond(
-            (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
-            lambda: b - matvec(x),
-            lambda: s.r - alpha_cd * Ad,
-        )
-        delta = jnp.dot(r, r)
-        beta = delta / s.delta
-        d = beta * s.d + r
-        return State(s.it + 1, x, r, d, delta)
-
-    init = State(jnp.asarray(0, jnp.int32), x0, r0, r0, delta0)
-    final = jax.lax.while_loop(cond, body, init)
-
-    # bias and the folded-out last alpha (gpu_csvm.hpp:648-653)
-    alpha_sum = jnp.sum(final.x)
-    bias = y_last + QA_cost * alpha_sum - jnp.dot(q, final.x)
-    return CGResult(
-        x=final.x,
-        rho=-bias,
-        alpha_last=-alpha_sum,
-        iterations=final.it,
-        delta=final.delta,
-        delta0=delta0,
+    return cg_ls_svm_core(
+        X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        kind=kind, degree=degree, kernel_mv=kernel_mv,
     )

@@ -1,0 +1,201 @@
+"""Multi-chip sharding tests, run on an 8-virtual-device CPU mesh.
+
+Mirrors the reference's multi-device coverage (tests/backends/compare.hpp
+``num_devices``-aware golden functions, SURVEY.md §4) but on fake devices —
+the capability the reference lacks (its multi-GPU tests need real GPUs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import plssvm_tpu
+from plssvm_tpu.parameter import KernelFunctionType
+from plssvm_tpu.parallel.sharded import (
+    ROW_AXIS,
+    build_sharded_solver,
+    make_row_mesh,
+    shard_arrays,
+)
+from plssvm_tpu.solver.cg import solve_ls_svm
+
+from conftest import make_blobs
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices("cpu")
+    if len(devs) < NDEV:
+        pytest.skip("needs 8 virtual CPU devices")
+    return make_row_mesh(devs[:NDEV])
+
+
+def _padded_problem(n=257, d=13, dtype=np.float64, seed=3):
+    """A blob problem padded so rows divide evenly across NDEV shards."""
+    X, y = make_blobs(n, d, seed=seed, dtype=dtype)
+    dept = n - 1
+    shard = 64
+    m_pad = ((dept + NDEV * shard - 1) // (NDEV * shard)) * (NDEV * shard)
+    Xp = np.zeros((m_pad, d), dtype=dtype)
+    Xp[:dept] = X[:dept]
+    yp = np.zeros((m_pad,), dtype=dtype)
+    yp[:dept] = y[:dept]
+    mask = np.zeros((m_pad,), dtype=dtype)
+    mask[:dept] = 1.0
+    return Xp, X[-1].astype(dtype), yp, dtype(y[-1]), mask, dept
+
+
+@pytest.mark.parametrize("kernel", ["linear", "polynomial", "rbf"])
+def test_sharded_solve_matches_single_device(mesh, kernel):
+    """The 8-shard CG must match the single-device CG solution."""
+    kind = KernelFunctionType.from_string(kernel)
+    dtype = np.float64
+    Xp, x_last, yp, y_last, mask, dept = _padded_problem(dtype=dtype)
+    gamma = dtype(1.0 / Xp.shape[1])
+    coef0 = dtype(1.0 if kind == KernelFunctionType.POLYNOMIAL else 0.0)
+    cost, eps = dtype(1.0), dtype(1e-10)
+    max_iter = jnp.asarray(2000, jnp.int32)
+
+    single = solve_ls_svm(
+        jnp.asarray(Xp), jnp.asarray(x_last), jnp.asarray(yp),
+        jnp.asarray(y_last), jnp.asarray(mask),
+        jnp.asarray(gamma), jnp.asarray(coef0), jnp.asarray(cost),
+        jnp.asarray(eps), max_iter, kind=kind, degree=3, impl="xla",
+    )
+
+    solver = build_sharded_solver(mesh, kind=kind, degree=3)
+    args = shard_arrays(mesh, Xp, x_last, yp, y_last, mask, dtype)
+    sharded = solver(
+        *args, jnp.asarray(gamma), jnp.asarray(coef0), jnp.asarray(cost),
+        jnp.asarray(eps), max_iter,
+    )
+
+    x_single = np.asarray(single.x)[:dept]
+    x_shard = np.asarray(jax.device_get(sharded.x))[:dept]
+
+    # the right invariant: the sharded solution must satisfy the dense system
+    # to the same relative residual the CG stop criterion guarantees
+    from plssvm_tpu.kernel_functions import apply_kernel_to_gram
+
+    Xr = Xp[:dept]
+    sq = np.sum(Xr * Xr, axis=1)
+    gram = Xr @ Xr.T
+    K = np.asarray(
+        apply_kernel_to_gram(gram, sq[:, None], sq[None, :], kind, gamma, coef0, 3)
+    )
+    q = np.asarray(
+        apply_kernel_to_gram(
+            Xr @ x_last, sq, np.dot(x_last, x_last), kind, gamma, coef0, 3
+        )
+    )
+    QA_cost = float(
+        apply_kernel_to_gram(
+            np.dot(x_last, x_last), np.dot(x_last, x_last),
+            np.dot(x_last, x_last), kind, gamma, coef0, 3,
+        )
+    ) + 1.0 / cost
+    A = K + QA_cost - q[:, None] - q[None, :] + np.eye(dept) / cost
+    b = yp[:dept] - y_last
+    r0 = b - A @ np.ones(dept)
+    for x_sol in (x_single, x_shard):
+        res = np.dot(b - A @ x_sol, b - A @ x_sol)
+        assert res <= eps * eps * np.dot(r0, r0) * 1.1
+
+    # cross-match: both converged to the eps-ball around the true solution,
+    # so they agree to ~eps * cond(A) relative
+    np.testing.assert_allclose(x_shard, x_single, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        float(sharded.rho), float(single.rho), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(sharded.alpha_last), float(single.alpha_last), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("kernel", ["polynomial", "rbf"])
+def test_ring_matvec_matches_dense(mesh, kernel):
+    """Ring-rotated K@v == dense kernel-matrix matvec."""
+    from plssvm_tpu.kernel_functions import apply_kernel_to_gram
+    from plssvm_tpu.parallel.sharded import ring_kernel_matvec
+
+    kind = KernelFunctionType.from_string(kernel)
+    rng = np.random.default_rng(0)
+    m, d = NDEV * 16, 7
+    X = rng.normal(size=(m, d))
+    v = rng.normal(size=(m,))
+    gamma, coef0 = 0.25, 1.0
+
+    sq = np.sum(X * X, axis=1)
+    gram = X @ X.T
+    K = np.asarray(
+        apply_kernel_to_gram(gram, sq[:, None], sq[None, :], kind, gamma, coef0, 3)
+    )
+    expected = K @ v
+
+    shmapped = jax.jit(
+        jax.shard_map(
+            lambda Xl, sql, vl: ring_kernel_matvec(
+                Xl, sql, vl, gamma, coef0,
+                kind=kind, degree=3, axis_name=ROW_AXIS, num_devices=NDEV,
+            ),
+            mesh=mesh,
+            in_specs=(
+                jax.sharding.PartitionSpec(ROW_AXIS, None),
+                jax.sharding.PartitionSpec(ROW_AXIS),
+                jax.sharding.PartitionSpec(ROW_AXIS),
+            ),
+            out_specs=jax.sharding.PartitionSpec(ROW_AXIS),
+        )
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P(ROW_AXIS, None)))
+    sqs = jax.device_put(jnp.asarray(sq), NamedSharding(mesh, P(ROW_AXIS)))
+    vs = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P(ROW_AXIS)))
+    got = np.asarray(jax.device_get(shmapped(Xs, sqs, vs)))
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+def test_linear_sharded_matvec_matches_dense(mesh):
+    from plssvm_tpu.parallel.sharded import linear_sharded_matvec
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(1)
+    m, d = NDEV * 8, 5
+    X = rng.normal(size=(m, d))
+    v = rng.normal(size=(m,))
+    expected = X @ (X.T @ v)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda Xl, vl: linear_sharded_matvec(Xl, vl, ROW_AXIS),
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS),
+        )
+    )
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P(ROW_AXIS, None)))
+    vs = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P(ROW_AXIS)))
+    got = np.asarray(jax.device_get(fn(Xs, vs)))
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("kernel", ["linear", "rbf"])
+def test_csvm_fit_with_explicit_devices(mesh, kernel):
+    """End-to-end: CSVM(devices=...) trains sharded and predicts correctly."""
+    X, y = make_blobs(300, 6, seed=11)
+    data = plssvm_tpu.DataSet(X, y)
+    svm = plssvm_tpu.CSVM(
+        kernel_type=kernel, dtype=np.float64,
+        devices=jax.devices("cpu")[:NDEV],
+    )
+    model = svm.fit(data, epsilon=1e-9)
+    assert svm.score(model) >= 0.95
+
+    ref = plssvm_tpu.CSVM(kernel_type=kernel, dtype=np.float64)
+    ref_model = ref.fit(data, epsilon=1e-9)
+    np.testing.assert_allclose(model.alpha, ref_model.alpha, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(model.rho, ref_model.rho, rtol=1e-4, atol=1e-6)
