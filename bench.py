@@ -1,0 +1,121 @@
+"""Driver benchmark: fused kernel-matvec throughput + CG training rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is the RBF implicit-kernel-matvec throughput of the fused
+Pallas TPU kernel (TFLOP/s/chip) — the op where ~all LS-SVM training FLOPs
+live (reference hot loop: src/plssvm/backends/CUDA/svm_kernel.cu).
+``vs_baseline`` is the speedup of the fused Pallas kernel over the plain
+XLA/jnp blockwise implementation of the *same* matvec on the same chip
+(the stand-in for "stock" performance; the reference repo publishes no
+absolute numbers, BASELINE.md).
+
+Extra detail (CG iterations/s on a 10k x 200 RBF problem, per BASELINE.json
+config #2) goes to stderr so the driver still sees exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_matvec(m=8192, d=256, iters=32, dtype=np.float32):
+    import jax
+    import jax.numpy as jnp
+
+    from plssvm_tpu.ops.matvec import kernel_matvec_xla
+    from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas
+    from plssvm_tpu.parameter import KernelFunctionType
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(m, d)).astype(dtype))
+    v0 = jnp.asarray(rng.normal(size=(m,)).astype(dtype))
+    sq = jnp.sum(X * X, axis=-1)
+    gamma = jnp.asarray(1.0 / d, dtype)
+    coef0 = jnp.asarray(0.0, dtype)
+    kind = KernelFunctionType.RBF
+
+    def loop(matvec):
+        @jax.jit
+        def run(v):
+            def body(_, vv):
+                out = matvec(vv)
+                return out / jnp.linalg.norm(out)  # keep values bounded
+            return jax.lax.fori_loop(0, iters, body, v)
+        return run
+
+    flops_per_mv = 2.0 * m * m * d + 8.0 * m * m
+
+    results = {}
+    for name, mv in (
+        ("pallas", lambda v: kernel_matvec_pallas(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3)),
+        ("xla", lambda v: kernel_matvec_xla(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+            row_block=1024)),
+    ):
+        run = loop(mv)
+        jax.block_until_ready(run(v0))  # compile + warm up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(v0))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = flops_per_mv * iters / best / 1e12  # TFLOP/s
+    return results
+
+
+def _bench_cg(n=10240, d=200, dtype=np.float32):
+    """CG iterations/second on a 10k x 200 RBF problem (BASELINE config #2)."""
+    import jax
+
+    import plssvm_tpu as p
+
+    p.set_verbosity("quiet")
+    rng = np.random.default_rng(1)
+    half = n // 2
+    X = np.concatenate([
+        rng.normal(-1.0, 1.0, size=(half, d)),
+        rng.normal(+1.0, 1.0, size=(n - half, d)),
+    ]).astype(dtype)
+    y = np.concatenate([-np.ones(half), np.ones(n - half)])
+    data = p.DataSet(X, y)
+
+    svm = p.CSVM(kernel_type="rbf", dtype=dtype)
+    t0 = time.perf_counter()
+    model = svm.fit(data, epsilon=1e-3, max_iter=200)
+    elapsed = time.perf_counter() - t0
+    from plssvm_tpu.utils.tracker import global_tracker
+
+    iters = None
+    for name, value in global_tracker.entries().get("cg", []):
+        if name == "iterations":
+            iters = value
+    acc = svm.score(model)
+    return (iters or 0) / elapsed, iters, acc, elapsed
+
+
+def main():
+    mv = _bench_matvec()
+    cg_rate, cg_iters, acc, cg_time = _bench_cg()
+    print(
+        f"[bench] matvec pallas={mv['pallas']:.2f} TFLOP/s, "
+        f"xla={mv['xla']:.2f} TFLOP/s; "
+        f"cg: {cg_iters} iters in {cg_time:.2f}s = {cg_rate:.1f} it/s, "
+        f"train acc={acc:.3f}",
+        file=sys.stderr,
+    )
+    best = max(mv["pallas"], mv["xla"])
+    print(json.dumps({
+        "metric": "rbf_kernel_matvec_throughput",
+        "value": round(best, 3),
+        "unit": "TFLOP/s/chip",
+        "vs_baseline": round(mv["pallas"] / mv["xla"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ from .csvm import (
     list_available_target_platforms,
     make_csvm,
 )
+from .sklearn import SVC
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
 
@@ -85,6 +86,7 @@ __all__ = [
     "Scaling",
     "Model",
     "CSVM",
+    "SVC",
     "make_csvm",
     "csvm_backend_exists",
     "list_available_backends",

@@ -266,7 +266,9 @@ class CSVM:
         )
         add_tracking_entry("cg", "total_runtime", total_ms)
 
-        return Model(params, data, alpha=alpha, rho=rho)
+        model = Model(params, data, alpha=alpha, rho=rho)
+        model.n_iter = iterations
+        return model
 
     # -- predict ------------------------------------------------------------
     def predict_values(self, model: Model, data: DataSet) -> np.ndarray:

@@ -216,12 +216,12 @@ class DataSet:
             )
         else:
             fmt = FileFormatType.from_string(file_format)
-        comment = "%" if fmt == FileFormatType.ARFF else "#"
-        lines = read_lines(filename, comment=comment)
         if fmt == FileFormatType.ARFF:
+            lines = read_lines(filename, comment="%")
             X, raw_labels = arff_io.parse_arff_lines(lines, dtype=dtype)
         else:
-            X, raw_labels = libsvm_io.parse_libsvm_lines(lines, dtype=dtype)
+            # native mmap + multithreaded fast path with NumPy fallback
+            X, raw_labels = libsvm_io.parse_libsvm_file(filename, dtype=dtype)
         self._X = np.ascontiguousarray(X)
         self._labels = (
             _infer_label_array(raw_labels, label_type) if raw_labels is not None else None

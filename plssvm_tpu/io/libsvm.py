@@ -136,6 +136,26 @@ def parse_libsvm_lines(
     return data, (labels if has_label else None)
 
 
+def parse_libsvm_file(
+    filename: str, dtype: np.dtype = np.float64
+) -> Tuple[np.ndarray, Optional[List[str]]]:
+    """Parse a LIBSVM file, preferring the native C++ mmap parser.
+
+    The native fast path (plssvm_tpu/native/libsvm_parser.cpp, the analog of
+    the reference's mmap file_reader + OpenMP parser) raises the same
+    exceptions with the same messages; on any environment problem (no
+    toolchain, PLSSVM_TPU_NO_NATIVE=1) the NumPy parser takes over.
+    """
+    from ..native import parse_libsvm_native
+
+    result = parse_libsvm_native(filename, dtype=dtype)
+    if result is not None:
+        return result
+    from .file_reader import read_lines
+
+    return parse_libsvm_lines(read_lines(filename, comment="#"), dtype=dtype)
+
+
 def write_libsvm_lines(
     data: np.ndarray, labels: Optional[np.ndarray] = None
 ) -> List[str]:
@@ -163,6 +183,10 @@ def write_libsvm_lines(
 def write_libsvm_file(
     filename: str, data: np.ndarray, labels: Optional[np.ndarray] = None
 ) -> None:
+    from ..native import write_libsvm_native
+
+    if write_libsvm_native(filename, data, labels):
+        return
     with open(filename, "w", encoding="utf-8") as fh:
         for line in write_libsvm_lines(data, labels):
             fh.write(line)

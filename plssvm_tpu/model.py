@@ -39,6 +39,8 @@ class Model:
         self.rho = float(rho)
         #: cached w vector for the linear prediction fast path (model.hpp:162-166)
         self.w: Optional[np.ndarray] = None
+        #: CG iterations of the producing fit (None for file-loaded models)
+        self.n_iter: Optional[int] = None
 
     # -- file IO ----------------------------------------------------------
     @classmethod

@@ -1,0 +1,428 @@
+// Native LIBSVM parser/writer: mmap ingest + multi-threaded parse.
+//
+// TPU-native equivalent of the reference's native IO layer:
+//   - include/plssvm/detail/io/file_reader.hpp:42-206 (mmap-based file
+//     ingest split into comment-stripped lines)
+//   - include/plssvm/detail/io/libsvm_parsing.hpp:117-221 (OpenMP-parallel
+//     sparse "label idx:val" parsing with strict 1-based strictly-increasing
+//     index validation), 243-300 (sparse writer, {:.10e} formatting)
+//
+// Error messages match plssvm_tpu/io/libsvm.py verbatim so the Python
+// fallback and this fast path are interchangeable (the tests assert this).
+//
+// Design: two parses over the mmap'd bytes instead of materializing
+// (row, idx, val) triplets — pass 1 validates and finds the feature count,
+// pass 2 fills the dense row-major output; both passes are parallel over
+// line ranges with std::thread.  Memory overhead beyond the output matrix is
+// O(#lines).
+
+#include <algorithm>
+#include <atomic>
+#include <charconv>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Line {
+    const char* begin;
+    const char* end;
+};
+
+inline bool is_space(char c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' || c == '\f';
+}
+
+// mirrors io/libsvm.py _has_label / reference libsvm_parsing.hpp:150-156:
+// the row has a label iff the first ':' does not come before the first ' '
+bool has_label(const Line& ln) {
+    const char* space = static_cast<const char*>(
+        memchr(ln.begin, ' ', static_cast<size_t>(ln.end - ln.begin)));
+    const char* colon = static_cast<const char*>(
+        memchr(ln.begin, ':', static_cast<size_t>(ln.end - ln.begin)));
+    if (colon == nullptr) return true;   // no features at all -> whole line is a label
+    if (space == nullptr) return false;  // single 'idx:val' token without label
+    return colon > space;
+}
+
+// Python-compatible numeric parsing: int()/float() accept a leading '+'
+bool parse_index(const char* b, const char* e, long long* out) {
+    if (b < e && *b == '+') ++b;
+    if (b == e) return false;
+    auto res = std::from_chars(b, e, *out);
+    return res.ec == std::errc() && res.ptr == e;
+}
+
+bool parse_value(const char* b, const char* e, double* out) {
+    if (b < e && *b == '+') ++b;
+    if (b == e) return false;
+    auto res = std::from_chars(b, e, *out, std::chars_format::general);
+    return res.ec == std::errc() && res.ptr == e;
+}
+
+struct ErrorSlot {
+    std::mutex mu;
+    long long line = -1;  // earliest erroring line wins (Python parses in order)
+    std::string message;
+
+    void report(long long ln, std::string msg) {
+        std::lock_guard<std::mutex> lock(mu);
+        if (line < 0 || ln < line) {
+            line = ln;
+            message = std::move(msg);
+        }
+    }
+    bool has_error() {
+        std::lock_guard<std::mutex> lock(mu);
+        return line >= 0;
+    }
+};
+
+size_t num_threads_for(size_t work_items) {
+    size_t hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    return std::max<size_t>(1, std::min(hw, std::max<size_t>(1, work_items / 256)));
+}
+
+template <typename Fn>
+void parallel_for_lines(size_t n, Fn&& fn) {
+    const size_t nt = num_threads_for(n);
+    if (nt <= 1) {
+        fn(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    const size_t chunk = (n + nt - 1) / nt;
+    for (size_t t = 0; t < nt; ++t) {
+        const size_t lo = t * chunk;
+        const size_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([lo, hi, &fn] { fn(lo, hi); });
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+struct PlssvmParseResult {
+    double* data;     // n*d row-major (malloc'd; free with plssvm_free_result)
+    char* labels;     // n concatenated NUL-terminated labels (malloc'd), or NULL
+    int64_t labels_bytes;
+    int64_t n;
+    int64_t d;
+    int32_t has_labels;
+    char error[512];
+};
+
+static void set_error(PlssvmParseResult* out, const std::string& msg) {
+    snprintf(out->error, sizeof(out->error), "%s", msg.c_str());
+}
+
+void plssvm_free_result(PlssvmParseResult* out) {
+    free(out->data);
+    free(out->labels);
+    out->data = nullptr;
+    out->labels = nullptr;
+}
+
+// returns 0 on success, 1 on parse error (out->error set), 2 on IO error
+int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
+    memset(out, 0, sizeof(*out));
+
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+        return 2;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        set_error(out, std::string("Couldn't stat file: '") + path + "'!");
+        return 2;
+    }
+    const size_t size = static_cast<size_t>(st.st_size);
+    const char* base = nullptr;
+    if (size > 0) {
+        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) {
+            close(fd);
+            set_error(out, std::string("Couldn't mmap file: '") + path + "'!");
+            return 2;
+        }
+        base = static_cast<const char*>(map);
+    }
+
+    // ---- split into trimmed, non-empty, non-comment lines ----
+    std::vector<Line> lines;
+    lines.reserve(size / 64 + 1);
+    const char* p = base;
+    const char* file_end = base + size;
+    while (p < file_end) {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(file_end - p)));
+        const char* line_end = nl ? nl : file_end;
+        const char* b = p;
+        const char* e = line_end;
+        while (b < e && is_space(*b)) ++b;
+        while (e > b && is_space(*(e - 1))) --e;
+        if (b < e && *b != '#') lines.push_back({b, e});
+        p = nl ? nl + 1 : file_end;
+    }
+
+    const size_t n = lines.size();
+    if (n == 0) {
+        if (base) munmap(const_cast<char*>(base), size);
+        close(fd);
+        set_error(out, "Can't parse file: no data points are given!");
+        return 1;
+    }
+
+    // ---- pass 1 (parallel): validate, find feature count, locate labels ----
+    ErrorSlot err;
+    std::atomic<bool> any_label{false};
+    std::atomic<bool> any_no_label{false};
+    std::atomic<bool> any_feature{false};
+    std::atomic<long long> max_index{0};
+    std::vector<Line> label_tokens(n, {nullptr, nullptr});
+
+    parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        long long local_max = 0;
+        for (size_t i = lo; i < hi; ++i) {
+            if (err.has_error()) return;
+            const Line& ln = lines[i];
+            const char* q = ln.begin;
+            // leading label token?
+            if (has_label(ln)) {
+                any_label.store(true, std::memory_order_relaxed);
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                label_tokens[i] = {q, tok_end};
+                q = tok_end;
+            } else {
+                any_no_label.store(true, std::memory_order_relaxed);
+            }
+            long long last_index = 0;
+            while (q < ln.end) {
+                while (q < ln.end && is_space(*q)) ++q;
+                if (q >= ln.end) break;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                const char* colon = static_cast<const char*>(
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)));
+                if (colon == nullptr) {
+                    err.report(static_cast<long long>(i),
+                               "Can't convert '" + std::string(q, tok_end) +
+                                   "' to a LIBSVM index:value pair!");
+                    return;
+                }
+                long long index;
+                if (!parse_index(q, colon, &index)) {
+                    err.report(static_cast<long long>(i),
+                               "Can't convert '" + std::string(q, colon) +
+                                   "' to a value of type unsigned long!");
+                    return;
+                }
+                if (index == 0) {
+                    err.report(static_cast<long long>(i),
+                               "LIBSVM assumes a 1-based feature indexing scheme, "
+                               "but 0 was given!");
+                    return;
+                }
+                if (last_index >= index) {
+                    err.report(static_cast<long long>(i),
+                               "The features indices must be strictly increasing, "
+                               "but " + std::to_string(index) +
+                                   " is smaller or equal than " +
+                                   std::to_string(last_index) + "!");
+                    return;
+                }
+                last_index = index;
+                double value;
+                if (!parse_value(colon + 1, tok_end, &value)) {
+                    err.report(static_cast<long long>(i),
+                               "Can't convert '" + std::string(colon + 1, tok_end) +
+                                   "' to a value of type real_type!");
+                    return;
+                }
+                local_max = std::max(local_max, index);
+                any_feature.store(true, std::memory_order_relaxed);
+                q = tok_end;
+            }
+        }
+        // lock-free max merge
+        long long seen = max_index.load(std::memory_order_relaxed);
+        while (local_max > seen &&
+               !max_index.compare_exchange_weak(seen, local_max)) {
+        }
+    });
+
+    auto cleanup = [&]() {
+        if (base) munmap(const_cast<char*>(base), size);
+        close(fd);
+    };
+
+    if (err.has_error()) {
+        cleanup();
+        set_error(out, err.message);
+        return 1;
+    }
+    const bool got_labels = any_label.load();
+    if (got_labels && any_no_label.load()) {
+        cleanup();
+        set_error(out,
+                  "Inconsistent label specification found "
+                  "(some data points are labeled, others are not)!");
+        return 1;
+    }
+    if (!any_feature.load()) {
+        cleanup();
+        set_error(out, "Can't parse file: no data points are given!");
+        return 1;
+    }
+
+    const long long d = max_index.load();
+    double* data = static_cast<double*>(
+        calloc(static_cast<size_t>(n) * static_cast<size_t>(d), sizeof(double)));
+    if (data == nullptr) {
+        cleanup();
+        set_error(out, "Out of memory allocating the data matrix!");
+        return 2;
+    }
+
+    // ---- pass 2 (parallel): fill the dense matrix ----
+    parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i) {
+            const Line& ln = lines[i];
+            const char* q = label_tokens[i].begin ? label_tokens[i].end : ln.begin;
+            double* row = data + static_cast<size_t>(i) * static_cast<size_t>(d);
+            while (q < ln.end) {
+                while (q < ln.end && is_space(*q)) ++q;
+                if (q >= ln.end) break;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                const char* colon = static_cast<const char*>(
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)));
+                long long index = 0;
+                double value = 0.0;
+                parse_index(q, colon, &index);          // validated in pass 1
+                parse_value(colon + 1, tok_end, &value);
+                row[index - 1] = value;
+                q = tok_end;
+            }
+        }
+    });
+
+    // ---- labels buffer: concatenated NUL-terminated strings ----
+    char* labels_buf = nullptr;
+    int64_t labels_bytes = 0;
+    if (got_labels) {
+        size_t total = 0;
+        for (size_t i = 0; i < n; ++i) {
+            total += static_cast<size_t>(label_tokens[i].end - label_tokens[i].begin) + 1;
+        }
+        labels_buf = static_cast<char*>(malloc(total));
+        if (labels_buf == nullptr) {
+            free(data);
+            cleanup();
+            set_error(out, "Out of memory allocating the labels buffer!");
+            return 2;
+        }
+        char* w = labels_buf;
+        for (size_t i = 0; i < n; ++i) {
+            const size_t len =
+                static_cast<size_t>(label_tokens[i].end - label_tokens[i].begin);
+            memcpy(w, label_tokens[i].begin, len);
+            w += len;
+            *w++ = '\0';
+        }
+        labels_bytes = static_cast<int64_t>(total);
+    }
+
+    cleanup();
+    out->data = data;
+    out->labels = labels_buf;
+    out->labels_bytes = labels_bytes;
+    out->n = static_cast<int64_t>(n);
+    out->d = d;
+    out->has_labels = got_labels ? 1 : 0;
+    return 0;
+}
+
+// Sparse writer: zero features omitted, "{idx}:{:.10e} " formatting
+// (reference libsvm_parsing.hpp:243-300).  labels == NULL writes no label
+// column; labels otherwise points at n concatenated NUL-terminated strings.
+// returns 0 on success, 2 on IO error.
+int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
+                        int64_t d, const char* labels) {
+    FILE* fh = fopen(path, "w");
+    if (fh == nullptr) return 2;
+
+    // precompute label offsets (sequential scan of the concat buffer)
+    std::vector<const char*> label_ptr;
+    if (labels != nullptr) {
+        label_ptr.resize(static_cast<size_t>(n));
+        const char* q = labels;
+        for (int64_t i = 0; i < n; ++i) {
+            label_ptr[static_cast<size_t>(i)] = q;
+            q += strlen(q) + 1;
+        }
+    }
+
+    // format rows in parallel into per-thread buffers, write sequentially
+    const size_t nt = num_threads_for(static_cast<size_t>(n));
+    const int64_t chunk = (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
+    std::vector<std::string> buffers(nt);
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t < nt; ++t) {
+        const int64_t lo = static_cast<int64_t>(t) * chunk;
+        const int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([&, t, lo, hi] {
+            std::string& buf = buffers[t];
+            buf.reserve(static_cast<size_t>((hi - lo) * d * 8));
+            char tmp[64];
+            for (int64_t i = lo; i < hi; ++i) {
+                if (labels != nullptr) {
+                    buf += label_ptr[static_cast<size_t>(i)];
+                    buf += ' ';
+                }
+                const double* row = data + i * d;
+                for (int64_t j = 0; j < d; ++j) {
+                    if (row[j] != 0.0) {
+                        const int len = snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
+                                                 static_cast<long long>(j + 1), row[j]);
+                        buf.append(tmp, static_cast<size_t>(len));
+                    }
+                }
+                buf += '\n';
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    int rc = 0;
+    for (const std::string& buf : buffers) {
+        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
+            rc = 2;
+            break;
+        }
+    }
+    if (fclose(fh) != 0) rc = 2;
+    return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,170 @@
+"""ctypes loader for the native LIBSVM parser, with on-demand compilation.
+
+The shared library is built from ``libsvm_parser.cpp`` on first use with
+``g++ -O3 -shared -fPIC`` and cached under ``~/.cache/plssvm_tpu/native/``
+keyed by a hash of the source, mirroring how the reference JIT-compiles and
+sha256-caches its OpenCL kernels (src/plssvm/backends/OpenCL/detail/
+utility.cpp:233-327).  Set ``PLSSVM_TPU_NO_NATIVE=1`` to force the NumPy
+fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..exceptions import FileNotFoundError_, InvalidFileFormatError
+
+_SOURCE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libsvm_parser.cpp")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+class _ParseResult(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_double)),
+        # void* (not c_char_p: ctypes would eagerly convert to bytes,
+        # truncating at the first NUL of the concatenated label buffer)
+        ("labels", ctypes.c_void_p),
+        ("labels_bytes", ctypes.c_int64),
+        ("n", ctypes.c_int64),
+        ("d", ctypes.c_int64),
+        ("has_labels", ctypes.c_int32),
+        ("error", ctypes.c_char * 512),
+    ]
+
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "PLSSVM_TPU_NATIVE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "plssvm_tpu", "native"),
+    )
+
+
+def _build_library() -> Optional[str]:
+    """Compile the shared library if not cached; return its path or None."""
+    try:
+        with open(_SOURCE, "rb") as fh:
+            source = fh.read()
+    except OSError:
+        return None
+    key = hashlib.sha256(source).hexdigest()[:16]
+    cache = _cache_dir()
+    so_path = os.path.join(cache, f"libsvm_parser_{key}.so")
+    if os.path.exists(so_path):
+        return so_path
+    try:
+        os.makedirs(cache, exist_ok=True)
+        tmp = so_path + f".tmp{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             _SOURCE, "-o", tmp],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(tmp, so_path)
+        return so_path
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if os.environ.get("PLSSVM_TPU_NO_NATIVE"):
+            _lib_failed = True
+            return None
+        so_path = _build_library()
+        if so_path is None:
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+            lib.plssvm_parse_libsvm.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(_ParseResult)
+            ]
+            lib.plssvm_parse_libsvm.restype = ctypes.c_int
+            lib.plssvm_free_result.argtypes = [ctypes.POINTER(_ParseResult)]
+            lib.plssvm_free_result.restype = None
+            lib.plssvm_write_libsvm.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_char_p,
+            ]
+            lib.plssvm_write_libsvm.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _lib_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def parse_libsvm_native(
+    filename: str, dtype=np.float64
+) -> Optional[Tuple[np.ndarray, Optional[List[str]]]]:
+    """Parse with the native library; None means 'fall back to Python'.
+
+    Raises the same exceptions as the NumPy parser for invalid content.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if not os.path.isfile(filename):
+        raise FileNotFoundError_(f"Couldn't find file: '{filename}'!")
+
+    res = _ParseResult()
+    rc = lib.plssvm_parse_libsvm(filename.encode(), ctypes.byref(res))
+    if rc == 2:
+        return None  # IO-level problem: let the Python path report it
+    if rc == 1:
+        raise InvalidFileFormatError(res.error.decode(errors="replace"))
+    try:
+        n, d = int(res.n), int(res.d)
+        data = np.ctypeslib.as_array(res.data, shape=(n, d)).astype(dtype, copy=True)
+        labels: Optional[List[str]] = None
+        if res.has_labels:
+            raw = ctypes.string_at(res.labels, int(res.labels_bytes))
+            labels = raw.decode(errors="replace").split("\x00")[:n]
+        return data, labels
+    finally:
+        lib.plssvm_free_result(ctypes.byref(res))
+
+
+def write_libsvm_native(
+    filename: str, data: np.ndarray, labels=None
+) -> bool:
+    """Write with the native library; False means 'fall back to Python'."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(data, dtype=np.float64)
+    n, d = arr.shape
+    labels_buf = None
+    if labels is not None:
+        labels_buf = b"\x00".join(str(lab).encode() for lab in labels) + b"\x00"
+    rc = lib.plssvm_write_libsvm(
+        filename.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        d,
+        labels_buf,
+    )
+    return rc == 0

@@ -1,0 +1,257 @@
+"""An sklearn.svm.SVC-compatible facade over CSVM/DataSet/Model.
+
+reference: bindings/Python/sklearn.cpp:34-110 (accepted constructor kwargs,
+AttributeError on unimplemented sklearn parameters), 143-420 (methods and
+fitted attributes).
+
+Differences from the reference (capabilities exceeded, not dropped):
+- `decision_function`, `intercept_`, `dual_coef_` and `n_iter_` are
+  implemented here; the reference raises AttributeError for them
+  (sklearn.cpp:143-145,319-339).
+- real/label types are runtime choices, not compile-time build flags
+  (sklearn.cpp:37-38).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .csvm import CSVM
+from .data_set import DataSet
+from .model import Model
+from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
+
+#: sklearn.svm.SVC constructor parameters the reference accepts but does not
+#: implement — passing one raises AttributeError (sklearn.cpp:74-110)
+_UNSUPPORTED_PARAMS = (
+    "shrinking",
+    "probability",
+    "cache_size",
+    "class_weight",
+    "decision_function_shape",
+    "break_ties",
+    "random_state",
+)
+
+_KNOWN_PARAMS = (
+    "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
+) + _UNSUPPORTED_PARAMS
+
+
+class SVC:
+    """Binary LS-SVM classifier with the sklearn.svm.SVC interface.
+
+    reference: bindings/Python/sklearn.cpp (class svc + init_sklearn).
+    """
+
+    def __init__(self, **kwargs):
+        self._svm = CSVM(dtype=kwargs.pop("dtype", np.float64))
+        self._epsilon: Optional[float] = None
+        self._max_iter: Optional[int] = None
+        self._data: Optional[DataSet] = None
+        self._model: Optional[Model] = None
+        self._parse_params(kwargs)
+
+    # -- parameter plumbing ------------------------------------------------
+    def _parse_params(self, kwargs: dict) -> None:
+        """Map sklearn names onto CSVM parameters (sklearn.cpp:51-110)."""
+        for key in kwargs:
+            if key not in _KNOWN_PARAMS:
+                raise AttributeError(
+                    f"Invalid parameter '{key}' for the 'SVC' constructor!"
+                )
+        for key in _UNSUPPORTED_PARAMS:
+            if key in kwargs:
+                raise AttributeError(
+                    f"The '{key}' parameter for a call to the 'SVC' "
+                    "constructor is not implemented yet!"
+                )
+        if "C" in kwargs:
+            self._svm.set_params(cost=float(kwargs["C"]))
+        if "kernel" in kwargs:
+            self._svm.set_params(kernel_type=kwargs["kernel"])
+        if "degree" in kwargs:
+            self._svm.set_params(degree=int(kwargs["degree"]))
+        if "gamma" in kwargs:
+            gamma = kwargs["gamma"]
+            # sklearn's "auto" is 1/n_features — our fit-time default; "scale"
+            # is not implemented in the reference either (sklearn.cpp:67 TODO)
+            if gamma not in ("auto",):
+                if gamma == "scale":
+                    raise AttributeError(
+                        "The gamma='scale' option for a call to the 'SVC' "
+                        "constructor is not implemented yet!"
+                    )
+                self._svm.set_params(gamma=float(gamma))
+        if "coef0" in kwargs:
+            self._svm.set_params(coef0=float(kwargs["coef0"]))
+        if "tol" in kwargs:
+            self._epsilon = float(kwargs["tol"])
+        if "verbose" in kwargs:
+            set_verbosity(
+                VerbosityLevel.FULL if kwargs["verbose"] else VerbosityLevel.QUIET
+            )
+        if "max_iter" in kwargs:
+            mi = int(kwargs["max_iter"])
+            self._max_iter = None if mi == -1 else mi
+
+    def get_params(self, deep: bool = True) -> dict:
+        """Estimator parameters as a dict (sklearn.cpp:196-219)."""
+        params = self._svm.get_params()
+        return {
+            "C": params.cost.value,
+            "kernel": str(params.kernel_type.value),
+            "degree": params.degree.value,
+            "gamma": params.gamma.value,
+            "coef0": params.coef0.value,
+            "tol": self._epsilon if self._epsilon is not None else 1e-3,
+            "verbose": get_verbosity() != VerbosityLevel.QUIET,
+            "max_iter": self._max_iter if self._max_iter is not None else -1,
+        }
+
+    def set_params(self, **kwargs) -> "SVC":
+        self._parse_params(kwargs)
+        return self
+
+    # -- estimator API -----------------------------------------------------
+    def fit(self, X, y, sample_weight=None) -> "SVC":
+        """Fit the LS-SVM on (X, y) (sklearn.cpp:147-162)."""
+        if sample_weight is not None:
+            raise AttributeError(
+                "The 'sample_weight' parameter for a call to 'fit' is not "
+                "implemented yet!"
+            )
+        self._data = DataSet(np.asarray(X), np.asarray(y))
+        kwargs = {}
+        if self._epsilon is not None:
+            kwargs["epsilon"] = self._epsilon
+        if self._max_iter is not None:
+            kwargs["max_iter"] = self._max_iter
+        self._model = self._svm.fit(self._data, **kwargs)
+        return self
+
+    def _check_fitted(self, what: str = "estimator"):
+        if self._model is None:
+            raise AttributeError(
+                "This SVC instance is not fitted yet. Call 'fit' with "
+                "appropriate arguments before using this estimator."
+            )
+
+    def predict(self, X) -> np.ndarray:
+        self._check_fitted()
+        return self._svm.predict(self._model, DataSet(np.asarray(X)))
+
+    def decision_function(self, X) -> np.ndarray:
+        """Signed distance values f(x) (implemented; reference raises)."""
+        self._check_fitted()
+        return self._svm.predict_values(self._model, DataSet(np.asarray(X)))
+
+    def score(self, X, y, sample_weight=None) -> float:
+        if sample_weight is not None:
+            raise AttributeError(
+                "The 'sample_weight' parameter for a call to 'fit' is not "
+                "implemented yet!"
+            )
+        self._check_fitted()
+        return self._svm.score(self._model, DataSet(np.asarray(X), np.asarray(y)))
+
+    def predict_proba(self, X):
+        raise AttributeError(
+            "'SVC' object has no function 'predict_proba' (not implemented)"
+        )
+
+    def predict_log_proba(self, X):
+        raise AttributeError(
+            "'SVC' object has no function 'predict_log_proba' (not implemented)"
+        )
+
+    # -- fitted attributes (sklearn.cpp:304-420) ---------------------------
+    @property
+    def classes_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.asarray(self._data.different_labels)
+
+    @property
+    def fit_status_(self) -> int:
+        self._check_fitted()
+        return 0
+
+    @property
+    def n_features_in_(self) -> int:
+        self._check_fitted()
+        return self._data.num_features
+
+    @property
+    def support_(self) -> np.ndarray:
+        """All data points are support vectors in LS-SVM."""
+        self._check_fitted()
+        return np.arange(self._model.num_support_vectors, dtype=np.int32)
+
+    @property
+    def support_vectors_(self) -> np.ndarray:
+        self._check_fitted()
+        return self._model.support_vectors
+
+    @property
+    def n_support_(self) -> np.ndarray:
+        """Per-class count of SVs with non-zero weight (sklearn.cpp:381-412)."""
+        self._check_fitted()
+        labels = self._data.labels
+        weights = np.asarray(self._model.alpha)
+        counts = []
+        for lab in self._data.different_labels:
+            counts.append(int(np.sum((labels == lab) & (weights != 0.0))))
+        return np.asarray(counts, dtype=np.int32)
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        """(1, n_SV) alpha weights (implemented; reference raises)."""
+        self._check_fitted()
+        return np.asarray(self._model.alpha)[None, :]
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        """-rho, sklearn's intercept convention (implemented; ref raises)."""
+        self._check_fitted()
+        return np.asarray([-self._model.rho])
+
+    @property
+    def n_iter_(self) -> np.ndarray:
+        """CG iterations of the fit (implemented; reference raises)."""
+        self._check_fitted()
+        iters = getattr(self._model, "n_iter", None)
+        if iters is None:
+            raise AttributeError("'SVC' object has no attribute 'n_iter_'")
+        return np.asarray([iters], dtype=np.int32)
+
+    @property
+    def shape_fit_(self) -> tuple:
+        self._check_fitted()
+        return (self._data.num_data_points, self._data.num_features)
+
+    # unimplemented sklearn attributes, mirrored (sklearn.cpp:304-318,414+)
+    @property
+    def class_weight_(self):
+        raise AttributeError(
+            "'SVC' object has no attribute 'class_weight_' (not implemented)"
+        )
+
+    @property
+    def coef_(self):
+        raise AttributeError(
+            "'SVC' object has no attribute 'coef_' (not implemented)"
+        )
+
+    @property
+    def probA_(self):
+        raise AttributeError(
+            "'SVC' object has no attribute 'probA_' (not implemented)"
+        )
+
+    @property
+    def probB_(self):
+        raise AttributeError(
+            "'SVC' object has no attribute 'probB_' (not implemented)"
+        )

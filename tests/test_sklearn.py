@@ -1,0 +1,127 @@
+"""Tests for the sklearn.svm.SVC-compatible facade.
+
+reference: bindings/Python/sklearn.cpp + examples/python/sklearn_like_svc.py.
+"""
+
+import numpy as np
+import pytest
+
+from plssvm_tpu import SVC
+
+from conftest import make_blobs
+
+
+@pytest.fixture
+def blobs():
+    return make_blobs(200, 8, seed=7)
+
+
+def test_fit_predict_score(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf", C=2.0, tol=1e-5)
+    assert clf.fit(X, y) is clf
+    preds = clf.predict(X)
+    assert preds.shape == (200,)
+    assert set(np.unique(preds)) <= {-1, 1}
+    assert clf.score(X, y) >= 0.95
+
+
+def test_constructor_param_mapping():
+    clf = SVC(kernel="poly", degree=4, gamma=0.5, coef0=1.5, C=3.0, max_iter=100)
+    params = clf.get_params()
+    assert params["kernel"] == "polynomial"
+    assert params["degree"] == 4
+    assert params["gamma"] == 0.5
+    assert params["coef0"] == 1.5
+    assert params["C"] == 3.0
+    assert params["max_iter"] == 100
+
+
+def test_default_get_params():
+    params = SVC().get_params()
+    assert params["C"] == 1.0
+    assert params["kernel"] == "linear"
+    assert params["tol"] == 1e-3
+    assert params["max_iter"] == -1
+
+
+def test_set_params_returns_self():
+    clf = SVC()
+    assert clf.set_params(C=5.0) is clf
+    assert clf.get_params()["C"] == 5.0
+
+
+@pytest.mark.parametrize(
+    "param",
+    ["shrinking", "probability", "cache_size", "class_weight",
+     "decision_function_shape", "break_ties", "random_state"],
+)
+def test_unimplemented_constructor_params_raise(param):
+    # reference raises AttributeError for these (sklearn.cpp:74-110)
+    with pytest.raises(AttributeError, match="not implemented"):
+        SVC(**{param: 1})
+
+
+def test_unknown_param_raises():
+    with pytest.raises(AttributeError, match="Invalid parameter"):
+        SVC(foobar=1)
+
+
+def test_sample_weight_raises(blobs):
+    X, y = blobs
+    with pytest.raises(AttributeError, match="sample_weight"):
+        SVC().fit(X, y, sample_weight=np.ones(len(y)))
+
+
+def test_not_fitted_raises(blobs):
+    X, y = blobs
+    clf = SVC()
+    with pytest.raises(AttributeError, match="not fitted"):
+        clf.predict(X)
+    with pytest.raises(AttributeError, match="not fitted"):
+        clf.score(X, y)
+    with pytest.raises(AttributeError, match="not fitted"):
+        _ = clf.classes_
+
+
+def test_fitted_attributes(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf").fit(X, y)
+    np.testing.assert_array_equal(clf.classes_, [-1, 1])
+    assert clf.fit_status_ == 0
+    assert clf.n_features_in_ == 8
+    np.testing.assert_array_equal(clf.support_, np.arange(200))
+    assert clf.support_vectors_.shape == (200, 8)
+    assert clf.n_support_.sum() <= 200
+    assert clf.shape_fit_ == (200, 8)
+    assert clf.dual_coef_.shape == (1, 200)
+    assert clf.intercept_.shape == (1,)
+    assert int(clf.n_iter_[0]) >= 1
+
+
+def test_decision_function_consistent_with_predict(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf").fit(X, y)
+    vals = clf.decision_function(X)
+    preds = clf.predict(X)
+    np.testing.assert_array_equal(np.where(vals > 0, 1, -1), preds)
+
+
+def test_probability_methods_raise(blobs):
+    X, y = blobs
+    clf = SVC().fit(X, y)
+    with pytest.raises(AttributeError, match="predict_proba"):
+        clf.predict_proba(X)
+    with pytest.raises(AttributeError, match="predict_log_proba"):
+        clf.predict_log_proba(X)
+    for attr in ("class_weight_", "coef_", "probA_", "probB_"):
+        with pytest.raises(AttributeError):
+            getattr(clf, attr)
+
+
+def test_string_labels():
+    X, _ = make_blobs(60, 4, seed=9)
+    y = np.asarray(["cat"] * 30 + ["dog"] * 30, dtype=object)
+    clf = SVC(kernel="linear").fit(X, y)
+    preds = clf.predict(X)
+    assert set(preds) <= {"cat", "dog"}
