@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def _bench_matvec(m=8192, d=256, iters=32, dtype=np.float32):
+def _bench_matvec(m=8192, d=256, iters=512, dtype=np.float32):
     import jax
     import jax.numpy as jnp
 
@@ -77,14 +77,19 @@ def _bench_cg(n=10240, d=200, dtype=np.float32):
     p.set_verbosity("quiet")
     rng = np.random.default_rng(1)
     half = n // 2
+    # overlapping blobs: keeps CG non-trivial (well-separated data converges
+    # in a couple of iterations and measures nothing)
     X = np.concatenate([
-        rng.normal(-1.0, 1.0, size=(half, d)),
-        rng.normal(+1.0, 1.0, size=(n - half, d)),
+        rng.normal(-0.3, 1.0, size=(half, d)),
+        rng.normal(+0.3, 1.0, size=(n - half, d)),
     ]).astype(dtype)
     y = np.concatenate([-np.ones(half), np.ones(n - half)])
     data = p.DataSet(X, y)
 
-    svm = p.CSVM(kernel_type="rbf", dtype=dtype)
+    svm = p.CSVM(kernel_type="rbf", cost=10.0, dtype=dtype)
+    svm.fit(data, epsilon=1e-3, max_iter=1)  # warm up the compile cache
+    from plssvm_tpu.utils.tracker import global_tracker as _gt
+    _gt.clear()
     t0 = time.perf_counter()
     model = svm.fit(data, epsilon=1e-3, max_iter=200)
     elapsed = time.perf_counter() - t0

@@ -139,11 +139,18 @@ class CSVM:
         *,
         epsilon: float = 0.001,
         max_iter: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_interval: int = 1000,
     ) -> Model:
         """Solve the LS-SVM dual with CG and return the model.
 
         Defaults: ``epsilon = 1e-3`` (relative, squared residual),
         ``max_iter = num_data_points`` (reference: csvm.hpp:268-269).
+
+        ``checkpoint_path`` enables CG-state checkpointing: the solver state
+        is saved every ``checkpoint_interval`` iterations and an interrupted
+        fit resumes from the file automatically (a capability the reference
+        lacks — it can only restart from scratch, SURVEY.md §5).
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
@@ -221,7 +228,7 @@ class CSVM:
             result = solver(*sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_v)
         else:
             impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
-            result = solve_ls_svm(
+            solve_args = (
                 jnp.asarray(Xp),
                 jnp.asarray(x_last),
                 jnp.asarray(yp),
@@ -231,12 +238,18 @@ class CSVM:
                 coef0_v,
                 cost_v,
                 eps_v,
-                max_iter_v,
-                kind=kind,
-                degree=degree,
-                impl=impl,
+            )
+            solve_kwargs = dict(
+                kind=kind, degree=degree, impl=impl,
                 row_block=min(self.row_block, m_pad),
             )
+            if checkpoint_path is None:
+                result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
+            else:
+                result = self._fit_with_checkpointing(
+                    solve_args, solve_kwargs, Xp, yp, epsilon,
+                    int(max_iter), checkpoint_path, int(checkpoint_interval),
+                )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
         alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
         rho = float(result.rho)
@@ -269,6 +282,75 @@ class CSVM:
         model = Model(params, data, alpha=alpha, rho=rho)
         model.n_iter = iterations
         return model
+
+    def _fit_with_checkpointing(
+        self, solve_args, solve_kwargs, Xp, yp, epsilon,
+        max_iter: int, checkpoint_path: str, checkpoint_interval: int,
+    ):
+        """Run CG in segments, persisting solver state between them."""
+        from .solver.cg import solve_ls_svm_resume
+        from .solver.checkpoint import (
+            CGCheckpoint,
+            load_checkpoint,
+            problem_fingerprint,
+            save_checkpoint,
+        )
+
+        fingerprint = problem_fingerprint(
+            Xp, yp, repr(self._params), epsilon
+        )
+        ckpt = load_checkpoint(checkpoint_path, fingerprint)
+        if ckpt is not None:
+            log(
+                VerbosityLevel.FULL,
+                "Resuming CG from checkpoint '{}' at iteration {}.\n",
+                checkpoint_path, ckpt.iteration,
+            )
+
+        result = None
+        while True:
+            if ckpt is None:
+                segment_end = min(checkpoint_interval, max_iter)
+                result = solve_ls_svm(
+                    *solve_args, jnp.asarray(segment_end, jnp.int32),
+                    **solve_kwargs,
+                )
+            else:
+                segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
+                result = solve_ls_svm_resume(
+                    *solve_args, jnp.asarray(segment_end, jnp.int32),
+                    jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
+                    jnp.asarray(ckpt.d),
+                    jnp.asarray(ckpt.delta, dtype=self.dtype),
+                    jnp.asarray(ckpt.delta0, dtype=self.dtype),
+                    jnp.asarray(ckpt.iteration, jnp.int32),
+                    **solve_kwargs,
+                )
+            iterations = int(result.iterations)
+            delta = float(result.delta)
+            target = float(epsilon) ** 2 * float(result.delta0)
+            converged = delta <= target
+            if converged or iterations >= max_iter:
+                break
+            ckpt = CGCheckpoint(
+                x=np.asarray(jax.device_get(result.x)),
+                r=np.asarray(jax.device_get(result.r)),
+                d=np.asarray(jax.device_get(result.d)),
+                delta=delta,
+                delta0=float(result.delta0),
+                iteration=iterations,
+                fingerprint=fingerprint,
+            )
+            save_checkpoint(checkpoint_path, ckpt)
+        # solved: the checkpoint is stale now
+        try:
+            import os
+
+            if os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
+        except OSError:
+            pass
+        return result
 
     # -- predict ------------------------------------------------------------
     def predict_values(self, model: Model, data: DataSet) -> np.ndarray:

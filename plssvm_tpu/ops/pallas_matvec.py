@@ -6,20 +6,29 @@ svm_kernel.cu:17-222 — 16x16 thread blocks x 6x6 register tiles with
 shared-memory staging, triangular symmetry and atomicAdd scatter).
 
 TPU re-design:
-- 128x128-aligned tiles feeding the MXU replace the 96x96 thread-block tiles.
+- 128-multiple tiles feeding the MXU replace the 96x96 thread-block tiles.
 - No scatter atomics exist on TPU, so instead of exploiting triangular
   symmetry with atomicAdd the kernel computes full square tiles; the extra
   FLOPs are nearly free because the matvec is O(n^2 d) compute over O(n d)
   memory — the MXU-dense full tile beats a sparse triangular walk.
 - The kernel epilogue (poly power / rbf exp) is fused right after the Gram
-  tile, and the tile is immediately contracted against ``v`` on the VPU, so
-  the O(n^2) kernel matrix never leaves VMEM, let alone touches HBM.
+  tile, and the tile is immediately contracted against ``v``, so the O(n^2)
+  kernel matrix never leaves VMEM, let alone touches HBM.
 
-Grid layout: (row-tile i, col-tile j, feature-block k), k fastest.  A VMEM
-scratch accumulates the Gram tile over k; at the last k the epilogue runs and
-the tile's contribution ``sum_j K[i,j] * v[j]`` is accumulated into the
-output row block, which Pallas keeps resident in VMEM across the whole
-(j, k) sweep for each i.
+Two kernels, chosen by feature width:
+
+1. ``d <= _FULL_D_MAX`` (the common case): grid (i, j) over row/col tiles
+   with the **whole feature axis in one block**.  The row tile ``X_i`` has
+   index map (i, 0) — constant while j sweeps — so Pallas keeps it resident
+   in VMEM and only the column tiles stream from HBM: traffic is
+   ~m^2 d 4 / TILE bytes per matvec instead of the naive 2 m^2 d 4 / TILE.
+2. ``d > _FULL_D_MAX``: grid (i, j, k) accumulating the Gram tile over
+   feature blocks in VMEM scratch (bounded VMEM at any d).
+
+``precision`` selects the Gram dtype: "f32" (default) or "bf16" (inputs cast
+to bfloat16, f32 accumulation — ~2x MXU throughput and half the HBM traffic;
+the CG solve tolerates it because the convergence test uses the same
+operator, but model parity with f64 references degrades — opt-in).
 """
 
 from __future__ import annotations
@@ -34,53 +43,88 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kernel_functions import apply_kernel_to_gram
 from ..parameter import KernelFunctionType
 
-#: row/col tile height; MXU-aligned (multiple of 128)
-TILE = 256
-#: feature-axis block width per grid step
-FEATURE_BLOCK = 512
+#: row/col tile height candidates; MXU-aligned (multiple of 128)
+_TILES = (1024, 512, 256, 128)
+#: feature-axis block width per grid step of the k-blocked kernel
+_FEATURE_BLOCK = 512
+#: widest feature axis the single-block (i, j) kernel will take whole
+_FULL_D_MAX = 1024
 
 
-def _pick_tile(m: int) -> int:
-    for candidate in (TILE, 128):
+def _pick_tile(m: int, candidates=_TILES) -> int:
+    for candidate in candidates:
         if m % candidate == 0:
             return candidate
     raise ValueError(f"Pallas matvec needs rows padded to a multiple of 128, got {m}")
 
 
 def _pick_feature_block(d: int) -> int:
-    for candidate in (FEATURE_BLOCK, 256, 128):
+    for candidate in (_FEATURE_BLOCK, 256, 128):
         if d % candidate == 0:
             return candidate
     raise ValueError(f"Pallas matvec needs features padded to a multiple of 128, got {d}")
 
 
-def _matvec_kernel(
-    gamma_ref,      # SMEM (1, 1)
-    coef0_ref,      # SMEM (1, 1)
-    xi_ref,         # VMEM (T, dk) — row tile of X
-    xj_ref,         # VMEM (T, dk) — col tile of X
-    sqi_ref,        # VMEM (1, T) — squared norms of the row tile
-    sqj_ref,        # VMEM (1, T) — squared norms of the col tile
-    vj_ref,         # VMEM (1, T) — v slice of the col tile
-    out_ref,        # VMEM (1, T) — output row block (revisited across j, k)
-    gram_acc,       # VMEM scratch (T, T) f32
-    *,
-    kind: KernelFunctionType,
-    degree: int,
+def _epilogue_and_contract(gram, sqi_ref, sqj_ref, vj_ref, out_ref, *, kind, degree, gamma, coef0):
+    """Fused kernel epilogue on the Gram tile + contraction against v."""
+    k_tile = apply_kernel_to_gram(
+        gram,
+        sqi_ref[0, :][:, None],
+        sqj_ref[0, :][None, :],
+        kind,
+        gamma,
+        coef0,
+        degree,
+    )
+    contrib = jnp.dot(k_tile, vj_ref[0, :], preferred_element_type=jnp.float32)
+    out_ref[0, :] = out_ref[0, :] + contrib
+
+
+def _matvec_kernel_fulld(
+    gamma_ref, coef0_ref,          # SMEM (1, 1)
+    xi_ref,                        # VMEM (T, d) row tile — resident across j
+    xj_ref,                        # VMEM (T, d) col tile — streams
+    sqi_ref, sqj_ref, vj_ref,      # VMEM (1, T)
+    out_ref,                       # VMEM (1, T) — accumulated across j
+    *, kind, degree,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    gram = jax.lax.dot_general(
+        xi_ref[:], xj_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _epilogue_and_contract(
+        gram, sqi_ref, sqj_ref, vj_ref, out_ref,
+        kind=kind, degree=degree,
+        gamma=gamma_ref[0, 0], coef0=coef0_ref[0, 0],
+    )
+
+
+def _matvec_kernel_blocked(
+    gamma_ref, coef0_ref,
+    xi_ref,                        # VMEM (T, dk)
+    xj_ref,                        # VMEM (T, dk)
+    sqi_ref, sqj_ref, vj_ref,      # VMEM (1, T)
+    out_ref,                       # VMEM (1, T)
+    gram_acc,                      # VMEM scratch (T, T) f32
+    *, kind, degree,
 ):
     j = pl.program_id(1)
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
-    # zero the output row block once per row tile (first j, first k)
     @pl.when(jnp.logical_and(j == 0, k == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # accumulate the Gram tile over feature blocks (MXU)
     partial = jax.lax.dot_general(
-        xi_ref[:],
-        xj_ref[:],
+        xi_ref[:], xj_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -93,24 +137,16 @@ def _matvec_kernel(
     def _():
         gram_acc[:] = gram_acc[:] + partial
 
-    # on the last feature block: fused epilogue + contraction against v (VPU)
     @pl.when(k == nk - 1)
     def _():
-        gram = gram_acc[:]
-        k_tile = apply_kernel_to_gram(
-            gram,
-            sqi_ref[0, :][:, None],
-            sqj_ref[0, :][None, :],
-            kind,
-            gamma_ref[0, 0],
-            coef0_ref[0, 0],
-            degree,
+        _epilogue_and_contract(
+            gram_acc[:], sqi_ref, sqj_ref, vj_ref, out_ref,
+            kind=kind, degree=degree,
+            gamma=gamma_ref[0, 0], coef0=coef0_ref[0, 0],
         )
-        contrib = jnp.sum(k_tile * vj_ref[0, :][None, :], axis=1)
-        out_ref[:] = out_ref[:] + contrib[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "degree"))
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
 def kernel_matvec_pallas(
     X: jnp.ndarray,          # (m, d) zero-padded, m % 128 == 0, d % 128 == 0
     sq_norms: jnp.ndarray,   # (m,)
@@ -120,39 +156,71 @@ def kernel_matvec_pallas(
     gamma,
     coef0,
     degree: int,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """``K @ v`` with ``K[i,j] = k(x_i, x_j)`` as one fused Pallas kernel."""
     m, d = X.shape
-    tile = _pick_tile(m)
-    dk = _pick_feature_block(d)
-    grid = (m // tile, m // tile, d // dk)
 
-    X32 = X.astype(jnp.float32)
+    in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    Xc = X.astype(in_dtype)
     sq_row = sq_norms.astype(jnp.float32).reshape(1, m)
     v_row = v.astype(jnp.float32).reshape(1, m)
     gamma_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
     coef0_arr = jnp.asarray(coef0, jnp.float32).reshape(1, 1)
 
+    itemsize = 2 if precision == "bf16" else 4
     flops = 2 * m * m * d + 8 * m * m
-    out = pl.pallas_call(
-        functools.partial(_matvec_kernel, kind=kind, degree=degree),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, dk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tile, dk), lambda i, j, k: (j, k)),
-            pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
-            pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=2 * m * d * 4 + 3 * m * 4,
-            transcendentals=m * m if kind == KernelFunctionType.RBF else 0,
-        ),
-    )(gamma_arr, coef0_arr, X32, X32, sq_row, sq_row, v_row)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=m * d * itemsize + 3 * m * 4,
+        transcendentals=m * m if kind == KernelFunctionType.RBF else 0,
+    )
+
+    if d <= _FULL_D_MAX:
+        # keep xi + double-buffered xj + the Gram tile comfortably in VMEM
+        budget = 10 * 1024 * 1024
+        tile = _pick_tile(m)
+        while tile > 128 and (3 * tile * d * itemsize + tile * tile * 4) > budget:
+            tile //= 2
+        if m % tile != 0:
+            tile = _pick_tile(m)
+        grid = (m // tile, m // tile)
+        out = pl.pallas_call(
+            functools.partial(_matvec_kernel_fulld, kind=kind, degree=degree),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((1, tile), lambda i, j: (0, i)),
+                pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+                pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, tile), lambda i, j: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+            cost_estimate=cost,
+        )(gamma_arr, coef0_arr, Xc, Xc, sq_row, sq_row, v_row)
+    else:
+        tile = _pick_tile(m, (256, 128))
+        dk = _pick_feature_block(d)
+        grid = (m // tile, m // tile, d // dk)
+        out = pl.pallas_call(
+            functools.partial(_matvec_kernel_blocked, kind=kind, degree=degree),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, dk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((tile, dk), lambda i, j, k: (j, k)),
+                pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
+                pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tile, tile), jnp.float32)],
+            cost_estimate=cost,
+        )(gamma_arr, coef0_arr, Xc, Xc, sq_row, sq_row, v_row)
+
     return out.reshape(m).astype(X.dtype)

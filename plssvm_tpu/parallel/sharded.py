@@ -155,6 +155,7 @@ def build_sharded_solver(mesh: Mesh, *, kind: KernelFunctionType, degree: int):
             out_specs=CGResult(
                 x=row, rho=rep, alpha_last=rep,
                 iterations=rep, delta=rep, delta0=rep,
+                r=row, d=row,
             ),
         )
     )

@@ -48,7 +48,11 @@ EXACT_RESIDUAL_INTERVAL = 50
 
 
 class CGResult(NamedTuple):
-    """Solve outputs (still padded; the host wrapper unpads)."""
+    """Solve outputs (still padded; the host wrapper unpads).
+
+    ``r``/``d`` are returned alongside the solution so a partial solve can be
+    checkpointed and resumed exactly (plssvm_tpu.solver.checkpoint).
+    """
 
     x: jnp.ndarray        # solution over the padded dept axis
     rho: jnp.ndarray      # -bias
@@ -56,6 +60,8 @@ class CGResult(NamedTuple):
     iterations: jnp.ndarray
     delta: jnp.ndarray    # final squared residual norm
     delta0: jnp.ndarray   # initial squared residual norm
+    r: jnp.ndarray        # final residual vector
+    d: jnp.ndarray        # final search direction
 
 
 def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_block: int):
@@ -100,6 +106,7 @@ def cg_ls_svm_core(
     kernel_mv: Callable,   # (X, sq_norms, v, gamma, coef0) -> K @ v over local rows
     dot: Callable = jnp.dot,    # GLOBAL dot product (psum'd when sharded)
     vsum: Callable = jnp.sum,   # GLOBAL vector sum (psum'd when sharded)
+    init_state=None,       # optional (x, r, d, delta, delta0, it) to resume from
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -107,6 +114,10 @@ def cg_ls_svm_core(
     computes this chip's rows of ``K @ v`` (e.g. via a ring rotation of column
     blocks over ICI), and ``dot``/``vsum`` are psum-reduced so every chip sees
     identical CG scalars.
+
+    ``init_state`` resumes a previous solve mid-CG (checkpoint/resume — a
+    capability the reference lacks; its only checkpoint is the finished model
+    file, SURVEY.md §5).
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
@@ -131,10 +142,17 @@ def cg_ls_svm_core(
         out = out + (QA_cost - q) * s - qv + cost_inv * v
         return out * mask
 
-    # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
-    x0 = mask.astype(dtype)
-    r0 = b - matvec(x0)
-    delta0 = dot(r0, r0)
+    if init_state is None:
+        # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
+        x0 = mask.astype(dtype)
+        r0 = b - matvec(x0)
+        delta0 = dot(r0, r0)
+        d_init = r0
+        delta_init = delta0
+        it0 = jnp.asarray(0, jnp.int32)
+    else:
+        x0, r0, d_init, delta_init, delta0, it0 = init_state
+        it0 = jnp.asarray(it0, jnp.int32)
     target = eps * eps * delta0
 
     class State(NamedTuple):
@@ -162,7 +180,7 @@ def cg_ls_svm_core(
         d = beta * s.d + r
         return State(s.it + 1, x, r, d, delta)
 
-    init = State(jnp.asarray(0, jnp.int32), x0, r0, r0, delta0)
+    init = State(it0, x0, r0, d_init, delta_init)
     final = jax.lax.while_loop(cond, body, init)
 
     # bias and the folded-out last alpha (gpu_csvm.hpp:648-653)
@@ -175,6 +193,8 @@ def cg_ls_svm_core(
         iterations=final.it,
         delta=final.delta,
         delta0=delta0,
+        r=final.r,
+        d=final.d,
     )
 
 
@@ -204,4 +224,40 @@ def solve_ls_svm(
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "degree", "impl", "row_block"),
+)
+def solve_ls_svm_resume(
+    X: jnp.ndarray,
+    x_last: jnp.ndarray,
+    y: jnp.ndarray,
+    y_last: jnp.ndarray,
+    mask: jnp.ndarray,
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    x0: jnp.ndarray,       # checkpointed solution vector
+    r0: jnp.ndarray,       # checkpointed residual
+    d0: jnp.ndarray,       # checkpointed search direction
+    delta: jnp.ndarray,    # checkpointed squared residual norm
+    delta0: jnp.ndarray,   # squared residual norm of the ORIGINAL start
+    it0: jnp.ndarray,      # iterations already done
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    impl: str = "xla",
+    row_block: int = DEFAULT_ROW_BLOCK,
+) -> CGResult:
+    """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
+    kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+    return cg_ls_svm_core(
+        X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        kind=kind, degree=degree, kernel_mv=kernel_mv,
+        init_state=(x0, r0, d0, delta, delta0, it0),
     )

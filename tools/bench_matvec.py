@@ -1,0 +1,78 @@
+"""Microbenchmark: kernel-matvec implementations across shapes/precisions.
+
+Usage: python tools/bench_matvec.py [m] [d] [iters]
+Runs on the default device (the TPU under axon).  Use a large iteration
+count: the tunneled chip has ~40-60 ms fixed dispatch latency per jitted
+call, which must be amortized for a true device-side throughput number.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from plssvm_tpu.ops.matvec import kernel_matvec_xla
+from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas
+from plssvm_tpu.parameter import KernelFunctionType
+
+
+def bench(fn, v0, flops, iters, reps=2):
+    @jax.jit
+    def run(v):
+        def body(_, vv):
+            out = fn(vv)
+            return out / jnp.linalg.norm(out)
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    jax.block_until_ready(run(v0))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(v0))
+        best = min(best, time.perf_counter() - t0)
+    return flops * iters / best / 1e12
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    kind = KernelFunctionType.RBF
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    sq = jnp.sum(X * X, axis=-1)
+    gamma = jnp.float32(1.0 / d)
+    coef0 = jnp.float32(0.0)
+
+    flops = 2 * m * m * d + 8 * m * m
+
+    variants = {
+        "xla_rb2048": lambda v: kernel_matvec_xla(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, row_block=2048),
+        "pallas_f32": lambda v: kernel_matvec_pallas(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
+        "pallas_bf16": lambda v: kernel_matvec_pallas(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
+    }
+
+    # correctness vs f64 NumPy golden
+    Xn = np.asarray(X, np.float64)
+    sqn = (Xn * Xn).sum(1)
+    K = np.exp(-float(gamma) * (sqn[:, None] + sqn[None, :] - 2 * Xn @ Xn.T))
+    ref = K @ np.asarray(v0, np.float64)
+    refn = np.linalg.norm(ref)
+
+    for name, fn in variants.items():
+        got = np.asarray(jax.device_get(fn(v0)), np.float64)
+        rel = np.linalg.norm(got - ref) / refn
+        t = bench(fn, v0, flops, iters)
+        print(f"{name:12s}  {t:7.2f} TFLOP/s   rel_err={rel:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
