@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the backend: automatic|xla|pallas")
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace of the fit to DIR "
+                        "(view with TensorBoard / xprof)")
+    parser.add_argument("--checkpoint", metavar="FILE", default=None,
+                        help="CG-state checkpoint file: training state is saved "
+                        "every --checkpoint_interval iterations and an "
+                        "interrupted run resumes from it automatically")
+    parser.add_argument("--checkpoint_interval", type=int, default=1000,
+                        help="iterations between CG-state checkpoints")
     add_common_options(parser)
     parser.add_argument("input", metavar="training_set_file")
     parser.add_argument("model", metavar="model_file", nargs="?", default=None)
@@ -96,7 +105,17 @@ def main(argv=None) -> int:
         )
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
-        model = svm.fit(data, epsilon=args.epsilon, max_iter=args.max_iter)
+        fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
+        if args.checkpoint is not None:
+            fit_kwargs["checkpoint_path"] = args.checkpoint
+            fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
+        if args.profile is not None:
+            import jax
+
+            with jax.profiler.trace(args.profile):
+                model = svm.fit(data, **fit_kwargs)
+        else:
+            model = svm.fit(data, **fit_kwargs)
         model.save(model_filename)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)

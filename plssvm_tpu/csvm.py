@@ -74,14 +74,20 @@ class CSVM:
     ):
         backend = BackendType.from_string(backend)
         self.target = TargetPlatform.from_string(target)
+        # target=cpu pins all computation to a host device, like the
+        # reference's target_platform selection (csvm_factory.hpp:123-140)
+        self._pin_device = None
+        if self.target == TargetPlatform.CPU:
+            self._pin_device = jax.devices("cpu")[0]
+        use_tpu = _has_tpu() and self._pin_device is None
         if backend == BackendType.AUTOMATIC:
-            backend = BackendType.PALLAS if _has_tpu() else BackendType.XLA
-        if backend == BackendType.PALLAS and not _has_tpu():
+            backend = BackendType.PALLAS if use_tpu else BackendType.XLA
+        if backend == BackendType.PALLAS and not use_tpu:
             # Pallas TPU kernels need a TPU (or interpret mode); fall back
             backend = BackendType.XLA
         self.backend = backend
         self.dtype = np.dtype(dtype)
-        if self.dtype == np.float64 and _has_tpu():
+        if self.dtype == np.float64 and use_tpu:
             # TPUs have no f64 compute; the reference's f64 default maps to
             # f32 on TPU (SURVEY.md §7 precision decision)
             import warnings
@@ -102,7 +108,7 @@ class CSVM:
             self.devices = list(jax.devices())
         elif devices is not None:
             self.devices = list(devices)
-        elif _has_tpu() and len(jax.devices()) > 1:
+        elif self._pin_device is None and _has_tpu() and len(jax.devices()) > 1:
             self.devices = list(jax.devices())
         else:
             self.devices = None  # single-device path
@@ -208,6 +214,56 @@ class CSVM:
         mask = np.zeros((m_pad,), dtype=self.dtype)
         mask[:dept] = 1.0
 
+        with self._device_ctx():
+            result = self._run_solve(
+                Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
+                kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
+            )
+        x_sol = np.asarray(jax.device_get(result.x))[:dept]
+        alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
+        rho = float(result.rho)
+        iterations = int(result.iterations)
+        delta = float(result.delta)
+        delta0 = float(result.delta0)
+        total_ms = (time.perf_counter() - start) * 1000.0
+
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Finished after {}/{} iterations with a residuum of {} (target: {}).\n",
+            iterations, max_iter, delta, epsilon * epsilon * delta0,
+        )
+        log(VerbosityLevel.LIBSVM, "optimization finished, #iter = {}\n", iterations)
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Solved minimization problem (r = b - Ax) using the Conjugate Gradient (CG) methode in {:.2f}ms.\n\n",
+            total_ms,
+        )
+        add_tracking_entry("cg", "iterations", iterations)
+        add_tracking_entry("cg", "max_iterations", int(max_iter))
+        add_tracking_entry("cg", "residuum", delta)
+        add_tracking_entry("cg", "target_residuum", epsilon * epsilon * delta0)
+        add_tracking_entry("cg", "epsilon", epsilon)
+        add_tracking_entry(
+            "cg", "avg_iteration_time", total_ms / max(iterations, 1)
+        )
+        add_tracking_entry("cg", "total_runtime", total_ms)
+
+        model = Model(params, data, alpha=alpha, rho=rho)
+        model.n_iter = iterations
+        return model
+
+    def _device_ctx(self):
+        """jax.default_device(...) when pinned to a target, else a no-op."""
+        if self._pin_device is not None:
+            return jax.default_device(self._pin_device)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def _run_solve(
+        self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
+        kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
+    ):
         gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
         coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
         cost_v = jnp.asarray(params.cost.value, dtype=self.dtype)
@@ -250,38 +306,7 @@ class CSVM:
                     solve_args, solve_kwargs, Xp, yp, epsilon,
                     int(max_iter), checkpoint_path, int(checkpoint_interval),
                 )
-        x_sol = np.asarray(jax.device_get(result.x))[:dept]
-        alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
-        rho = float(result.rho)
-        iterations = int(result.iterations)
-        delta = float(result.delta)
-        delta0 = float(result.delta0)
-        total_ms = (time.perf_counter() - start) * 1000.0
-
-        log(
-            VerbosityLevel.FULL | VerbosityLevel.TIMING,
-            "Finished after {}/{} iterations with a residuum of {} (target: {}).\n",
-            iterations, max_iter, delta, epsilon * epsilon * delta0,
-        )
-        log(VerbosityLevel.LIBSVM, "optimization finished, #iter = {}\n", iterations)
-        log(
-            VerbosityLevel.FULL | VerbosityLevel.TIMING,
-            "Solved minimization problem (r = b - Ax) using the Conjugate Gradient (CG) methode in {:.2f}ms.\n\n",
-            total_ms,
-        )
-        add_tracking_entry("cg", "iterations", iterations)
-        add_tracking_entry("cg", "max_iterations", int(max_iter))
-        add_tracking_entry("cg", "residuum", delta)
-        add_tracking_entry("cg", "target_residuum", epsilon * epsilon * delta0)
-        add_tracking_entry("cg", "epsilon", epsilon)
-        add_tracking_entry(
-            "cg", "avg_iteration_time", total_ms / max(iterations, 1)
-        )
-        add_tracking_entry("cg", "total_runtime", total_ms)
-
-        model = Model(params, data, alpha=alpha, rho=rho)
-        model.n_iter = iterations
-        return model
+        return result
 
     def _fit_with_checkpointing(
         self, solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -367,25 +392,28 @@ class CSVM:
         _ensure_x64_if_needed(self.dtype)
         params = model.params
         kind = params.kernel_type.value
-        sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
-        alpha = jnp.asarray(model.alpha, dtype=self.dtype)
-        points = jnp.asarray(data.data, dtype=self.dtype)
-        gamma = jnp.asarray(params.resolved_gamma(model.num_features), dtype=self.dtype)
-        coef0 = jnp.asarray(params.coef0.value, dtype=self.dtype)
+        with self._device_ctx():
+            sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
+            alpha = jnp.asarray(model.alpha, dtype=self.dtype)
+            points = jnp.asarray(data.data, dtype=self.dtype)
+            gamma = jnp.asarray(
+                params.resolved_gamma(model.num_features), dtype=self.dtype
+            )
+            coef0 = jnp.asarray(params.coef0.value, dtype=self.dtype)
 
-        if kind == KernelFunctionType.LINEAR:
-            if model.w is None:
-                # compute & cache w once (gpu_csvm.hpp:696-705, model.hpp:162-166)
-                model.w = np.asarray(calculate_w(sv, alpha))
-            w = jnp.asarray(model.w, dtype=self.dtype)
-        else:
-            w = jnp.zeros((sv.shape[1],), dtype=self.dtype)
+            if kind == KernelFunctionType.LINEAR:
+                if model.w is None:
+                    # compute & cache w once (gpu_csvm.hpp:696-705, model.hpp:162-166)
+                    model.w = np.asarray(calculate_w(sv, alpha))
+                w = jnp.asarray(model.w, dtype=self.dtype)
+            else:
+                w = jnp.zeros((sv.shape[1],), dtype=self.dtype)
 
-        values = predict_values_op(
-            sv, alpha, jnp.asarray(model.rho, dtype=self.dtype), w, points,
-            gamma, coef0, kind=kind, degree=params.degree.value,
-        )
-        return np.asarray(jax.device_get(values))
+            values = predict_values_op(
+                sv, alpha, jnp.asarray(model.rho, dtype=self.dtype), w, points,
+                gamma, coef0, kind=kind, degree=params.degree.value,
+            )
+            return np.asarray(jax.device_get(values))
 
     def predict(self, model: Model, data: DataSet) -> np.ndarray:
         """Predicted labels: sign(f) mapped back to the original labels.

@@ -103,8 +103,9 @@ def parse_arff_header(lines: List[str]) -> Tuple[int, int, List[str], int]:
                 continue
         if upper.startswith("@DATA"):
             break
-        if upper.startswith("@"):
-            raise InvalidFileFormatError(f'Read an invalid header entry: "{line}"!')
+        # any other line in the header — @-prefixed or not — is invalid
+        # (reference: arff_parsing.hpp:181)
+        raise InvalidFileFormatError(f'Read an invalid header entry: "{line}"!')
     else:
         header_line = len(lines)
 

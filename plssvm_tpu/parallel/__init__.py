@@ -13,6 +13,12 @@ from .sharded import (
     ring_kernel_matvec,
     shard_arrays,
 )
+from .multihost import (
+    global_row_mesh,
+    host_row_range,
+    initialize_distributed,
+    shard_arrays_multihost,
+)
 
 __all__ = [
     "ROW_AXIS",
@@ -21,4 +27,8 @@ __all__ = [
     "make_row_mesh",
     "ring_kernel_matvec",
     "shard_arrays",
+    "global_row_mesh",
+    "host_row_range",
+    "initialize_distributed",
+    "shard_arrays_multihost",
 ]

@@ -22,6 +22,16 @@ from plssvm_tpu.io import (
 from plssvm_tpu.io.libsvm import write_libsvm_lines
 from plssvm_tpu.io.model_file import parse_model_header
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def _fixture_names(kind: str, suffix: str):
+    """All invalid-fixture base names under tests/data/<kind>/invalid/."""
+    directory = os.path.join(_DATA_DIR, kind, "invalid")
+    return sorted(
+        f[: -len(suffix)] for f in os.listdir(directory) if f.endswith(suffix)
+    )
+
 
 class TestFileReader:
     def test_missing_file(self):
@@ -55,19 +65,7 @@ class TestLibsvmParser:
         assert labels is None
         assert X.shape == (3, 2)
 
-    @pytest.mark.parametrize(
-        "name",
-        [
-            "zero_based_features",
-            "non_increasing_indices",
-            "non_strictly_increasing_indices",
-            "inconsistent_label_specification",
-            "missing_feature_value",
-            "feature_with_alpha_char_at_the_beginning",
-            "index_with_alpha_char_at_the_beginning",
-            "empty",
-        ],
-    )
+    @pytest.mark.parametrize("name", _fixture_names("libsvm", ".libsvm"))
     def test_invalid(self, data_dir, name):
         path = os.path.join(data_dir, "libsvm", "invalid", f"{name}.libsvm")
         lines = read_lines(path)
@@ -129,16 +127,7 @@ class TestArffParser:
         assert labels == ["1", "1", "-1", "-1"]
         np.testing.assert_allclose(X[3], [0.0, 0.5, 0.0])
 
-    @pytest.mark.parametrize(
-        "name",
-        [
-            "no_data",
-            "wrong_label",
-            "class_numeric",
-            "sparse_missing_closing_brace",
-            "at_inside_data",
-        ],
-    )
+    @pytest.mark.parametrize("name", _fixture_names("arff", ".arff"))
     def test_invalid(self, data_dir, name):
         path = os.path.join(data_dir, "arff", "invalid", f"{name}.arff")
         with pytest.raises(InvalidFileFormatError):
@@ -165,13 +154,17 @@ class TestArffParser:
         "name",
         [
             "@_inside_data_section", "class_same_label_multiple_times",
-            "class_with_only_one_label", "class_with_wrong_label",
-            "dense_too_many_values", "multiple_classes",
-            "nominal_attribute_with_wrong_name", "numeric_without_name",
-            "relation_not_at_beginning", "relation_without_name",
-            "sparse_missing_closing_brace", "sparse_missing_opening_brace",
-            "sparse_missing_label", "usage_of_undefined_label",
-            "no_features",
+            "class_unquoted_nominal_attribute", "class_with_only_one_label",
+            "class_with_wrong_label", "class_without_label",
+            "dense_missing_value", "dense_too_many_values", "multiple_classes",
+            "no_data_attribute", "no_features",
+            "nominal_attribute_with_wrong_name", "numeric_unquoted",
+            "numeric_without_name", "relation_not_at_beginning",
+            "relation_unquoted", "relation_without_name",
+            "sparse_invalid_feature_index", "sparse_missing_closing_brace",
+            "sparse_missing_label", "sparse_missing_opening_brace",
+            "string_label_with_whitespace", "usage_of_undefined_label",
+            "wrong_line",
         ],
     )
     def test_reference_invalid_arff_corpus(self, reference_data_dir, name):
@@ -193,19 +186,7 @@ class TestModelParser:
         assert labels == ["-1", "-1", "-1", "1", "1", "1"]
         assert params.gamma.is_default()
 
-    @pytest.mark.parametrize(
-        "name",
-        [
-            "missing_svm_type", "missing_kernel_type", "missing_nr_class",
-            "missing_total_sv", "missing_rho", "missing_label", "missing_nr_sv",
-            "explicit_gamma_in_linear_kernel", "explicit_degree_in_linear_kernel",
-            "explicit_coef0_in_linear_kernel", "explicit_coef0_in_rbf_kernel",
-            "explicit_degree_in_rbf_kernel", "wrong_svm_type", "wrong_kernel_type",
-            "nr_class_and_label_mismatch", "total_sv_and_nr_sv_mismatch",
-            "too_many_classes", "unrecognized_header_entry",
-            "same_class_multiple_times", "missing_support_vectors",
-        ],
-    )
+    @pytest.mark.parametrize("name", _fixture_names("model", ".libsvm.model"))
     def test_invalid(self, data_dir, name):
         path = os.path.join(data_dir, "model", "invalid", f"{name}.libsvm.model")
         with pytest.raises(InvalidFileFormatError):

@@ -166,3 +166,43 @@ class TestPredictOps:
         )
         expected = golden.predict_values(X, alpha, rho, points, kernel_name, **PARAMS)
         np.testing.assert_allclose(actual, expected, rtol=1e-8, atol=1e-10)
+
+
+class TestPallasMatvecInterpret:
+    """Pallas kernel correctness in interpreter mode (no TPU needed).
+
+    Covers both kernel layouts: the full-feature (i, j) grid and the
+    k-blocked (i, j, k) grid for wide feature axes.
+    """
+
+    def _run(self, m, d, kernel_name):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas
+
+        kind = KINDS[kernel_name]
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma, coef0 = jnp.float32(1.0 / d), jnp.float32(1.0)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = kernel_matvec_pallas(
+                X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3
+            )
+        want = kernel_matvec_xla(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+            row_block=m,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    @pytest.mark.parametrize("kernel_name", ["polynomial", "rbf"])
+    def test_fulld_path(self, kernel_name):
+        self._run(256, 128, kernel_name)
+
+    def test_blocked_path(self):
+        # d > _FULL_D_MAX exercises the k-accumulating kernel
+        self._run(128, 1280, "rbf")
