@@ -194,7 +194,12 @@ class CSVM:
         if n_dev > 1:
             # sharded: every chip's row block is a multiple of the MXU tile
             m_pad = max(_round_up(dept, n_dev * 128), n_dev * 128)
-            d_pad = d
+            d_pad = (
+                _round_up(d, 128)
+                if self.backend == BackendType.PALLAS
+                and kind != KernelFunctionType.LINEAR
+                else d
+            )
         elif self.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR:
             m_pad = max(_round_up(dept, 128), 128)
             d_pad = _round_up(d, 128)
@@ -276,7 +281,20 @@ class CSVM:
             )
 
             mesh = make_row_mesh(self.devices)
-            solver = build_sharded_solver(mesh, kind=kind, degree=degree)
+            mesh_on_tpu = all(
+                getattr(dev, "platform", "") in ("tpu", "axon")
+                for dev in self.devices
+            )
+            shard_impl = (
+                "pallas"
+                if self.backend == BackendType.PALLAS
+                and kind != KernelFunctionType.LINEAR
+                and mesh_on_tpu
+                else "xla"
+            )
+            solver = build_sharded_solver(
+                mesh, kind=kind, degree=degree, impl=shard_impl
+            )
             sharded = shard_arrays(
                 mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
                 mask, self.dtype,

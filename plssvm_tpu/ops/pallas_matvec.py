@@ -59,6 +59,12 @@ _FEATURE_BLOCK = 512
 _FULL_D_MAX = 1024
 
 
+def _i32(*vals):
+    """Index maps must return i32: under jax x64 mode plain ints trace as
+    i64, which Mosaic cannot legalize ('func.return' (i64, i64))."""
+    return tuple(jnp.asarray(v, jnp.int32) for v in vals)
+
+
 def _pick_tile(m: int, candidates=_TILES) -> int:
     for candidate in candidates:
         if m % candidate == 0:
@@ -167,73 +173,103 @@ def kernel_matvec_pallas(
     precision: str = "f32",
 ) -> jnp.ndarray:
     """``K @ v`` with ``K[i,j] = k(x_i, x_j)`` as one fused Pallas kernel."""
-    m, d = X.shape
+    return kernel_matvec_pallas_rect(
+        X, X, sq_norms, sq_norms, v,
+        kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+        precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
+def kernel_matvec_pallas_rect(
+    X: jnp.ndarray,          # (mr, d) rows of the kernel block
+    Y: jnp.ndarray,          # (mc, d) columns of the kernel block
+    sq_rows: jnp.ndarray,    # (mr,) squared norms of X's rows
+    sq_cols: jnp.ndarray,    # (mc,) squared norms of Y's rows
+    v: jnp.ndarray,          # (mc,) vector to contract against
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """``K(X, Y) @ v`` with ``K[i,j] = k(x_i, y_j)`` — the rectangular form.
+
+    Used directly by the single-device solve (X == Y) and per ring step by
+    the sharded solve, where Y is the rotating column block.
+    """
+    mr, d = X.shape
+    mc = Y.shape[0]
 
     in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     Xc = X.astype(in_dtype)
-    sq_row = sq_norms.astype(jnp.float32).reshape(1, m)
-    v_row = v.astype(jnp.float32).reshape(1, m)
+    Yc = Y.astype(in_dtype)
+    sq_r = sq_rows.astype(jnp.float32).reshape(1, mr)
+    sq_c = sq_cols.astype(jnp.float32).reshape(1, mc)
+    v_row = v.astype(jnp.float32).reshape(1, mc)
     gamma_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
     coef0_arr = jnp.asarray(coef0, jnp.float32).reshape(1, 1)
 
     itemsize = 2 if precision == "bf16" else 4
-    flops = 2 * m * m * d + 8 * m * m
+    flops = 2 * mr * mc * d + 8 * mr * mc
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=m * d * itemsize + 3 * m * 4,
-        transcendentals=m * m if kind == KernelFunctionType.RBF else 0,
+        bytes_accessed=(mr + mc) * d * itemsize + 3 * mc * 4,
+        transcendentals=mr * mc if kind == KernelFunctionType.RBF else 0,
     )
 
     if d <= _FULL_D_MAX:
         # asymmetric tiles: short rows x wide columns, fitted to VMEM
-        ti = _pick_tile(m, _TILES)
+        ti = _pick_tile(mr, _TILES)
         tj = None
         for candidate in _COL_TILES:
-            if m % candidate != 0:
+            if mc % candidate != 0:
                 continue
             elems = ti * d + 2 * candidate * d + ti * candidate
             if elems <= _VMEM_ELEMS:
                 tj = candidate
                 break
         if tj is None:
-            tj = _pick_tile(m, (128,))
-        grid = (m // ti, m // tj)
+            tj = _pick_tile(mc, (128,))
+        grid = (mr // ti, mc // tj)
         out = pl.pallas_call(
             functools.partial(_matvec_kernel_fulld, kind=kind, degree=degree),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((ti, d), lambda i, j: (i, 0)),
-                pl.BlockSpec((tj, d), lambda i, j: (j, 0)),
-                pl.BlockSpec((1, ti), lambda i, j: (0, i)),
-                pl.BlockSpec((1, tj), lambda i, j: (0, j)),
-                pl.BlockSpec((1, tj), lambda i, j: (0, j)),
+                pl.BlockSpec((1, 1), lambda i, j: _i32(0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: _i32(0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((ti, d), lambda i, j: _i32(i, 0)),
+                pl.BlockSpec((tj, d), lambda i, j: _i32(j, 0)),
+                pl.BlockSpec((1, ti), lambda i, j: _i32(0, i)),
+                pl.BlockSpec((1, tj), lambda i, j: _i32(0, j)),
+                pl.BlockSpec((1, tj), lambda i, j: _i32(0, j)),
             ],
-            out_specs=pl.BlockSpec((1, ti), lambda i, j: (0, i)),
-            out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+            out_specs=pl.BlockSpec((1, ti), lambda i, j: _i32(0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, mr), jnp.float32),
             cost_estimate=cost,
-        )(gamma_arr, coef0_arr, Xc, Xc, sq_row, sq_row, v_row)
+        )(gamma_arr, coef0_arr, Xc, Yc, sq_r, sq_c, v_row)
     else:
-        tile = _pick_tile(m, (256, 128))
+        ti = _pick_tile(mr, (256, 128))
+        tj = _pick_tile(mc, (256, 128))
         dk = _pick_feature_block(d)
-        grid = (m // tile, m // tile, d // dk)
+        grid = (mr // ti, mc // tj, d // dk)
         out = pl.pallas_call(
             functools.partial(_matvec_kernel_blocked, kind=kind, degree=degree),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile, dk), lambda i, j, k: (i, k)),
-                pl.BlockSpec((tile, dk), lambda i, j, k: (j, k)),
-                pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
-                pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
-                pl.BlockSpec((1, tile), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((ti, dk), lambda i, j, k: _i32(i, k)),
+                pl.BlockSpec((tj, dk), lambda i, j, k: _i32(j, k)),
+                pl.BlockSpec((1, ti), lambda i, j, k: _i32(0, i)),
+                pl.BlockSpec((1, tj), lambda i, j, k: _i32(0, j)),
+                pl.BlockSpec((1, tj), lambda i, j, k: _i32(0, j)),
             ],
-            out_specs=pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
-            out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((tile, tile), jnp.float32)],
+            out_specs=pl.BlockSpec((1, ti), lambda i, j, k: _i32(0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, mr), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((ti, tj), jnp.float32)],
             cost_estimate=cost,
-        )(gamma_arr, coef0_arr, Xc, Xc, sq_row, sq_row, v_row)
+        )(gamma_arr, coef0_arr, Xc, Yc, sq_r, sq_c, v_row)
 
-    return out.reshape(m).astype(X.dtype)
+    return out.reshape(mr).astype(X.dtype)

@@ -65,6 +65,7 @@ def ring_kernel_matvec(
     degree: int,
     axis_name: str,
     num_devices: int,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """This chip's rows of ``K @ v`` via a ring rotation of column blocks.
 
@@ -72,20 +73,32 @@ def ring_kernel_matvec(
     chunk originally owned by chip (p - s) mod P, then forwards it to the
     right neighbour.  The loop is unrolled (P is static and small) so XLA can
     overlap each `ppermute` hop with the current block's MXU work.
+
+    ``impl="pallas"`` runs each block through the fused Pallas kernel
+    (TPU only; block shapes must be 128-aligned).
     """
     perm = [(j, (j + 1) % num_devices) for j in range(num_devices)]
     Xc, sqc, vc = X_local, sq_local, v_local
     acc = jnp.zeros_like(v_local)
     for step in range(num_devices):
-        gram = jax.lax.dot_general(
-            X_local, Xc,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32 if X_local.dtype == jnp.float32 else None,
-        )  # (m_local, m_local)
-        K_blk = apply_kernel_to_gram(
-            gram, sq_local[:, None], sqc[None, :], kind, gamma, coef0, degree
-        )
-        acc = acc + K_blk @ vc
+        if impl == "pallas":
+            from ..ops.pallas_matvec import kernel_matvec_pallas_rect
+
+            blk = kernel_matvec_pallas_rect(
+                X_local, Xc, sq_local, sqc, vc,
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            )
+        else:
+            gram = jax.lax.dot_general(
+                X_local, Xc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32 if X_local.dtype == jnp.float32 else None,
+            )  # (m_local, m_local)
+            K_blk = apply_kernel_to_gram(
+                gram, sq_local[:, None], sqc[None, :], kind, gamma, coef0, degree
+            )
+            blk = K_blk @ vc
+        acc = acc + blk
         if step + 1 < num_devices:
             Xc = jax.lax.ppermute(Xc, axis_name, perm)
             sqc = jax.lax.ppermute(sqc, axis_name, perm)
@@ -107,14 +120,17 @@ def linear_sharded_matvec(
 _SOLVER_CACHE: dict = {}
 
 
-def build_sharded_solver(mesh: Mesh, *, kind: KernelFunctionType, degree: int):
+def build_sharded_solver(
+    mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla"
+):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
     Inputs are expected already placed with `shard_arrays` (X/y/mask row-
     sharded, everything else replicated); the returned `CGResult.x` is
-    row-sharded, scalars replicated.
+    row-sharded, scalars replicated.  ``impl="pallas"`` uses the fused Pallas
+    kernel for each ring block (TPU meshes only).
     """
-    key = (mesh, kind, degree)
+    key = (mesh, kind, degree, impl)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -137,6 +153,7 @@ def build_sharded_solver(mesh: Mesh, *, kind: KernelFunctionType, degree: int):
                     Xl, sq, v, g, c0,
                     kind=kind, degree=degree,
                     axis_name=ROW_AXIS, num_devices=num_devices,
+                    impl=impl,
                 )
 
         return cg_ls_svm_core(

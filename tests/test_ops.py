@@ -206,3 +206,31 @@ class TestPallasMatvecInterpret:
     def test_blocked_path(self):
         # d > _FULL_D_MAX exercises the k-accumulating kernel
         self._run(128, 1280, "rbf")
+
+    def test_rect_block(self):
+        """K(X, Y) @ v for distinct row/col operands (the sharded ring form)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas_rect
+
+        rng = np.random.default_rng(4)
+        mr, mc, d = 128, 256, 128
+        X = jnp.asarray(rng.normal(size=(mr, d)).astype(np.float32))
+        Y = jnp.asarray(rng.normal(size=(mc, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(mc,)).astype(np.float32))
+        sqx = jnp.sum(X * X, axis=-1)
+        sqy = jnp.sum(Y * Y, axis=-1)
+        gamma = jnp.float32(1.0 / d)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = kernel_matvec_pallas_rect(
+                X, Y, sqx, sqy, v,
+                kind=KINDS["rbf"], gamma=gamma, coef0=jnp.float32(0.0), degree=3,
+            )
+        Xn, Yn = np.asarray(X, np.float64), np.asarray(Y, np.float64)
+        sqd = (
+            (Xn * Xn).sum(1)[:, None] + (Yn * Yn).sum(1)[None, :]
+            - 2.0 * Xn @ Yn.T
+        )
+        want = np.exp(-float(gamma) * sqd) @ np.asarray(v, np.float64)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
