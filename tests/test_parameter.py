@@ -137,3 +137,37 @@ class TestParameter:
     def test_unknown_kwarg(self):
         with pytest.raises(InvalidParameterError):
             Parameter(bogus=1)
+
+
+class TestAssertions:
+    """plssvm_assert analog of the reference's PLSSVM_ASSERT (detail/assert.hpp)."""
+
+    def test_passing_assert_is_silent(self):
+        from plssvm_tpu.utils.assertions import plssvm_assert
+
+        plssvm_assert(True, "never raised {}", 1)
+
+    def test_failing_assert_carries_location(self):
+        import pytest
+
+        from plssvm_tpu.utils.assertions import (
+            AssertionFailedError,
+            plssvm_assert,
+        )
+
+        with pytest.raises(AssertionFailedError, match="test_parameter.py"):
+            plssvm_assert(False, "value was {}!", 42)
+
+    def test_disable_via_env(self, monkeypatch):
+        import importlib
+
+        import plssvm_tpu.utils.assertions as mod
+
+        monkeypatch.setenv("PLSSVM_TPU_DISABLE_ASSERTS", "1")
+        importlib.reload(mod)
+        try:
+            mod.plssvm_assert(False, "ignored")
+            assert not mod.asserts_enabled()
+        finally:
+            monkeypatch.delenv("PLSSVM_TPU_DISABLE_ASSERTS")
+            importlib.reload(mod)

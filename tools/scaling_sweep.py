@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Kernel-matvec scaling-efficiency sweep over mesh sizes.
+
+Measures CG iterations/second of the row-sharded solve at increasing device
+counts and reports scaling efficiency vs the single-device run — the
+BASELINE.md target is >= 80 % from 1 host to 2+ hosts on a 1M x 1k RBF
+problem.  On this machine (1 TPU chip / N virtual CPU devices) it validates
+the machinery and measures virtual-device overhead; on a real pod slice the
+same script measures true ICI/DCN scaling.
+
+Usage:
+  python tools/scaling_sweep.py [--n 32768] [--d 256] [--iters 25]
+      [--devices cpu|default] [--mesh-sizes 1,2,4,8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=32768)
+    parser.add_argument("--d", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=25,
+                        help="CG iterations to run per mesh size")
+    parser.add_argument("--devices", default="default",
+                        choices=["cpu", "default"])
+    parser.add_argument("--mesh-sizes", default=None,
+                        help="comma-separated device counts (default: 1,2,4,..,max)")
+    parser.add_argument("--kernel", default="rbf")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from plssvm_tpu.parallel.sharded import (
+        build_sharded_solver, make_row_mesh, shard_arrays,
+    )
+    from plssvm_tpu.parameter import KernelFunctionType
+    from plssvm_tpu.solver.cg import solve_ls_svm
+
+    devices = jax.devices("cpu") if args.devices == "cpu" else jax.devices()
+    if args.mesh_sizes:
+        sizes = [int(s) for s in args.mesh_sizes.split(",")]
+    else:
+        sizes = []
+        k = 1
+        while k <= len(devices):
+            sizes.append(k)
+            k *= 2
+    kind = KernelFunctionType.from_string(args.kernel)
+    dtype = np.float32
+
+    n, d = args.n, args.d
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(n, d)).astype(dtype)
+    y = np.where(X[:, 0] > 0, 1.0, -1.0).astype(dtype)
+    gamma = dtype(1.0 / d)
+
+    def pad(rows_multiple):
+        dept = n - 1
+        m_pad = ((dept + rows_multiple - 1) // rows_multiple) * rows_multiple
+        Xp = np.zeros((m_pad, d), dtype)
+        Xp[:dept] = X[:dept]
+        yp = np.zeros((m_pad,), dtype)
+        yp[:dept] = y[:dept]
+        mask = np.zeros((m_pad,), dtype)
+        mask[:dept] = 1.0
+        return Xp, yp, mask
+
+    base_rate = None
+    for ndev in sizes:
+        Xp, yp, mask = pad(max(ndev * 128, 128))
+        scalars = (
+            jnp.asarray(gamma), jnp.asarray(dtype(0.0)), jnp.asarray(dtype(1.0)),
+            jnp.asarray(dtype(1e-20)),  # never converge: run exactly --iters
+            jnp.asarray(args.iters, jnp.int32),
+        )
+        if ndev == 1:
+            def run():
+                # pin to the sweep's device pool so the 1-device baseline is
+                # comparable (otherwise it runs on the default device, which
+                # may be a different platform than the mesh)
+                with jax.default_device(devices[0]):
+                    return solve_ls_svm(
+                        jnp.asarray(Xp), jnp.asarray(X[-1]), jnp.asarray(yp),
+                        jnp.asarray(y[-1]), jnp.asarray(mask), *scalars,
+                        kind=kind, degree=3, impl="xla",
+                    )
+        else:
+            mesh = make_row_mesh(devices[:ndev])
+            solver = build_sharded_solver(mesh, kind=kind, degree=3)
+            sharded = shard_arrays(mesh, Xp, X[-1], yp, y[-1], mask, dtype)
+            run = lambda: solver(*sharded, *scalars)
+
+        jax.block_until_ready(run().x)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run().x)
+            best = min(best, time.perf_counter() - t0)
+        rate = args.iters / best
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * ndev) * 100.0
+        print(
+            f"devices={ndev:3d}  {rate:8.2f} CG it/s  "
+            f"scaling efficiency {eff:6.1f}%",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
