@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the backend: automatic|xla|pallas")
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
+    parser.add_argument("--preconditioner", default="none",
+                        choices=["none", "jacobi"],
+                        help="CG preconditioner; 'jacobi' can cut iterations "
+                        "on ill-conditioned problems (default: none)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
@@ -97,6 +101,7 @@ def main(argv=None) -> int:
             backend=args.backend,
             target=args.target_platform,
             dtype=resolve_dtype(args),
+            preconditioner=args.preconditioner,
             kernel_type=kernel,
             degree=args.degree,
             gamma=args.gamma,

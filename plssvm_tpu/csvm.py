@@ -70,6 +70,7 @@ class CSVM:
         dtype=np.float32,
         row_block: int = DEFAULT_ROW_BLOCK,
         devices=None,
+        preconditioner: str = "none",
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -99,6 +100,15 @@ class CSVM:
             )
             self.dtype = np.dtype(np.float32)
         self.row_block = int(row_block)
+        # optional Jacobi-preconditioned CG (solver/cg.py) — faster
+        # time-to-epsilon on ill-conditioned problems; "none" reproduces the
+        # reference's plain CG exactly
+        if preconditioner not in ("none", "jacobi"):
+            raise InvalidParameterError(
+                f"Unrecognized preconditioner '{preconditioner}' "
+                "(must be 'none' or 'jacobi')!"
+            )
+        self.preconditioner = preconditioner
 
         # multi-chip: row-shard the CG solve over a 1-D device mesh
         # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
@@ -293,7 +303,8 @@ class CSVM:
                 else "xla"
             )
             solver = build_sharded_solver(
-                mesh, kind=kind, degree=degree, impl=shard_impl
+                mesh, kind=kind, degree=degree, impl=shard_impl,
+                preconditioner=self.preconditioner,
             )
             sharded = shard_arrays(
                 mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
@@ -316,6 +327,7 @@ class CSVM:
             solve_kwargs = dict(
                 kind=kind, degree=degree, impl=impl,
                 row_block=min(self.row_block, m_pad),
+                preconditioner=self.preconditioner,
             )
             if checkpoint_path is None:
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)

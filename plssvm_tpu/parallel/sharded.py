@@ -121,7 +121,8 @@ _SOLVER_CACHE: dict = {}
 
 
 def build_sharded_solver(
-    mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla"
+    mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
+    preconditioner: str = "none",
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -130,7 +131,7 @@ def build_sharded_solver(
     row-sharded, scalars replicated.  ``impl="pallas"`` uses the fused Pallas
     kernel for each ring block (TPU meshes only).
     """
-    key = (mesh, kind, degree, impl)
+    key = (mesh, kind, degree, impl, preconditioner)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -159,6 +160,7 @@ def build_sharded_solver(
         return cg_ls_svm_core(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
+            preconditioner=preconditioner,
         )
 
     row = P(ROW_AXIS)

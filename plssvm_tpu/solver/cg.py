@@ -107,6 +107,7 @@ def cg_ls_svm_core(
     dot: Callable = jnp.dot,    # GLOBAL dot product (psum'd when sharded)
     vsum: Callable = jnp.sum,   # GLOBAL vector sum (psum'd when sharded)
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume from
+    preconditioner: str = "none",  # "none" (exact reference semantics) | "jacobi"
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -118,6 +119,12 @@ def cg_ls_svm_core(
     ``init_state`` resumes a previous solve mid-CG (checkpoint/resume — a
     capability the reference lacks; its only checkpoint is the finished model
     file, SURVEY.md §5).
+
+    ``preconditioner="jacobi"`` runs *preconditioned* CG with the diagonal of
+    the implicit matrix — ``diag = k(x_i,x_i) + QA_cost - 2 q_i + 1/C`` —
+    an O(n)-cost improvement over the reference (which has no preconditioner)
+    that reduces time-to-epsilon on ill-conditioned problems.  The stop
+    criterion stays the reference's plain ``r.r <= eps^2 r0.r0`` either way.
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
@@ -142,12 +149,31 @@ def cg_ls_svm_core(
         out = out + (QA_cost - q) * s - qv + cost_inv * v
         return out * mask
 
+    if preconditioner == "jacobi":
+        # diag(A_hat) = k(x_i, x_i) + QA_cost - 2 q_i + 1/C
+        if kind == KernelFunctionType.LINEAR:
+            k_diag = sq_norms
+        elif kind == KernelFunctionType.POLYNOMIAL:
+            k_diag = apply_kernel_to_gram(
+                sq_norms, sq_norms, sq_norms, kind, gamma, coef0, degree
+            )
+        else:  # RBF: k(x, x) = 1
+            k_diag = jnp.ones_like(sq_norms)
+        diag = k_diag + QA_cost - 2.0 * q + cost_inv
+        minv = mask / diag
+
+        def precond(r):
+            return minv * r
+    else:
+        def precond(r):
+            return r
+
     if init_state is None:
         # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
         x0 = mask.astype(dtype)
         r0 = b - matvec(x0)
         delta0 = dot(r0, r0)
-        d_init = r0
+        d_init = precond(r0)
         delta_init = delta0
         it0 = jnp.asarray(0, jnp.int32)
     else:
@@ -155,19 +181,22 @@ def cg_ls_svm_core(
         it0 = jnp.asarray(it0, jnp.int32)
     target = eps * eps * delta0
 
+    use_pcg = preconditioner == "jacobi"
+
     class State(NamedTuple):
         it: jnp.ndarray
         x: jnp.ndarray
         r: jnp.ndarray
         d: jnp.ndarray
-        delta: jnp.ndarray
+        delta: jnp.ndarray    # r.r — drives the reference stop criterion
+        rz: jnp.ndarray       # r.z (== delta when unpreconditioned)
 
     def cond(s: State):
         return jnp.logical_and(s.it < max_iter, s.delta > target)
 
     def body(s: State) -> State:
         Ad = matvec(s.d)
-        alpha_cd = s.delta / dot(s.d, Ad)
+        alpha_cd = s.rz / dot(s.d, Ad)
         x = s.x + alpha_cd * s.d
         # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
         r = jax.lax.cond(
@@ -176,11 +205,20 @@ def cg_ls_svm_core(
             lambda: s.r - alpha_cd * Ad,
         )
         delta = dot(r, r)
-        beta = delta / s.delta
-        d = beta * s.d + r
-        return State(s.it + 1, x, r, d, delta)
+        if use_pcg:
+            z = precond(r)
+            rz = dot(r, z)
+        else:
+            z = r
+            rz = delta
+        beta = rz / s.rz
+        d = beta * s.d + z
+        return State(s.it + 1, x, r, d, delta, rz)
 
-    init = State(it0, x0, r0, d_init, delta_init)
+    # r.z for the current residual; on resume the checkpointed d is NOT z,
+    # so recompute from r rather than using d
+    rz_init = dot(r0, precond(r0)) if use_pcg else delta_init
+    init = State(it0, x0, r0, d_init, delta_init, rz_init)
     final = jax.lax.while_loop(cond, body, init)
 
     # bias and the folded-out last alpha (gpu_csvm.hpp:648-653)
@@ -200,7 +238,7 @@ def cg_ls_svm_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "impl", "row_block"),
+    static_argnames=("kind", "degree", "impl", "row_block", "preconditioner"),
 )
 def solve_ls_svm(
     X: jnp.ndarray,        # (m, d) zero-padded rows 0..dept-1 (dept = n-1)
@@ -218,18 +256,20 @@ def solve_ls_svm(
     degree: int,
     impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
+    preconditioner: str = "none",
 ) -> CGResult:
     """Run the full LS-SVM CG solve on a single device."""
     kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv,
+        preconditioner=preconditioner,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "impl", "row_block"),
+    static_argnames=("kind", "degree", "impl", "row_block", "preconditioner"),
 )
 def solve_ls_svm_resume(
     X: jnp.ndarray,
@@ -253,6 +293,7 @@ def solve_ls_svm_resume(
     degree: int,
     impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
+    preconditioner: str = "none",
 ) -> CGResult:
     """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
     kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
@@ -260,4 +301,5 @@ def solve_ls_svm_resume(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv,
         init_state=(x0, r0, d0, delta, delta0, it0),
+        preconditioner=preconditioner,
     )

@@ -114,3 +114,71 @@ class TestTrivialSystem:
         expected_alpha, expected_rho = golden.solve_dense(X, y, cost=cost, kind="linear")
         np.testing.assert_allclose(alpha, expected_alpha, rtol=1e-8, atol=1e-10)
         assert rho == pytest.approx(expected_rho, rel=1e-8)
+
+
+class TestJacobiPreconditioner:
+    """Optional PCG (solver/cg.py preconditioner='jacobi').
+
+    Jacobi helps when diag(A_hat) varies over orders of magnitude — e.g. the
+    polynomial kernel on rows with heterogeneous norms — and must always
+    converge to the same solution as plain CG.
+    """
+
+    def _varied_norm_problem(self, n=400, d=20, seed=13):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d)) * rng.uniform(0.2, 5.0, size=(n, 1))
+        y = np.where(X[:, 0] > 0, 1, -1)
+        return X, y
+
+    def test_same_solution(self):
+        import plssvm_tpu
+
+        from conftest import make_blobs
+
+        X, y = make_blobs(300, 8, seed=13)
+        data = plssvm_tpu.DataSet(X, y)
+        plain = plssvm_tpu.CSVM(kernel_type="rbf", dtype=np.float64)
+        pcg = plssvm_tpu.CSVM(
+            kernel_type="rbf", dtype=np.float64, preconditioner="jacobi"
+        )
+        m_plain = plain.fit(data, epsilon=1e-12, max_iter=5000)
+        m_pcg = pcg.fit(data, epsilon=1e-12, max_iter=5000)
+        np.testing.assert_allclose(m_pcg.alpha, m_plain.alpha, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(m_pcg.rho, m_plain.rho, rtol=1e-6, atol=1e-8)
+
+    def test_fewer_iterations_for_poly_varied_norms(self):
+        import plssvm_tpu
+
+        X, y = self._varied_norm_problem()
+        data = plssvm_tpu.DataSet(X, y)
+        plain = plssvm_tpu.CSVM(
+            kernel_type="polynomial", coef0=1.0, cost=100.0, dtype=np.float64
+        )
+        pcg = plssvm_tpu.CSVM(
+            kernel_type="polynomial", coef0=1.0, cost=100.0,
+            dtype=np.float64, preconditioner="jacobi",
+        )
+        it_plain = plain.fit(data, epsilon=1e-8, max_iter=3000).n_iter
+        it_pcg = pcg.fit(data, epsilon=1e-8, max_iter=3000).n_iter
+        assert it_pcg < it_plain
+
+    def test_all_kernels_converge(self, kernel_name):
+        import plssvm_tpu
+
+        from conftest import make_blobs
+
+        X, y = make_blobs(200, 8, seed=7)
+        data = plssvm_tpu.DataSet(X, y)
+        svm = plssvm_tpu.CSVM(
+            kernel_type=kernel_name, coef0=1.0, dtype=np.float64,
+            preconditioner="jacobi",
+        )
+        model = svm.fit(data, epsilon=1e-8)
+        assert svm.score(model) >= 0.9
+
+    def test_invalid_preconditioner_rejected(self):
+        import plssvm_tpu
+        import pytest
+
+        with pytest.raises(plssvm_tpu.InvalidParameterError):
+            plssvm_tpu.CSVM(preconditioner="ilu")
