@@ -1,0 +1,60 @@
+"""Smoke tests for the tools/ scripts (pure-CPU parts)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_yaml_parser_round_trip(tmp_path):
+    """Tracker YAML written by the library parses back via the tool."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from performance_tracker_yaml_parser import parse_tracking_file
+    finally:
+        sys.path.pop(0)
+
+    from plssvm_tpu.utils.tracker import PerformanceTracker
+
+    tracker = PerformanceTracker()
+    tracker.add("cg", "iterations", 42)
+    tracker.add("cg", "residuum", 1.5e-4)
+    tracker.add("parameter", "kernel_type", "rbf")
+    tracker.add("", "total_time", 123.4)
+    f = str(tmp_path / "track.yaml")
+    tracker.save(f)
+    tracker.add("cg", "iterations", 7)
+    tracker.save(f)  # appended second document
+
+    docs = parse_tracking_file(f)
+    assert len(docs) == 2
+    assert docs[0]["cg.iterations"] == 42
+    assert docs[0]["cg.residuum"] == 1.5e-4
+    assert docs[0]["parameter.kernel_type"] == "rbf"
+    assert docs[0]["total_time"] == 123.4
+    assert docs[1]["cg.iterations"] == 7
+
+
+def test_target_platforms_tool_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plssvm_target_platforms.py"),
+         "--quiet"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert out.returncode == 0
+    assert "--target_platform=" in out.stdout
+
+
+def test_baseline_ladder_config1():
+    if not os.path.isfile("/root/reference/tests/data/libsvm/5x4.libsvm"):
+        pytest.skip("reference data not available")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "baseline_ladder.py"),
+         "--configs", "1"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0
+    assert '"config": "tiny-linear"' in out.stdout
