@@ -76,22 +76,22 @@ def _bench_cg(n=10240, d=200, dtype=np.float32):
 
     p.set_verbosity("quiet")
     rng = np.random.default_rng(1)
-    half = n // 2
-    # overlapping blobs: keeps CG non-trivial (well-separated data converges
-    # in a couple of iterations and measures nothing)
-    X = np.concatenate([
-        rng.normal(-0.3, 1.0, size=(half, d)),
-        rng.normal(+0.3, 1.0, size=(n - half, d)),
-    ]).astype(dtype)
-    y = np.concatenate([-np.ones(half), np.ones(n - half)])
+    # many-cluster data: gives the kernel matrix a decaying spectrum so CG
+    # needs a meaningful number of iterations (two plain blobs make
+    # K ~ identity + rank-1 and CG stops after 1-2 steps)
+    k_clusters = 32
+    centers = rng.normal(size=(k_clusters, d))
+    assignment = rng.integers(0, k_clusters, size=n)
+    X = (centers[assignment] + 0.4 * rng.normal(size=(n, d))).astype(dtype)
+    y = np.where(assignment % 2 == 0, 1.0, -1.0)
     data = p.DataSet(X, y)
 
-    svm = p.CSVM(kernel_type="rbf", cost=10.0, dtype=dtype)
-    svm.fit(data, epsilon=1e-3, max_iter=1)  # warm up the compile cache
+    svm = p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d, dtype=dtype)
+    svm.fit(data, epsilon=1e-6, max_iter=1)  # warm up the compile cache
     from plssvm_tpu.utils.tracker import global_tracker as _gt
     _gt.clear()
     t0 = time.perf_counter()
-    model = svm.fit(data, epsilon=1e-3, max_iter=200)
+    model = svm.fit(data, epsilon=1e-6, max_iter=500)
     elapsed = time.perf_counter() - t0
     from plssvm_tpu.utils.tracker import global_tracker
 

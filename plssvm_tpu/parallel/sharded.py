@@ -84,9 +84,12 @@ def ring_kernel_matvec(
         if impl == "pallas":
             from ..ops.pallas_matvec import kernel_matvec_pallas_rect
 
+            # step 0 is the chip's own block: K(X_p, X_p) is symmetric, so
+            # the upper-triangle kernel applies
             blk = kernel_matvec_pallas_rect(
                 X_local, Xc, sq_local, sqc, vc,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                symmetric=(step == 0),
             )
         else:
             gram = jax.lax.dot_general(
