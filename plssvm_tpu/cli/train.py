@@ -72,6 +72,54 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _format_params(args, kernel: KernelFunctionType, model_filename: str) -> str:
+    """The 'task: training' parameter dump printed at full verbosity.
+
+    reference: src/plssvm/detail/cmd/parser_train.cpp:234-271 (operator<<).
+    """
+    lines = [f"kernel_type: {kernel} -> {kernel.math_string}"]
+    if kernel == KernelFunctionType.POLYNOMIAL:
+        lines.append(
+            "gamma: 1 / num_features (default)" if args.gamma is None
+            else f"gamma: {args.gamma}"
+        )
+        lines.append(
+            f"coef0: {args.coef0 if args.coef0 is not None else 0.0}"
+            f"{' (default)' if args.coef0 is None else ''}"
+        )
+        lines.append(
+            f"degree: {args.degree if args.degree is not None else 3}"
+            f"{' (default)' if args.degree is None else ''}"
+        )
+    elif kernel == KernelFunctionType.RBF:
+        lines.append(
+            "gamma: 1 / num_features (default)" if args.gamma is None
+            else f"gamma: {args.gamma}"
+        )
+    lines.append(
+        f"cost: {args.cost if args.cost is not None else 1.0}"
+        f"{' (default)' if args.cost is None else ''}"
+    )
+    lines.append(f"epsilon: {args.epsilon}")
+    lines.append(
+        "max_iter: num_data_points (default)" if args.max_iter is None
+        else f"max_iter: {args.max_iter}"
+    )
+    lines.append(
+        f"label_type: {'str' if args.use_strings_as_labels else 'int (default)'}"
+    )
+    lines.append(
+        "real_type: float64"
+        if args.use_double_as_real_type
+        else "real_type: float32 (default)"
+    )
+    lines.append(f"input file (data set): '{args.input}'")
+    lines.append(f"output file (model): '{model_filename}'")
+    if args.performance_tracking:
+        lines.append(f"performance tracking file: '{args.performance_tracking}'")
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -92,6 +140,11 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     try:
         kernel = KernelFunctionType.from_string(args.kernel_type)
+        log(
+            VerbosityLevel.FULL,
+            "\ntask: training\n{}\n\n",
+            _format_params(args, kernel, model_filename),
+        )
         data = DataSet(
             args.input,
             label_type=resolve_label_type(args),

@@ -28,16 +28,16 @@ import plssvm_tpu as p
 from plssvm_tpu.utils.tracker import global_tracker
 
 
-def blobs(n, d, spread=0.3, seed=0, dtype=np.float32):
+def clusters(n, d, k=32, sigma=0.4, seed=0, dtype=np.float32):
+    """Multi-cluster data: the kernel matrix gets a decaying spectrum, so CG
+    needs a meaningful number of iterations (plain blobs give identity +
+    rank-1 and converge in 1-2 steps)."""
     rng = np.random.default_rng(seed)
-    half = n // 2
-    X = np.concatenate([
-        rng.normal(-spread, 1.0, size=(half, d)),
-        rng.normal(+spread, 1.0, size=(n - half, d)),
-    ]).astype(dtype)
-    y = np.concatenate([-np.ones(half), np.ones(n - half)])
-    perm = rng.permutation(n)
-    return X[perm], y[perm]
+    centers = rng.normal(size=(k, d))
+    assignment = rng.integers(0, k, size=n)
+    X = (centers[assignment] + sigma * rng.normal(size=(n, d))).astype(dtype)
+    y = np.where(assignment % 2 == 0, 1.0, -1.0)
+    return X, y
 
 
 def run_config(name, svm, data, epsilon, max_iter=None):
@@ -82,31 +82,33 @@ def main() -> int:
 
     if 2 in wanted:
         n, d = int(10240 * s), 200
-        X, y = blobs(n, d, seed=1)
+        X, y = clusters(n, d, seed=1)
         run_config(
             f"rbf-{n}x{d}",
-            p.CSVM(kernel_type="rbf", cost=10.0), p.DataSet(X, y),
-            epsilon=1e-3, max_iter=500,
+            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
+            p.DataSet(X, y),
+            epsilon=1e-6, max_iter=500,
         )
 
     if 3 in wanted:
         n, d = int(51200 * s), 500
-        X, y = blobs(n, d, spread=0.2, seed=2)
+        X, y = clusters(n, d, seed=2)
         # scale pipeline: like plssvm-scale -l -1 -u 1 before training
         data = p.DataSet(X, y, scaling=(-1.0, 1.0))
         run_config(
             f"poly-scaled-{n}x{d}",
-            p.CSVM(kernel_type="polynomial", degree=3, coef0=1.0, cost=10.0),
-            data, epsilon=1e-3, max_iter=300,
+            p.CSVM(kernel_type="polynomial", degree=3, coef0=1.0, cost=100.0),
+            data, epsilon=1e-6, max_iter=300,
         )
 
     if 4 in wanted:
         n, d = int(204800 * s), 1024
-        X, y = blobs(n, d, spread=0.15, seed=3)
+        X, y = clusters(n, d, k=64, seed=3)
         run_config(
             f"rbf-{n}x{d}",
-            p.CSVM(kernel_type="rbf", cost=10.0), p.DataSet(X, y),
-            epsilon=1e-3, max_iter=100,
+            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
+            p.DataSet(X, y),
+            epsilon=1e-6, max_iter=100,
         )
     return 0
 
