@@ -220,14 +220,31 @@ class CSVM:
             m_pad = _round_up(dept, self.row_block)
             d_pad = d
 
-        Xp = np.zeros((m_pad, d_pad), dtype=self.dtype)
-        Xp[:dept, :d] = X[:dept]
-        x_last = np.zeros((d_pad,), dtype=self.dtype)
-        x_last[:d] = X[-1]
-        yp = np.zeros((m_pad,), dtype=self.dtype)
-        yp[:dept] = y[:dept]
-        mask = np.zeros((m_pad,), dtype=self.dtype)
-        mask[:dept] = 1.0
+        # memoize padded arrays on the DataSet: repeated fits (hyperparameter
+        # sweeps, warm-up runs) skip re-padding AND re-transfer — significant
+        # when the host->device link is slow relative to HBM
+        cache_key = (m_pad, d_pad, str(self.dtype))
+        cache = getattr(data, "_padded_cache", None)
+        if cache is not None and cache[0] == cache_key:
+            Xp, x_last, yp, mask = cache[1]
+        else:
+            Xp = np.zeros((m_pad, d_pad), dtype=self.dtype)
+            Xp[:dept, :d] = X[:dept]
+            x_last = np.zeros((d_pad,), dtype=self.dtype)
+            x_last[:d] = X[-1]
+            yp = np.zeros((m_pad,), dtype=self.dtype)
+            yp[:dept] = y[:dept]
+            mask = np.zeros((m_pad,), dtype=self.dtype)
+            mask[:dept] = 1.0
+            if n_dev == 1:
+                # device-resident versions so the next fit reuses them;
+                # jnp.asarray on an already-on-device array is a no-op
+                with self._device_ctx():
+                    Xp = jnp.asarray(Xp)
+                    x_last = jnp.asarray(x_last)
+                    yp = jnp.asarray(yp)
+                    mask = jnp.asarray(mask)
+            data._padded_cache = (cache_key, (Xp, x_last, yp, mask))
 
         with self._device_ctx():
             result = self._run_solve(

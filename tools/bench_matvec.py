@@ -20,19 +20,21 @@ from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas
 from plssvm_tpu.parameter import KernelFunctionType
 
 
-def bench(fn, v0, flops, iters, reps=2):
+def bench(fn, X, sq, v0, flops, iters, reps=2):
+    # X/sq are jit ARGUMENTS: closing over them would embed hundreds of MB
+    # of constants in the HLO (the tunneled compiler rejects >some size)
     @jax.jit
-    def run(v):
+    def run(X, sq, v):
         def body(_, vv):
-            out = fn(vv)
+            out = fn(X, sq, vv)
             return out / jnp.linalg.norm(out)
         return jax.lax.fori_loop(0, iters, body, v)
 
-    jax.block_until_ready(run(v0))
+    jax.block_until_ready(run(X, sq, v0))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(v0))
+        jax.block_until_ready(run(X, sq, v0))
         best = min(best, time.perf_counter() - t0)
     return flops * iters / best / 1e12
 
@@ -52,26 +54,31 @@ def main():
     flops = 2 * m * m * d + 8 * m * m
 
     variants = {
-        "xla_rb2048": lambda v: kernel_matvec_xla(
+        "xla_rb2048": lambda X, sq, v: kernel_matvec_xla(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, row_block=2048),
-        "pallas_f32": lambda v: kernel_matvec_pallas(
+        "pallas_f32": lambda X, sq, v: kernel_matvec_pallas(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
-        "pallas_bf16": lambda v: kernel_matvec_pallas(
+        "pallas_bf16": lambda X, sq, v: kernel_matvec_pallas(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
     }
 
-    # correctness vs f64 NumPy golden
-    Xn = np.asarray(X, np.float64)
-    sqn = (Xn * Xn).sum(1)
-    K = np.exp(-float(gamma) * (sqn[:, None] + sqn[None, :] - 2 * Xn @ Xn.T))
-    ref = K @ np.asarray(v0, np.float64)
-    refn = np.linalg.norm(ref)
+    # correctness vs f64 NumPy golden (skipped for m too big to materialize)
+    ref = refn = None
+    if m <= 16384:
+        Xn = np.asarray(X, np.float64)
+        sqn = (Xn * Xn).sum(1)
+        K = np.exp(-float(gamma) * (sqn[:, None] + sqn[None, :] - 2 * Xn @ Xn.T))
+        ref = K @ np.asarray(v0, np.float64)
+        refn = np.linalg.norm(ref)
 
     for name, fn in variants.items():
-        got = np.asarray(jax.device_get(fn(v0)), np.float64)
-        rel = np.linalg.norm(got - ref) / refn
-        t = bench(fn, v0, flops, iters)
-        print(f"{name:12s}  {t:7.2f} TFLOP/s   rel_err={rel:.2e}", flush=True)
+        if ref is not None:
+            got = np.asarray(jax.device_get(fn(X, sq, v0)), np.float64)
+            rel = f"rel_err={np.linalg.norm(got - ref) / refn:.2e}"
+        else:
+            rel = "rel_err=skipped (m too large for the dense golden)"
+        t = bench(fn, X, sq, v0, flops, iters)
+        print(f"{name:12s}  {t:7.2f} TFLOP/s   {rel}", flush=True)
 
 
 if __name__ == "__main__":
