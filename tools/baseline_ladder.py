@@ -110,6 +110,18 @@ def main() -> int:
             p.DataSet(X, y),
             epsilon=1e-6, max_iter=100,
         )
+
+    if 5 in wanted:
+        # the 1M x 1k north-star config on ONE chip (the full config is
+        # multi-host; this measures the per-chip CG iteration rate at scale)
+        n, d = int(1048576 * s), 1024
+        X, y = clusters(n, d, k=64, seed=4)
+        run_config(
+            f"rbf-{n}x{d}-singlechip",
+            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
+            p.DataSet(X, y),
+            epsilon=1e-6, max_iter=20,
+        )
     return 0
 
 
