@@ -9,7 +9,6 @@ backend factory therefore only selects the matvec implementation.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Optional, Union
 
@@ -456,10 +455,40 @@ class CSVM:
             else:
                 w = jnp.zeros((sv.shape[1],), dtype=self.dtype)
 
-            values = predict_values_op(
-                sv, alpha, jnp.asarray(model.rho, dtype=self.dtype), w, points,
-                gamma, coef0, kind=kind, degree=params.degree.value,
+            # large poly/RBF predicts route through the fused Pallas kernel
+            # (needs 128-aligned shapes; zero-padded SVs carry zero alpha)
+            from .solver.cg import PALLAS_MAX_OPERAND_BYTES
+
+            use_pallas = (
+                self.backend == BackendType.PALLAS
+                and kind != KernelFunctionType.LINEAR
+                and points.shape[0] >= 1024
+                and sv.shape[0] >= 1024
+                and max(points.size, sv.size) * points.dtype.itemsize
+                <= PALLAS_MAX_OPERAND_BYTES
             )
+            if use_pallas:
+                n_pred, d_in = points.shape
+                n_sv = sv.shape[0]
+                np_pad = _round_up(n_pred, 128)
+                nsv_pad = _round_up(n_sv, 128)
+                d_pad = _round_up(d_in, 128)
+                points_p = jnp.zeros((np_pad, d_pad), dtype=points.dtype)
+                points_p = points_p.at[:n_pred, :d_in].set(points)
+                sv_p = jnp.zeros((nsv_pad, d_pad), dtype=sv.dtype)
+                sv_p = sv_p.at[:n_sv, :d_in].set(sv)
+                alpha_p = jnp.zeros((nsv_pad,), dtype=alpha.dtype)
+                alpha_p = alpha_p.at[:n_sv].set(alpha)
+                values = predict_values_op(
+                    sv_p, alpha_p, jnp.asarray(model.rho, dtype=self.dtype),
+                    w, points_p, gamma, coef0,
+                    kind=kind, degree=params.degree.value, impl="pallas",
+                )[:n_pred]
+            else:
+                values = predict_values_op(
+                    sv, alpha, jnp.asarray(model.rho, dtype=self.dtype), w,
+                    points, gamma, coef0, kind=kind, degree=params.degree.value,
+                )
             return np.asarray(jax.device_get(values))
 
     def predict(self, model: Model, data: DataSet) -> np.ndarray:

@@ -28,7 +28,7 @@ def calculate_w(support_vectors: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray
     return support_vectors.T @ alpha
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "degree"))
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "impl"))
 def predict_values(
     support_vectors: jnp.ndarray,  # (n_sv, d)
     alpha: jnp.ndarray,            # (n_sv,)
@@ -40,10 +40,29 @@ def predict_values(
     *,
     kind: KernelFunctionType,
     degree: int,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """Decision values f(x) = sum_i alpha_i k(sv_i, x) - rho for each point."""
+    """Decision values f(x) = sum_i alpha_i k(sv_i, x) - rho for each point.
+
+    ``impl="pallas"`` routes the poly/RBF path through the fused rectangular
+    Pallas kernel, ``K(points, sv) @ alpha`` — the same op as the training
+    matvec with the SVs as columns (shapes must be 128-padded by the caller;
+    zero-padded SVs are harmless because their alpha is zero-padded too).
+    """
     if kind == KernelFunctionType.LINEAR:
         return predict_points @ w - rho
+
+    sq_pred = jnp.sum(predict_points * predict_points, axis=-1)
+    sq_sv = jnp.sum(support_vectors * support_vectors, axis=-1)
+
+    if impl == "pallas":
+        from .pallas_matvec import kernel_matvec_pallas_rect
+
+        out = kernel_matvec_pallas_rect(
+            predict_points, support_vectors, sq_pred, sq_sv, alpha,
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+        )
+        return out - rho
 
     gram = jax.lax.dot_general(
         predict_points, support_vectors,
@@ -52,8 +71,6 @@ def predict_values(
         if predict_points.dtype == jnp.float32
         else None,
     )  # (n_pred, n_sv)
-    sq_pred = jnp.sum(predict_points * predict_points, axis=-1)
-    sq_sv = jnp.sum(support_vectors * support_vectors, axis=-1)
     K = apply_kernel_to_gram(
         gram, sq_pred[:, None], sq_sv[None, :], kind, gamma, coef0, degree
     )

@@ -77,6 +77,12 @@ def ring_kernel_matvec(
     ``impl="pallas"`` runs each block through the fused Pallas kernel
     (TPU only; block shapes must be 128-aligned).
     """
+    if impl == "pallas":
+        from ..solver.cg import PALLAS_MAX_OPERAND_BYTES
+
+        if X_local.size * X_local.dtype.itemsize > PALLAS_MAX_OPERAND_BYTES:
+            impl = "xla"  # per-chip block too large for 32-bit kernel offsets
+
     perm = [(j, (j + 1) % num_devices) for j in range(num_devices)]
     Xc, sqc, vc = X_local, sq_local, v_local
     acc = jnp.zeros_like(v_local)

@@ -64,6 +64,23 @@ class CGResult(NamedTuple):
     d: jnp.ndarray        # final search direction
 
 
+#: operand-size ceiling for the Pallas kernels: beyond ~2 GiB the TPU worker
+#: faults (32-bit byte-offset arithmetic inside the kernel); the XLA scan
+#: path handles arbitrarily large arrays
+PALLAS_MAX_OPERAND_BYTES = 3 << 29  # 1.5 GiB
+
+
+def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:
+    """Row-block height whose (block, m) Gram slab stays under ~1 GiB.
+
+    At 1M rows a 2048-row slab is 8.6 GB and OOM-kills the device; shrink
+    the block (floor 128 — m is always padded to a 128 multiple)."""
+    rb = 2048
+    while rb > 128 and m * rb * 4 > gram_budget_bytes:
+        rb //= 2
+    return rb
+
+
 def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_block: int):
     """Select the K@v implementation for the static configuration."""
     if impl == "pallas" and kind != KernelFunctionType.LINEAR:
@@ -72,6 +89,11 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
         from ..ops.pallas_matvec import kernel_matvec_pallas
 
         def kv(X, sq_norms, v, gamma, coef0):
+            if X.size * X.dtype.itemsize > PALLAS_MAX_OPERAND_BYTES:
+                return kernel_matvec_xla(
+                    X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
+                    degree=degree, row_block=_adaptive_row_block(X.shape[0]),
+                )
             return kernel_matvec_pallas(
                 X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0, degree=degree
             )

@@ -113,15 +113,31 @@ def main() -> int:
 
     if 5 in wanted:
         # the 1M x 1k north-star config on ONE chip (the full config is
-        # multi-host; this measures the per-chip CG iteration rate at scale)
+        # multi-host; this measures the per-chip CG iteration rate at scale).
+        # The solve is segmented via CG-state checkpointing: a single
+        # multi-minute device call trips the tunneled runtime's watchdog and
+        # kills the worker, so each device call covers a few iterations.
+        import tempfile
+
         n, d = int(1048576 * s), 1024
         X, y = clusters(n, d, k=64, seed=4)
-        run_config(
-            f"rbf-{n}x{d}-singlechip",
-            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
-            p.DataSet(X, y),
-            epsilon=1e-6, max_iter=20,
+        data = p.DataSet(X, y)
+        svm = p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d)
+        svm.fit(data, epsilon=1e-6, max_iter=1)  # compile + transfer
+        ckpt = tempfile.mktemp(suffix=".ckpt")
+        t0 = time.perf_counter()
+        model = svm.fit(
+            data, epsilon=1e-6, max_iter=8,
+            checkpoint_path=ckpt, checkpoint_interval=2,
         )
+        train_s = time.perf_counter() - t0
+        iters = model.n_iter or 0
+        print(json.dumps({
+            "config": f"rbf-{n}x{d}-singlechip",
+            "train_s": round(train_s, 1),
+            "iters": iters,
+            "s_per_iter": round(train_s / max(iters, 1), 2),
+        }), flush=True)
     return 0
 
 
