@@ -192,8 +192,12 @@ def _matvec_kernel_symmetric(
 #: symmetric-kernel row/col tile candidates (large tiles amortize the
 #: skipped lower-triangle grid steps)
 _SYM_TILES = (2048, 1024, 512, 256, 128)
-#: cap on the column-partials scratch (nt, 8, m) f32 the caller reduces
-_SYM_PARTIALS_BYTES_MAX = 1 << 30
+#: cap on the column-partials scratch (nt, 8, m) f32 the caller reduces.
+#: The partials are written AND re-read once per matvec, so their size is
+#: pure HBM overhead — past ~256 MB it eats the symmetric kernel's savings
+#: (measured: 27.5 vs 20.5 s/iter at 1M x 1k with ~1 GB partials) and the
+#: asymmetric walk wins.
+_SYM_PARTIALS_BYTES_MAX = 256 << 20
 
 
 def _pick_sym_tile(m: int, d: int):
@@ -287,6 +291,71 @@ def _matvec_kernel_blocked(
         )
 
 
+#: operand-size ceiling for one pallas_call (32-bit in-kernel byte offsets)
+_PALLAS_CALL_MAX_BYTES = 3 << 29  # 1.5 GiB
+
+
+def _chunk_count(m: int, d: int, itemsize: int = 4) -> int:
+    """Smallest chunk count so each (m/nc, d) operand fits the pallas call.
+
+    Chunks must divide m and stay 128-aligned (m is always padded to 128)."""
+    total = m * d * itemsize
+    nc = max(1, -(-total // _PALLAS_CALL_MAX_BYTES))
+    while nc <= m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+        nc += 1
+    return nc
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
+def kernel_matvec_pallas_chunked(
+    X: jnp.ndarray,
+    sq_norms: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """``K @ v`` for matrices too large for one pallas_call.
+
+    Rows are split into nc chunks of <= ~1.5 GiB; the (ci, cj) block products
+    are composed at the XLA level — diagonal blocks through the symmetric
+    upper-triangle kernel, off-diagonal through the rectangular one.  All
+    off-diagonal calls share one shape, so only two kernels compile.
+    """
+    m, d = X.shape
+    nc = _chunk_count(m, d)
+    if nc == 1:
+        return kernel_matvec_pallas(
+            X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
+            degree=degree, precision=precision,
+        )
+    rows = m // nc
+    Xc = X.reshape(nc, rows, d)
+    sqc = sq_norms.reshape(nc, rows)
+    vc = v.reshape(nc, rows)
+
+    outs = []
+    for ci in range(nc):
+        acc = kernel_matvec_pallas_rect(
+            Xc[ci], Xc[ci], sqc[ci], sqc[ci], vc[ci],
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
+        )
+        for cj in range(nc):
+            if cj == ci:
+                continue
+            acc = acc + kernel_matvec_pallas_rect(
+                Xc[ci], Xc[cj], sqc[ci], sqc[cj], vc[cj],
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                precision=precision,
+            )
+        outs.append(acc)
+    return jnp.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
 def kernel_matvec_pallas(
     X: jnp.ndarray,          # (m, d) zero-padded, m % 128 == 0, d % 128 == 0
@@ -372,17 +441,30 @@ def kernel_matvec_pallas_rect(
         return out.astype(X.dtype)
 
     if d <= _FULL_D_MAX:
-        # asymmetric tiles: short rows x wide columns, fitted to VMEM
-        ti = _pick_tile(mr, _TILES)
+        # Tile regime depends on what binds:
+        # - small problems are MXU-bound: short rows x wide columns (the
+        #   wide Gram block amortizes per-step overhead);
+        # - once the column operand is large (mc*d >> VMEM), HBM streaming
+        #   binds: per matvec the columns are re-streamed (mr/ti) times, so
+        #   the ROW tile should be as tall as VMEM allows.
+        dma_bound = mc * d * itemsize > (512 << 20)
+        row_candidates = (2048, 1024, 512, 256, 128) if dma_bound else _TILES
+        ti = None
         tj = None
-        for candidate in _COL_TILES:
-            if mc % candidate != 0:
+        for ti_c in row_candidates:
+            if mr % ti_c != 0:
                 continue
-            elems = ti * d + 2 * candidate * d + ti * candidate
-            if elems <= _VMEM_ELEMS:
-                tj = candidate
+            for tj_c in _COL_TILES:
+                if mc % tj_c != 0:
+                    continue
+                elems = ti_c * d + 2 * tj_c * d + ti_c * tj_c
+                if elems <= _VMEM_ELEMS:
+                    ti, tj = ti_c, tj_c
+                    break
+            if ti is not None:
                 break
-        if tj is None:
+        if ti is None:
+            ti = _pick_tile(mr, (128,))
             tj = _pick_tile(mc, (128,))
         grid = (mr // ti, mc // tj)
         out = pl.pallas_call(

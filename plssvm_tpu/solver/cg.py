@@ -73,8 +73,10 @@ PALLAS_MAX_OPERAND_BYTES = 3 << 29  # 1.5 GiB
 def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:
     """Row-block height whose (block, m) Gram slab stays under ~1 GiB.
 
-    At 1M rows a 2048-row slab is 8.6 GB and OOM-kills the device; shrink
-    the block (floor 128 — m is always padded to a 128 multiple)."""
+    Measured at 1M x 1k: rb=256 runs HBM-stream-bound at ~spec bandwidth
+    (20.5 s/iter); rb=512 makes XLA switch to a slower strategy (41 s/iter)
+    and rb=2048 materializes an 8.6 GB slab that OOM-kills the device.
+    Floor 128 — m is always padded to a 128 multiple."""
     rb = 2048
     while rb > 128 and m * rb * 4 > gram_budget_bytes:
         rb //= 2
@@ -90,6 +92,10 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
 
         def kv(X, sq_norms, v, gamma, coef0):
             if X.size * X.dtype.itemsize > PALLAS_MAX_OPERAND_BYTES:
+                # the XLA scan beats Pallas chunk composition at this scale
+                # (measured 20.5 vs 27-42 s/iter at 1M x 1k — the chunked
+                # kernels re-stream the column operand too often and the
+                # symmetric kernel's column partials become pure overhead)
                 return kernel_matvec_xla(
                     X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
                     degree=degree, row_block=_adaptive_row_block(X.shape[0]),
