@@ -53,6 +53,20 @@ def main(argv=None) -> int:
         # default: <test basename>.predict (parser_predict.cpp:156-159)
         predict_filename = os.path.basename(args.test) + ".predict"
 
+    # reference: src/main_predict.cpp:38 + parser_predict.cpp operator<<
+    log(
+        VerbosityLevel.FULL,
+        "\ntask: prediction\n"
+        "label_type: {}\n"
+        "real_type: {}\n"
+        "input file (data set): '{}'\n"
+        "input file (model): '{}'\n"
+        "output file (prediction): '{}'\n\n",
+        "str" if args.use_strings_as_labels else "int (default)",
+        "float64" if args.use_double_as_real_type else "float32 (default)",
+        args.test, args.model, predict_filename,
+    )
+
     start = time.perf_counter()
     try:
         data = DataSet(

@@ -62,6 +62,25 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    # reference: src/main_scale.cpp:34 + parser_scale.cpp operator<<
+    log(
+        VerbosityLevel.FULL,
+        "\ntask: scaling\n"
+        "lower: {}\nupper: {}\n"
+        "label_type: {}\n"
+        "real_type: {}\n"
+        "output file format: {}\n"
+        "input file: '{}'\n"
+        "scaled file: '{}'\n"
+        "save file (scaling factors): '{}'\n"
+        "restore file (scaling factors): '{}'\n\n",
+        args.lower, args.upper,
+        "str" if args.use_strings_as_labels else "int (default)",
+        "float64" if args.use_double_as_real_type else "float32 (default)",
+        args.format, args.input, args.scaled or "",
+        args.save_filename or "", args.restore_filename or "",
+    )
+
     start = time.perf_counter()
     try:
         if args.restore_filename is not None:

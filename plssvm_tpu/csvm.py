@@ -439,8 +439,16 @@ class CSVM:
         params = model.params
         kind = params.kernel_type.value
         with self._device_ctx():
-            sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
-            alpha = jnp.asarray(model.alpha, dtype=self.dtype)
+            # memoize the device-resident SVs/alpha on the model: repeated
+            # predicts (scoring sweeps) skip re-transfer
+            sv_key = (str(self.dtype), str(self._pin_device))
+            sv_cache = getattr(model, "_sv_cache", None)
+            if sv_cache is not None and sv_cache[0] == sv_key:
+                sv, alpha = sv_cache[1]
+            else:
+                sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
+                alpha = jnp.asarray(model.alpha, dtype=self.dtype)
+                model._sv_cache = (sv_key, (sv, alpha))
             points = jnp.asarray(data.data, dtype=self.dtype)
             gamma = jnp.asarray(
                 params.resolved_gamma(model.num_features), dtype=self.dtype
