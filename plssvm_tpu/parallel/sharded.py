@@ -185,6 +185,10 @@ def build_sharded_solver(
                 iterations=rep, delta=rep, delta0=rep,
                 r=row, d=row,
             ),
+            # pallas_call outputs carry no varying-mesh-axes metadata, which
+            # the replication checker requires; the psum'd scalars are
+            # replicated by construction, so disable the check
+            check_vma=False,
         )
     )
     _SOLVER_CACHE[key] = solve

@@ -199,3 +199,39 @@ def test_csvm_fit_with_explicit_devices(mesh, kernel):
     ref_model = ref.fit(data, epsilon=1e-9)
     np.testing.assert_allclose(model.alpha, ref_model.alpha, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(model.rho, ref_model.rho, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_pallas_ring_interpret(mesh):
+    """The impl='pallas' ring path (used on real TPU meshes) must match the
+    jnp ring, exercised here via Pallas interpret mode on the CPU mesh.
+
+    Regression: pallas_call inside shard_map requires check_vma=False
+    (its outputs carry no varying-mesh-axes metadata)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    devs = jax.devices("cpu")[:4]
+    small_mesh = make_row_mesh(devs)
+    dtype = np.float32
+    m, d = 4 * 128, 128
+    rng = np.random.default_rng(0)
+    Xp = rng.normal(size=(m, d)).astype(dtype)
+    yp = np.where(Xp[:, 0] > 0, 1.0, -1.0).astype(dtype)
+    mask = np.ones((m,), dtype)
+    x_last = rng.normal(size=(d,)).astype(dtype)
+    args = shard_arrays(small_mesh, Xp, x_last, yp, dtype(1.0), mask, dtype)
+    scalars = (
+        jnp.asarray(1.0 / d, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(1e-4, dtype),
+        jnp.asarray(20, jnp.int32),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        sol_p = build_sharded_solver(
+            small_mesh, kind=KernelFunctionType.RBF, degree=3, impl="pallas"
+        )
+        res_p = np.asarray(jax.device_get(sol_p(*args, *scalars).x))
+    sol_x = build_sharded_solver(
+        small_mesh, kind=KernelFunctionType.RBF, degree=3, impl="xla"
+    )
+    res_x = np.asarray(jax.device_get(sol_x(*args, *scalars).x))
+    rel = np.linalg.norm(res_p - res_x) / np.linalg.norm(res_x)
+    assert rel < 1e-4
