@@ -52,6 +52,7 @@ class SVC:
         self._max_iter: Optional[int] = None
         self._data: Optional[DataSet] = None
         self._model: Optional[Model] = None
+        self._gamma_scale = False
         self._parse_params(kwargs)
 
     # -- parameter plumbing ------------------------------------------------
@@ -76,14 +77,16 @@ class SVC:
             self._svm.set_params(degree=int(kwargs["degree"]))
         if "gamma" in kwargs:
             gamma = kwargs["gamma"]
-            # sklearn's "auto" is 1/n_features — our fit-time default; "scale"
-            # is not implemented in the reference either (sklearn.cpp:67 TODO)
-            if gamma not in ("auto",):
-                if gamma == "scale":
-                    raise AttributeError(
-                        "The gamma='scale' option for a call to the 'SVC' "
-                        "constructor is not implemented yet!"
-                    )
+            # sklearn's "auto" is 1/n_features — our fit-time default.
+            # "scale" (1 / (n_features * X.var())) is resolved at fit time —
+            # implemented here; the reference leaves it as a TODO and raises
+            # (sklearn.cpp:67).
+            if gamma == "auto":
+                self._gamma_scale = False
+            elif gamma == "scale":
+                self._gamma_scale = True
+            else:
+                self._gamma_scale = False
                 self._svm.set_params(gamma=float(gamma))
         if "coef0" in kwargs:
             self._svm.set_params(coef0=float(kwargs["coef0"]))
@@ -123,7 +126,14 @@ class SVC:
                 "The 'sample_weight' parameter for a call to 'fit' is not "
                 "implemented yet!"
             )
-        self._data = DataSet(np.asarray(X), np.asarray(y))
+        X = np.asarray(X)
+        self._data = DataSet(X, np.asarray(y))
+        if self._gamma_scale:
+            # sklearn semantics: gamma = 1 / (n_features * X.var())
+            var = float(X.var())
+            self._svm.set_params(
+                gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
+            )
         kwargs = {}
         if self._epsilon is not None:
             kwargs["epsilon"] = self._epsilon

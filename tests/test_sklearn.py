@@ -125,3 +125,22 @@ def test_string_labels():
     clf = SVC(kernel="linear").fit(X, y)
     preds = clf.predict(X)
     assert set(preds) <= {"cat", "dog"}
+
+
+def test_gamma_scale(blobs):
+    """sklearn's gamma='scale' = 1/(n_features * X.var()), resolved at fit
+    (implemented here; the reference raises AttributeError for it)."""
+    X, y = blobs
+    clf = SVC(kernel="rbf", gamma="scale", tol=1e-6).fit(X, y)
+    expected = 1.0 / (X.shape[1] * X.var())
+    assert clf.get_params()["gamma"] == pytest.approx(expected)
+    assert clf.score(X, y) >= 0.95
+    # matches an explicit-gamma fit exactly
+    ref = SVC(kernel="rbf", gamma=expected, tol=1e-6).fit(X, y)
+    np.testing.assert_array_equal(clf.dual_coef_, ref.dual_coef_)
+
+
+def test_gamma_auto_still_default(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf", gamma="auto", tol=1e-6).fit(X, y)
+    assert clf.score(X, y) >= 0.9
