@@ -23,6 +23,9 @@ if (
     # the experimental tunneled-TPU plugin hangs on executable serialization;
     # its server already caches compiles remotely, so skip the local cache
     and _os.environ.get("JAX_PLATFORMS", "") != "axon"
+    # never clobber a cache location the host application configured itself
+    and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    and _jax.config.jax_compilation_cache_dir is None
 ):
     _cache_dir = _os.environ.get(
         "PLSSVM_TPU_COMPILE_CACHE_DIR",

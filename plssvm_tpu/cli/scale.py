@@ -99,12 +99,19 @@ def main(argv=None) -> int:
             # dump to stdout like LIBSVM's svm-scale (main_scale.cpp:38-61)
             fmt = FileFormatType.from_string(args.format)
             if fmt == FileFormatType.ARFF:
-                import io as _io
-                import tempfile, os
-                tmp = tempfile.mktemp(suffix=".arff")
-                data.save(tmp, file_format="arff")
-                sys.stdout.write(open(tmp).read())
-                os.unlink(tmp)
+                import os
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(
+                    mode="r", suffix=".arff", delete=False
+                ) as tmp:
+                    tmp_name = tmp.name
+                try:
+                    data.save(tmp_name, file_format="arff")
+                    with open(tmp_name) as fh:
+                        sys.stdout.write(fh.read())
+                finally:
+                    os.unlink(tmp_name)
             else:
                 for line in libsvm_io.write_libsvm_lines(data.data, data.labels):
                     print(line)

@@ -222,7 +222,9 @@ class CSVM:
         # memoize padded arrays on the DataSet: repeated fits (hyperparameter
         # sweeps, warm-up runs) skip re-padding AND re-transfer — significant
         # when the host->device link is slow relative to HBM
-        cache_key = (m_pad, d_pad, str(self.dtype))
+        # key includes the placement device so a cpu-pinned fit and a TPU fit
+        # on the same DataSet never share device-committed arrays
+        cache_key = (m_pad, d_pad, str(self.dtype), str(self._pin_device), n_dev)
         cache = getattr(data, "_padded_cache", None)
         if cache is not None and cache[0] == cache_key:
             Xp, x_last, yp, mask = cache[1]
@@ -302,6 +304,15 @@ class CSVM:
         max_iter_v = jnp.asarray(max_iter, dtype=jnp.int32)
 
         if n_dev > 1:
+            if checkpoint_path is not None:
+                import warnings
+
+                warnings.warn(
+                    "checkpoint_path is not supported on the multi-device "
+                    "(sharded) solve path yet — fitting without CG-state "
+                    "checkpoints.",
+                    stacklevel=3,
+                )
             from .parallel.sharded import (
                 build_sharded_solver, make_row_mesh, shard_arrays,
             )
@@ -506,8 +517,8 @@ class CSVM:
         """
         values = self.predict_values(model, data)
         mapper = model.data.mapper
-        neg, pos = mapper.labels()
-        return np.asarray([pos if v > 0 else neg for v in values])
+        labels_arr = np.asarray(mapper.labels())
+        return labels_arr[(values > 0).astype(np.intp)]
 
     def score(self, model: Model, data: Optional[DataSet] = None) -> float:
         """Classification accuracy (reference: csvm.hpp:345-375)."""
@@ -522,9 +533,7 @@ class CSVM:
                 f"({model.num_features})!"
             )
         predicted = self.predict(model, data)
-        correct = sum(
-            1 for p, c in zip(predicted, data.labels) if p == c
-        )
+        correct = int(np.sum(predicted == np.asarray(data.labels)))
         return correct / len(predicted)
 
 

@@ -95,10 +95,14 @@ class LabelMapper:
         raise DataSetError(f'Mapped value "{value}" unknown in this label mapping!')
 
     def map_labels(self, labels: np.ndarray, dtype=np.float64) -> np.ndarray:
-        y = np.empty(len(labels), dtype=dtype)
-        for i, lab in enumerate(labels):
-            y[i] = self.mapped_value(lab)
-        return y
+        """Vectorized {-1, +1} mapping (O(n) NumPy, not a Python loop)."""
+        labels = np.asarray(labels)
+        is_pos = labels == self._pos
+        unknown = ~(is_pos | (labels == self._neg))
+        if unknown.any():
+            bad = labels[unknown.nonzero()[0][0]]
+            raise DataSetError(f'Label "{bad}" unknown in this label mapping!')
+        return np.where(is_pos, 1.0, -1.0).astype(dtype)
 
     def labels(self) -> list:
         """The different original labels, -1-mapped first."""
@@ -176,7 +180,10 @@ class DataSet:
                 )
             self._read_file(str(source), file_format, label_type, dtype or DEFAULT_DTYPE)
         else:
-            X = np.ascontiguousarray(np.asarray(source, dtype=dtype or DEFAULT_DTYPE))
+            # always copy: the DataSet owns its matrix (scaling mutates it
+            # in place) and must never alias the caller's array — matching
+            # the reference's owning-container semantics (data_set.hpp:100-169)
+            X = np.array(source, dtype=dtype or DEFAULT_DTYPE, order="C", copy=True)
             if X.ndim != 2:
                 raise DataSetError("The data must be a 2-D array of shape (n, d)!")
             if X.shape[0] == 0:

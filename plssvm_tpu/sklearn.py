@@ -44,6 +44,13 @@ class SVC:
     """Binary LS-SVM classifier with the sklearn.svm.SVC interface.
 
     reference: bindings/Python/sklearn.cpp (class svc + init_sklearn).
+
+    NOTE — gamma default deviates from sklearn.svm.SVC: when ``gamma`` is not
+    given, this class (like the PLSSVM reference) uses ``1 / n_features``
+    (sklearn's ``'auto'``), NOT sklearn's default ``'scale'``
+    (``1 / (n_features * X.var())``).  Pass ``gamma='scale'`` explicitly for
+    sklearn-default behavior; it is fully implemented here (the reference
+    raises for it, sklearn.cpp:67).
     """
 
     def __init__(self, **kwargs):

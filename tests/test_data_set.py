@@ -35,6 +35,24 @@ class TestLabelMapper:
         with pytest.raises(DataSetError):
             mapper.mapped_value(7)
 
+    def test_map_labels_vectorized(self):
+        mapper = LabelMapper(np.array([1, -1]))
+        y = mapper.map_labels(np.array([1, -1, -1, 1]), dtype=np.float32)
+        assert y.dtype == np.float32
+        np.testing.assert_array_equal(y, [1.0, -1.0, -1.0, 1.0])
+
+    def test_map_labels_unknown_raises(self):
+        mapper = LabelMapper(np.array([1, -1]))
+        with pytest.raises(DataSetError, match='Label "7" unknown'):
+            mapper.map_labels(np.array([1, 7, -1]))
+
+    def test_map_labels_string(self):
+        mapper = LabelMapper(np.array(["dog", "cat"], dtype=object))
+        np.testing.assert_array_equal(
+            mapper.map_labels(np.asarray(["dog", "cat", "dog"], dtype=object)),
+            [1.0, -1.0, 1.0],
+        )
+
 
 class TestDataSet:
     def test_from_arrays(self):
@@ -53,6 +71,16 @@ class TestDataSet:
     def test_label_count_mismatch(self):
         with pytest.raises(DataSetError):
             DataSet(np.ones((3, 2)), [1, -1])
+
+    def test_never_mutates_caller_array(self):
+        # regression: a scaled DataSet constructed from a matching-dtype
+        # contiguous array must NOT scale the caller's array in place
+        X = np.array([[0.0, 10.0], [4.0, 20.0]], dtype=np.float64)
+        original = X.copy()
+        ds = DataSet(X, [1, -1], scaling=(-1.0, 1.0))
+        np.testing.assert_array_equal(X, original)
+        assert ds.data is not X
+        assert not np.array_equal(ds.data, original)  # scaling did apply
 
     def test_from_file_autodetect(self, data_dir):
         ds_libsvm = DataSet(os.path.join(data_dir, "libsvm", "6x3.libsvm"))
