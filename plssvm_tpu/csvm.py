@@ -130,6 +130,23 @@ class CSVM:
             self._params.merge_non_defaults(provided)
         self._params.sanity_check()
 
+        # construction-time tracking entries, mirroring the reference's
+        # backend init (src/plssvm/backends/CUDA/csvm.cu:48-86)
+        effective_target = (
+            TargetPlatform.CPU
+            if self._pin_device is not None
+            else (TargetPlatform.TPU if use_tpu else TargetPlatform.CPU)
+        )
+        num_devices = len(self.devices) if self.devices is not None else 1
+        add_tracking_entry("backend", "backend", str(self.backend))
+        add_tracking_entry("backend", "target_platform", str(effective_target))
+        add_tracking_entry("backend", "num_devices", num_devices)
+        log(
+            VerbosityLevel.FULL,
+            "\nUsing {} as backend on {} {} device(s).\n",
+            self.backend, num_devices, effective_target,
+        )
+
     # -- parameters --------------------------------------------------------
     @property
     def params(self) -> Parameter:
@@ -226,6 +243,7 @@ class CSVM:
         # on the same DataSet never share device-committed arrays
         cache_key = (m_pad, d_pad, str(self.dtype), str(self._pin_device), n_dev)
         cache = getattr(data, "_padded_cache", None)
+        transform_start = time.perf_counter()
         if cache is not None and cache[0] == cache_key:
             Xp, x_last, yp, mask = cache[1]
         else:
@@ -246,6 +264,16 @@ class CSVM:
                     yp = jnp.asarray(yp)
                     mask = jnp.asarray(mask)
             data._padded_cache = (cache_key, (Xp, x_last, yp, mask))
+
+        # the pad-and-place step is this framework's layout transform — the
+        # analog of the reference's SoA transform_to_layout tracking
+        # (detail/layout.hpp:145-148); layout is dense row-major, XLA-owned
+        add_tracking_entry("transform", "num_data_points", int(m_pad))
+        add_tracking_entry("transform", "num_features", int(d_pad))
+        add_tracking_entry("transform", "layout", "dense (XLA)")
+        add_tracking_entry(
+            "transform", "time", (time.perf_counter() - transform_start) * 1000.0
+        )
 
         with self._device_ctx():
             result = self._run_solve(

@@ -38,6 +38,38 @@ def test_yaml_parser_round_trip(tmp_path):
     assert docs[1]["cg.iterations"] == 7
 
 
+def test_fit_emits_backend_and_transform_entries(tmp_path):
+    """CSVM construction + fit emit the reference's init/transform tracker
+    schema (CUDA/csvm.cu:48-86 backend entries, detail/layout.hpp:145-148
+    transform entries) and round-trip through the YAML parser tool."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from performance_tracker_yaml_parser import parse_tracking_file
+    finally:
+        sys.path.pop(0)
+
+    import numpy as np
+
+    from plssvm_tpu import CSVM, DataSet
+    from plssvm_tpu.utils.tracker import global_tracker
+
+    global_tracker.clear()
+    svm = CSVM(backend="xla", target="cpu", dtype=np.float64)
+    X = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    svm.fit(DataSet(X, [-1, -1, 1, 1]), max_iter=10)
+    f = str(tmp_path / "track.yaml")
+    global_tracker.save(f)
+
+    doc = parse_tracking_file(f)[0]
+    assert doc["backend.backend"] == "xla"
+    assert doc["backend.target_platform"] == "cpu"
+    assert doc["backend.num_devices"] == 1
+    assert doc["transform.num_data_points"] >= 3
+    assert doc["transform.num_features"] == 2
+    assert "transform.time" in doc
+    assert doc["cg.iterations"] >= 1
+
+
 def test_target_platforms_tool_runs():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "plssvm_target_platforms.py"),
