@@ -356,6 +356,312 @@ def kernel_matvec_pallas_chunked(
     return jnp.concatenate(outs)
 
 
+# ---------------------------------------------------------------------------
+# Unified dual-contraction kernel (round 2 redesign)
+#
+# One kernel covers every regime the round-1 kernels split across three:
+# - grid (i, j, k) with the feature axis k-blocked -> any d, bounded VMEM
+#   (replaces both the full-d and the k-blocked walks; d <= 1024 runs nk=1)
+# - each K tile is contracted against BOTH vectors: rows (K @ v_y) into a
+#   per-i output block and columns (K^T @ v_x) into a VMEM-RESIDENT
+#   accumulator written back once at the end of the grid.  This removes the
+#   round-1 (nt, 8, m) HBM column-partials array entirely — the partials
+#   were written + re-read once per matvec and capped the symmetric kernel
+#   at ~256 MB of partials, which is why it could not run at 1M rows.
+# - `symmetric=True` walks only the upper triangle (j >= i); the conditional
+#   index maps keep both tile DMAs constant across skipped steps so the
+#   lower triangle costs neither FLOPs nor HBM traffic.
+# - operands larger than the 32-bit in-kernel offset range are handled by
+#   the triangle-chunked composition `kernel_matvec_pallas_big`: each
+#   cross-chunk block is computed ONCE by the dual contraction, preserving
+#   the 2x symmetric saving globally (the round-1 chunked composition
+#   computed cross blocks twice and lost to the XLA scan).
+# ---------------------------------------------------------------------------
+
+
+def _matvec_kernel_dual(
+    gamma_ref, coef0_ref,          # SMEM (1, 1)
+    xi_ref,                        # VMEM (t, dk) row tile
+    yj_ref,                        # VMEM (t, dk) col tile
+    sqi_ref, sqj_ref,              # VMEM (1, t)
+    vy_ref, vx_ref,                # VMEM (1, t)
+    outr_ref,                      # VMEM (1, t) block i — row accumulator
+    outc_ref,                      # VMEM (ntj, t) resident — col accumulator
+    gram_acc,                      # VMEM scratch (t, t) f32
+    *, kind, degree, nk, symmetric,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(i == 0, jnp.logical_and(j == 0, k == 0)))
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+
+    @pl.when(jnp.logical_and(j == 0, k == 0))
+    def _():
+        outr_ref[:] = jnp.zeros_like(outr_ref)
+
+    def compute():
+        partial = jax.lax.dot_general(
+            xi_ref[:], yj_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if nk > 1:
+            @pl.when(k == 0)
+            def _():
+                gram_acc[:] = partial
+
+            @pl.when(k != 0)
+            def _():
+                gram_acc[:] = gram_acc[:] + partial
+
+        @pl.when(k == nk - 1)
+        def _():
+            gram = gram_acc[:] if nk > 1 else partial
+            k_tile = apply_kernel_to_gram(
+                gram,
+                sqi_ref[0, :][:, None],
+                sqj_ref[0, :][None, :],
+                kind,
+                gamma_ref[0, 0],
+                coef0_ref[0, 0],
+                degree,
+            )
+            # both contractions on the VPU (overlaps the MXU, exact f32;
+            # an MXU matvec would waste ~128/t of the tile per pass)
+            row = jnp.sum(k_tile * vy_ref[0, :][None, :], axis=1)
+            outr_ref[0, :] = outr_ref[0, :] + row
+            col = jnp.sum(k_tile * vx_ref[0, :][:, None], axis=0)
+            if symmetric:
+                # the diagonal tile contributes rows only — its transpose
+                # would double-count
+                col = jnp.where(j > i, col, jnp.zeros_like(col))
+            cur = outc_ref[pl.ds(j, 1), :]
+            outc_ref[pl.ds(j, 1), :] = cur + col[None, :]
+
+    if symmetric:
+        @pl.when(j >= i)
+        def _():
+            compute()
+    else:
+        compute()
+
+
+def _pick_dual_tile(mr: int, mc: int, dk: int):
+    """Largest tile dividing both row counts within the VMEM budget."""
+    for t in _SYM_TILES:
+        if mr % t != 0 or mc % t != 0:
+            continue
+        # xi + yj + gram scratch + k_tile temp + col accumulator + vectors
+        vmem = 2 * t * dk * 4 + 2 * t * t * 4 + mc * 4 + 6 * t * 4
+        if vmem <= _VMEM_LIMIT_BYTES - (8 << 20):
+            return t
+    return None
+
+
+def _pick_dual_dk(d: int) -> int:
+    if d <= _FULL_D_MAX:
+        return d
+    for candidate in (_FEATURE_BLOCK, 256, 128):
+        if d % candidate == 0:
+            return candidate
+    raise ValueError(f"Pallas matvec needs features padded to a multiple of 128, got {d}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
+)
+def kernel_matvec_pallas_dual(
+    X: jnp.ndarray,          # (mr, d) rows of the kernel block
+    Y: jnp.ndarray,          # (mc, d) columns of the kernel block
+    sq_rows: jnp.ndarray,    # (mr,)
+    sq_cols: jnp.ndarray,    # (mc,)
+    v_y: jnp.ndarray,        # (mc,) contracted against K's rows
+    v_x: jnp.ndarray,        # (mr,) contracted against K's columns
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+    symmetric: bool = False,
+):
+    """Dual contraction of one kernel block: ``(K @ v_y, K^T @ v_x)``.
+
+    ``symmetric=True`` requires X and Y to be the SAME array and walks only
+    the upper triangle; the full ``K @ v`` is then the SUM of the two
+    outputs.  This is the TPU answer to the reference's triangular
+    atomicAdd scatter (svm_kernel.cu:26,74,85): half the MXU work and HBM
+    traffic, no atomics, no HBM partials.
+    """
+    mr, d = X.shape
+    mc = Y.shape[0]
+    in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    dk = _pick_dual_dk(d)
+    nk = d // dk
+    t = _pick_dual_tile(mr, mc, dk)
+    if t is None:
+        raise ValueError(
+            f"no Pallas tile for shape ({mr}, {mc}, {d}); rows must be "
+            "padded to a multiple of 128"
+        )
+    ni, nj = mr // t, mc // t
+
+    Xc = X.astype(in_dtype)
+    Yc = Y.astype(in_dtype)
+    sq_r = sq_rows.astype(jnp.float32).reshape(1, mr)
+    sq_c = sq_cols.astype(jnp.float32).reshape(1, mc)
+    vy_row = v_y.astype(jnp.float32).reshape(1, mc)
+    vx_row = v_x.astype(jnp.float32).reshape(1, mr)
+    gamma_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+    coef0_arr = jnp.asarray(coef0, jnp.float32).reshape(1, 1)
+
+    itemsize = 2 if precision == "bf16" else 4
+    flops = 2 * mr * mc * d + 16 * mr * mc
+    if symmetric:
+        flops = flops // 2 + flops // 8
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(mr + mc) * d * itemsize + 6 * (mr + mc) * 4,
+        transcendentals=(
+            (mr * mc // 2 if symmetric else mr * mc)
+            if kind == KernelFunctionType.RBF
+            else 0
+        ),
+    )
+
+    if symmetric:
+        def xi_map(i, j, k):
+            return _i32(i, jnp.where(j >= i, k, 0))
+
+        def yj_map(i, j, k):
+            return _i32(jnp.maximum(i, j), jnp.where(j >= i, k, 0))
+
+        def colv_map(i, j, k):
+            return _i32(0, jnp.maximum(i, j))
+    else:
+        def xi_map(i, j, k):
+            return _i32(i, k)
+
+        def yj_map(i, j, k):
+            return _i32(j, k)
+
+        def colv_map(i, j, k):
+            return _i32(0, j)
+
+    outr, outc = pl.pallas_call(
+        functools.partial(
+            _matvec_kernel_dual,
+            kind=kind, degree=degree, nk=nk, symmetric=symmetric,
+        ),
+        grid=(ni, nj, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, dk), xi_map),
+            pl.BlockSpec((t, dk), yj_map),
+            pl.BlockSpec((1, t), lambda i, j, k: _i32(0, i)),
+            pl.BlockSpec((1, t), colv_map),
+            pl.BlockSpec((1, t), colv_map),
+            pl.BlockSpec((1, t), lambda i, j, k: _i32(0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t), lambda i, j, k: _i32(0, i)),
+            pl.BlockSpec((nj, t), lambda i, j, k: _i32(0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, mr), jnp.float32),
+            jax.ShapeDtypeStruct((nj, t), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((t, t), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+    )(gamma_arr, coef0_arr, Xc, Yc, sq_r, sq_c, vy_row, vx_row)
+    return outr.reshape(mr), outc.reshape(mc)
+
+
+#: per-operand byte target for one pallas_call in the chunked composition —
+#: comfortably inside the 32-bit in-kernel offset range (faults were
+#: observed above ~2 GiB round 1)
+CHUNK_TARGET_BYTES = 1 << 30
+
+
+def preferred_row_multiple(dept: int, d_pad: int, itemsize: int = 4) -> int:
+    """Row-padding multiple CSVM.fit should use on the Pallas path.
+
+    When the operand needs chunking, rows must split evenly into nc chunks
+    of 2048-divisible height so every chunk gets the tallest tile."""
+    total = dept * d_pad * itemsize
+    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    return nc * 2048 if nc > 1 else 128
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
+def kernel_matvec_pallas_big(
+    X: jnp.ndarray,
+    sq_norms: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """Symmetric ``K @ v`` at ANY size (the round-1 1.5 GiB cliff is gone).
+
+    Operands within the per-call range run as ONE dual-contraction call;
+    larger ones are split into nc row chunks and composed as a TRIANGLE of
+    chunk pairs: diagonal chunks through the symmetric walk, each cross
+    block (ci < cj) computed once with both contractions.  Total MXU work
+    and HBM traffic stay at the single-call symmetric level (~half the full
+    walk) regardless of size — unlike the reference, whose kernels are
+    size-agnostic only because each thread block re-reads both row blocks
+    (svm_kernel.cu:17-88).
+    """
+    m, d = X.shape
+    itemsize = 2 if precision == "bf16" else 4
+    total = m * d * itemsize
+    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+        nc += 1
+    if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
+        outr, outc = kernel_matvec_pallas_dual(
+            X, X, sq_norms, sq_norms, v, v,
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
+        )
+        return (outr + outc).astype(X.dtype)
+
+    rows = m // nc
+    Xc = X.reshape(nc, rows, d)
+    sqc = sq_norms.reshape(nc, rows)
+    vc = v.reshape(nc, rows)
+
+    outs = []
+    for ci in range(nc):
+        r, c = kernel_matvec_pallas_dual(
+            Xc[ci], Xc[ci], sqc[ci], sqc[ci], vc[ci], vc[ci],
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
+        )
+        outs.append(r + c)
+    for ci in range(nc):
+        for cj in range(ci + 1, nc):
+            r, c = kernel_matvec_pallas_dual(
+                Xc[ci], Xc[cj], sqc[ci], sqc[cj], vc[cj], vc[ci],
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                precision=precision, symmetric=False,
+            )
+            outs[ci] = outs[ci] + r
+            outs[cj] = outs[cj] + c
+    return jnp.concatenate(outs).astype(X.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
 def kernel_matvec_pallas(
     X: jnp.ndarray,          # (m, d) zero-padded, m % 128 == 0, d % 128 == 0

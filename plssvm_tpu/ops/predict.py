@@ -75,3 +75,48 @@ def predict_values(
         gram, sq_pred[:, None], sq_sv[None, :], kind, gamma, coef0, degree
     )
     return K @ alpha - rho
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "row_block"))
+def predict_values_blocked(
+    support_vectors: jnp.ndarray,  # (n_sv, d)
+    alpha: jnp.ndarray,            # (n_sv,)
+    rho: jnp.ndarray,              # scalar
+    predict_points: jnp.ndarray,   # (n_pred, d) — n_pred % row_block == 0
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    row_block: int = 256,
+) -> jnp.ndarray:
+    """Decision values streamed over point row blocks — O(row_block * n_sv)
+    extra memory for ANY model size, never the full (n_pred, n_sv) matrix.
+
+    This is the TPU analog of the reference's streaming device predict
+    (gpu_csvm.hpp:656-730, predict_kernel.cu:32-74), which computes kernel
+    values on the fly with O(n_pred) output memory: here each scan step forms
+    one (row_block, n_sv) Gram slab on the MXU, applies the kernel epilogue
+    and contracts it against alpha before the next slab is formed.
+    """
+    n_pred, d = predict_points.shape
+    nb = n_pred // row_block
+    sq_sv = jnp.sum(support_vectors * support_vectors, axis=-1)
+    Pb = predict_points.reshape(nb, row_block, d)
+
+    def body(_, P_blk):
+        gram = jax.lax.dot_general(
+            P_blk, support_vectors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+            if P_blk.dtype == jnp.float32
+            else None,
+        )  # (row_block, n_sv)
+        sq_blk = jnp.sum(P_blk * P_blk, axis=-1)
+        K_blk = apply_kernel_to_gram(
+            gram, sq_blk[:, None], sq_sv[None, :], kind, gamma, coef0, degree
+        )
+        return None, K_blk @ alpha
+
+    _, out = jax.lax.scan(body, None, Pb)
+    return out.reshape(n_pred) - rho

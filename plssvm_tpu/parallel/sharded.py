@@ -195,6 +195,66 @@ def build_sharded_solver(
     return solve
 
 
+_PREDICT_CACHE: dict = {}
+
+
+def build_sharded_predict(
+    mesh: Mesh, *, kind: KernelFunctionType, degree: int, row_block: int = 256
+):
+    """A jitted, shard_map'ped decision-value computation over ``mesh``.
+
+    The **support-vector axis** is sharded (it is the big axis in LS-SVM —
+    every training point is an SV), predict points are replicated: each chip
+    streams K(points, sv_local) @ alpha_local over point row blocks and a
+    single ``psum`` combines the partial decision values.  Per-chip memory is
+    O(n_sv d / P + row_block * n_sv / P) — a model too large for one chip can
+    be scored (the reference predicts on device 0 only, gpu_csvm.hpp:722).
+
+    Padded SV rows are harmless for every kernel because their alpha is
+    zero; padded point rows produce garbage values the caller slices off.
+    """
+    key = (mesh, kind, degree, row_block)
+    cached = _PREDICT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from ..ops.predict import predict_values_blocked
+
+    def local_predict(sv_local, alpha_local, rho, points, gamma, coef0):
+        part = predict_values_blocked(
+            sv_local, alpha_local, jnp.zeros_like(rho), points, gamma, coef0,
+            kind=kind, degree=degree, row_block=row_block,
+        )
+        return jax.lax.psum(part, ROW_AXIS) - rho
+
+    row = P(ROW_AXIS)
+    rep = P()
+    fn = jax.jit(
+        jax.shard_map(
+            local_predict,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), row, rep, rep, rep, rep),
+            out_specs=rep,
+        )
+    )
+    _PREDICT_CACHE[key] = fn
+    return fn
+
+
+def shard_predict_arrays(mesh: Mesh, sv, alpha, points, dtype):
+    """Place model + points for the sharded predict (SVs sharded, points
+    replicated).  The SV count must be divisible by the mesh size — the
+    caller pads SVs with zero rows and alpha with zeros."""
+    row2 = NamedSharding(mesh, P(ROW_AXIS, None))
+    row1 = NamedSharding(mesh, P(ROW_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(sv, dtype), row2),
+        jax.device_put(jnp.asarray(alpha, dtype), row1),
+        jax.device_put(jnp.asarray(points, dtype), rep),
+    )
+
+
 def shard_arrays(mesh: Mesh, X, x_last, y, y_last, mask, dtype):
     """Place the padded training arrays onto the mesh.
 

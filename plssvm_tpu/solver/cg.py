@@ -90,19 +90,13 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
     if impl == "pallas" and kind != KernelFunctionType.LINEAR:
         # the linear kernel always uses the factored O(n d) path — a fused
         # Pallas walk over the full kernel matrix could never beat it
-        from ..ops.pallas_matvec import kernel_matvec_pallas
+        from ..ops.pallas_matvec import kernel_matvec_pallas_big
 
         def kv(X, sq_norms, v, gamma, coef0):
-            if X.size * X.dtype.itemsize > PALLAS_MAX_OPERAND_BYTES:
-                # the XLA scan beats Pallas chunk composition at this scale
-                # (measured 20.5 vs 27-42 s/iter at 1M x 1k — the chunked
-                # kernels re-stream the column operand too often and the
-                # symmetric kernel's column partials become pure overhead)
-                return kernel_matvec_xla(
-                    X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
-                    degree=degree, row_block=_adaptive_row_block(X.shape[0]),
-                )
-            return kernel_matvec_pallas(
+            # size-agnostic: one dual-contraction call when the operand fits
+            # the per-call 32-bit offset range, a triangle of chunk-pair
+            # calls beyond it (the round-1 XLA fallback at >1.5 GiB is gone)
+            return kernel_matvec_pallas_big(
                 X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0, degree=degree
             )
 

@@ -95,6 +95,22 @@ class TestPredict:
         with pytest.raises(InvalidParameterError):
             svm.score(model, DataSet(np.ones((2, 4))))
 
+    def test_blocked_predict_route_matches_one_shot(self, monkeypatch):
+        """With the Gram budget forced to ~0, predict_values streams over
+        point row blocks (n_pred >> row_block) and must equal the one-shot
+        route — VERDICT r1 #1 (scalable predict) regression coverage."""
+        import plssvm_tpu.csvm as csvm_mod
+
+        X, y = make_blobs(300, 5, seed=29)
+        ds = DataSet(X, y)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        model = svm.fit(ds)
+        points = DataSet(np.random.default_rng(3).normal(size=(701, 5)))
+        one_shot = svm.predict_values(model, points)
+        monkeypatch.setattr(csvm_mod, "_PREDICT_GRAM_BUDGET", 1)
+        blocked = svm.predict_values(model, points)
+        np.testing.assert_allclose(blocked, one_shot, rtol=1e-9, atol=1e-10)
+
     def test_w_cached_after_first_linear_predict(self):
         X, y = make_blobs(10, 4, seed=28)
         ds = DataSet(X, y)

@@ -201,6 +201,56 @@ def test_csvm_fit_with_explicit_devices(mesh, kernel):
     np.testing.assert_allclose(model.rho, ref_model.rho, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("kernel", ["polynomial", "rbf"])
+def test_sharded_predict_matches_single_device(mesh, kernel):
+    """SV-sharded streaming predict over the mesh equals one-shot predict."""
+    from plssvm_tpu.ops.predict import predict_values
+    from plssvm_tpu.parallel.sharded import (
+        build_sharded_predict, shard_predict_arrays,
+    )
+
+    kind = KernelFunctionType.from_string(kernel)
+    dtype = np.float64
+    rng = np.random.default_rng(21)
+    n_sv, d, n_pred = NDEV * 128, 10, 512  # 2 point blocks of 256
+    sv = rng.normal(size=(n_sv, d)).astype(dtype)
+    alpha = rng.normal(size=(n_sv,)).astype(dtype)
+    points = rng.normal(size=(n_pred, d)).astype(dtype)
+    gamma, coef0, rho = dtype(0.1), dtype(1.0), dtype(0.25)
+
+    sv_s, alpha_s, points_s = shard_predict_arrays(mesh, sv, alpha, points, dtype)
+    fn = build_sharded_predict(mesh, kind=kind, degree=3, row_block=256)
+    got = np.asarray(
+        fn(sv_s, alpha_s, jnp.asarray(rho), points_s,
+           jnp.asarray(gamma), jnp.asarray(coef0))
+    )
+    expected = np.asarray(
+        predict_values(
+            jnp.asarray(sv), jnp.asarray(alpha), jnp.asarray(rho),
+            jnp.zeros((d,), dtype), jnp.asarray(points),
+            jnp.asarray(gamma), jnp.asarray(coef0), kind=kind, degree=3,
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("kernel", ["rbf"])
+def test_csvm_sharded_predict_end_to_end(mesh, kernel):
+    """CSVM(devices=...) routes poly/RBF predict through the sharded path
+    (odd n_pred/n_sv exercise the padding) and matches single-device."""
+    X, y = make_blobs(301, 7, seed=13)
+    data = plssvm_tpu.DataSet(X, y)
+    sharded = plssvm_tpu.CSVM(
+        kernel_type=kernel, dtype=np.float64, devices=jax.devices("cpu")[:NDEV]
+    )
+    model = sharded.fit(data, epsilon=1e-9)
+    single = plssvm_tpu.CSVM(kernel_type=kernel, dtype=np.float64)
+    vs = sharded.predict_values(model, data)
+    v1 = single.predict_values(model, data)
+    np.testing.assert_allclose(vs, v1, rtol=1e-7, atol=1e-9)
+    assert sharded.score(model) == single.score(model)
+
+
 def test_sharded_pallas_ring_interpret(mesh):
     """The impl='pallas' ring path (used on real TPU meshes) must match the
     jnp ring, exercised here via Pallas interpret mode on the CPU mesh.
