@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="CG-state checkpoint file: training state is saved "
                         "every --checkpoint_interval iterations and an "
                         "interrupted run resumes from it automatically")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host training: initialize the JAX process group, parse "
+             "only this host's row window of the training file and solve "
+             "row-sharded over the global device mesh",
+    )
     parser.add_argument("--checkpoint_interval", type=int, default=1000,
                         help="iterations between CG-state checkpoints")
     add_common_options(parser)
@@ -145,12 +151,7 @@ def main(argv=None) -> int:
             "\ntask: training\n{}\n\n",
             _format_params(args, kernel, model_filename),
         )
-        data = DataSet(
-            args.input,
-            label_type=resolve_label_type(args),
-            dtype=resolve_dtype(args),
-        )
-        svm = CSVM(
+        svm_kwargs = dict(
             backend=args.backend,
             target=args.target_platform,
             dtype=resolve_dtype(args),
@@ -163,17 +164,30 @@ def main(argv=None) -> int:
         )
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
-        fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
-        if args.checkpoint is not None:
-            fit_kwargs["checkpoint_path"] = args.checkpoint
-            fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
-        if args.profile is not None:
-            import jax
-
-            with jax.profiler.trace(args.profile):
-                model = svm.fit(data, **fit_kwargs)
+        if args.multihost:
+            svm = CSVM(devices="all", **svm_kwargs)
+            model = svm.fit_multihost(
+                args.input, epsilon=args.epsilon, max_iter=args.max_iter,
+                label_type=resolve_label_type(args),
+            )
         else:
-            model = svm.fit(data, **fit_kwargs)
+            data = DataSet(
+                args.input,
+                label_type=resolve_label_type(args),
+                dtype=resolve_dtype(args),
+            )
+            svm = CSVM(**svm_kwargs)
+            fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
+            if args.checkpoint is not None:
+                fit_kwargs["checkpoint_path"] = args.checkpoint
+                fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
+            if args.profile is not None:
+                import jax
+
+                with jax.profiler.trace(args.profile):
+                    model = svm.fit(data, **fit_kwargs)
+            else:
+                model = svm.fit(data, **fit_kwargs)
         model.save(model_filename)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)

@@ -79,6 +79,7 @@ class CSVM:
         row_block: int = DEFAULT_ROW_BLOCK,
         devices=None,
         preconditioner: str = "none",
+        scalar_precision: str = "auto",
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -117,6 +118,20 @@ class CSVM:
                 "(must be 'none' or 'jacobi')!"
             )
         self.preconditioner = preconditioner
+        # CG scalar accumulation: "compensated" emulates the reference's f64
+        # scalar accumulators (it solves in double) with double-float TwoSum
+        # folds; "auto" turns it on exactly where it matters — f32 solves,
+        # where no hardware f64 exists (SURVEY.md §7 hard-part #1)
+        if scalar_precision not in ("auto", "plain", "compensated"):
+            raise InvalidParameterError(
+                f"Unrecognized scalar_precision '{scalar_precision}' "
+                "(must be 'auto', 'plain' or 'compensated')!"
+            )
+        if scalar_precision == "auto":
+            scalar_precision = (
+                "compensated" if self.dtype == np.float32 else "plain"
+            )
+        self.scalar_precision = scalar_precision
 
         # multi-chip: row-shard the CG solve over a 1-D device mesh
         # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
@@ -141,11 +156,18 @@ class CSVM:
 
         # construction-time tracking entries, mirroring the reference's
         # backend init (src/plssvm/backends/CUDA/csvm.cu:48-86)
-        effective_target = (
-            TargetPlatform.CPU
-            if self._pin_device is not None
-            else (TargetPlatform.TPU if use_tpu else TargetPlatform.CPU)
-        )
+        if self._pin_device is not None:
+            effective_target = TargetPlatform.CPU
+        elif self.devices is not None:
+            effective_target = (
+                TargetPlatform.TPU
+                if getattr(self.devices[0], "platform", "") in ("tpu", "axon")
+                else TargetPlatform.CPU
+            )
+        else:
+            effective_target = (
+                TargetPlatform.TPU if use_tpu else TargetPlatform.CPU
+            )
         num_devices = len(self.devices) if self.devices is not None else 1
         add_tracking_entry("backend", "backend", str(self.backend))
         add_tracking_entry("backend", "target_platform", str(effective_target))
@@ -327,6 +349,36 @@ class CSVM:
         model.n_iter = iterations
         return model
 
+    def fit_multihost(
+        self,
+        filename: str,
+        *,
+        epsilon: float = 0.001,
+        max_iter: Optional[int] = None,
+        label_type=None,
+    ) -> Model:
+        """Multi-host fit from a LIBSVM file on shared storage.
+
+        Each host parses only its row window (O(n d / #hosts) data memory)
+        and the CG solve runs row-sharded over the GLOBAL device mesh —
+        see plssvm_tpu.parallel.multihost.fit_multihost.  At
+        process_count()==1 this equals ``fit(DataSet(filename))``.
+        """
+        from .parallel.multihost import fit_multihost as _fit_multihost
+
+        if epsilon <= 0.0:
+            raise InvalidParameterError(
+                f"epsilon must be less than 0.0, but is {epsilon}!"
+            )
+        if max_iter is not None and max_iter <= 0:
+            raise InvalidParameterError(
+                f"max_iter must be greater than 0, but is {max_iter}!"
+            )
+        return _fit_multihost(
+            self, filename, epsilon=epsilon, max_iter=max_iter,
+            label_type=label_type,
+        )
+
     def _device_ctx(self):
         """jax.default_device(...) when pinned to a target, else a no-op."""
         if self._pin_device is not None:
@@ -374,6 +426,7 @@ class CSVM:
             solver = build_sharded_solver(
                 mesh, kind=kind, degree=degree, impl=shard_impl,
                 preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
             )
             sharded = shard_arrays(
                 mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
@@ -397,6 +450,7 @@ class CSVM:
                 kind=kind, degree=degree, impl=impl,
                 row_block=min(self.row_block, m_pad),
                 preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
             )
             if checkpoint_path is None:
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)

@@ -120,6 +120,7 @@ extern "C" {
 
 struct PlssvmParseResult {
     double* data;     // n*d row-major (malloc'd; free with plssvm_free_result)
+    int64_t n_total;  // total data points in the file (>= n for window parses)
     char* labels;     // n concatenated NUL-terminated labels (malloc'd), or NULL
     int64_t labels_bytes;
     int64_t n;
@@ -139,8 +140,16 @@ void plssvm_free_result(PlssvmParseResult* out) {
     out->labels = nullptr;
 }
 
+// Parse rows [row_begin, row_end) of a LIBSVM file (row_end < 0 -> all).
+// The WHOLE file is still validated and scanned for the global feature
+// count (d is the max index over every row, and label presence must be
+// all-or-nothing file-wide), but only the window's rows are materialized:
+// per-host memory for multi-host sharded ingest is O(rows_window * d)
+// instead of O(n * d) (SURVEY.md §2.4 P4 multi-host plan; the reference
+// parses everything on one host, libsvm_parsing.hpp:117).
 // returns 0 on success, 1 on parse error (out->error set), 2 on IO error
-int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
+int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
+                               int64_t row_end, PlssvmParseResult* out) {
     memset(out, 0, sizeof(*out));
 
     int fd = open(path, O_RDONLY);
@@ -295,20 +304,32 @@ int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
     }
 
     const long long d = max_index.load();
+
+    // ---- clamp the requested row window ----
+    const size_t rb = static_cast<size_t>(
+        std::min<int64_t>(std::max<int64_t>(row_begin, 0),
+                          static_cast<int64_t>(n)));
+    const size_t re = row_end < 0
+        ? n
+        : static_cast<size_t>(
+              std::min<int64_t>(row_end, static_cast<int64_t>(n)));
+    const size_t nl = re > rb ? re - rb : 0;
+
     double* data = static_cast<double*>(
-        calloc(static_cast<size_t>(n) * static_cast<size_t>(d), sizeof(double)));
+        calloc(std::max<size_t>(nl, 1) * static_cast<size_t>(d), sizeof(double)));
     if (data == nullptr) {
         cleanup();
         set_error(out, "Out of memory allocating the data matrix!");
         return 2;
     }
 
-    // ---- pass 2 (parallel): fill the dense matrix ----
-    parallel_for_lines(n, [&](size_t lo, size_t hi) {
-        for (size_t i = lo; i < hi; ++i) {
+    // ---- pass 2 (parallel): fill the dense matrix for the window ----
+    parallel_for_lines(nl, [&](size_t lo, size_t hi) {
+        for (size_t w = lo; w < hi; ++w) {
+            const size_t i = rb + w;
             const Line& ln = lines[i];
             const char* q = label_tokens[i].begin ? label_tokens[i].end : ln.begin;
-            double* row = data + static_cast<size_t>(i) * static_cast<size_t>(d);
+            double* row = data + w * static_cast<size_t>(d);
             while (q < ln.end) {
                 while (q < ln.end && is_space(*q)) ++q;
                 if (q >= ln.end) break;
@@ -327,6 +348,9 @@ int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
     });
 
     // ---- labels buffer: concatenated NUL-terminated strings ----
+    // ---- labels: always the FULL file's labels (window parses need the
+    // global label set for consistent {-1,+1} mapping; labels are
+    // metadata-scale, O(n) strings vs the O(n d) matrix) ----
     char* labels_buf = nullptr;
     int64_t labels_bytes = 0;
     if (got_labels) {
@@ -356,10 +380,15 @@ int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
     out->data = data;
     out->labels = labels_buf;
     out->labels_bytes = labels_bytes;
-    out->n = static_cast<int64_t>(n);
+    out->n = static_cast<int64_t>(nl);
+    out->n_total = static_cast<int64_t>(n);
     out->d = d;
     out->has_labels = got_labels ? 1 : 0;
     return 0;
+}
+
+int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
+    return plssvm_parse_libsvm_window(path, 0, -1, out);
 }
 
 // Sparse writer: zero features omitted, "{idx}:{:.10e} " formatting

@@ -31,6 +31,7 @@ _lib_failed = False
 class _ParseResult(ctypes.Structure):
     _fields_ = [
         ("data", ctypes.POINTER(ctypes.c_double)),
+        ("n_total", ctypes.c_int64),
         # void* (not c_char_p: ctypes would eagerly convert to bytes,
         # truncating at the first NUL of the concatenated label buffer)
         ("labels", ctypes.c_void_p),
@@ -97,6 +98,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.POINTER(_ParseResult)
             ]
             lib.plssvm_parse_libsvm.restype = ctypes.c_int
+            lib.plssvm_parse_libsvm_window.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(_ParseResult),
+            ]
+            lib.plssvm_parse_libsvm_window.restype = ctypes.c_int
             lib.plssvm_free_result.argtypes = [ctypes.POINTER(_ParseResult)]
             lib.plssvm_free_result.restype = None
             lib.plssvm_write_libsvm.argtypes = [
@@ -144,6 +150,48 @@ def parse_libsvm_native(
             raw = ctypes.string_at(res.labels, int(res.labels_bytes))
             labels = raw.decode(errors="replace").split("\x00")[:n]
         return data, labels
+    finally:
+        lib.plssvm_free_result(ctypes.byref(res))
+
+
+def parse_libsvm_native_window(
+    filename: str, row_begin: int, row_end: int, dtype=np.float64
+) -> Optional[Tuple[np.ndarray, Optional[List[str]], int, int]]:
+    """Parse only rows [row_begin, row_end) — O(window * d) data memory.
+
+    The whole file is still validated (d and label consistency are global
+    properties) and labels are returned for the FULL file (they are
+    metadata-scale; the global label set is needed for a consistent {-1,+1}
+    mapping across hosts).  Returns ``(X_window, labels_all, n_total, d)``;
+    ``None`` means the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if not os.path.isfile(filename):
+        raise FileNotFoundError_(f"Couldn't find file: '{filename}'!")
+
+    res = _ParseResult()
+    rc = lib.plssvm_parse_libsvm_window(
+        filename.encode(), int(row_begin), int(row_end), ctypes.byref(res)
+    )
+    if rc == 2:
+        return None
+    if rc == 1:
+        raise InvalidFileFormatError(res.error.decode(errors="replace"))
+    try:
+        n, n_total, d = int(res.n), int(res.n_total), int(res.d)
+        if n == 0:
+            data = np.zeros((0, d), dtype=dtype)
+        else:
+            data = np.ctypeslib.as_array(res.data, shape=(n, d)).astype(
+                dtype, copy=True
+            )
+        labels: Optional[List[str]] = None
+        if res.has_labels:
+            raw = ctypes.string_at(res.labels, int(res.labels_bytes))
+            labels = raw.decode(errors="replace").split("\x00")[:n_total]
+        return data, labels, n_total, d
     finally:
         lib.plssvm_free_result(ctypes.byref(res))
 

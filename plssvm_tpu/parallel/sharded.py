@@ -131,16 +131,18 @@ _SOLVER_CACHE: dict = {}
 
 def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
-    preconditioner: str = "none",
+    preconditioner: str = "none", scalars: str = "plain",
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
     Inputs are expected already placed with `shard_arrays` (X/y/mask row-
     sharded, everything else replicated); the returned `CGResult.x` is
     row-sharded, scalars replicated.  ``impl="pallas"`` uses the fused Pallas
-    kernel for each ring block (TPU meshes only).
+    kernel for each ring block (TPU meshes only).  ``scalars="compensated"``
+    runs the per-chip partial reductions with double-float accumulation
+    before the psum (solver.cg.compensated_dot).
     """
-    key = (mesh, kind, degree, impl, preconditioner)
+    key = (mesh, kind, degree, impl, preconditioner, scalars)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -148,11 +150,20 @@ def build_sharded_solver(
     num_devices = mesh.devices.size
 
     def local_solve(X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter):
-        def dot(a, b):
-            return jax.lax.psum(jnp.dot(a, b), ROW_AXIS)
+        if scalars == "compensated":
+            from ..solver.cg import compensated_dot, compensated_sum
 
-        def vsum(v):
-            return jax.lax.psum(jnp.sum(v), ROW_AXIS)
+            def dot(a, b):
+                return jax.lax.psum(compensated_dot(a, b), ROW_AXIS)
+
+            def vsum(v):
+                return jax.lax.psum(compensated_sum(v), ROW_AXIS)
+        else:
+            def dot(a, b):
+                return jax.lax.psum(jnp.dot(a, b), ROW_AXIS)
+
+            def vsum(v):
+                return jax.lax.psum(jnp.sum(v), ROW_AXIS)
 
         if kind == KernelFunctionType.LINEAR:
             def kernel_mv(Xl, sq, v, g, c0):

@@ -47,6 +47,44 @@ from ..ops.matvec import (
 EXACT_RESIDUAL_INTERVAL = 50
 
 
+def _two_sum(a, b):
+    """Error-free transformation: a + b = s + err exactly (Knuth TwoSum)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def compensated_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Double-float pairwise sum: ~exact accumulation in the input dtype.
+
+    TPUs have no f64 compute, so the f64 scalar accumulators the reference
+    gets for free (it solves in double, gpu_csvm.hpp:617-619) are emulated
+    with an error-free pairwise fold: at every halving step the rounding
+    error of each addition is captured by TwoSum and carried in a
+    compensation vector.  log2(n) fused vector ops — O(n) work, no scan.
+    The result equals f64 accumulation of the (already-rounded) f32 inputs
+    to within O(eps^2).  This is SURVEY.md §7 hard-part #1.
+    """
+    s = x.reshape(-1)
+    c = jnp.zeros_like(s)
+    while s.size > 1:
+        n = s.size
+        half = (n + 1) // 2
+        if n % 2 == 1:
+            pad = jnp.zeros((1,), s.dtype)
+            s = jnp.concatenate([s, pad])
+            c = jnp.concatenate([c, pad])
+        s, err = _two_sum(s[:half], s[half:])
+        c = c[:half] + c[half:] + err
+    return (s + c)[0]
+
+
+def compensated_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dot product with double-float accumulation of the f32 products."""
+    return compensated_sum(a * b)
+
+
 class CGResult(NamedTuple):
     """Solve outputs (still padded; the host wrapper unpads).
 
@@ -260,9 +298,18 @@ def cg_ls_svm_core(
     )
 
 
+def _scalar_reductions(scalars: str):
+    """(dot, vsum) pair for the requested scalar accumulation mode."""
+    if scalars == "compensated":
+        return compensated_dot, compensated_sum
+    return jnp.dot, jnp.sum
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "impl", "row_block", "preconditioner"),
+    static_argnames=(
+        "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+    ),
 )
 def solve_ls_svm(
     X: jnp.ndarray,        # (m, d) zero-padded rows 0..dept-1 (dept = n-1)
@@ -281,19 +328,28 @@ def solve_ls_svm(
     impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
+    scalars: str = "plain",
 ) -> CGResult:
-    """Run the full LS-SVM CG solve on a single device."""
+    """Run the full LS-SVM CG solve on a single device.
+
+    ``scalars="compensated"`` accumulates the CG scalar reductions (delta,
+    d.Ad, q.v, sums) with double-float TwoSum folds — f64-equivalent
+    accuracy on f32 TPUs (SURVEY.md §7 precision decision).
+    """
     kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+    dot, vsum = _scalar_reductions(scalars)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
-        kind=kind, degree=degree, kernel_mv=kernel_mv,
+        kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         preconditioner=preconditioner,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "impl", "row_block", "preconditioner"),
+    static_argnames=(
+        "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+    ),
 )
 def solve_ls_svm_resume(
     X: jnp.ndarray,
@@ -318,12 +374,14 @@ def solve_ls_svm_resume(
     impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
+    scalars: str = "plain",
 ) -> CGResult:
     """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
     kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+    dot, vsum = _scalar_reductions(scalars)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
-        kind=kind, degree=degree, kernel_mv=kernel_mv,
+        kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         init_state=(x0, r0, d0, delta, delta0, it0),
         preconditioner=preconditioner,
     )

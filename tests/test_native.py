@@ -116,3 +116,71 @@ def test_comments_and_blank_lines(tmp_path):
     X, labels = parse_libsvm_native(str(f))
     np.testing.assert_array_equal(X, [[1.0, 0.0, 2.0], [0.0, 4.0, 0.0]])
     assert labels == ["1", "-1"]
+
+
+class TestWindowedParse:
+    """Offset-window native parsing (multi-host sharded ingest, round 2)."""
+
+    def test_window_matches_full_parse(self, data_dir):
+        from plssvm_tpu.native.loader import (
+            native_available, parse_libsvm_native, parse_libsvm_native_window,
+        )
+
+        if not native_available():
+            pytest.skip("native parser unavailable")
+        f = os.path.join(data_dir, "libsvm", "6x3.libsvm")
+        full, labels = parse_libsvm_native(f)
+        Xw, labels_all, n_total, d = parse_libsvm_native_window(f, 2, 5)
+        assert n_total == full.shape[0] and d == full.shape[1]
+        np.testing.assert_array_equal(Xw, full[2:5])
+        assert labels_all == labels  # labels are always the FULL file's
+
+    def test_zero_row_window_is_metadata_scan(self, data_dir):
+        from plssvm_tpu.native.loader import (
+            native_available, parse_libsvm_native_window,
+        )
+
+        if not native_available():
+            pytest.skip("native parser unavailable")
+        f = os.path.join(data_dir, "libsvm", "6x3.libsvm")
+        Xw, labels_all, n_total, d = parse_libsvm_native_window(f, 0, 0)
+        assert Xw.shape == (0, d)
+        assert n_total == 6
+        assert labels_all is not None and len(labels_all) == 6
+
+    def test_window_clamps_past_eof(self, data_dir):
+        from plssvm_tpu.native.loader import (
+            native_available, parse_libsvm_native, parse_libsvm_native_window,
+        )
+
+        if not native_available():
+            pytest.skip("native parser unavailable")
+        f = os.path.join(data_dir, "libsvm", "6x3.libsvm")
+        full, _ = parse_libsvm_native(f)
+        Xw, _, n_total, _ = parse_libsvm_native_window(f, 4, 100)
+        np.testing.assert_array_equal(Xw, full[4:])
+
+    def test_window_still_validates_whole_file(self, data_dir):
+        """A parse error OUTSIDE the window must still be reported — d and
+        label consistency are global properties."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.native.loader import (
+            native_available, parse_libsvm_native_window,
+        )
+
+        if not native_available():
+            pytest.skip("native parser unavailable")
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".libsvm", delete=False
+        ) as fh:
+            fh.write("1 1:1.0 2:2.0\n")
+            fh.write("-1 1:0.5 2:1.5\n")
+            fh.write("1 2:1.0 1:2.0\n")  # decreasing indices -> invalid
+            bad = fh.name
+        try:
+            with pytest.raises(InvalidFileFormatError):
+                parse_libsvm_native_window(bad, 0, 2)  # error is in row 2
+        finally:
+            os.unlink(bad)

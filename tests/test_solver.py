@@ -202,3 +202,67 @@ class TestLargeProblemGuards:
         # XLA fallback; 200k x 1k must stay on the Pallas kernel
         assert (1 << 20) * 1024 * 4 > PALLAS_MAX_OPERAND_BYTES
         assert 204800 * 1024 * 4 <= PALLAS_MAX_OPERAND_BYTES
+
+
+class TestCompensatedScalars:
+    """Double-float CG scalar accumulation (SURVEY §7 hard-part #1)."""
+
+    def test_compensated_sum_beats_plain_f32(self):
+        from plssvm_tpu.solver.cg import compensated_sum
+
+        # adversarial cancellation: many tiny values drowned by a huge pair
+        rng = np.random.default_rng(0)
+        tiny = rng.normal(size=4094).astype(np.float32) * 1e-3
+        x = np.concatenate([[1e8], tiny, [-1e8]]).astype(np.float32)
+        exact = float(np.sum(x.astype(np.float64)))
+        comp = float(compensated_sum(jnp.asarray(x)))
+        plain = float(jnp.sum(jnp.asarray(x)))
+        assert abs(comp - exact) < 1e-3 * abs(exact)
+        assert abs(comp - exact) <= abs(plain - exact)
+
+    def test_compensated_dot_matches_f64(self):
+        from plssvm_tpu.solver.cg import compensated_dot
+
+        rng = np.random.default_rng(1)
+        a = (rng.normal(size=8192) * np.exp(rng.normal(size=8192) * 4)).astype(
+            np.float32
+        )
+        b = rng.normal(size=8192).astype(np.float32)
+        exact = float(a.astype(np.float64) @ b.astype(np.float64))
+        comp = float(compensated_dot(jnp.asarray(a), jnp.asarray(b)))
+        # products are rounded in f32 (irreducible without fma) but the
+        # accumulation itself must be f64-grade
+        assert comp == pytest.approx(exact, rel=2e-5)
+
+    def test_f32_compensated_iteration_parity_with_f64(self):
+        """On an ill-conditioned problem, f32 CG with compensated scalars
+        must track the f64 solve's iteration count (VERDICT r1 #6)."""
+        rng = np.random.default_rng(5)
+        n, d = 96, 6
+        # heterogeneous norms -> wide spectrum of the poly Gram matrix
+        scales = np.exp(rng.normal(size=(n, 1)) * 1.5)
+        X = rng.normal(size=(n, d)) * scales
+        y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+        y[0] = 1.0
+        y[1] = -1.0
+
+        def solve(dtype, scalars):
+            Xc = X.astype(dtype)
+            dept = n - 1
+            res = solve_ls_svm(
+                jnp.asarray(Xc[:dept]), jnp.asarray(Xc[-1]),
+                jnp.asarray(y[:dept].astype(dtype)), jnp.asarray(dtype(y[-1])),
+                jnp.asarray(np.ones(dept, dtype)),
+                jnp.asarray(dtype(0.05)), jnp.asarray(dtype(1.0)),
+                jnp.asarray(dtype(1.0)), jnp.asarray(dtype(1e-5)),
+                jnp.asarray(4 * n, jnp.int32),
+                kind=KernelFunctionType.POLYNOMIAL, degree=3, impl="xla",
+                row_block=dept, scalars=scalars,
+            )
+            return int(res.iterations), float(res.delta), float(res.delta0)
+
+        it64, _, _ = solve(np.float64, "plain")
+        it32c, d32, d032 = solve(np.float32, "compensated")
+        # converged (not just hit max_iter) and within 25% of the f64 count
+        assert d32 <= 1e-10 * d032 * 1.01 or it32c < 4 * n
+        assert it32c <= it64 * 1.25 + 2

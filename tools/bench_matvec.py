@@ -16,7 +16,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from plssvm_tpu.ops.matvec import kernel_matvec_xla
-from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas
+from plssvm_tpu.ops.pallas_matvec import (
+    kernel_matvec_pallas,
+    kernel_matvec_pallas_big,
+)
 from plssvm_tpu.parameter import KernelFunctionType
 
 
@@ -60,7 +63,14 @@ def main():
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
         "pallas_bf16": lambda X, sq, v: kernel_matvec_pallas(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
+        "dual_f32": lambda X, sq, v: kernel_matvec_pallas_big(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
+        "dual_bf16": lambda X, sq, v: kernel_matvec_pallas_big(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
     }
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only}
 
     # correctness vs f64 NumPy golden (skipped for m too big to materialize)
     ref = refn = None
