@@ -22,11 +22,16 @@ import time
 import numpy as np
 
 
-def _bench_matvec(m=16384, d=1024, iters=128, dtype=np.float32):
+def _bench_matvec(m=65536, d=1024, iters=24, dtype=np.float32):
     """RBF kernel-matvec throughput at the BASELINE north-star feature width
     (d=1k).  TFLOP/s are counted in full-matrix FLOPs (2 m^2 d) — the way the
     reference's cost is counted — so the symmetric-triangle kernel can exceed
-    the raw matmul roofline (it does half the MXU work per matvec)."""
+    the raw matmul roofline (it does half the MXU work per matvec).
+
+    m=65536 is the largest shape whose round-trip (256 MB transfer + 24
+    matvecs) stays comfortably inside the tunnel watchdog; the dual kernel
+    measures the same ~330-355 TFLOP/s from here up through the 1M-row
+    north star (BENCHMARKS.md has the 1M x 1k numbers)."""
     import jax
     import jax.numpy as jnp
 

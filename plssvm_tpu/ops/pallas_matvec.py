@@ -128,127 +128,9 @@ def _matvec_kernel_fulld(
     )
 
 
-def _matvec_kernel_symmetric(
-    gamma_ref, coef0_ref,          # SMEM (1, 1)
-    xi_ref,                        # VMEM (T, d) row tile — resident across j
-    xj_ref,                        # VMEM (T, d) col tile (block max(i, j))
-    sqi_ref, sqj_ref,              # VMEM (1, T)
-    vi_ref, vj_ref,                # VMEM (1, T)
-    outr_ref,                      # VMEM (1, T) — row accumulator (block i)
-    outc_ref,                      # VMEM (1, 8, T) — column partial (block (i, j))
-    *, kind, degree,
-):
-    """Upper-triangle-only tile walk exploiting K's symmetry.
-
-    Each tile K_ij (j >= i) is computed ONCE and contributes to BOTH output
-    halves: ``out_i += K_ij v_j`` (row accumulator, VMEM-resident across the
-    j sweep) and ``out_j += K_ij^T v_i`` (written as a per-(i, j) partial,
-    reduced by the caller).  Lower-triangle steps are fully skipped — and
-    their DMA is elided by the max(i, j) index map, which keeps the column
-    block constant (already fetched) for j <= i.  This is the TPU answer to
-    the reference's triangular atomicAdd scatter (svm_kernel.cu:26,74,85):
-    ~half the MXU work and ~half the HBM traffic of the full walk, no
-    atomics.  The two contractions run on the VPU (elementwise multiply +
-    reduce, f32): an MXU matvec pads the vector to 128 lanes, costing
-    ~128/d of the Gram per pass, and bf16 MXU contractions also add ~6x
-    end-to-end error; the VPU path is both faster (the MXU stays busy with
-    Gram tiles) and exact — measured 174 vs 165 (bf16 MXU) vs 131 (f32 MXU)
-    effective TFLOP/s on v5e at m=8192, d=256.
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        outr_ref[:] = jnp.zeros_like(outr_ref)
-
-    @pl.when(j >= i)
-    def _():
-        gram = jax.lax.dot_general(
-            xi_ref[:], xj_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        k_tile = apply_kernel_to_gram(
-            gram,
-            sqi_ref[0, :][:, None],
-            sqj_ref[0, :][None, :],
-            kind,
-            gamma_ref[0, 0],
-            coef0_ref[0, 0],
-            degree,
-        )
-        row = jnp.sum(k_tile * vj_ref[0, :][None, :], axis=1)
-        col = jnp.sum(k_tile * vi_ref[0, :][:, None], axis=0)
-        outr_ref[0, :] = outr_ref[0, :] + row
-        outc_ref[:] = jnp.zeros_like(outc_ref)
-        outc_ref[0, 0, :] = jnp.where(j > i, col, jnp.zeros_like(col))
-
-    @pl.when(j < i)
-    def _():
-        outc_ref[:] = jnp.zeros_like(outc_ref)
-
-
-#: symmetric-kernel row/col tile candidates (large tiles amortize the
+#: tile candidates for the dual-contraction kernel (large tiles amortize the
 #: skipped lower-triangle grid steps)
 _SYM_TILES = (2048, 1024, 512, 256, 128)
-#: cap on the column-partials scratch (nt, 8, m) f32 the caller reduces.
-#: The partials are written AND re-read once per matvec, so their size is
-#: pure HBM overhead — past ~256 MB it eats the symmetric kernel's savings
-#: (measured: 27.5 vs 20.5 s/iter at 1M x 1k with ~1 GB partials) and the
-#: asymmetric walk wins.
-_SYM_PARTIALS_BYTES_MAX = 256 << 20
-
-
-def _pick_sym_tile(m: int, d: int):
-    """Largest symmetric tile that divides m and fits the budgets, or None."""
-    for t in _SYM_TILES:
-        if m % t != 0:
-            continue
-        nt = m // t
-        if nt * 8 * m * 4 > _SYM_PARTIALS_BYTES_MAX:
-            continue  # column-partials array too large at this tile count
-        vmem = 2 * t * d * 4 + 2 * t * t * 4
-        if vmem > _VMEM_LIMIT_BYTES - (8 << 20):
-            continue
-        return t
-    return None
-
-
-def _kernel_matvec_symmetric(
-    Xc, sq_row, v_row, gamma_arr, coef0_arr, *, kind, degree, cost
-):
-    """Dispatch the symmetric upper-triangle kernel; returns (m,) f32."""
-    m, d = Xc.shape
-    t = _pick_sym_tile(m, d)
-    nt = m // t
-    outr, outc = pl.pallas_call(
-        functools.partial(_matvec_kernel_symmetric, kind=kind, degree=degree),
-        grid=(nt, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: _i32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: _i32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((t, d), lambda i, j: _i32(i, 0)),
-            pl.BlockSpec((t, d), lambda i, j: _i32(jnp.maximum(i, j), 0)),
-            pl.BlockSpec((1, t), lambda i, j: _i32(0, i)),
-            pl.BlockSpec((1, t), lambda i, j: _i32(0, jnp.maximum(i, j))),
-            pl.BlockSpec((1, t), lambda i, j: _i32(0, i)),
-            pl.BlockSpec((1, t), lambda i, j: _i32(0, jnp.maximum(i, j))),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, t), lambda i, j: _i32(0, i)),
-            pl.BlockSpec((1, 8, t), lambda i, j: _i32(i, 0, j)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 8, m), jnp.float32),
-        ),
-        cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES
-        ),
-    )(gamma_arr, coef0_arr, Xc, Xc, sq_row, sq_row, v_row, v_row)
-    return outr.reshape(m) + jnp.sum(outc, axis=(0, 1))
 
 
 def _matvec_kernel_blocked(
@@ -289,71 +171,6 @@ def _matvec_kernel_blocked(
             kind=kind, degree=degree,
             gamma=gamma_ref[0, 0], coef0=coef0_ref[0, 0],
         )
-
-
-#: operand-size ceiling for one pallas_call (32-bit in-kernel byte offsets)
-_PALLAS_CALL_MAX_BYTES = 3 << 29  # 1.5 GiB
-
-
-def _chunk_count(m: int, d: int, itemsize: int = 4) -> int:
-    """Smallest chunk count so each (m/nc, d) operand fits the pallas call.
-
-    Chunks must divide m and stay 128-aligned (m is always padded to 128)."""
-    total = m * d * itemsize
-    nc = max(1, -(-total // _PALLAS_CALL_MAX_BYTES))
-    while nc <= m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
-        nc += 1
-    return nc
-
-
-@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
-def kernel_matvec_pallas_chunked(
-    X: jnp.ndarray,
-    sq_norms: jnp.ndarray,
-    v: jnp.ndarray,
-    *,
-    kind: KernelFunctionType,
-    gamma,
-    coef0,
-    degree: int,
-    precision: str = "f32",
-) -> jnp.ndarray:
-    """``K @ v`` for matrices too large for one pallas_call.
-
-    Rows are split into nc chunks of <= ~1.5 GiB; the (ci, cj) block products
-    are composed at the XLA level — diagonal blocks through the symmetric
-    upper-triangle kernel, off-diagonal through the rectangular one.  All
-    off-diagonal calls share one shape, so only two kernels compile.
-    """
-    m, d = X.shape
-    nc = _chunk_count(m, d)
-    if nc == 1:
-        return kernel_matvec_pallas(
-            X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
-            degree=degree, precision=precision,
-        )
-    rows = m // nc
-    Xc = X.reshape(nc, rows, d)
-    sqc = sq_norms.reshape(nc, rows)
-    vc = v.reshape(nc, rows)
-
-    outs = []
-    for ci in range(nc):
-        acc = kernel_matvec_pallas_rect(
-            Xc[ci], Xc[ci], sqc[ci], sqc[ci], vc[ci],
-            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            precision=precision, symmetric=True,
-        )
-        for cj in range(nc):
-            if cj == ci:
-                continue
-            acc = acc + kernel_matvec_pallas_rect(
-                Xc[ci], Xc[cj], sqc[ci], sqc[cj], vc[cj],
-                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                precision=precision,
-            )
-        outs.append(acc)
-    return jnp.concatenate(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -726,25 +543,15 @@ def kernel_matvec_pallas_rect(
         transcendentals=mr * mc if kind == KernelFunctionType.RBF else 0,
     )
 
-    # square case: exploit K's symmetry — ~half the MXU work and HBM
-    # traffic of the full tile walk
-    if (
-        symmetric
-        and d <= _FULL_D_MAX
-        and _pick_sym_tile(mr, d) is not None
-    ):
-        sym_cost = pl.CostEstimate(
-            flops=flops // 2 + flops // 8,
-            bytes_accessed=mr * d * itemsize + 3 * mr * 4,
-            transcendentals=(
-                mr * mr // 2 if kind == KernelFunctionType.RBF else 0
-            ),
+    # square case: exploit K's symmetry via the dual-contraction kernel —
+    # ~half the MXU work and HBM traffic of the full tile walk
+    if symmetric:
+        outr, outc = kernel_matvec_pallas_dual(
+            X, X, sq_rows, sq_rows, v, v,
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
         )
-        out = _kernel_matvec_symmetric(
-            Xc, sq_r, v_row, gamma_arr, coef0_arr,
-            kind=kind, degree=degree, cost=sym_cost,
-        )
-        return out.astype(X.dtype)
+        return (outr + outc).astype(X.dtype)
 
     if d <= _FULL_D_MAX:
         # Tile regime depends on what binds:

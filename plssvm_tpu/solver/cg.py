@@ -102,9 +102,11 @@ class CGResult(NamedTuple):
     d: jnp.ndarray        # final search direction
 
 
-#: operand-size ceiling for the Pallas kernels: beyond ~2 GiB the TPU worker
-#: faults (32-bit byte-offset arithmetic inside the kernel); the XLA scan
-#: path handles arbitrarily large arrays
+#: per-pallas_call operand ceiling: beyond ~2 GiB the TPU worker faults
+#: (32-bit byte-offset arithmetic inside the kernel).  Larger problems are
+#: NOT a fallback anymore — the solve composes chunked dual-contraction
+#: calls (ops/pallas_matvec.py::kernel_matvec_pallas_big); this constant
+#: still bounds each individual call (predict chunking, sharded ring blocks)
 PALLAS_MAX_OPERAND_BYTES = 3 << 29  # 1.5 GiB
 
 

@@ -58,6 +58,33 @@ def kernel_name(request):
     return request.param
 
 
+#: the label-type axis of the typed matrix (reference: types_to_test.hpp
+#: 46-49 instantiates every suite over real_type x label_type; the runtime
+#: label types here are int / float / str / bool — data_set.py:39-64)
+LABEL_CASES = {
+    "int": (np.int64, (-7, 42)),
+    "float": (np.float64, (-1.5, 2.5)),
+    "str": (object, ("cat", "dog")),
+    "bool": (bool, (False, True)),
+}
+
+
+@pytest.fixture(params=list(LABEL_CASES), ids=list(LABEL_CASES))
+def label_case(request):
+    """(name, numpy dtype, (neg, pos) label values) for each label type."""
+    dtype, (neg, pos) = LABEL_CASES[request.param]
+    return request.param, dtype, neg, pos
+
+
+def typed_blobs(n, d, label_pair, seed=0, dtype=np.float64):
+    """make_blobs with the +/- classes renamed to an arbitrary label pair."""
+    X, y = make_blobs(n, d, seed=seed, dtype=dtype)
+    neg, pos = label_pair
+    label_dtype = object if isinstance(pos, str) else None
+    labels = np.asarray([pos if v > 0 else neg for v in y], dtype=label_dtype)
+    return X, labels
+
+
 def make_blobs(n, d, seed=0, dtype=np.float64):
     """Two separable Gaussian blobs — deterministic synthetic data."""
     rng = np.random.default_rng(seed)

@@ -256,49 +256,6 @@ class TestPallasMatvecInterpret:
         want = np.exp(-float(gamma) * sqd) @ np.asarray(v, np.float64)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
-    def test_chunked_composition(self):
-        """Chunked pallas composition == single-call result (interpret mode).
-
-        Uses a tiny forced chunk ceiling via monkeypatched _chunk_count."""
-        from jax.experimental.pallas import tpu as pltpu
-
-        import plssvm_tpu.ops.pallas_matvec as pm
-
-        rng = np.random.default_rng(5)
-        m, d = 512, 128
-        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
-        sq = jnp.sum(X * X, axis=-1)
-        gamma = jnp.float32(1.0 / d)
-
-        with pltpu.force_tpu_interpret_mode():
-            want = pm.kernel_matvec_pallas(
-                X, sq, v, kind=KINDS["rbf"], gamma=gamma,
-                coef0=jnp.float32(0.0), degree=3,
-            )
-            orig = pm._chunk_count
-            pm._chunk_count = lambda m_, d_, itemsize=4: 4
-            try:
-                got = pm.kernel_matvec_pallas_chunked(
-                    X, sq, v, kind=KINDS["rbf"], gamma=gamma,
-                    coef0=jnp.float32(0.0), degree=3,
-                )
-            finally:
-                pm._chunk_count = orig
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
-        )
-
-    def test_chunk_count(self):
-        from plssvm_tpu.ops.pallas_matvec import _PALLAS_CALL_MAX_BYTES, _chunk_count
-
-        assert _chunk_count(8192, 256) == 1
-        nc = _chunk_count(1 << 20, 1024)
-        assert nc >= 3
-        assert (1 << 20) % nc == 0
-        assert ((1 << 20) // nc) % 128 == 0
-        assert ((1 << 20) // nc) * 1024 * 4 <= _PALLAS_CALL_MAX_BYTES
-
 
 class TestDualKernelInterpret:
     """The unified dual-contraction kernel (round 2), interpret mode.

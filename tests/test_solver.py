@@ -198,8 +198,9 @@ class TestLargeProblemGuards:
     def test_pallas_operand_ceiling_value(self):
         from plssvm_tpu.solver.cg import PALLAS_MAX_OPERAND_BYTES
 
-        # 1M x 1k f32 (the north-star single-chip shape) must take the
-        # XLA fallback; 200k x 1k must stay on the Pallas kernel
+        # the per-pallas_call 32-bit-offset ceiling: 1M x 1k f32 (the
+        # north-star single-chip shape) must be CHUNKED by
+        # kernel_matvec_pallas_big; 200k x 1k fits one call
         assert (1 << 20) * 1024 * 4 > PALLAS_MAX_OPERAND_BYTES
         assert 204800 * 1024 * 4 <= PALLAS_MAX_OPERAND_BYTES
 
