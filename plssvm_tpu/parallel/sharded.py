@@ -198,8 +198,9 @@ def build_sharded_solver(
             ),
             # pallas_call outputs carry no varying-mesh-axes metadata, which
             # the replication checker requires; the psum'd scalars are
-            # replicated by construction, so disable the check
-            check_vma=False,
+            # replicated by construction.  The check stays ON for the xla
+            # impl so a mis-specced collective is still caught there.
+            check_vma=(impl != "pallas"),
         )
     )
     _SOLVER_CACHE[key] = solve
