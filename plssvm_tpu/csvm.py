@@ -240,8 +240,18 @@ class CSVM:
         _ensure_x64_if_needed(self.dtype)
         start = time.perf_counter()
 
+        # multiclass (> 2 labels): one-vs-all block CG — an EXTENSION; the
+        # reference rejects such data (data_set.hpp:443).  The C binary
+        # systems share one implicit matrix, so they are solved TOGETHER
+        # against an (m, C) block of right-hand sides (solver/cg.py).
+        n_classes = data.num_different_labels
+        multiclass = n_classes > 2
+
         X = np.asarray(data.data, dtype=self.dtype)
-        y = np.asarray(data.y, dtype=self.dtype)
+        if multiclass:
+            y = data.mapper.oaa_targets(data.labels, dtype=self.dtype)  # (n, C)
+        else:
+            y = np.asarray(data.y, dtype=self.dtype)
         n, d = X.shape
         dept = n - 1
 
@@ -277,7 +287,10 @@ class CSVM:
         # when the host->device link is slow relative to HBM
         # key includes the placement device so a cpu-pinned fit and a TPU fit
         # on the same DataSet never share device-committed arrays
-        cache_key = (m_pad, d_pad, str(self.dtype), str(self._pin_device), n_dev)
+        cache_key = (
+            m_pad, d_pad, str(self.dtype), str(self._pin_device), n_dev,
+            n_classes,
+        )
         cache = getattr(data, "_padded_cache", None)
         transform_start = time.perf_counter()
         if cache is not None and cache[0] == cache_key:
@@ -287,7 +300,8 @@ class CSVM:
             Xp[:dept, :d] = X[:dept]
             x_last = np.zeros((d_pad,), dtype=self.dtype)
             x_last[:d] = X[-1]
-            yp = np.zeros((m_pad,), dtype=self.dtype)
+            # binary: (m,) ±1 targets; multiclass: (m, C) one-vs-all columns
+            yp = np.zeros((m_pad,) + y.shape[1:], dtype=self.dtype)
             yp[:dept] = y[:dept]
             mask = np.zeros((m_pad,), dtype=self.dtype)
             mask[:dept] = 1.0
@@ -317,11 +331,24 @@ class CSVM:
                 kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
             )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
-        alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(self.dtype)
-        rho = float(result.rho)
+        if multiclass:
+            alpha_last = np.asarray(jax.device_get(result.alpha_last))
+            alpha = np.vstack([x_sol, alpha_last[None, :]]).astype(self.dtype)
+            rho = np.asarray(jax.device_get(result.rho), dtype=np.float64)
+            # report the worst (last-converging) class in the scalar log line
+            delta_arr = np.asarray(jax.device_get(result.delta))
+            delta0_arr = np.asarray(jax.device_get(result.delta0))
+            worst = int(np.argmax(delta_arr / np.maximum(delta0_arr, 1e-300)))
+            delta = float(delta_arr[worst])
+            delta0 = float(delta0_arr[worst])
+        else:
+            alpha = np.concatenate(
+                [x_sol, [float(result.alpha_last)]]
+            ).astype(self.dtype)
+            rho = float(result.rho)
+            delta = float(result.delta)
+            delta0 = float(result.delta0)
         iterations = int(result.iterations)
-        delta = float(result.delta)
-        delta0 = float(result.delta0)
         total_ms = (time.perf_counter() - start) * 1000.0
 
         log(
@@ -336,6 +363,11 @@ class CSVM:
             total_ms,
         )
         add_tracking_entry("cg", "iterations", iterations)
+        if multiclass:
+            add_tracking_entry(
+                "cg", "iterations_per_class",
+                np.asarray(result.iterations_per_class).tolist(),
+            )
         add_tracking_entry("cg", "max_iterations", int(max_iter))
         add_tracking_entry("cg", "residuum", delta)
         add_tracking_entry("cg", "target_residuum", epsilon * epsilon * delta0)
@@ -396,6 +428,12 @@ class CSVM:
         cost_v = jnp.asarray(params.cost.value, dtype=self.dtype)
         eps_v = jnp.asarray(epsilon, dtype=self.dtype)
         max_iter_v = jnp.asarray(max_iter, dtype=jnp.int32)
+
+        if yp.ndim == 2:
+            return self._run_solve_multiclass(
+                Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
+                max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
+            )
 
         if n_dev > 1:
             if checkpoint_path is not None:
@@ -460,6 +498,58 @@ class CSVM:
                     int(max_iter), checkpoint_path, int(checkpoint_interval),
                 )
         return result
+
+    def _run_solve_multiclass(
+        self, Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
+        max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
+    ):
+        """One-vs-all block-CG solve (C classes, shared Gram per iteration).
+
+        The block matvec always runs the XLA shared-Gram path — each Gram
+        row block is contracted with all C right-hand sides at once, so the
+        O(n^2 d) work is paid ONCE per iteration regardless of C (see
+        solver.cg.cg_ls_svm_multi_core).
+        """
+        if checkpoint_path is not None:
+            import warnings
+
+            warnings.warn(
+                "checkpoint_path is not supported on the multiclass "
+                "(block-CG) solve path yet — fitting without CG-state "
+                "checkpoints.",
+                stacklevel=3,
+            )
+        y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
+        if n_dev > 1:
+            from .parallel.sharded import (
+                build_sharded_multi_solver, make_row_mesh, shard_arrays,
+            )
+
+            mesh = make_row_mesh(self.devices)
+            solver = build_sharded_multi_solver(
+                mesh, kind=kind, degree=degree,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+            )
+            sharded = shard_arrays(
+                mesh, Xp, x_last, yp, y_last, mask, self.dtype
+            )
+            return solver(*sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_v)
+
+        from .solver.cg import solve_ls_svm_multi
+
+        return solve_ls_svm_multi(
+            jnp.asarray(Xp),
+            jnp.asarray(x_last),
+            jnp.asarray(yp),
+            y_last,
+            jnp.asarray(mask),
+            gamma_v, coef0_v, cost_v, eps_v, max_iter_v,
+            kind=kind, degree=degree,
+            row_block=min(self.row_block, m_pad),
+            preconditioner=self.preconditioner,
+            scalars=self.scalar_precision,
+        )
 
     def _fit_with_checkpointing(
         self, solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -535,6 +625,10 @@ class CSVM:
         """Decision values f(x) = sum_i alpha_i k(sv_i, x) - rho.
 
         reference: csvm.hpp:325-343 + gpu_csvm.hpp:656-730.
+
+        Binary models return shape (n_pred,); one-vs-all multiclass models
+        (extension) return (n_pred, C) — one decision column per class, the
+        sklearn ``decision_function`` OvR convention.
         """
         if model.num_features != data.num_features:
             raise InvalidParameterError(
@@ -564,7 +658,8 @@ class CSVM:
 
             if kind == KernelFunctionType.LINEAR:
                 if model.w is None:
-                    # compute & cache w once (gpu_csvm.hpp:696-705, model.hpp:162-166)
+                    # compute & cache w once (gpu_csvm.hpp:696-705,
+                    # model.hpp:162-166); (d,) binary or (d, C) multiclass
                     model.w = np.asarray(calculate_w(sv, alpha))
                 w = jnp.asarray(model.w, dtype=self.dtype)
             else:
@@ -584,6 +679,7 @@ class CSVM:
                 )
             elif (
                 self.backend == BackendType.PALLAS
+                and alpha.ndim == 1
                 and points.shape[0] >= 512
                 and sv.shape[0] >= 512
             ):
@@ -595,6 +691,7 @@ class CSVM:
             elif (
                 points.shape[0] * sv.shape[0] * points.dtype.itemsize
                 > _PREDICT_GRAM_BUDGET
+                or alpha.ndim == 2
             ):
                 # stream over point row blocks: O(row_block * n_sv) memory,
                 # never the full (n_pred, n_sv) matrix — the reference's
@@ -691,7 +788,9 @@ class CSVM:
         nsv_pad = _round_up(n_sv, n_dev * 128)
         np_pad = _round_up(n_pred, rb)
         sv_p = jnp.zeros((nsv_pad, d_in), dtype=sv.dtype).at[:n_sv].set(sv)
-        alpha_p = jnp.zeros((nsv_pad,), dtype=alpha.dtype).at[:n_sv].set(alpha)
+        alpha_p = jnp.zeros(
+            (nsv_pad,) + alpha.shape[1:], dtype=alpha.dtype
+        ).at[:n_sv].set(alpha)
         points_p = (
             jnp.zeros((np_pad, d_in), dtype=points.dtype).at[:n_pred].set(points)
             if np_pad != n_pred
@@ -700,17 +799,24 @@ class CSVM:
         sv_s, alpha_s, points_s = shard_predict_arrays(
             mesh, sv_p, alpha_p, points_p, self.dtype
         )
-        fn = build_sharded_predict(mesh, kind=kind, degree=degree, row_block=rb)
+        fn = build_sharded_predict(
+            mesh, kind=kind, degree=degree, row_block=rb,
+            multi=(alpha.ndim == 2),
+        )
         return fn(sv_s, alpha_s, rho, points_s, gamma, coef0)[:n_pred]
 
     def predict(self, model: Model, data: DataSet) -> np.ndarray:
-        """Predicted labels: sign(f) mapped back to the original labels.
+        """Predicted labels mapped back to the original label type.
 
-        sign(0) is -1 like the reference (operators.hpp:179-181).
+        Binary: sign(f), with sign(0) = -1 like the reference
+        (operators.hpp:179-181).  Multiclass (extension): argmax over the
+        C one-vs-all decision columns.
         """
         values = self.predict_values(model, data)
         mapper = model.data.mapper
         labels_arr = np.asarray(mapper.labels())
+        if values.ndim == 2:
+            return labels_arr[np.argmax(values, axis=1)]
         return labels_arr[(values > 0).astype(np.intp)]
 
     def score(self, model: Model, data: Optional[DataSet] = None) -> float:

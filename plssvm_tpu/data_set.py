@@ -65,52 +65,94 @@ def _infer_label_array(raw_labels: List[str], label_type) -> np.ndarray:
 
 
 class LabelMapper:
-    """Maps the two original labels to {-1, +1} and back.
+    """Maps the original labels to solver targets and back.
 
-    The smaller label (by the label type's natural ordering) maps to -1
-    (reference: data_set.hpp:438-446 — std::set iteration order).
+    Binary (2 labels): the smaller label (by the label type's natural
+    ordering) maps to -1, the larger to +1 (reference: data_set.hpp:438-446 —
+    std::set iteration order).
+
+    Multiclass (> 2 labels — an EXTENSION; the reference rejects this,
+    data_set.hpp:443): labels map to class indices 0..C-1 in sorted order,
+    and :meth:`oaa_targets` builds the one-vs-all {-1, +1} target matrix the
+    block-CG solver consumes (one column per class).
     """
 
     def __init__(self, labels: np.ndarray):
         unique = sorted(set(labels.tolist()))
-        if len(unique) != 2:
+        if len(unique) < 2:
             raise DataSetError(
-                "Currently only binary classification is supported, but "
-                f"{len(unique)} different labels were given!"
+                "At least two different labels are needed for classification, "
+                f"but only {len(unique)} different label was given!"
             )
-        self._neg, self._pos = unique[0], unique[1]
+        self._classes = unique
+        self._neg, self._pos = unique[0], unique[-1]
 
     def mapped_value(self, label) -> float:
-        if label == self._neg:
-            return -1.0
-        if label == self._pos:
-            return +1.0
-        raise DataSetError(f'Label "{label}" unknown in this label mapping!')
+        if self.num_mappings == 2:
+            if label == self._neg:
+                return -1.0
+            if label == self._pos:
+                return +1.0
+            raise DataSetError(f'Label "{label}" unknown in this label mapping!')
+        try:
+            return float(self._classes.index(label))
+        except ValueError:
+            raise DataSetError(
+                f'Label "{label}" unknown in this label mapping!'
+            ) from None
 
     def label_by_mapped_value(self, value: float):
-        if value == -1.0:
-            return self._neg
-        if value == +1.0:
-            return self._pos
-        raise DataSetError(f'Mapped value "{value}" unknown in this label mapping!')
+        if self.num_mappings == 2:
+            if value == -1.0:
+                return self._neg
+            if value == +1.0:
+                return self._pos
+            raise DataSetError(
+                f'Mapped value "{value}" unknown in this label mapping!'
+            )
+        idx = int(value)
+        if idx != value or not 0 <= idx < len(self._classes):
+            raise DataSetError(
+                f'Mapped value "{value}" unknown in this label mapping!'
+            )
+        return self._classes[idx]
+
+    def _class_indices(self, labels: np.ndarray) -> np.ndarray:
+        """Vectorized label -> class-index mapping with unknown-label check."""
+        labels = np.asarray(labels)
+        idx = np.full(labels.shape, -1, dtype=np.int64)
+        for c, lab in enumerate(self._classes):
+            idx[labels == lab] = c
+        if (idx < 0).any():
+            bad = labels[(idx < 0).nonzero()[0][0]]
+            raise DataSetError(f'Label "{bad}" unknown in this label mapping!')
+        return idx
 
     def map_labels(self, labels: np.ndarray, dtype=np.float64) -> np.ndarray:
-        """Vectorized {-1, +1} mapping (O(n) NumPy, not a Python loop)."""
-        labels = np.asarray(labels)
-        is_pos = labels == self._pos
-        unknown = ~(is_pos | (labels == self._neg))
-        if unknown.any():
-            bad = labels[unknown.nonzero()[0][0]]
-            raise DataSetError(f'Label "{bad}" unknown in this label mapping!')
-        return np.where(is_pos, 1.0, -1.0).astype(dtype)
+        """Vectorized solver-target mapping (O(n C) NumPy, no Python loop).
+
+        Binary: {-1, +1}; multiclass: class indices 0..C-1.
+        """
+        idx = self._class_indices(labels)
+        if self.num_mappings == 2:
+            return np.where(idx == 1, 1.0, -1.0).astype(dtype)
+        return idx.astype(dtype)
+
+    def oaa_targets(self, labels: np.ndarray, dtype=np.float64) -> np.ndarray:
+        """(n, C) one-vs-all target matrix: +1 for the row's class, else -1."""
+        idx = self._class_indices(labels)
+        C = len(self._classes)
+        return np.where(
+            idx[:, None] == np.arange(C)[None, :], 1.0, -1.0
+        ).astype(dtype)
 
     def labels(self) -> list:
-        """The different original labels, -1-mapped first."""
-        return [self._neg, self._pos]
+        """The different original labels, in mapped (sorted) order."""
+        return list(self._classes)
 
     @property
     def num_mappings(self) -> int:
-        return 2
+        return len(self._classes)
 
 
 class Scaling:
@@ -338,7 +380,8 @@ class DataSet:
 
     @property
     def y(self) -> Optional[np.ndarray]:
-        """Labels mapped to {-1.0, +1.0}."""
+        """Solver targets: {-1.0, +1.0} for binary data, class indices
+        0..C-1 for multiclass data (see LabelMapper)."""
         return self._y
 
     def has_labels(self) -> bool:

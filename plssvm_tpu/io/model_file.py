@@ -8,6 +8,14 @@ irrelevant to the stored kernel (e.g. an explicit gamma in a linear-kernel
 model, libsvm_model_parsing.hpp:201-224) and validates all header
 cross-consistency rules; the writer groups support vectors by class in
 ``different_labels()`` order (libsvm_model_parsing.hpp:294-500).
+
+Multiclass EXTENSION (the reference rejects nr_class > 2,
+libsvm_model_parsing.hpp:268): a one-vs-all model with C classes stores C
+space-separated values on the ``rho`` line and C leading alpha columns per
+SV row — the same grammatical shape as LIBSVM's own multi-value rho /
+multi-coefficient SV lines, but with one-vs-all semantics (column c belongs
+to the "class c vs rest" machine).  ``nr_class 2`` files remain byte-for-byte
+the reference's binary format.
 """
 
 from __future__ import annotations
@@ -24,17 +32,18 @@ from . import libsvm
 
 def parse_model_header(
     lines: List[str],
-) -> Tuple[Parameter, float, List[str], int]:
+) -> Tuple[Parameter, "np.ndarray", List[str], int]:
     """Parse the model-file header.
 
     Returns ``(params, rho, per_point_labels, num_header_lines)`` where
-    ``per_point_labels`` holds the label string of each SV row, expanded from
-    the ``label`` / ``nr_sv`` header entries.
+    ``rho`` is a float array (1 value for binary models, C for one-vs-all
+    multiclass) and ``per_point_labels`` holds the label string of each SV
+    row, expanded from the ``label`` / ``nr_sv`` header entries.
 
     reference: libsvm_model_parsing.hpp:83-272 (parse_libsvm_model_header).
     """
     params = Parameter()
-    rho: Optional[float] = None
+    rho: Optional[np.ndarray] = None
     num_support_vectors: Optional[int] = None
     nr_class: Optional[int] = None
     labels: Optional[List[str]] = None
@@ -80,7 +89,11 @@ def parse_model_header(
                     "The number of support vectors must be greater than 0!"
                 )
         elif lower.startswith("rho"):
-            rho = _to_float(value, "rho")
+            rho = np.asarray(
+                [_to_float(tok, "rho") for tok in value.split()], dtype=np.float64
+            )
+            if rho.size == 0:
+                raise InvalidFileFormatError("Missing rho value!")
         elif lower.startswith("label"):
             # preserve the original case of the labels
             original = line[line.find(" ") + 1:].lstrip() if " " in line else ""
@@ -186,10 +199,12 @@ def parse_model_header(
     for lab, count in zip(labels, nr_sv):
         per_point_labels.extend([lab] * count)
 
-    if nr_class != 2:
+    # binary: exactly one rho; one-vs-all multiclass: one rho per class
+    expected_rho = 1 if nr_class == 2 else nr_class
+    if rho.size != expected_rho:
         raise InvalidFileFormatError(
-            "Currently only binary classification is supported, but "
-            f"{nr_class} different label where given!"
+            f"Expected {expected_rho} rho value(s) for nr_class {nr_class}, "
+            f"but {rho.size} were given!"
         )
 
     return params, rho, per_point_labels, header_line + 1
@@ -215,22 +230,46 @@ def _to_int(value: str, name: str) -> int:
 
 def parse_model_file(
     filename: str, dtype: np.dtype = np.float64
-) -> Tuple[Parameter, float, np.ndarray, np.ndarray, List[str]]:
+) -> Tuple[Parameter, np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Read a full model file.
 
-    Returns ``(params, rho, support_vectors, alpha, labels)``; the alpha
-    values are the "label column" of the SV rows
-    (reference: model.hpp:169-201 — alpha is parsed as the label of a regular
-    LIBSVM data section).
+    Returns ``(params, rho, support_vectors, alpha, labels)``.  For a binary
+    model ``rho`` has 1 entry and ``alpha`` is (n_sv,): the alpha values are
+    the "label column" of the SV rows (reference: model.hpp:169-201 — alpha
+    is parsed as the label of a regular LIBSVM data section).  For a
+    one-vs-all multiclass model (extension) ``rho`` has C entries and
+    ``alpha`` is (n_sv, C) — C leading columns per SV row.
     """
     from .file_reader import read_lines
 
     lines = read_lines(filename, comment="#")
     params, rho, labels, num_header_lines = parse_model_header(lines)
-    data, alpha_strings = libsvm.parse_libsvm_lines(lines[num_header_lines:], dtype=dtype)
-    if alpha_strings is None:
-        raise InvalidFileFormatError("Missing alpha values in the model file!")
-    alpha = np.asarray(alpha_strings, dtype=dtype)
+    sv_lines = lines[num_header_lines:]
+    nr_class = rho.size if rho.size > 1 else 2
+
+    if nr_class == 2:
+        data, alpha_strings = libsvm.parse_libsvm_lines(sv_lines, dtype=dtype)
+        if alpha_strings is None:
+            raise InvalidFileFormatError("Missing alpha values in the model file!")
+        alpha = np.asarray(alpha_strings, dtype=dtype)
+    else:
+        # one-vs-all: strip the C leading alpha columns, parse the remaining
+        # feature entries as an unlabeled LIBSVM section
+        C = nr_class
+        alpha_rows: List[List[float]] = []
+        feature_lines: List[str] = []
+        for line in sv_lines:
+            tokens = line.split()
+            if len(tokens) < C or any(":" in tok for tok in tokens[:C]):
+                raise InvalidFileFormatError(
+                    f"Expected {C} leading alpha values per support vector "
+                    f"in a {C}-class one-vs-all model!"
+                )
+            alpha_rows.append([_to_float(tok, "alpha") for tok in tokens[:C]])
+            feature_lines.append(" ".join(tokens[C:]))
+        data, _ = libsvm.parse_libsvm_lines(feature_lines, dtype=dtype)
+        alpha = np.asarray(alpha_rows, dtype=dtype)
+
     if len(labels) != data.shape[0]:
         raise InvalidFileFormatError(
             f"Found {data.shape[0]} support vectors, but expected {len(labels)}!"
@@ -241,7 +280,7 @@ def parse_model_file(
 def write_model_file(
     filename: str,
     params: Parameter,
-    rho: float,
+    rho,
     alpha: np.ndarray,
     support_vectors: np.ndarray,
     labels: np.ndarray,
@@ -250,8 +289,13 @@ def write_model_file(
     """Write the model file, grouping SVs per class in ``different_labels`` order.
 
     reference: libsvm_model_parsing.hpp:294-500 (write_libsvm_model_data).
+    Binary models (scalar ``rho``, 1-D ``alpha``) keep the reference's exact
+    format; one-vs-all multiclass models (``rho`` (C,), ``alpha`` (n_sv, C))
+    write C rho values and C alpha columns per SV row.
     """
     labels = np.asarray([str(lab) for lab in labels])
+    alpha = np.asarray(alpha)
+    rho_vals = np.atleast_1d(np.asarray(rho, dtype=np.float64))
     kt = params.kernel_type.value
 
     header = [f"# This model file has been created at {datetime.datetime.now().isoformat()}"]
@@ -268,20 +312,23 @@ def write_model_file(
     header.append(f"label {' '.join(str(lab) for lab in different_labels)}")
     header.append(f"total_sv {len(labels)}")
     header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
-    header.append(f"rho {_fmt_g(rho)}")
+    header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
     header.append("SV")
 
     with open(filename, "w", encoding="utf-8") as fh:
         fh.write("\n".join(header))
         fh.write("\n")
         sv = np.asarray(support_vectors)
-        alpha = np.asarray(alpha)
         for lab in different_labels:
             for i in np.nonzero(labels == str(lab))[0]:
                 row = sv[i]
                 cols = np.nonzero(row != 0.0)[0]
                 entries = "".join(f"{j + 1}:{row[j]:.10e} " for j in cols)
-                fh.write(f"{_fmt_g(alpha[i])} {entries}\n")
+                if alpha.ndim == 1:
+                    coeffs = _fmt_g(alpha[i])
+                else:
+                    coeffs = " ".join(_fmt_g(a) for a in alpha[i])
+                fh.write(f"{coeffs} {entries}\n")
 
 
 def _fmt_g(value: float) -> str:

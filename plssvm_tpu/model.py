@@ -31,12 +31,19 @@ class Model:
         params: Parameter,
         data: DataSet,
         alpha: Optional[np.ndarray] = None,
-        rho: float = 0.0,
+        rho=0.0,
     ):
         self.params = params
         self.data = data
+        #: (n_sv,) weights for binary models; (n_sv, C) one-vs-all columns
+        #: for multiclass models (extension — the reference is binary-only)
         self.alpha = alpha
-        self.rho = float(rho)
+        #: scalar -bias for binary models; (C,) array for multiclass
+        self.rho = (
+            np.asarray(rho, dtype=np.float64)
+            if np.ndim(rho) > 0
+            else float(rho)
+        )
         #: cached w vector for the linear prediction fast path (model.hpp:162-166)
         self.w: Optional[np.ndarray] = None
         #: CG iterations of the producing fit (None for file-loaded models)
@@ -54,7 +61,10 @@ class Model:
 
         labels = _infer_label_array(raw_labels, label_type)
         data = DataSet(support_vectors, labels, dtype=dtype)
-        model = cls(params, data, alpha=alpha, rho=rho)
+        # rho arrives as a 1-element array for binary models, (C,) for
+        # one-vs-all multiclass (io/model_file.py extension format)
+        rho_val = float(rho[0]) if np.asarray(rho).size == 1 else rho
+        model = cls(params, data, alpha=alpha, rho=rho_val)
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         log(
             VerbosityLevel.FULL | VerbosityLevel.TIMING,
@@ -91,6 +101,11 @@ class Model:
         add_tracking_entry("model_write", "time", elapsed_ms)
 
     # -- accessors ---------------------------------------------------------
+    @property
+    def num_classes(self) -> int:
+        """2 for binary models, C for one-vs-all multiclass models."""
+        return self.data.num_different_labels
+
     @property
     def num_support_vectors(self) -> int:
         return self.data.num_data_points

@@ -71,7 +71,9 @@ def kernel_matvec_xla(
     always-available OpenMP backend (src/plssvm/backends/OpenMP/svm_kernel.cpp)
     and is the test oracle for the Pallas kernel.
 
-    ``X``: (m, d) zero-padded; ``v``: (m,) with zeros on padded entries.
+    ``X``: (m, d) zero-padded; ``v``: (m,) with zeros on padded entries, or
+    (m, C) for a block of right-hand sides (multiclass one-vs-all) — each
+    Gram row block is computed ONCE and contracted with all C columns.
     """
     if kind == KernelFunctionType.LINEAR:
         return linear_kernel_matvec(X, v)
@@ -99,7 +101,7 @@ def kernel_matvec_xla(
         return None, K_blk @ v
 
     _, out = jax.lax.scan(body, None, (Xb, sb))
-    return out.reshape(m)
+    return out.reshape((m,) + v.shape[1:])
 
 
 def assemble_matvec(

@@ -24,16 +24,20 @@ from ..parameter import KernelFunctionType
 
 @jax.jit
 def calculate_w(support_vectors: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """w[j] = sum_i alpha_i * sv[i, j] (reference: gpu_csvm.hpp:386-429)."""
+    """w[j] = sum_i alpha_i * sv[i, j] (reference: gpu_csvm.hpp:386-429).
+
+    ``alpha`` of shape (n_sv, C) yields a per-class (d, C) weight matrix
+    (multiclass one-vs-all extension).
+    """
     return support_vectors.T @ alpha
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "degree", "impl"))
 def predict_values(
     support_vectors: jnp.ndarray,  # (n_sv, d)
-    alpha: jnp.ndarray,            # (n_sv,)
-    rho: jnp.ndarray,              # scalar
-    w: jnp.ndarray,                # (d,) — used by the linear fast path
+    alpha: jnp.ndarray,            # (n_sv,) or (n_sv, C) one-vs-all columns
+    rho: jnp.ndarray,              # scalar or (C,)
+    w: jnp.ndarray,                # (d,) or (d, C) — linear fast path
     predict_points: jnp.ndarray,   # (n_pred, d)
     gamma: jnp.ndarray,
     coef0: jnp.ndarray,
@@ -80,8 +84,8 @@ def predict_values(
 @functools.partial(jax.jit, static_argnames=("kind", "degree", "row_block"))
 def predict_values_blocked(
     support_vectors: jnp.ndarray,  # (n_sv, d)
-    alpha: jnp.ndarray,            # (n_sv,)
-    rho: jnp.ndarray,              # scalar
+    alpha: jnp.ndarray,            # (n_sv,) or (n_sv, C) one-vs-all columns
+    rho: jnp.ndarray,              # scalar or (C,)
     predict_points: jnp.ndarray,   # (n_pred, d) — n_pred % row_block == 0
     gamma: jnp.ndarray,
     coef0: jnp.ndarray,
@@ -119,4 +123,4 @@ def predict_values_blocked(
         return None, K_blk @ alpha
 
     _, out = jax.lax.scan(body, None, Pb)
-    return out.reshape(n_pred) - rho
+    return out.reshape((n_pred,) + alpha.shape[1:]) - rho

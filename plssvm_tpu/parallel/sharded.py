@@ -39,7 +39,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernel_functions import apply_kernel_to_gram
 from ..parameter import KernelFunctionType
-from ..solver.cg import CGResult, cg_ls_svm_core
+from ..solver.cg import (
+    CGResult,
+    MultiCGResult,
+    cg_ls_svm_core,
+    cg_ls_svm_multi_core,
+)
 
 #: mesh axis name for the row (data-point) sharding
 ROW_AXIS = "rows"
@@ -207,11 +212,82 @@ def build_sharded_solver(
     return solve
 
 
+_MULTI_SOLVER_CACHE: dict = {}
+
+
+def build_sharded_multi_solver(
+    mesh: Mesh, *, kind: KernelFunctionType, degree: int,
+    preconditioner: str = "none", scalars: str = "plain",
+):
+    """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
+
+    Same row sharding as :func:`build_sharded_solver`, but the CG state is an
+    (m, C) block: the ring rotation forwards (m_local/P, C) direction blocks
+    and each chip contracts its Gram blocks with ALL C columns — the shared-
+    Gram saving of the block solve composes with the ring's O(n d / P)
+    per-chip memory.  Per-class CG scalars are (C,) psums.
+    """
+    key = (mesh, kind, degree, preconditioner, scalars)
+    cached = _MULTI_SOLVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    num_devices = mesh.devices.size
+
+    def local_solve(X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter):
+        if scalars == "compensated":
+            from ..solver.cg import compensated_sum
+
+            def colsum(M):
+                return jax.lax.psum(compensated_sum(M), ROW_AXIS)
+        else:
+            def colsum(M):
+                return jax.lax.psum(jnp.sum(M, axis=0), ROW_AXIS)
+
+        if kind == KernelFunctionType.LINEAR:
+            def kernel_mm(Xl, sq, V, g, c0):
+                return linear_sharded_matvec(Xl, V, ROW_AXIS)
+        else:
+            def kernel_mm(Xl, sq, V, g, c0):
+                return ring_kernel_matvec(
+                    Xl, sq, V, g, c0,
+                    kind=kind, degree=degree,
+                    axis_name=ROW_AXIS, num_devices=num_devices,
+                    impl="xla",  # shared-Gram matmat; see _make_kernel_matmat
+                )
+
+        return cg_ls_svm_multi_core(
+            X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+            kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
+            preconditioner=preconditioner,
+        )
+
+    row2 = P(ROW_AXIS, None)
+    rep = P()
+    solve = jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(row2, rep, row2, rep, P(ROW_AXIS),
+                      rep, rep, rep, rep, rep),
+            out_specs=MultiCGResult(
+                x=row2, rho=rep, alpha_last=rep,
+                iterations=rep, iterations_per_class=rep,
+                delta=rep, delta0=rep,
+                r=row2, d=row2,
+            ),
+        )
+    )
+    _MULTI_SOLVER_CACHE[key] = solve
+    return solve
+
+
 _PREDICT_CACHE: dict = {}
 
 
 def build_sharded_predict(
-    mesh: Mesh, *, kind: KernelFunctionType, degree: int, row_block: int = 256
+    mesh: Mesh, *, kind: KernelFunctionType, degree: int, row_block: int = 256,
+    multi: bool = False,
 ):
     """A jitted, shard_map'ped decision-value computation over ``mesh``.
 
@@ -224,8 +300,10 @@ def build_sharded_predict(
 
     Padded SV rows are harmless for every kernel because their alpha is
     zero; padded point rows produce garbage values the caller slices off.
+    ``multi=True`` shards an (n_sv, C) one-vs-all alpha matrix along the SV
+    axis; decision values come back as (n_pred, C).
     """
-    key = (mesh, kind, degree, row_block)
+    key = (mesh, kind, degree, row_block, multi)
     cached = _PREDICT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -245,7 +323,11 @@ def build_sharded_predict(
         jax.shard_map(
             local_predict,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, None), row, rep, rep, rep, rep),
+            in_specs=(
+                P(ROW_AXIS, None),
+                P(ROW_AXIS, None) if multi else row,
+                rep, rep, rep, rep,
+            ),
             out_specs=rep,
         )
     )
@@ -260,9 +342,11 @@ def shard_predict_arrays(mesh: Mesh, sv, alpha, points, dtype):
     row2 = NamedSharding(mesh, P(ROW_AXIS, None))
     row1 = NamedSharding(mesh, P(ROW_AXIS))
     rep = NamedSharding(mesh, P())
+    alpha = jnp.asarray(alpha, dtype)
     return (
         jax.device_put(jnp.asarray(sv, dtype), row2),
-        jax.device_put(jnp.asarray(alpha, dtype), row1),
+        # (n_sv,) binary alpha or (n_sv, C) one-vs-all columns
+        jax.device_put(alpha, row2 if alpha.ndim == 2 else row1),
         jax.device_put(jnp.asarray(points, dtype), rep),
     )
 
@@ -276,10 +360,12 @@ def shard_arrays(mesh: Mesh, X, x_last, y, y_last, mask, dtype):
     row2 = NamedSharding(mesh, P(ROW_AXIS, None))
     row1 = NamedSharding(mesh, P(ROW_AXIS))
     rep = NamedSharding(mesh, P())
+    y = jnp.asarray(y, dtype)
     return (
         jax.device_put(jnp.asarray(X, dtype), row2),
         jax.device_put(jnp.asarray(x_last, dtype), rep),
-        jax.device_put(jnp.asarray(y, dtype), row1),
+        # (m,) binary targets or (m, C) one-vs-all target columns
+        jax.device_put(y, row2 if y.ndim == 2 else row1),
         jax.device_put(jnp.asarray(y_last, dtype), rep),
         jax.device_put(jnp.asarray(mask, dtype), row1),
     )

@@ -41,9 +41,12 @@ _KNOWN_PARAMS = (
 
 
 class SVC:
-    """Binary LS-SVM classifier with the sklearn.svm.SVC interface.
+    """LS-SVM classifier with the sklearn.svm.SVC interface.
 
     reference: bindings/Python/sklearn.cpp (class svc + init_sklearn).
+    Multiclass data trains a one-vs-all block-CG model (extension — the
+    reference is binary-only); ``decision_function`` then returns the
+    (n, C) OvR decision matrix and ``predict`` the argmax class.
 
     NOTE — gamma default deviates from sklearn.svm.SVC: when ``gamma`` is not
     given, this class (like the PLSSVM reference) uses ``1 / n_features``
@@ -217,22 +220,28 @@ class SVC:
         self._check_fitted()
         labels = self._data.labels
         weights = np.asarray(self._model.alpha)
+        if weights.ndim == 2:  # multiclass: a point counts when any column != 0
+            weights = np.any(weights != 0.0, axis=1)
+        else:
+            weights = weights != 0.0
         counts = []
         for lab in self._data.different_labels:
-            counts.append(int(np.sum((labels == lab) & (weights != 0.0))))
+            counts.append(int(np.sum((labels == lab) & weights)))
         return np.asarray(counts, dtype=np.int32)
 
     @property
     def dual_coef_(self) -> np.ndarray:
-        """(1, n_SV) alpha weights (implemented; reference raises)."""
+        """(1, n_SV) alpha weights — (C, n_SV) one-vs-all rows for
+        multiclass models (implemented; reference raises)."""
         self._check_fitted()
-        return np.asarray(self._model.alpha)[None, :]
+        alpha = np.asarray(self._model.alpha)
+        return alpha.T if alpha.ndim == 2 else alpha[None, :]
 
     @property
     def intercept_(self) -> np.ndarray:
         """-rho, sklearn's intercept convention (implemented; ref raises)."""
         self._check_fitted()
-        return np.asarray([-self._model.rho])
+        return -np.atleast_1d(np.asarray(self._model.rho, dtype=np.float64))
 
     @property
     def n_iter_(self) -> np.ndarray:

@@ -65,14 +65,17 @@ def compensated_sum(x: jnp.ndarray) -> jnp.ndarray:
     compensation vector.  log2(n) fused vector ops — O(n) work, no scan.
     The result equals f64 accumulation of the (already-rounded) f32 inputs
     to within O(eps^2).  This is SURVEY.md §7 hard-part #1.
+
+    A 2-D input is reduced along axis 0 (one compensated sum per column —
+    the multiclass block-CG reduction); 1-D reduces to a scalar.
     """
-    s = x.reshape(-1)
+    s = x if x.ndim > 1 else x.reshape(-1)
     c = jnp.zeros_like(s)
-    while s.size > 1:
-        n = s.size
+    while s.shape[0] > 1:
+        n = s.shape[0]
         half = (n + 1) // 2
         if n % 2 == 1:
-            pad = jnp.zeros((1,), s.dtype)
+            pad = jnp.zeros((1,) + s.shape[1:], s.dtype)
             s = jnp.concatenate([s, pad])
             c = jnp.concatenate([c, pad])
         s, err = _two_sum(s[:half], s[half:])
@@ -305,6 +308,227 @@ def _scalar_reductions(scalars: str):
     if scalars == "compensated":
         return compensated_dot, compensated_sum
     return jnp.dot, jnp.sum
+
+
+class MultiCGResult(NamedTuple):
+    """Block-CG solve outputs for C one-vs-all classes (still padded)."""
+
+    x: jnp.ndarray          # (m, C) solutions over the padded dept axis
+    rho: jnp.ndarray        # (C,) -bias per class
+    alpha_last: jnp.ndarray  # (C,) folded-out last alpha per class
+    iterations: jnp.ndarray  # scalar: block iterations run (= max over classes)
+    iterations_per_class: jnp.ndarray  # (C,) iterations each class was active
+    delta: jnp.ndarray      # (C,) final squared residual norms
+    delta0: jnp.ndarray     # (C,) initial squared residual norms
+    r: jnp.ndarray          # (m, C) final residuals
+    d: jnp.ndarray          # (m, C) final search directions
+
+
+def cg_ls_svm_multi_core(
+    X: jnp.ndarray,        # (m_local, d) rows owned by this shard (zero-padded)
+    x_last: jnp.ndarray,   # (d,) the folded-out last data point (replicated)
+    Y: jnp.ndarray,        # (m_local, C) one-vs-all targets, 0 on padding
+    y_last: jnp.ndarray,   # (C,) targets of the folded-out last point
+    mask: jnp.ndarray,     # (m_local,) 1.0 on real rows, 0.0 on padding
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    kernel_mm: Callable,   # (X, sq_norms, V, gamma, coef0) -> K @ V, V (m, C)
+    colsum: Callable = None,  # GLOBAL per-column sum (m, C) -> (C,)
+    preconditioner: str = "none",
+    init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
+) -> MultiCGResult:
+    """One-vs-all multiclass LS-SVM: C binary systems solved as ONE block CG.
+
+    EXTENSION beyond the reference (which rejects > 2 labels,
+    data_set.hpp:443).  All C systems share the SAME implicit matrix
+    ``A_hat`` — only the right-hand sides differ — so the O(n^2 d) kernel
+    matvec is computed ONCE per iteration against the (m, C) block of search
+    directions: the Gram tiles stream through the MXU a single time and are
+    contracted with all C columns.  A sequential one-vs-all (the GPU-library
+    norm) pays the Gram C times; this block formulation is the TPU-native
+    answer — per-class cost approaches O(n^2 d / C)·C ≈ the binary cost.
+
+    Per-class scalars (alpha_cd, beta, delta) are vectors of length C;
+    converged columns are FROZEN (their alpha/beta forced to 0, their
+    x/r/d left untouched) so late-converging classes never perturb finished
+    ones.  The loop runs until every class meets the reference stop rule
+    ``delta_c <= eps^2 * delta0_c`` or ``max_iter`` is hit.  The 50-iteration
+    exact-residual recomputation applies to the whole block.
+    """
+    dtype = X.dtype
+    cost_inv = 1.0 / cost
+    sq_norms = jnp.sum(X * X, axis=-1)
+    if colsum is None:
+        def colsum(M):
+            return jnp.sum(M, axis=0)
+
+    q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
+    xl_sq = jnp.dot(x_last, x_last)
+    qa = apply_kernel_to_gram(xl_sq, xl_sq, xl_sq, kind, gamma, coef0, degree)
+    QA_cost = qa + cost_inv
+
+    B = (Y - y_last[None, :]) * mask[:, None]
+
+    def matmat(V):
+        # A_hat @ V column-wise; the rank-1 epilogue terms need the GLOBAL
+        # per-column sums s_c = sum(V[:, c]) and qv_c = q . V[:, c]
+        s = colsum(V)
+        qv = colsum(q[:, None] * V)
+        out = kernel_mm(X, sq_norms, V, gamma, coef0)
+        out = (
+            out
+            + (QA_cost - q)[:, None] * s[None, :]
+            - qv[None, :]
+            + cost_inv * V
+        )
+        return out * mask[:, None]
+
+    if preconditioner == "jacobi":
+        if kind == KernelFunctionType.LINEAR:
+            k_diag = sq_norms
+        elif kind == KernelFunctionType.POLYNOMIAL:
+            k_diag = apply_kernel_to_gram(
+                sq_norms, sq_norms, sq_norms, kind, gamma, coef0, degree
+            )
+        else:
+            k_diag = jnp.ones_like(sq_norms)
+        diag = k_diag + QA_cost - 2.0 * q + cost_inv
+        minv = mask / diag
+
+        def precond(R):
+            return minv[:, None] * R
+    else:
+        def precond(R):
+            return R
+
+    use_pcg = preconditioner == "jacobi"
+    C = Y.shape[1]
+
+    if init_state is None:
+        x0 = jnp.broadcast_to(mask[:, None], (mask.shape[0], C)).astype(dtype)
+        r0 = B - matmat(x0)
+        delta0 = colsum(r0 * r0)
+        d_init = precond(r0)
+        delta_init = delta0
+        it0 = jnp.asarray(0, jnp.int32)
+        itpc0 = jnp.zeros((C,), jnp.int32)
+    else:
+        x0, r0, d_init, delta_init, delta0, it0, itpc0 = init_state
+        it0 = jnp.asarray(it0, jnp.int32)
+    target = eps * eps * delta0
+
+    class State(NamedTuple):
+        it: jnp.ndarray
+        itpc: jnp.ndarray     # (C,) per-class active-iteration counts
+        x: jnp.ndarray
+        r: jnp.ndarray
+        d: jnp.ndarray
+        delta: jnp.ndarray    # (C,) r.r per class
+        rz: jnp.ndarray       # (C,) r.z per class
+
+    def cond(s: State):
+        return jnp.logical_and(s.it < max_iter, jnp.any(s.delta > target))
+
+    def body(s: State) -> State:
+        active = s.delta > target                       # (C,) frozen classes
+        Ad = matmat(s.d)
+        dAd = colsum(s.d * Ad)
+        alpha_cd = jnp.where(active, s.rz / jnp.where(active, dAd, 1.0), 0.0)
+        x = s.x + alpha_cd[None, :] * s.d
+        r = jax.lax.cond(
+            (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
+            lambda: B - matmat(x),
+            lambda: s.r - alpha_cd[None, :] * Ad,
+        )
+        delta = colsum(r * r)
+        if use_pcg:
+            z = precond(r)
+            rz = colsum(r * z)
+        else:
+            z = r
+            rz = delta
+        beta = jnp.where(active, rz / s.rz, 0.0)
+        d = jnp.where(active[None, :], beta[None, :] * s.d + z, s.d)
+        return State(
+            s.it + 1, s.itpc + active.astype(jnp.int32), x, r, d, delta, rz
+        )
+
+    rz_init = colsum(r0 * precond(r0)) if use_pcg else delta_init
+    init = State(it0, itpc0, x0, r0, d_init, delta_init, rz_init)
+    final = jax.lax.while_loop(cond, body, init)
+
+    alpha_sum = colsum(final.x)                          # (C,)
+    bias = y_last + QA_cost * alpha_sum - colsum(q[:, None] * final.x)
+    return MultiCGResult(
+        x=final.x,
+        rho=-bias,
+        alpha_last=-alpha_sum,
+        iterations=final.it,
+        iterations_per_class=final.itpc,
+        delta=final.delta,
+        delta0=delta0,
+        r=final.r,
+        d=final.d,
+    )
+
+
+def _make_kernel_matmat(kind: KernelFunctionType, degree: int, row_block: int):
+    """K @ V implementation for the block (multiclass) solve.
+
+    Always the XLA blockwise path: each Gram row block is computed once and
+    contracted with ALL C columns, so the per-class Gram cost is 1/C of a
+    per-column Pallas walk — for C >= 2 the shared-Gram XLA matmat beats
+    C independent passes of the (faster) dual-contraction kernel.
+    """
+    def kmm(X, sq_norms, V, gamma, coef0):
+        if kind == KernelFunctionType.LINEAR:
+            return linear_kernel_matvec(X, V)
+        return kernel_matvec_xla(
+            X, sq_norms, V, kind=kind, gamma=gamma, coef0=coef0,
+            degree=degree, row_block=row_block,
+        )
+
+    return kmm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "degree", "row_block", "preconditioner", "scalars"),
+)
+def solve_ls_svm_multi(
+    X: jnp.ndarray,        # (m, d) zero-padded rows 0..dept-1
+    x_last: jnp.ndarray,   # (d,)
+    Y: jnp.ndarray,        # (m, C) one-vs-all targets, 0 on padding
+    y_last: jnp.ndarray,   # (C,)
+    mask: jnp.ndarray,     # (m,)
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    preconditioner: str = "none",
+    scalars: str = "plain",
+) -> MultiCGResult:
+    """Single-device one-vs-all multiclass LS-SVM block-CG solve."""
+    kernel_mm = _make_kernel_matmat(kind, degree, row_block)
+    colsum = compensated_sum if scalars == "compensated" else (
+        lambda M: jnp.sum(M, axis=0)
+    )
+    return cg_ls_svm_multi_core(
+        X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
+        preconditioner=preconditioner,
+    )
 
 
 @functools.partial(

@@ -24,9 +24,10 @@ class TestLabelMapper:
         assert mapper.mapped_value("cat") == -1.0  # lexicographically smaller
         assert mapper.labels() == ["cat", "dog"]
 
-    def test_requires_exactly_two(self):
-        with pytest.raises(DataSetError):
-            LabelMapper(np.array([1, 2, 3]))
+    def test_requires_at_least_two(self):
+        # > 2 labels is supported since the one-vs-all multiclass extension
+        # (tests/test_multiclass.py); a single label is still rejected
+        assert LabelMapper(np.array([1, 2, 3])).num_mappings == 3
         with pytest.raises(DataSetError):
             LabelMapper(np.array([1, 1]))
 
