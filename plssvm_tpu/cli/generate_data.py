@@ -16,45 +16,53 @@ import numpy as np
 from ..data_set import DataSet
 
 
-def make_blobs_numpy(n: int, d: int, seed: int = 0):
-    """Two Gaussian blobs, the sklearn-free fallback generator."""
+def make_blobs_numpy(n: int, d: int, seed: int = 0, classes: int = 2):
+    """Gaussian blobs, the sklearn-free fallback generator."""
     rng = np.random.default_rng(seed)
-    half = n // 2
-    X = np.concatenate([
-        rng.normal(-2.0, 1.0, size=(half, d)),
-        rng.normal(+2.0, 1.0, size=(n - half, d)),
-    ])
-    y = np.concatenate([-np.ones(half, dtype=np.int64), np.ones(n - half, dtype=np.int64)])
+    centers = 3.0 * rng.normal(size=(classes, d))
+    if classes == 2:
+        centers = np.stack([-2.0 * np.ones(d), 2.0 * np.ones(d)])
+    assignment = np.repeat(np.arange(classes), -(-n // classes))[:n]
+    X = centers[assignment] + rng.normal(size=(n, d))
+    y = assignment.astype(np.int64)
+    if classes == 2:
+        y = np.where(y == 0, -1, 1)
     perm = rng.permutation(n)
     return X[perm], y[perm]
 
 
 def generate(
-    n: int, d: int, *, problem: str = "blobs", seed: int = 0
+    n: int, d: int, *, problem: str = "blobs", seed: int = 0, classes: int = 2
 ):
-    """Generate (X, y) with labels in {-1, +1}."""
+    """Generate (X, y): labels {-1, +1} for 2 classes, 0..C-1 otherwise.
+
+    ``classes > 2`` feeds the one-vs-all multiclass extension (the reference
+    generator is binary-only, utility_scripts/generate_data.py).
+    """
     try:
         from sklearn import datasets  # type: ignore
 
         if problem == "blobs":
             X, y = datasets.make_blobs(
-                n_samples=n, n_features=d, centers=2, random_state=seed
+                n_samples=n, n_features=d, centers=classes, random_state=seed
             )
         elif problem == "planes":
             X, y = datasets.make_classification(
-                n_samples=n, n_features=d, n_redundant=0, n_classes=2,
+                n_samples=n, n_features=d, n_redundant=0, n_classes=classes,
+                n_informative=max(2, int(np.ceil(np.log2(classes)))),
                 random_state=seed,
             )
         elif problem == "gaussian":
             X, y = datasets.make_gaussian_quantiles(
-                n_samples=n, n_features=d, n_classes=2, random_state=seed
+                n_samples=n, n_features=d, n_classes=classes, random_state=seed
             )
         else:
             raise ValueError(f"unknown problem type '{problem}'")
-        y = np.where(y == 0, -1, 1)
+        if classes == 2:
+            y = np.where(y == 0, -1, 1)
         return X, y
     except ImportError:
-        return make_blobs_numpy(n, d, seed)
+        return make_blobs_numpy(n, d, seed, classes)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--problem", default="blobs",
                         choices=["blobs", "planes", "gaussian"])
     parser.add_argument("--samples", "-n", type=int, required=True)
+    parser.add_argument("--classes", "-c", type=int, default=2,
+                        help="number of classes (> 2 uses the one-vs-all "
+                             "multiclass extension)")
     parser.add_argument("--features", "-d", type=int, required=True)
     parser.add_argument("--seed", type=int, default=0)
     return parser
@@ -75,7 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    X, y = generate(args.samples, args.features, problem=args.problem, seed=args.seed)
+    X, y = generate(args.samples, args.features, problem=args.problem,
+                    seed=args.seed, classes=args.classes)
     ds = DataSet(X, y)
     ds.save(args.output, file_format=args.format)
     return 0
