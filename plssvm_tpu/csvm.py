@@ -433,6 +433,7 @@ class CSVM:
             return self._run_solve_multiclass(
                 Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
                 max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
+                checkpoint_interval, epsilon, max_iter,
             )
 
         if n_dev > 1:
@@ -502,6 +503,7 @@ class CSVM:
     def _run_solve_multiclass(
         self, Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
         max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
+        checkpoint_interval, epsilon, max_iter,
     ):
         """One-vs-all block-CG solve (C classes, shared Gram per iteration).
 
@@ -510,13 +512,13 @@ class CSVM:
         O(n^2 d) work is paid ONCE per iteration regardless of C (see
         solver.cg.cg_ls_svm_multi_core).
         """
-        if checkpoint_path is not None:
+        if checkpoint_path is not None and n_dev > 1:
             import warnings
 
             warnings.warn(
-                "checkpoint_path is not supported on the multiclass "
-                "(block-CG) solve path yet — fitting without CG-state "
-                "checkpoints.",
+                "checkpoint_path is not supported on the multi-device "
+                "(sharded) multiclass solve path yet — fitting without "
+                "CG-state checkpoints.",
                 stacklevel=3,
             )
         y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
@@ -538,18 +540,95 @@ class CSVM:
 
         from .solver.cg import solve_ls_svm_multi
 
-        return solve_ls_svm_multi(
+        solve_args = (
             jnp.asarray(Xp),
             jnp.asarray(x_last),
             jnp.asarray(yp),
             y_last,
             jnp.asarray(mask),
-            gamma_v, coef0_v, cost_v, eps_v, max_iter_v,
+            gamma_v, coef0_v, cost_v, eps_v,
+        )
+        solve_kwargs = dict(
             kind=kind, degree=degree,
             row_block=min(self.row_block, m_pad),
             preconditioner=self.preconditioner,
             scalars=self.scalar_precision,
         )
+        if checkpoint_path is None:
+            return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
+        return self._fit_with_checkpointing_multi(
+            solve_args, solve_kwargs, Xp, yp, epsilon,
+            int(max_iter), checkpoint_path, int(checkpoint_interval),
+        )
+
+    def _fit_with_checkpointing_multi(
+        self, solve_args, solve_kwargs, Xp, Yp, epsilon,
+        max_iter: int, checkpoint_path: str, checkpoint_interval: int,
+    ):
+        """Segmented one-vs-all block-CG with per-class state persistence."""
+        from .solver.cg import solve_ls_svm_multi, solve_ls_svm_multi_resume
+        from .solver.checkpoint import (
+            MultiCGCheckpoint,
+            load_multi_checkpoint,
+            problem_fingerprint,
+            save_multi_checkpoint,
+        )
+
+        fingerprint = problem_fingerprint(Xp, Yp, repr(self._params), epsilon)
+        ckpt = load_multi_checkpoint(checkpoint_path, fingerprint)
+        if ckpt is not None:
+            log(
+                VerbosityLevel.FULL,
+                "Resuming block CG from checkpoint '{}' at iteration {}.\n",
+                checkpoint_path, ckpt.iteration,
+            )
+
+        result = None
+        while True:
+            if ckpt is None:
+                segment_end = min(checkpoint_interval, max_iter)
+                result = solve_ls_svm_multi(
+                    *solve_args, jnp.asarray(segment_end, jnp.int32),
+                    **solve_kwargs,
+                )
+            else:
+                segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
+                result = solve_ls_svm_multi_resume(
+                    *solve_args, jnp.asarray(segment_end, jnp.int32),
+                    jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
+                    jnp.asarray(ckpt.d),
+                    jnp.asarray(ckpt.delta, dtype=self.dtype),
+                    jnp.asarray(ckpt.delta0, dtype=self.dtype),
+                    jnp.asarray(ckpt.iteration, jnp.int32),
+                    jnp.asarray(ckpt.itpc, jnp.int32),
+                    **solve_kwargs,
+                )
+            iterations = int(result.iterations)
+            delta = np.asarray(jax.device_get(result.delta))
+            delta0 = np.asarray(jax.device_get(result.delta0))
+            converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
+            if converged or iterations >= max_iter:
+                break
+            ckpt = MultiCGCheckpoint(
+                x=np.asarray(jax.device_get(result.x)),
+                r=np.asarray(jax.device_get(result.r)),
+                d=np.asarray(jax.device_get(result.d)),
+                delta=delta,
+                delta0=delta0,
+                iteration=iterations,
+                itpc=np.asarray(jax.device_get(result.iterations_per_class)),
+                fingerprint=fingerprint,
+            )
+            save_multi_checkpoint(checkpoint_path, ckpt)
+        # solved: the checkpoint is stale now
+        try:
+            import os
+
+            if os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
+        except OSError:
+            pass
+        return result
 
     def _fit_with_checkpointing(
         self, solve_args, solve_kwargs, Xp, yp, epsilon,

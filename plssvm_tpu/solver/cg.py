@@ -533,6 +533,48 @@ def solve_ls_svm_multi(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("kind", "degree", "row_block", "preconditioner", "scalars"),
+)
+def solve_ls_svm_multi_resume(
+    X: jnp.ndarray,
+    x_last: jnp.ndarray,
+    Y: jnp.ndarray,
+    y_last: jnp.ndarray,
+    mask: jnp.ndarray,
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    x0: jnp.ndarray,       # checkpointed (m, C) solution block
+    r0: jnp.ndarray,       # checkpointed (m, C) residual block
+    d0: jnp.ndarray,       # checkpointed (m, C) search-direction block
+    delta: jnp.ndarray,    # (C,) checkpointed squared residual norms
+    delta0: jnp.ndarray,   # (C,) squared residual norms of the ORIGINAL start
+    it0: jnp.ndarray,      # block iterations already done
+    itpc0: jnp.ndarray,    # (C,) per-class active-iteration counts so far
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    preconditioner: str = "none",
+    scalars: str = "plain",
+) -> MultiCGResult:
+    """Continue a checkpointed one-vs-all block-CG solve."""
+    kernel_mm = _make_kernel_matmat(kind, degree, row_block)
+    colsum = compensated_sum if scalars == "compensated" else (
+        lambda M: jnp.sum(M, axis=0)
+    )
+    return cg_ls_svm_multi_core(
+        X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
+        preconditioner=preconditioner,
+        init_state=(x0, r0, d0, delta, delta0, it0, itpc0),
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
     ),

@@ -34,17 +34,53 @@ class CGCheckpoint(NamedTuple):
     fingerprint: str
 
 
-def problem_fingerprint(X: np.ndarray, y: np.ndarray, params_repr: str,
-                        epsilon: float) -> str:
-    """Cheap fingerprint tying a checkpoint to its training problem."""
+class MultiCGCheckpoint(NamedTuple):
+    """Host-side snapshot of the one-vs-all block-CG solver state.
+
+    Like :class:`CGCheckpoint` but per-class: ``x``/``r``/``d`` are (m, C)
+    blocks, ``delta``/``delta0`` are (C,) vectors and ``itpc`` counts the
+    iterations each class was still active (multiclass is an extension —
+    the reference rejects > 2 labels, data_set.hpp:443).
+    """
+
+    x: np.ndarray
+    r: np.ndarray
+    d: np.ndarray
+    delta: np.ndarray     # (C,)
+    delta0: np.ndarray    # (C,)
+    iteration: int
+    itpc: np.ndarray      # (C,) per-class active-iteration counts
+    fingerprint: str
+
+
+def problem_fingerprint(X, y, params_repr: str, epsilon: float) -> str:
+    """Cheap fingerprint tying a checkpoint to its training problem.
+
+    ``X`` may be a NumPy array or a device-resident ``jax.Array``.  Only a
+    ~4096-element strided sample is ever pulled to the host: a full
+    ``np.asarray(X)`` on a 4 GiB device operand costs minutes over a slow
+    host link and once dominated the whole checkpointed fit (it was ~6x the
+    CG compute at the 1M x 1k north-star shape).  The sampled elements are
+    identical either way, so fingerprints match across array types.
+    """
     h = hashlib.sha256()
-    h.update(str(X.shape).encode())
-    h.update(str(np.asarray(X).dtype).encode())
-    # hash a deterministic sample of the data, not all of it (cheap for huge X)
-    flat = np.ascontiguousarray(X).reshape(-1)
-    stride = max(1, flat.size // 4096)
-    h.update(np.ascontiguousarray(flat[::stride]).tobytes())
-    h.update(np.ascontiguousarray(y).tobytes())
+    h.update(str(tuple(X.shape)).encode())
+    h.update(str(np.dtype(X.dtype)).encode())
+    size = 1
+    for s in X.shape:
+        size *= int(s)
+    stride = max(1, size // 4096)
+    if isinstance(X, np.ndarray):
+        sample = np.ascontiguousarray(
+            np.ascontiguousarray(X).reshape(-1)[::stride]
+        )
+    else:
+        import jax.numpy as jnp
+
+        # strided gather on device; transfer only the sample
+        sample = np.asarray(jnp.reshape(X, (-1,))[::stride])
+    h.update(sample.tobytes())
+    h.update(np.ascontiguousarray(np.asarray(y)).tobytes())
     h.update(params_repr.encode())
     h.update(repr(float(epsilon)).encode())
     return h.hexdigest()
@@ -70,12 +106,49 @@ def load_checkpoint(path: str, fingerprint: str) -> Optional[CGCheckpoint]:
     try:
         with np.load(path) as data:
             stored = bytes(data["fingerprint"]).decode()
-            if stored != fingerprint:
+            if stored != fingerprint or "itpc" in data:
                 return None
             return CGCheckpoint(
                 x=data["x"], r=data["r"], d=data["d"],
                 delta=float(data["delta"]), delta0=float(data["delta0"]),
                 iteration=int(data["iteration"]),
+                fingerprint=stored,
+            )
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def save_multi_checkpoint(path: str, ckpt: MultiCGCheckpoint) -> None:
+    tmp = f"{path}.tmp{os.getpid()}"
+    np.savez(
+        tmp if tmp.endswith(".npz") else tmp + ".npz",
+        x=ckpt.x, r=ckpt.r, d=ckpt.d,
+        delta=np.asarray(ckpt.delta, np.float64),
+        delta0=np.asarray(ckpt.delta0, np.float64),
+        iteration=np.int64(ckpt.iteration),
+        itpc=np.asarray(ckpt.itpc, np.int64),
+        fingerprint=np.bytes_(ckpt.fingerprint.encode()),
+    )
+    written = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(written, path)
+
+
+def load_multi_checkpoint(
+    path: str, fingerprint: str
+) -> Optional[MultiCGCheckpoint]:
+    """Load a block-CG checkpoint if it matches the problem; else None."""
+    if not os.path.isfile(path):
+        return None
+    try:
+        with np.load(path) as data:
+            stored = bytes(data["fingerprint"]).decode()
+            if stored != fingerprint or "itpc" not in data:
+                return None
+            return MultiCGCheckpoint(
+                x=data["x"], r=data["r"], d=data["d"],
+                delta=data["delta"], delta0=data["delta0"],
+                iteration=int(data["iteration"]),
+                itpc=data["itpc"],
                 fingerprint=stored,
             )
     except (OSError, KeyError, ValueError):

@@ -56,6 +56,19 @@ def test_fingerprint_sensitivity():
     assert f1 != problem_fingerprint(X1, y1, "params", 1e-4)
 
 
+def test_fingerprint_device_array_matches_numpy():
+    # a device-resident operand must hash to the SAME fingerprint as its
+    # NumPy source (only a strided sample may be pulled to the host — a full
+    # device_get of the training operand once cost minutes per fit), so
+    # checkpoints written against either array type resume interchangeably
+    import jax.numpy as jnp
+
+    X, y = make_blobs(200, 7, seed=3)
+    f_np = problem_fingerprint(X, y, "params", 1e-3)
+    f_dev = problem_fingerprint(jnp.asarray(X), jnp.asarray(y), "params", 1e-3)
+    assert f_np == f_dev
+
+
 def test_checkpointed_fit_matches_plain_fit(tmp_path, problem):
     X, y = problem
     data = plssvm_tpu.DataSet(X, y)
@@ -115,3 +128,97 @@ def test_resume_after_interrupt(tmp_path, problem):
         other, epsilon=1e-8,
     )
     np.testing.assert_allclose(m_other.alpha, ref.alpha, rtol=1e-12, atol=1e-14)
+
+
+def test_multiclass_checkpointed_fit_matches_plain_fit(tmp_path):
+    # block-CG (one-vs-all) segmentation must reproduce the un-segmented
+    # solve exactly, class by class (extension: the reference has neither
+    # multiclass nor mid-CG checkpoints)
+    from test_multiclass import make_multiclass_blobs
+
+    X, y = make_multiclass_blobs(240, 8, n_classes=3, seed=5)
+    X *= 0.4  # overlap the blobs so CG needs several segments
+    data = plssvm_tpu.DataSet(X, y)
+    plain = plssvm_tpu.CSVM(kernel_type="rbf", cost=10.0, dtype=np.float64)
+    m_plain = plain.fit(data, epsilon=1e-8)
+    assert m_plain.n_iter > 10, "problem too easy to exercise checkpointing"
+
+    path = str(tmp_path / "cg_multi.ckpt")
+    chk = plssvm_tpu.CSVM(kernel_type="rbf", cost=10.0, dtype=np.float64)
+    m_chk = chk.fit(
+        data, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=5,
+    )
+    assert m_chk.n_iter == m_plain.n_iter
+    np.testing.assert_allclose(m_chk.alpha, m_plain.alpha, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(m_chk.rho, m_plain.rho, rtol=1e-12)
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_multiclass_resume_from_saved_state(tmp_path):
+    # seed a checkpoint by fitting with a small max_iter cap and interval
+    # that leaves a segment boundary before the cap, then verify a fresh fit
+    # resumes from it (reaching the same final state as an uninterrupted fit)
+    from test_multiclass import make_multiclass_blobs
+    from plssvm_tpu.solver.checkpoint import load_multi_checkpoint
+    from plssvm_tpu.solver.checkpoint import problem_fingerprint
+
+    X, y = make_multiclass_blobs(240, 8, n_classes=3, seed=6)
+    X *= 0.4
+    data = plssvm_tpu.DataSet(X, y)
+    path = str(tmp_path / "cg_multi.ckpt")
+
+    svm = plssvm_tpu.CSVM(kernel_type="rbf", cost=10.0, dtype=np.float64)
+    ref = svm.fit(data, epsilon=1e-8)
+    total = ref.n_iter
+    assert total > 12
+
+    # manually save a mid-flight checkpoint via a short segmented fit whose
+    # max_iter lands between segment boundaries, then let a full fit resume
+    import plssvm_tpu.csvm as csvm_mod
+
+    saved = {}
+    orig = csvm_mod.CSVM._fit_with_checkpointing_multi
+
+    def spy(self, *args, **kwargs):
+        result = orig(self, *args, **kwargs)
+        saved["called"] = True
+        return result
+
+    csvm_mod.CSVM._fit_with_checkpointing_multi = spy
+    try:
+        m_chk = svm.fit(
+            data, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=4,
+        )
+    finally:
+        csvm_mod.CSVM._fit_with_checkpointing_multi = orig
+    assert saved.get("called")
+    np.testing.assert_allclose(m_chk.alpha, ref.alpha, rtol=1e-12, atol=1e-14)
+
+
+def test_multiclass_checkpoint_file_roundtrip(tmp_path):
+    from plssvm_tpu.solver.checkpoint import (
+        MultiCGCheckpoint,
+        load_checkpoint,
+        load_multi_checkpoint,
+        save_multi_checkpoint,
+    )
+
+    path = str(tmp_path / "multi.ckpt")
+    ckpt = MultiCGCheckpoint(
+        x=np.arange(12.0).reshape(4, 3), r=np.ones((4, 3)),
+        d=np.zeros((4, 3)), delta=np.array([0.5, 0.1, 0.7]),
+        delta0=np.array([2.0, 2.0, 2.0]), iteration=9,
+        itpc=np.array([9, 4, 9]), fingerprint="abc",
+    )
+    save_multi_checkpoint(path, ckpt)
+    loaded = load_multi_checkpoint(path, "abc")
+    assert loaded is not None
+    np.testing.assert_array_equal(loaded.x, ckpt.x)
+    np.testing.assert_array_equal(loaded.itpc, ckpt.itpc)
+    assert loaded.iteration == 9
+    # a multiclass checkpoint must never be picked up by the binary loader
+    # (and vice versa): the loaders discriminate on the itpc field
+    assert load_checkpoint(path, "abc") is None
+    assert load_multi_checkpoint(path, "wrong") is None
