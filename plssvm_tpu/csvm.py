@@ -507,10 +507,10 @@ class CSVM:
     ):
         """One-vs-all block-CG solve (C classes, shared Gram per iteration).
 
-        The block matvec always runs the XLA shared-Gram path — each Gram
-        row block is contracted with all C right-hand sides at once, so the
-        O(n^2 d) work is paid ONCE per iteration regardless of C (see
-        solver.cg.cg_ls_svm_multi_core).
+        The O(n^2 d) Gram work is paid ONCE per iteration regardless of C
+        (see solver.cg.cg_ls_svm_multi_core).  On TPU the block matvec runs
+        the Pallas dual-contraction matmat (symmetric upper-triangle walk,
+        class-major MXU contractions); elsewhere the XLA shared-Gram scan.
         """
         if checkpoint_path is not None and n_dev > 1:
             import warnings
@@ -550,6 +550,7 @@ class CSVM:
         )
         solve_kwargs = dict(
             kind=kind, degree=degree,
+            impl="pallas" if self.backend == BackendType.PALLAS else "xla",
             row_block=min(self.row_block, m_pad),
             preconditioner=self.preconditioner,
             scalars=self.scalar_precision,

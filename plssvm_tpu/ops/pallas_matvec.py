@@ -479,6 +479,295 @@ def kernel_matvec_pallas_big(
     return jnp.concatenate(outs).astype(X.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Multiclass block matmat: the dual-contraction walk against C columns
+#
+# One-vs-all block CG (solver/cg.py::cg_ls_svm_multi_core) contracts each
+# Gram tile with C right-hand sides.  The TPU-native answer keeps the
+# symmetric upper-triangle walk and swaps the VPU vector contractions for
+# tiny MXU matmuls in CLASS-MAJOR layout: with V stored (Cp, m) the row
+# contraction is (Cp, t_j) x (t_i, t_j)^T and the column contraction is
+# (Cp, t_i) x (t_i, t_j) — both cost ~max(Cp,8)/d of the Gram tile, so C
+# classes ride along nearly free.  The column accumulator stays VMEM-resident
+# as (nj*Cp, t) rows (Cp*mc*4 bytes — 8 MB at the 256k-row chunk size), the
+# same residency trick as the binary dual kernel.
+#
+# The reference has no multiclass at all (data_set.hpp:443 rejects > 2
+# labels); a sequential one-vs-all over its binary kernels would pay the
+# full Gram C times (svm_kernel.cu:93-155 per class).
+# ---------------------------------------------------------------------------
+
+
+def _matmat_kernel_dual(
+    gamma_ref, coef0_ref,          # SMEM (1, 1)
+    xi_ref,                        # VMEM (t, dk) row tile
+    yj_ref,                        # VMEM (t, dk) col tile
+    sqi_ref, sqj_ref,              # VMEM (1, t)
+    vy_ref,                        # VMEM (cp, t) class-major RHS block j
+    vx_ref,                        # VMEM (cp, t) class-major RHS block i
+    outr_ref,                      # VMEM (cp, t) block i — row accumulator
+    outc_ref,                      # VMEM (nj*cp, t) resident — col accumulator
+    gram_acc,                      # VMEM scratch (t, t) f32
+    *, kind, degree, nk, symmetric, cp,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(i == 0, jnp.logical_and(j == 0, k == 0)))
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+
+    @pl.when(jnp.logical_and(j == 0, k == 0))
+    def _():
+        outr_ref[:] = jnp.zeros_like(outr_ref)
+
+    def compute():
+        partial = jax.lax.dot_general(
+            xi_ref[:], yj_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if nk > 1:
+            @pl.when(k == 0)
+            def _():
+                gram_acc[:] = partial
+
+            @pl.when(k != 0)
+            def _():
+                gram_acc[:] = gram_acc[:] + partial
+
+        @pl.when(k == nk - 1)
+        def _():
+            gram = gram_acc[:] if nk > 1 else partial
+            k_tile = apply_kernel_to_gram(
+                gram,
+                sqi_ref[0, :][:, None],
+                sqj_ref[0, :][None, :],
+                kind,
+                gamma_ref[0, 0],
+                coef0_ref[0, 0],
+                degree,
+            )
+            # rows: outr[c, ti] += sum_tj k_tile[ti, tj] vy[c, tj]
+            rowT = jax.lax.dot_general(
+                vy_ref[:], k_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outr_ref[:] = outr_ref[:] + rowT
+            # cols: outc[c, tj] += sum_ti k_tile[ti, tj] vx[c, ti]
+            colT = jax.lax.dot_general(
+                vx_ref[:], k_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if symmetric:
+                # the diagonal tile contributes rows only
+                colT = jnp.where(j > i, colT, jnp.zeros_like(colT))
+            cur = outc_ref[pl.ds(j * cp, cp), :]
+            outc_ref[pl.ds(j * cp, cp), :] = cur + colT
+
+    if symmetric:
+        @pl.when(j >= i)
+        def _():
+            compute()
+    else:
+        compute()
+
+
+def _pick_dual_tile_multi(mr: int, mc: int, dk: int, cp: int):
+    """Largest tile dividing both row counts within the VMEM budget."""
+    for t in _SYM_TILES:
+        if mr % t != 0 or mc % t != 0:
+            continue
+        # xi + yj + gram scratch + k_tile temp + resident col accumulator
+        # + class-major vector blocks (vy, vx, outr)
+        vmem = (
+            2 * t * dk * 4 + 2 * t * t * 4 + cp * mc * 4 + 3 * cp * t * 4
+        )
+        if vmem <= _VMEM_LIMIT_BYTES - (8 << 20):
+            return t
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
+)
+def kernel_matmat_pallas_dual(
+    X: jnp.ndarray,          # (mr, d) rows of the kernel block
+    Y: jnp.ndarray,          # (mc, d) columns of the kernel block
+    sq_rows: jnp.ndarray,    # (mr,)
+    sq_cols: jnp.ndarray,    # (mc,)
+    Vy: jnp.ndarray,         # (cp, mc) class-major, contracted against K rows
+    Vx: jnp.ndarray,         # (cp, mr) class-major, contracted against K cols
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+    symmetric: bool = False,
+):
+    """Dual contraction of one kernel block against C class-major columns:
+    ``(K @ Vy^T, K^T @ Vx^T)`` returned class-major as (cp, mr), (cp, mc).
+
+    The block-matmat analog of :func:`kernel_matvec_pallas_dual` — same
+    upper-triangle walk, same residency, MXU contractions instead of VPU.
+    ``cp`` (the leading axis of Vy/Vx) must be a multiple of 8 (f32 sublane
+    tile); pad unused class rows with zeros.
+    """
+    mr, d = X.shape
+    mc = Y.shape[0]
+    cp = Vy.shape[0]
+    in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    dk = _pick_dual_dk(d)
+    nk = d // dk
+    t = _pick_dual_tile_multi(mr, mc, dk, cp)
+    if t is None:
+        raise ValueError(
+            f"no Pallas tile for shape ({mr}, {mc}, {d}, C={cp}); rows must "
+            "be padded to a multiple of 128"
+        )
+    ni, nj = mr // t, mc // t
+
+    Xc = X.astype(in_dtype)
+    Yc = Y.astype(in_dtype)
+    sq_r = sq_rows.astype(jnp.float32).reshape(1, mr)
+    sq_c = sq_cols.astype(jnp.float32).reshape(1, mc)
+    Vy_c = Vy.astype(jnp.float32)
+    Vx_c = Vx.astype(jnp.float32)
+    gamma_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+    coef0_arr = jnp.asarray(coef0, jnp.float32).reshape(1, 1)
+
+    itemsize = 2 if precision == "bf16" else 4
+    flops = 2 * mr * mc * (d + 2 * max(cp, 8)) + 16 * mr * mc
+    if symmetric:
+        flops = flops // 2 + flops // 8
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(mr + mc) * d * itemsize + 3 * cp * (mr + mc) * 4,
+        transcendentals=(
+            (mr * mc // 2 if symmetric else mr * mc)
+            if kind == KernelFunctionType.RBF
+            else 0
+        ),
+    )
+
+    if symmetric:
+        def xi_map(i, j, k):
+            return _i32(i, jnp.where(j >= i, k, 0))
+
+        def yj_map(i, j, k):
+            return _i32(jnp.maximum(i, j), jnp.where(j >= i, k, 0))
+
+        def colv_map(i, j, k):
+            return _i32(0, jnp.maximum(i, j))
+    else:
+        def xi_map(i, j, k):
+            return _i32(i, k)
+
+        def yj_map(i, j, k):
+            return _i32(j, k)
+
+        def colv_map(i, j, k):
+            return _i32(0, j)
+
+    outr, outc = pl.pallas_call(
+        functools.partial(
+            _matmat_kernel_dual,
+            kind=kind, degree=degree, nk=nk, symmetric=symmetric, cp=cp,
+        ),
+        grid=(ni, nj, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, dk), xi_map),
+            pl.BlockSpec((t, dk), yj_map),
+            pl.BlockSpec((1, t), lambda i, j, k: _i32(0, i)),
+            pl.BlockSpec((1, t), colv_map),
+            pl.BlockSpec((cp, t), colv_map),
+            pl.BlockSpec((cp, t), lambda i, j, k: _i32(0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((cp, t), lambda i, j, k: _i32(0, i)),
+            pl.BlockSpec((nj * cp, t), lambda i, j, k: _i32(0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, mr), jnp.float32),
+            jax.ShapeDtypeStruct((nj * cp, t), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((t, t), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+    )(gamma_arr, coef0_arr, Xc, Yc, sq_r, sq_c, Vy_c, Vx_c)
+    outc = (
+        outc.reshape(nj, cp, t).transpose(1, 0, 2).reshape(cp, mc)
+    )
+    return outr, outc
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
+def kernel_matmat_pallas_big(
+    X: jnp.ndarray,          # (m, d)
+    sq_norms: jnp.ndarray,   # (m,)
+    V: jnp.ndarray,          # (m, C) block of right-hand sides
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    coef0,
+    degree: int,
+    precision: str = "f32",
+) -> jnp.ndarray:
+    """Symmetric ``K @ V`` at ANY size — the block-matmat analog of
+    :func:`kernel_matvec_pallas_big` (same triangle-of-chunks composition,
+    same per-call operand ceiling).  Takes and returns row-major (m, C)."""
+    m, d = X.shape
+    C = V.shape[1]
+    cp = max(8, -(-C // 8) * 8)
+    Vt = jnp.zeros((cp, m), jnp.float32).at[:C].set(V.T.astype(jnp.float32))
+
+    itemsize = 2 if precision == "bf16" else 4
+    total = m * d * itemsize
+    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+        nc += 1
+    if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
+        outr, outc = kernel_matmat_pallas_dual(
+            X, X, sq_norms, sq_norms, Vt, Vt,
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
+        )
+        return (outr + outc).T[:, :C].astype(V.dtype)
+
+    rows = m // nc
+    Xc = X.reshape(nc, rows, d)
+    sqc = sq_norms.reshape(nc, rows)
+    Vc = Vt.reshape(cp, nc, rows)
+
+    outs = []
+    for ci in range(nc):
+        r, c = kernel_matmat_pallas_dual(
+            Xc[ci], Xc[ci], sqc[ci], sqc[ci], Vc[:, ci], Vc[:, ci],
+            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            precision=precision, symmetric=True,
+        )
+        outs.append(r + c)
+    for ci in range(nc):
+        for cj in range(ci + 1, nc):
+            r, c = kernel_matmat_pallas_dual(
+                Xc[ci], Xc[cj], sqc[ci], sqc[cj], Vc[:, cj], Vc[:, ci],
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                precision=precision, symmetric=False,
+            )
+            outs[ci] = outs[ci] + r
+            outs[cj] = outs[cj] + c
+    out = jnp.concatenate(outs, axis=1)
+    return out.T[:, :C].astype(V.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "degree", "precision"))
 def kernel_matvec_pallas(
     X: jnp.ndarray,          # (m, d) zero-padded, m % 128 == 0, d % 128 == 0

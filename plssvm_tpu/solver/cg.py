@@ -478,14 +478,30 @@ def cg_ls_svm_multi_core(
     )
 
 
-def _make_kernel_matmat(kind: KernelFunctionType, degree: int, row_block: int):
+def _make_kernel_matmat(
+    kind: KernelFunctionType, degree: int, row_block: int, impl: str = "xla"
+):
     """K @ V implementation for the block (multiclass) solve.
 
-    Always the XLA blockwise path: each Gram row block is computed once and
-    contracted with ALL C columns, so the per-class Gram cost is 1/C of a
-    per-column Pallas walk — for C >= 2 the shared-Gram XLA matmat beats
-    C independent passes of the (faster) dual-contraction kernel.
+    ``impl="pallas"`` uses the dual-contraction block matmat
+    (ops/pallas_matvec.py::kernel_matmat_pallas_big): the symmetric
+    upper-triangle walk contracts each Gram tile with all C class-major
+    columns via tiny MXU matmuls, keeping the ~2x saving over the full
+    walk.  ``impl="xla"`` is the shared-Gram blockwise scan — each Gram row
+    block computed once and contracted with all C columns (the portable
+    oracle path).
     """
+    if impl == "pallas" and kind != KernelFunctionType.LINEAR:
+        from ..ops.pallas_matvec import kernel_matmat_pallas_big
+
+        def kmm(X, sq_norms, V, gamma, coef0):
+            return kernel_matmat_pallas_big(
+                X, sq_norms, V, kind=kind, gamma=gamma, coef0=coef0,
+                degree=degree,
+            )
+
+        return kmm
+
     def kmm(X, sq_norms, V, gamma, coef0):
         if kind == KernelFunctionType.LINEAR:
             return linear_kernel_matvec(X, V)
@@ -499,7 +515,9 @@ def _make_kernel_matmat(kind: KernelFunctionType, degree: int, row_block: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "row_block", "preconditioner", "scalars"),
+    static_argnames=(
+        "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+    ),
 )
 def solve_ls_svm_multi(
     X: jnp.ndarray,        # (m, d) zero-padded rows 0..dept-1
@@ -515,12 +533,13 @@ def solve_ls_svm_multi(
     *,
     kind: KernelFunctionType,
     degree: int,
+    impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
 ) -> MultiCGResult:
     """Single-device one-vs-all multiclass LS-SVM block-CG solve."""
-    kernel_mm = _make_kernel_matmat(kind, degree, row_block)
+    kernel_mm = _make_kernel_matmat(kind, degree, row_block, impl)
     colsum = compensated_sum if scalars == "compensated" else (
         lambda M: jnp.sum(M, axis=0)
     )
@@ -533,7 +552,9 @@ def solve_ls_svm_multi(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "row_block", "preconditioner", "scalars"),
+    static_argnames=(
+        "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+    ),
 )
 def solve_ls_svm_multi_resume(
     X: jnp.ndarray,
@@ -556,12 +577,13 @@ def solve_ls_svm_multi_resume(
     *,
     kind: KernelFunctionType,
     degree: int,
+    impl: str = "xla",
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
 ) -> MultiCGResult:
     """Continue a checkpointed one-vs-all block-CG solve."""
-    kernel_mm = _make_kernel_matmat(kind, degree, row_block)
+    kernel_mm = _make_kernel_matmat(kind, degree, row_block, impl)
     colsum = compensated_sum if scalars == "compensated" else (
         lambda M: jnp.sum(M, axis=0)
     )

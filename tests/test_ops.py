@@ -385,3 +385,150 @@ class TestDualKernelInterpret:
         assert mult % 2048 == 0
         nc = mult // 2048
         assert nc == -(-1_000_000 * 1024 * 4 // CHUNK_TARGET_BYTES)
+
+
+class TestMatmatDualKernelInterpret:
+    """The multiclass dual-contraction block matmat, interpret mode.
+
+    Same adversarial setup as TestDualKernelInterpret: random data +
+    multi-tile grids so wrong index maps / accumulator slots mix distinct
+    random blocks and fail the XLA-oracle comparison."""
+
+    def _oracle(self, X, sq, V, kind, gamma, coef0):
+        return np.asarray(
+            kernel_matvec_xla(
+                X, sq, V, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+                row_block=128,
+            )
+        )
+
+    @pytest.mark.parametrize("kernel_name", ["linear", "polynomial", "rbf"])
+    @pytest.mark.parametrize("n_classes", [3, 5])
+    def test_symmetric_multi_tile(self, kernel_name, n_classes):
+        """m=768 -> t=256, a 3x3 tile grid; C=3 and C=5 both pad to cp=8."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matmat_pallas_big
+
+        kind = KINDS[kernel_name]
+        m, d = 768, 256
+        rng = np.random.default_rng(21)
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
+        V = jnp.asarray(rng.normal(size=(m, n_classes)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma, coef0 = jnp.float32(1.0 / d), jnp.float32(1.0)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                kernel_matmat_pallas_big(
+                    X, sq, V, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+                )
+            )
+        want = self._oracle(X, sq, V, kind, gamma, coef0)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_symmetric_k_blocked_wide_d(self):
+        """d=1536 > _FULL_D_MAX: the k-accumulating walk with C columns."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matmat_pallas_big
+
+        m, d, C = 768, 1536, 4
+        rng = np.random.default_rng(22)
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.1)
+        V = jnp.asarray(rng.normal(size=(m, C)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma = jnp.float32(1.0 / d)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                kernel_matmat_pallas_big(
+                    X, sq, V, kind=KINDS["rbf"], gamma=gamma,
+                    coef0=jnp.float32(0.0), degree=3,
+                )
+            )
+        want = self._oracle(X, sq, V, KINDS["rbf"], gamma, jnp.float32(0.0))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_rect_both_contractions(self):
+        """Cross-chunk blocks: (K @ Vy, K^T @ Vx) from ONE walk, class-major."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matmat_pallas_dual
+
+        rng = np.random.default_rng(23)
+        m1, m2, d, C = 256, 384, 128, 3
+        A = rng.normal(size=(m1, d)).astype(np.float32) * 0.2
+        B = rng.normal(size=(m2, d)).astype(np.float32) * 0.2
+        Va = np.zeros((8, m1), np.float32)
+        Va[:C] = rng.normal(size=(C, m1)).astype(np.float32)
+        Vb = np.zeros((8, m2), np.float32)
+        Vb[:C] = rng.normal(size=(C, m2)).astype(np.float32)
+        sqa = (A * A).sum(1).astype(np.float32)
+        sqb = (B * B).sum(1).astype(np.float32)
+        gamma = 0.01
+        K = np.exp(-gamma * (sqa[:, None] + sqb[None, :] - 2.0 * A @ B.T))
+        with pltpu.force_tpu_interpret_mode():
+            r, c = kernel_matmat_pallas_dual(
+                jnp.asarray(A), jnp.asarray(B), jnp.asarray(sqa),
+                jnp.asarray(sqb), jnp.asarray(Vb), jnp.asarray(Va),
+                kind=KINDS["rbf"], gamma=jnp.float32(gamma),
+                coef0=jnp.float32(0.0), degree=3,
+            )
+        np.testing.assert_allclose(
+            np.asarray(r)[:C], (K @ Vb[:C].T).T, rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c)[:C], (K.T @ Va[:C].T).T, rtol=2e-4, atol=1e-5
+        )
+
+    def test_big_composition_forced_chunks(self, monkeypatch):
+        from jax.experimental.pallas import tpu as pltpu
+
+        import plssvm_tpu.ops.pallas_matvec as pm
+
+        rng = np.random.default_rng(24)
+        m, d, C = 1024, 128, 3
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
+        V = jnp.asarray(rng.normal(size=(m, C)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma = jnp.float32(1.0 / d)
+        monkeypatch.setattr(pm, "CHUNK_TARGET_BYTES", 256 * 1024)  # nc = 2
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pm.kernel_matmat_pallas_big(
+                    X, sq, V, kind=KINDS["rbf"], gamma=gamma,
+                    coef0=jnp.float32(0.0), degree=3,
+                )
+            )
+        want = self._oracle(X, sq, V, KINDS["rbf"], gamma, jnp.float32(0.0))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_multiclass_solve_pallas_impl_interpret(self):
+        """solve_ls_svm_multi(impl='pallas') equals impl='xla' end-to-end."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.solver.cg import solve_ls_svm_multi
+
+        rng = np.random.default_rng(25)
+        m, d, C = 256, 128, 3
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.3)
+        Y = jnp.asarray(
+            (rng.integers(0, 2, size=(m, C)) * 2.0 - 1.0).astype(np.float32)
+        )
+        mask = jnp.ones((m,), jnp.float32)
+        args = (
+            X, X[0], Y, Y[0], mask,
+            jnp.float32(1.0 / d), jnp.float32(0.0), jnp.float32(10.0),
+            jnp.float32(1e-5), jnp.asarray(25, jnp.int32),
+        )
+        ref = solve_ls_svm_multi(*args, kind=KINDS["rbf"], degree=3, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = solve_ls_svm_multi(
+                *args, kind=KINDS["rbf"], degree=3, impl="pallas"
+            )
+        assert int(got.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), rtol=5e-3, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.rho), np.asarray(ref.rho), rtol=5e-3, atol=5e-4
+        )

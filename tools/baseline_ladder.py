@@ -35,7 +35,10 @@ def clusters(n, d, k=32, sigma=0.4, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(k, d))
     assignment = rng.integers(0, k, size=n)
-    X = (centers[assignment] + sigma * rng.normal(size=(n, d))).astype(dtype)
+    # generate noise directly in the target dtype: an f64 intermediate is an
+    # extra 8 GiB of memory traffic at the 1M x 1k rung
+    X = centers[assignment].astype(dtype)
+    X += sigma * rng.standard_normal((n, d), dtype=dtype)
     y = np.where(assignment % 2 == 0, 1.0, -1.0)
     return X, y
 
@@ -117,18 +120,25 @@ def main() -> int:
         # The solve is segmented via CG-state checkpointing: a single
         # multi-minute device call trips the tunneled runtime's watchdog and
         # kills the worker, so each device call covers a few iterations.
+        import os
         import tempfile
 
         n, d = int(1048576 * s), 1024
         X, y = clusters(n, d, k=64, seed=4)
         data = p.DataSet(X, y)
         svm = p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d)
-        svm.fit(data, epsilon=1e-6, max_iter=1)  # compile + transfer
-        ckpt = tempfile.mktemp(suffix=".ckpt")
+        ckpt = os.path.join(tempfile.mkdtemp(), "cfg5.ckpt")
+        # warm-up: compile + transfer, AND compile the resume executable the
+        # segmented solve uses from the 2nd segment on (5 iters @ interval 4
+        # runs one resume segment)
+        svm.fit(
+            data, epsilon=1e-6, max_iter=5,
+            checkpoint_path=ckpt, checkpoint_interval=4,
+        )
         t0 = time.perf_counter()
         model = svm.fit(
             data, epsilon=1e-6, max_iter=8,
-            checkpoint_path=ckpt, checkpoint_interval=2,
+            checkpoint_path=ckpt, checkpoint_interval=4,
         )
         train_s = time.perf_counter() - t0
         iters = model.n_iter or 0
