@@ -40,6 +40,30 @@ def _round_up(value: int, multiple: int) -> int:
 _PREDICT_GRAM_BUDGET = 1 << 30
 
 
+@jax.jit
+def _row_sq_norms(a):
+    """Fused row squared norms: eager ``jnp.sum(a * a, -1)`` materializes the
+    full elementwise square (an extra 4 GiB at the 1M x 1k model size)."""
+    return jnp.sum(a * a, axis=-1)
+
+
+def _pad_2d(arr, rows: int, cols: int):
+    """Zero-pad a 2-D array to (rows, cols) — WITHOUT copying when already
+    that shape (a no-op .at[].set duplicates a 4 GiB operand on device)."""
+    if arr.shape == (rows, cols):
+        return jnp.asarray(arr)
+    out = jnp.zeros((rows, cols), dtype=arr.dtype)
+    return out.at[: arr.shape[0], : arr.shape[1]].set(arr)
+
+
+def _pad_rows(arr, rows: int):
+    """Zero-pad axis 0 to ``rows`` without copying when already that size."""
+    if arr.shape[0] == rows:
+        return jnp.asarray(arr)
+    out = jnp.zeros((rows,) + arr.shape[1:], dtype=arr.dtype)
+    return out.at[: arr.shape[0]].set(arr)
+
+
 def _ensure_x64_if_needed(dtype) -> None:
     """Enable JAX x64 mode when float64 math is requested."""
     if np.dtype(dtype) == np.float64 and not jax.config.read("jax_enable_x64"):
@@ -813,35 +837,49 @@ class CSVM:
         n_sv = sv.shape[0]
         d_pad = _round_up(d_in, 128)
         itemsize = points.dtype.itemsize
-        chunk = max(
+        chunk_max = max(
             128, (PALLAS_MAX_OPERAND_BYTES // (d_pad * itemsize)) // 128 * 128
         )
+
+        def _equal_chunk(total: int) -> int:
+            # equal-size chunks (all calls share ONE compiled shape — compile
+            # over the tunneled runtime costs minutes per distinct shape);
+            # 2048-divisible so the rect kernel can pick its widest tiles
+            n_chunks = -(-total // chunk_max)
+            mult = 2048 if total >= 2048 else 128
+            return _round_up(-(-total // n_chunks), mult)
         # when the SV operand is huge the kernel streams it once per row
         # tile; 2048-divisible point rows let it pick the tallest row tile
-        np_pad = (
+        p_chunk = _equal_chunk(
             _round_up(n_pred, 2048) if n_pred >= 2048 else _round_up(n_pred, 128)
         )
-        nsv_pad = _round_up(n_sv, 128)
-        points_p = jnp.zeros((np_pad, d_pad), dtype=points.dtype)
-        points_p = points_p.at[:n_pred, :d_in].set(points)
-        sv_p = jnp.zeros((nsv_pad, d_pad), dtype=sv.dtype)
-        sv_p = sv_p.at[:n_sv, :d_in].set(sv)
-        alpha_p = jnp.zeros((nsv_pad,), dtype=alpha.dtype)
-        alpha_p = alpha_p.at[:n_sv].set(alpha)
-        sq_p = jnp.sum(points_p * points_p, axis=-1)
-        sq_sv = jnp.sum(sv_p * sv_p, axis=-1)
+        sv_chunk = _equal_chunk(_round_up(n_sv, 128))
+        np_pad = _round_up(n_pred, p_chunk)
+        nsv_pad = _round_up(n_sv, sv_chunk)
+        points_p = _pad_2d(points, np_pad, d_pad)
+        sq_p = _row_sq_norms(points_p)
 
+        # chunks are SLICED from the original SV array and only the tail
+        # chunk is padded: a full padded copy of a 1M x 1k model (plus every
+        # chunk slice kept live by async dispatch) exhausted device memory
         parts = []
-        for pi in range(0, np_pad, chunk):
-            pe = min(pi + chunk, np_pad)
+        for pi in range(0, np_pad, p_chunk):
+            pe = pi + p_chunk
+            pts_blk = points_p[pi:pe]
+            sq_blk = sq_p[pi:pe]
             acc = None
-            for sj in range(0, nsv_pad, chunk):
-                se = min(sj + chunk, nsv_pad)
+            for sj in range(0, nsv_pad, sv_chunk):
+                se = min(sj + sv_chunk, n_sv)
+                sv_blk = _pad_2d(sv[sj:se], sv_chunk, d_pad)
+                alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)
+                sq_sv_blk = _row_sq_norms(sv_blk)
                 blk = kernel_matvec_pallas_rect(
-                    points_p[pi:pe], sv_p[sj:se], sq_p[pi:pe], sq_sv[sj:se],
-                    alpha_p[sj:se],
+                    pts_blk, sv_blk, sq_blk, sq_sv_blk, alpha_blk,
                     kind=kind, gamma=gamma, coef0=coef0, degree=degree,
                 )
+                # bound live memory: without the sync every chunk's padded
+                # slice stays allocated until the whole loop has dispatched
+                blk.block_until_ready()
                 acc = blk if acc is None else acc + blk
             parts.append(acc)
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
@@ -867,15 +905,9 @@ class CSVM:
         n_sv = sv.shape[0]
         nsv_pad = _round_up(n_sv, n_dev * 128)
         np_pad = _round_up(n_pred, rb)
-        sv_p = jnp.zeros((nsv_pad, d_in), dtype=sv.dtype).at[:n_sv].set(sv)
-        alpha_p = jnp.zeros(
-            (nsv_pad,) + alpha.shape[1:], dtype=alpha.dtype
-        ).at[:n_sv].set(alpha)
-        points_p = (
-            jnp.zeros((np_pad, d_in), dtype=points.dtype).at[:n_pred].set(points)
-            if np_pad != n_pred
-            else points
-        )
+        sv_p = _pad_2d(sv, nsv_pad, d_in)
+        alpha_p = _pad_rows(alpha, nsv_pad)
+        points_p = _pad_2d(points, np_pad, d_in)
         sv_s, alpha_s, points_s = shard_predict_arrays(
             mesh, sv_p, alpha_p, points_p, self.dtype
         )

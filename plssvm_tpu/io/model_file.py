@@ -228,6 +228,43 @@ def _to_int(value: str, name: str) -> int:
         ) from None
 
 
+def _read_header_and_offset(filename: str):
+    """Stream the model header: lines up to and including the ``SV`` marker.
+
+    Returns ``(header_lines, offset)`` with ``offset`` the byte position just
+    past the SV line — the native SV-block parser starts there, so the header
+    read never touches the (possibly multi-GB) SV payload.  ``None`` when no
+    SV marker appears within a sane header budget (the caller falls back to
+    the full-file Python path, which raises the exact reference error).
+    """
+    lines: List[str] = []
+    pos = 0
+    try:
+        with open(filename, "rb") as fh:
+            buf = b""
+            while True:
+                chunk = fh.read(65536)
+                if not chunk:
+                    return None
+                buf += chunk
+                while True:
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        break
+                    raw = buf[:nl]
+                    buf = buf[nl + 1:]
+                    pos += nl + 1
+                    s = raw.decode("utf-8", errors="replace").strip()
+                    if s and not s.startswith("#"):
+                        lines.append(s)
+                        if s.lower() == "sv":
+                            return lines, pos
+                if len(lines) > 64 or pos > (1 << 20):
+                    return None
+    except OSError:
+        return None
+
+
 def parse_model_file(
     filename: str, dtype: np.dtype = np.float64
 ) -> Tuple[Parameter, np.ndarray, np.ndarray, np.ndarray, List[str]]:
@@ -239,8 +276,42 @@ def parse_model_file(
     is parsed as the label of a regular LIBSVM data section).  For a
     one-vs-all multiclass model (extension) ``rho`` has C entries and
     ``alpha`` is (n_sv, C) — C leading columns per SV row.
+
+    Fast path: the header is streamed (never loading the SV payload into
+    Python strings) and the SV block is parsed by the native mmap +
+    std::thread parser (native/libsvm_parser.cpp::plssvm_parse_model_svs) —
+    the analog of the reference's native model parsing
+    (libsvm_model_parsing.hpp over OpenMP).  Any content anomaly falls back
+    to the Python path below, which raises the exact reference messages.
     """
     from .file_reader import read_lines
+
+    streamed = _read_header_and_offset(filename)
+    if streamed is not None:
+        header_lines, sv_offset = streamed
+        try:
+            # the placeholder row only satisfies the header parser's
+            # "rows exist after SV" check; it is never parsed
+            params, rho, labels, _ = parse_model_header(
+                header_lines + ["<sv-row>"]
+            )
+        except InvalidFileFormatError:
+            params = None
+        if params is not None:
+            from ..native import parse_model_svs_native
+
+            nr_class = rho.size if rho.size > 1 else 2
+            n_lead = 1 if nr_class == 2 else nr_class
+            native = parse_model_svs_native(filename, sv_offset, n_lead, dtype)
+            if native is not None:
+                coeffs, data = native
+                if len(labels) != data.shape[0]:
+                    raise InvalidFileFormatError(
+                        f"Found {data.shape[0]} support vectors, but expected "
+                        f"{len(labels)}!"
+                    )
+                alpha = coeffs[:, 0] if nr_class == 2 else coeffs
+                return params, rho, data, alpha, labels
 
     lines = read_lines(filename, comment="#")
     params, rho, labels, num_header_lines = parse_model_header(lines)
@@ -315,20 +386,35 @@ def write_model_file(
     header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
     header.append("SV")
 
+    sv = np.asarray(support_vectors)
+    # class-grouped row order (ascending within each class, classes in
+    # different_labels order — identical to the Python loop below)
+    order = np.concatenate(
+        [np.nonzero(labels == str(lab))[0] for lab in different_labels]
+    )
+
+    # native fast path: threaded formatting, byte-identical output (the C
+    # py_repr matches CPython's repr; features use the same "{:.10e}")
+    from ..native import write_model_native
+
+    alpha_2d = alpha.reshape(-1, 1) if alpha.ndim == 1 else alpha
+    if write_model_native(
+        filename, "\n".join(header) + "\n", sv, alpha_2d, order
+    ):
+        return
+
     with open(filename, "w", encoding="utf-8") as fh:
         fh.write("\n".join(header))
         fh.write("\n")
-        sv = np.asarray(support_vectors)
-        for lab in different_labels:
-            for i in np.nonzero(labels == str(lab))[0]:
-                row = sv[i]
-                cols = np.nonzero(row != 0.0)[0]
-                entries = "".join(f"{j + 1}:{row[j]:.10e} " for j in cols)
-                if alpha.ndim == 1:
-                    coeffs = _fmt_g(alpha[i])
-                else:
-                    coeffs = " ".join(_fmt_g(a) for a in alpha[i])
-                fh.write(f"{coeffs} {entries}\n")
+        for i in order:
+            row = sv[i]
+            cols = np.nonzero(row != 0.0)[0]
+            entries = "".join(f"{j + 1}:{row[j]:.10e} " for j in cols)
+            if alpha.ndim == 1:
+                coeffs = _fmt_g(alpha[i])
+            else:
+                coeffs = " ".join(_fmt_g(a) for a in alpha[i])
+            fh.write(f"{coeffs} {entries}\n")
 
 
 def _fmt_g(value: float) -> str:

@@ -6,6 +6,18 @@ works (slower) without a toolchain.  Equivalent of the reference's native IO
 layer (include/plssvm/detail/io/{file_reader,libsvm_parsing}.hpp).
 """
 
-from .loader import native_available, parse_libsvm_native, write_libsvm_native
+from .loader import (
+    native_available,
+    parse_libsvm_native,
+    parse_model_svs_native,
+    write_libsvm_native,
+    write_model_native,
+)
 
-__all__ = ["native_available", "parse_libsvm_native", "write_libsvm_native"]
+__all__ = [
+    "native_available",
+    "parse_libsvm_native",
+    "parse_model_svs_native",
+    "write_libsvm_native",
+    "write_model_native",
+]

@@ -114,6 +114,52 @@ void parallel_for_lines(size_t n, Fn&& fn) {
     for (auto& th : threads) th.join();
 }
 
+// Format a double exactly like CPython's repr(): shortest round-trip digits,
+// fixed notation for decimal exponent in [-4, 16), scientific otherwise
+// (sign + >=2 exponent digits).  Keeps natively-written model files
+// byte-identical to the Python writer (io/model_file.py::_fmt_g).
+int py_repr(double v, char* buf) {
+    auto res = std::to_chars(buf, buf + 40, v, std::chars_format::scientific);
+    int len = static_cast<int>(res.ptr - buf);
+    if (res.ec != std::errc()) {  // inf/nan etc. — match repr()
+        const int n = snprintf(buf, 48, "%g", v);
+        return n;
+    }
+    buf[len] = '\0';  // atoi below must not run into uninitialized bytes
+    // split "[-]D[.DDD]e±XX" into digits and exponent
+    char digits[40];
+    int nd = 0;
+    int i = 0;
+    bool neg = false;
+    if (buf[i] == '-') { neg = true; ++i; }
+    for (; i < len && buf[i] != 'e'; ++i) {
+        if (buf[i] != '.') digits[nd++] = buf[i];
+    }
+    int exp10 = atoi(buf + i + 1);
+    if (exp10 < -4 || exp10 >= 16) return len;  // scientific: as-is
+    // fixed notation
+    char out[64];
+    int w = 0;
+    if (neg) out[w++] = '-';
+    if (exp10 >= 0) {
+        for (int k = 0; k <= exp10; ++k) out[w++] = k < nd ? digits[k] : '0';
+        out[w++] = '.';
+        if (exp10 + 1 < nd) {
+            for (int k = exp10 + 1; k < nd; ++k) out[w++] = digits[k];
+        } else {
+            out[w++] = '0';
+        }
+    } else {
+        out[w++] = '0';
+        out[w++] = '.';
+        for (int k = 0; k < -exp10 - 1; ++k) out[w++] = '0';
+        for (int k = 0; k < nd; ++k) out[w++] = digits[k];
+    }
+    memcpy(buf, out, static_cast<size_t>(w));
+    buf[w] = '\0';
+    return w;
+}
+
 }  // namespace
 
 extern "C" {
@@ -127,6 +173,8 @@ struct PlssvmParseResult {
     int64_t d;
     int32_t has_labels;
     char error[512];
+    double* coeffs;   // n*n_lead leading per-row floats (model SV blocks), or NULL
+    int64_t n_lead;
 };
 
 static void set_error(PlssvmParseResult* out, const std::string& msg) {
@@ -136,8 +184,10 @@ static void set_error(PlssvmParseResult* out, const std::string& msg) {
 void plssvm_free_result(PlssvmParseResult* out) {
     free(out->data);
     free(out->labels);
+    free(out->coeffs);
     out->data = nullptr;
     out->labels = nullptr;
+    out->coeffs = nullptr;
 }
 
 // Parse rows [row_begin, row_end) of a LIBSVM file (row_end < 0 -> all).
@@ -427,6 +477,246 @@ int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
             for (int64_t i = lo; i < hi; ++i) {
                 if (labels != nullptr) {
                     buf += label_ptr[static_cast<size_t>(i)];
+                    buf += ' ';
+                }
+                const double* row = data + i * d;
+                for (int64_t j = 0; j < d; ++j) {
+                    if (row[j] != 0.0) {
+                        const int len = snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
+                                                 static_cast<long long>(j + 1), row[j]);
+                        buf.append(tmp, static_cast<size_t>(len));
+                    }
+                }
+                buf += '\n';
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    int rc = 0;
+    for (const std::string& buf : buffers) {
+        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
+            rc = 2;
+            break;
+        }
+    }
+    if (fclose(fh) != 0) rc = 2;
+    return rc;
+}
+
+// Parse the SV block of a LIBSVM model file starting at byte `offset`
+// (just past the "SV" header line): each row is `n_lead` plain floats
+// (alpha columns — 1 for binary models, C for one-vs-all multiclass)
+// followed by sparse `idx:val` features (reference:
+// libsvm_model_parsing.hpp:294-500; the Python equivalent is
+// io/model_file.py::parse_model_file).
+// Returns 0 on success, 2 on IO error, 3 on ANY content anomaly — the
+// caller falls back to the Python parser, which produces the exact
+// reference error message for every invalid-file case.
+int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
+                           PlssvmParseResult* out) {
+    memset(out, 0, sizeof(*out));
+    if (n_lead < 1) return 3;
+
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+        return 2;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return 2;
+    }
+    const size_t size = static_cast<size_t>(st.st_size);
+    if (offset < 0 || static_cast<size_t>(offset) > size) {
+        close(fd);
+        return 3;
+    }
+    const char* base = nullptr;
+    if (size > 0) {
+        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) {
+            close(fd);
+            return 2;
+        }
+        base = static_cast<const char*>(map);
+    }
+    auto cleanup = [&]() {
+        if (base) munmap(const_cast<char*>(base), size);
+        close(fd);
+    };
+
+    std::vector<Line> lines;
+    lines.reserve((size - static_cast<size_t>(offset)) / 64 + 1);
+    const char* p = base + offset;
+    const char* file_end = base + size;
+    while (p < file_end) {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(file_end - p)));
+        const char* line_end = nl ? nl : file_end;
+        const char* b = p;
+        const char* e = line_end;
+        while (b < e && is_space(*b)) ++b;
+        while (e > b && is_space(*(e - 1))) --e;
+        if (b < e && *b != '#') lines.push_back({b, e});
+        p = nl ? nl + 1 : file_end;
+    }
+
+    const size_t n = lines.size();
+    if (n == 0) {
+        cleanup();
+        return 3;
+    }
+
+    // ---- pass 1 (parallel): validate rows, find the feature count ----
+    std::atomic<bool> bad{false};
+    std::atomic<long long> max_index{0};
+    std::vector<const char*> feat_begin(n, nullptr);  // first idx:val token
+
+    parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        long long local_max = 0;
+        for (size_t i = lo; i < hi; ++i) {
+            if (bad.load(std::memory_order_relaxed)) return;
+            const Line& ln = lines[i];
+            const char* q = ln.begin;
+            for (int64_t lead = 0; lead < n_lead; ++lead) {
+                while (q < ln.end && is_space(*q)) ++q;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                double value;
+                if (q >= ln.end ||
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)) != nullptr ||
+                    !parse_value(q, tok_end, &value)) {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+                q = tok_end;
+            }
+            feat_begin[i] = q;
+            long long last_index = 0;
+            while (q < ln.end) {
+                while (q < ln.end && is_space(*q)) ++q;
+                if (q >= ln.end) break;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                const char* colon = static_cast<const char*>(
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)));
+                long long index;
+                double value;
+                if (colon == nullptr || !parse_index(q, colon, &index) ||
+                    index <= 0 || last_index >= index ||
+                    !parse_value(colon + 1, tok_end, &value)) {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+                last_index = index;
+                local_max = std::max(local_max, index);
+                q = tok_end;
+            }
+        }
+        long long seen = max_index.load(std::memory_order_relaxed);
+        while (local_max > seen &&
+               !max_index.compare_exchange_weak(seen, local_max)) {
+        }
+    });
+
+    if (bad.load() || max_index.load() == 0) {
+        cleanup();
+        return 3;
+    }
+    const long long d = max_index.load();
+
+    double* data = static_cast<double*>(
+        calloc(n * static_cast<size_t>(d), sizeof(double)));
+    double* coeffs = static_cast<double*>(
+        malloc(n * static_cast<size_t>(n_lead) * sizeof(double)));
+    if (data == nullptr || coeffs == nullptr) {
+        free(data);
+        free(coeffs);
+        cleanup();
+        set_error(out, "Out of memory allocating the data matrix!");
+        return 2;
+    }
+
+    // ---- pass 2 (parallel): fill coefficients + dense features ----
+    parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i) {
+            const Line& ln = lines[i];
+            const char* q = ln.begin;
+            double* crow = coeffs + i * static_cast<size_t>(n_lead);
+            for (int64_t lead = 0; lead < n_lead; ++lead) {
+                while (q < ln.end && is_space(*q)) ++q;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                parse_value(q, tok_end, &crow[lead]);  // validated in pass 1
+                q = tok_end;
+            }
+            double* row = data + i * static_cast<size_t>(d);
+            while (q < ln.end) {
+                while (q < ln.end && is_space(*q)) ++q;
+                if (q >= ln.end) break;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                const char* colon = static_cast<const char*>(
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)));
+                long long index = 0;
+                double value = 0.0;
+                parse_index(q, colon, &index);
+                parse_value(colon + 1, tok_end, &value);
+                row[index - 1] = value;
+                q = tok_end;
+            }
+        }
+    });
+
+    cleanup();
+    out->data = data;
+    out->coeffs = coeffs;
+    out->n_lead = n_lead;
+    out->n = static_cast<int64_t>(n);
+    out->n_total = static_cast<int64_t>(n);
+    out->d = d;
+    return 0;
+}
+
+// Write a LIBSVM model file: `header` verbatim (must end with "SV\n"), then
+// one row per support vector in `order` permutation (class-grouped by the
+// caller): n_coeffs alpha values (CPython repr formatting — byte-identical
+// to the Python writer) followed by sparse "{idx}:{:.10e} " features.
+// Returns 0 on success, 2 on IO error.
+int plssvm_write_model(const char* path, const char* header,
+                       const double* data, const double* coeffs,
+                       const int64_t* order, int64_t n, int64_t d,
+                       int64_t n_coeffs) {
+    FILE* fh = fopen(path, "w");
+    if (fh == nullptr) return 2;
+    const size_t header_len = strlen(header);
+    if (header_len > 0 &&
+        fwrite(header, 1, header_len, fh) != header_len) {
+        fclose(fh);
+        return 2;
+    }
+
+    const size_t nt = num_threads_for(static_cast<size_t>(n));
+    const int64_t chunk =
+        (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
+    std::vector<std::string> buffers(nt);
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t < nt; ++t) {
+        const int64_t lo = static_cast<int64_t>(t) * chunk;
+        const int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([&, t, lo, hi] {
+            std::string& buf = buffers[t];
+            buf.reserve(static_cast<size_t>((hi - lo) * (d + n_coeffs) * 8));
+            char tmp[64];
+            for (int64_t w = lo; w < hi; ++w) {
+                const int64_t i = order ? order[w] : w;
+                const double* crow = coeffs + i * n_coeffs;
+                for (int64_t c = 0; c < n_coeffs; ++c) {
+                    const int len = py_repr(crow[c], tmp);
+                    buf.append(tmp, static_cast<size_t>(len));
                     buf += ' ';
                 }
                 const double* row = data + i * d;

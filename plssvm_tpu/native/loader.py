@@ -40,6 +40,8 @@ class _ParseResult(ctypes.Structure):
         ("d", ctypes.c_int64),
         ("has_labels", ctypes.c_int32),
         ("error", ctypes.c_char * 512),
+        ("coeffs", ctypes.POINTER(ctypes.c_double)),
+        ("n_lead", ctypes.c_int64),
     ]
 
 
@@ -113,6 +115,22 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
             ]
             lib.plssvm_write_libsvm.restype = ctypes.c_int
+            lib.plssvm_parse_model_svs.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(_ParseResult),
+            ]
+            lib.plssvm_parse_model_svs.restype = ctypes.c_int
+            lib.plssvm_write_model.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.plssvm_write_model.restype = ctypes.c_int
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -194,6 +212,64 @@ def parse_libsvm_native_window(
         return data, labels, n_total, d
     finally:
         lib.plssvm_free_result(ctypes.byref(res))
+
+
+def parse_model_svs_native(
+    filename: str, offset: int, n_lead: int, dtype=np.float64
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parse a model file's SV block starting at byte ``offset``.
+
+    Each row holds ``n_lead`` alpha columns then sparse features.  Returns
+    ``(coeffs (n, n_lead), data (n, d))`` or ``None`` meaning 'fall back to
+    the Python parser' — the native path bails out on ANY content anomaly so
+    the Python path can raise the exact reference error message.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    res = _ParseResult()
+    rc = lib.plssvm_parse_model_svs(
+        filename.encode(), int(offset), int(n_lead), ctypes.byref(res)
+    )
+    if rc != 0:
+        return None
+    try:
+        n, d = int(res.n), int(res.d)
+        data = np.ctypeslib.as_array(res.data, shape=(n, d)).astype(dtype, copy=True)
+        coeffs = np.ctypeslib.as_array(
+            res.coeffs, shape=(n, int(res.n_lead))
+        ).astype(dtype, copy=True)
+        return coeffs, data
+    finally:
+        lib.plssvm_free_result(ctypes.byref(res))
+
+
+def write_model_native(
+    filename: str, header: str, support_vectors: np.ndarray,
+    coeffs: np.ndarray, order: np.ndarray,
+) -> bool:
+    """Write a model file natively; False means 'fall back to Python'.
+
+    ``header`` is written verbatim (must end with "SV\\n"); rows follow in
+    ``order`` permutation with ``coeffs.shape[1]`` alpha columns each,
+    byte-identical to io/model_file.py's Python writer.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return False
+    sv = np.ascontiguousarray(support_vectors, dtype=np.float64)
+    co = np.ascontiguousarray(coeffs, dtype=np.float64)
+    od = np.ascontiguousarray(order, dtype=np.int64)
+    n, d = sv.shape
+    rc = lib.plssvm_write_model(
+        filename.encode(),
+        header.encode(),
+        sv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        co.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        od.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, d, co.shape[1],
+    )
+    return rc == 0
 
 
 def write_libsvm_native(

@@ -184,3 +184,110 @@ class TestWindowedParse:
                 parse_libsvm_native_window(bad, 0, 2)  # error is in row 2
         finally:
             os.unlink(bad)
+
+
+class TestNativeModelIO:
+    """Native model-file write/parse vs the Python path — byte parity."""
+
+    def _make_model_arrays(self, n=60, d=7, C=1, seed=0, dtype=np.float64):
+        rng = np.random.default_rng(seed)
+        sv = rng.normal(size=(n, d)).astype(dtype)
+        sv[rng.random(size=sv.shape) < 0.3] = 0.0  # sparse rows
+        alpha = (
+            rng.normal(size=n) if C == 1 else rng.normal(size=(n, C))
+        ).astype(dtype)
+        # repr edge cases: integral floats, tiny/huge magnitudes, -0.0
+        flat = alpha.reshape(-1)
+        flat[0] = 1.0
+        flat[1] = -0.0
+        flat[2] = 1e16
+        flat[3] = 1e-5
+        flat[4] = 0.0001
+        flat[5] = 9999999999999998.0
+        labels = np.asarray(["1" if i % 2 == 0 else "-1" for i in range(n)])
+        return sv, alpha, labels
+
+    @pytest.mark.parametrize("n_classes", [2, 3])
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_write_byte_identical_to_python(
+        self, tmp_path, monkeypatch, n_classes, dtype
+    ):
+        from plssvm_tpu.io.model_file import write_model_file
+        from plssvm_tpu.parameter import Parameter
+        import plssvm_tpu.native as native_mod
+
+        if not native_mod.native_available():
+            pytest.skip("native library unavailable")
+        C = 1 if n_classes == 2 else n_classes
+        sv, alpha, labels = self._make_model_arrays(C=C, dtype=dtype)
+        if n_classes == 3:
+            labels = np.asarray([str(i % 3) for i in range(len(labels))])
+        params = Parameter(kernel_type="rbf", gamma=0.25)
+        rho = 0.5 if n_classes == 2 else np.asarray([0.5, -0.25, 1.0])
+        diff = ["1", "-1"] if n_classes == 2 else ["0", "1", "2"]
+
+        f_native = str(tmp_path / "native.model")
+        write_model_file(f_native, params, rho, alpha, sv, labels, diff)
+
+        f_python = str(tmp_path / "python.model")
+        monkeypatch.setattr(
+            native_mod, "write_model_native", lambda *a, **k: False
+        )
+        write_model_file(f_python, params, rho, alpha, sv, labels, diff)
+
+        nat = open(f_native, "rb").read()
+        pyt = open(f_python, "rb").read()
+        # the creation-timestamp comment differs; compare from line 2 on
+        assert nat.split(b"\n", 1)[1] == pyt.split(b"\n", 1)[1]
+
+    @pytest.mark.parametrize("n_classes", [2, 3])
+    def test_parse_native_matches_python(self, tmp_path, monkeypatch, n_classes):
+        from plssvm_tpu.io.model_file import parse_model_file, write_model_file
+        from plssvm_tpu.parameter import Parameter
+        import plssvm_tpu.native as native_mod
+
+        if not native_mod.native_available():
+            pytest.skip("native library unavailable")
+        C = 1 if n_classes == 2 else n_classes
+        sv, alpha, labels = self._make_model_arrays(C=C, seed=3)
+        if n_classes == 3:
+            labels = np.asarray([str(i % 3) for i in range(len(labels))])
+        params = Parameter(kernel_type="polynomial", degree=2, gamma=0.1,
+                           coef0=1.5)
+        rho = -0.75 if n_classes == 2 else np.asarray([0.5, -0.25, 1.0])
+        diff = ["1", "-1"] if n_classes == 2 else ["0", "1", "2"]
+        path = str(tmp_path / "m.model")
+        write_model_file(path, params, rho, alpha, sv, labels, diff)
+
+        got = parse_model_file(path)
+
+        calls = {"native": 0}
+        orig = native_mod.parse_model_svs_native
+
+        def no_native(*a, **k):
+            calls["native"] += 1
+            return None
+
+        monkeypatch.setattr(native_mod, "parse_model_svs_native", no_native)
+        want = parse_model_file(path)
+        assert calls["native"] == 1  # the fast path was attempted + bypassed
+
+        np.testing.assert_array_equal(got[2], want[2])  # support vectors
+        np.testing.assert_array_equal(got[3], want[3])  # alpha
+        np.testing.assert_array_equal(got[1], want[1])  # rho
+        assert got[4] == want[4]                        # labels
+        assert got[0].equivalent(want[0])
+
+    def test_parse_invalid_models_raise_same_errors(self):
+        # the native fast path must bail out to the Python parser on every
+        # invalid fixture so the exact reference error message survives
+        import glob
+
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.model_file import parse_model_file
+
+        fixtures = sorted(glob.glob("tests/data/model/invalid/*.model"))
+        assert len(fixtures) >= 20
+        for path in fixtures:
+            with pytest.raises(InvalidFileFormatError):
+                parse_model_file(path)

@@ -19,6 +19,7 @@ from plssvm_tpu.ops.matvec import kernel_matvec_xla
 from plssvm_tpu.ops.pallas_matvec import (
     kernel_matvec_pallas,
     kernel_matvec_pallas_big,
+    kernel_matvec_pallas_rect,
 )
 from plssvm_tpu.parameter import KernelFunctionType
 
@@ -67,6 +68,11 @@ def main():
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
         "dual_bf16": lambda X, sq, v: kernel_matvec_pallas_big(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
+        # the 2x full walk (every (i, j) tile computed) — the round-1 design
+        # the dual kernel replaced; kept benchable for the comparison
+        "rect_full": lambda X, sq, v: kernel_matvec_pallas_rect(
+            X, X, sq, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+            symmetric=False),
     }
     only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     if only:
