@@ -783,7 +783,6 @@ class CSVM:
                 )
             elif (
                 self.backend == BackendType.PALLAS
-                and alpha.ndim == 1
                 and points.shape[0] >= 512
                 and sv.shape[0] >= 512
             ):
@@ -829,9 +828,20 @@ class CSVM:
         kernel inside its 32-bit offset range, so a model of ANY size can be
         scored (VERDICT round 1: a 1M x 1k model must be scorable).  Padded
         SV rows carry zero alpha, padded point rows are sliced off.
+
+        Multiclass models (``alpha`` (n_sv, C)) run the rect matmat: each
+        K(points, SV) chunk is contracted with all C class-major alpha
+        columns in one kernel walk, returning (n_pred, C) decision columns.
         """
-        from .ops.pallas_matvec import kernel_matvec_pallas_rect
+        from .ops.pallas_matvec import (
+            kernel_matmat_pallas_dual,
+            kernel_matvec_pallas_rect,
+        )
         from .solver.cg import PALLAS_MAX_OPERAND_BYTES
+
+        multi = alpha.ndim == 2
+        n_classes = alpha.shape[1] if multi else 1
+        cp = max(8, -(-n_classes // 8) * 8)
 
         n_pred, d_in = points.shape
         n_sv = sv.shape[0]
@@ -858,6 +868,10 @@ class CSVM:
         nsv_pad = _round_up(n_sv, sv_chunk)
         points_p = _pad_2d(points, np_pad, d_pad)
         sq_p = _row_sq_norms(points_p)
+        if multi:
+            # class-major alpha block, sublane-padded (O(8 n_sv) bytes)
+            alpha_t = jnp.zeros((cp, nsv_pad), dtype=points.dtype)
+            alpha_t = alpha_t.at[:n_classes, :n_sv].set(alpha.T)
 
         # chunks are SLICED from the original SV array and only the tail
         # chunk is padded: a full padded copy of a 1M x 1k model (plus every
@@ -867,21 +881,34 @@ class CSVM:
             pe = pi + p_chunk
             pts_blk = points_p[pi:pe]
             sq_blk = sq_p[pi:pe]
+            vx_zero = (
+                jnp.zeros((cp, p_chunk), dtype=points.dtype) if multi else None
+            )
             acc = None
             for sj in range(0, nsv_pad, sv_chunk):
                 se = min(sj + sv_chunk, n_sv)
                 sv_blk = _pad_2d(sv[sj:se], sv_chunk, d_pad)
-                alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)
                 sq_sv_blk = _row_sq_norms(sv_blk)
-                blk = kernel_matvec_pallas_rect(
-                    pts_blk, sv_blk, sq_blk, sq_sv_blk, alpha_blk,
-                    kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                )
+                if multi:
+                    blk, _ = kernel_matmat_pallas_dual(
+                        pts_blk, sv_blk, sq_blk, sq_sv_blk,
+                        alpha_t[:, sj:sj + sv_chunk], vx_zero,
+                        kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                    )
+                else:
+                    alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)
+                    blk = kernel_matvec_pallas_rect(
+                        pts_blk, sv_blk, sq_blk, sq_sv_blk, alpha_blk,
+                        kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                    )
                 # bound live memory: without the sync every chunk's padded
                 # slice stays allocated until the whole loop has dispatched
                 blk.block_until_ready()
                 acc = blk if acc is None else acc + blk
             parts.append(acc)
+        if multi:
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return (out.T[:n_pred, :n_classes] - rho[None, :])
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return (out - rho)[:n_pred]
 

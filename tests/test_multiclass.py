@@ -345,3 +345,33 @@ class TestMulticlassSVC:
         assert clf.intercept_.shape == (3,)
         assert clf.n_support_.shape == (3,)
         assert clf.score(X, y) >= 0.95
+
+
+class TestMulticlassPallasPredict:
+    def test_pallas_predict_matches_blocked(self):
+        """The rect-matmat multiclass predict (interpret mode) must equal
+        the XLA blocked-streaming decision values."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        X, y = make_multiclass_blobs(640, 12, n_classes=3, seed=9,
+                                     dtype=np.float32)
+        data = DataSet(X, y)
+        svm = CSVM(target="cpu", kernel_type="rbf", cost=10.0,
+                   dtype=np.float32)
+        model = svm.fit(data, epsilon=1e-6)
+        want = svm.predict_values(model, data)  # blocked XLA path on CPU
+
+        sv = jnp.asarray(model.support_vectors, jnp.float32)
+        alpha = jnp.asarray(model.alpha, jnp.float32)
+        points = jnp.asarray(data.data, jnp.float32)
+        gamma = jnp.asarray(model.params.resolved_gamma(X.shape[1]),
+                            jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = svm._predict_values_pallas(
+                sv, alpha, points, jnp.asarray(model.rho, jnp.float32),
+                gamma, jnp.float32(0.0), KernelFunctionType.RBF, 3,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=5e-4, atol=5e-4
+        )
+        assert np.asarray(got).shape == (640, 3)
