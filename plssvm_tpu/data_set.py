@@ -22,7 +22,6 @@ import numpy as np
 from .exceptions import DataSetError
 from .io import arff as arff_io
 from .io import libsvm as libsvm_io
-from .io.file_reader import read_lines
 from .io.scaling_file import parse_scaling_factors, write_scaling_factors
 from .parameter import FileFormatType
 from .utils.logger import VerbosityLevel, log
@@ -266,8 +265,8 @@ class DataSet:
         else:
             fmt = FileFormatType.from_string(file_format)
         if fmt == FileFormatType.ARFF:
-            lines = read_lines(filename, comment="%")
-            X, raw_labels = arff_io.parse_arff_lines(lines, dtype=dtype)
+            # native mmap + multithreaded fast path with Python fallback
+            X, raw_labels = arff_io.parse_arff_file(filename, dtype=dtype)
         else:
             # native mmap + multithreaded fast path with NumPy fallback
             X, raw_labels = libsvm_io.parse_libsvm_file(filename, dtype=dtype)

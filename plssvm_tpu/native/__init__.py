@@ -8,6 +8,7 @@ layer (include/plssvm/detail/io/{file_reader,libsvm_parsing}.hpp).
 
 from .loader import (
     native_available,
+    parse_arff_data_native,
     parse_libsvm_native,
     parse_model_svs_native,
     write_libsvm_native,
@@ -16,6 +17,7 @@ from .loader import (
 
 __all__ = [
     "native_available",
+    "parse_arff_data_native",
     "parse_libsvm_native",
     "parse_model_svs_native",
     "write_libsvm_native",

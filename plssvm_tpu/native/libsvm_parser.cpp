@@ -680,6 +680,216 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
     return 0;
 }
 
+// Parse the data section of an ARFF file starting at byte `offset` (just
+// past the "@DATA" line): dense "v,...,label" rows (label at comma position
+// `label_idx` of num_features+has_label fields) and sparse "{idx val, ...}"
+// rows with zero-based indices (reference: arff_parsing.hpp:236-376; Python
+// equivalent io/arff.py::parse_arff_lines).  Comment lines start with '%'.
+// Returns 0 on success, 2 on IO error, 3 on ANY content anomaly — the
+// caller falls back to the Python parser for the exact error message.
+int plssvm_parse_arff_data(const char* path, int64_t offset,
+                           int64_t num_features, int64_t label_idx,
+                           int32_t has_label, PlssvmParseResult* out) {
+    memset(out, 0, sizeof(*out));
+    if (num_features <= 0) return 3;
+    const int64_t num_attributes = num_features + (has_label ? 1 : 0);
+
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return 2;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return 2;
+    }
+    const size_t size = static_cast<size_t>(st.st_size);
+    if (offset < 0 || static_cast<size_t>(offset) > size) {
+        close(fd);
+        return 3;
+    }
+    const char* base = nullptr;
+    if (size > 0) {
+        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) {
+            close(fd);
+            return 2;
+        }
+        base = static_cast<const char*>(map);
+    }
+    auto cleanup = [&]() {
+        if (base) munmap(const_cast<char*>(base), size);
+        close(fd);
+    };
+
+    std::vector<Line> lines;
+    lines.reserve((size - static_cast<size_t>(offset)) / 32 + 1);
+    const char* p = base + offset;
+    const char* file_end = base + size;
+    while (p < file_end) {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(file_end - p)));
+        const char* line_end = nl ? nl : file_end;
+        const char* b = p;
+        const char* e = line_end;
+        while (b < e && is_space(*b)) ++b;
+        while (e > b && is_space(*(e - 1))) --e;
+        if (b < e && *b != '%') lines.push_back({b, e});
+        p = nl ? nl + 1 : file_end;
+    }
+
+    const size_t n = lines.size();
+    if (n == 0) {
+        cleanup();
+        return 3;
+    }
+
+    double* data = static_cast<double*>(
+        calloc(n * static_cast<size_t>(num_features), sizeof(double)));
+    std::vector<Line> label_tokens(n, {nullptr, nullptr});
+    if (data == nullptr) {
+        cleanup();
+        return 2;
+    }
+
+    std::atomic<bool> bad{false};
+    parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i) {
+            if (bad.load(std::memory_order_relaxed)) return;
+            const Line& ln = lines[i];
+            double* row = data + i * static_cast<size_t>(num_features);
+            if (*ln.begin == '@') {
+                bad.store(true, std::memory_order_relaxed);
+                return;
+            }
+            if (*ln.begin == '{') {
+                if (*(ln.end - 1) != '}') {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+                bool class_set = false;
+                const char* q = ln.begin + 1;
+                const char* body_end = ln.end - 1;
+                while (q < body_end) {
+                    // entry: "idx value", entries comma-separated
+                    const char* entry_end = static_cast<const char*>(
+                        memchr(q, ',', static_cast<size_t>(body_end - q)));
+                    if (entry_end == nullptr) entry_end = body_end;
+                    const char* b = q;
+                    const char* e = entry_end;
+                    while (b < e && is_space(*b)) ++b;
+                    while (e > b && is_space(*(e - 1))) --e;
+                    q = entry_end + 1;
+                    if (b >= e) continue;  // empty body "{}" handled below
+                    const char* idx_end = b;
+                    while (idx_end < e && !is_space(*idx_end)) ++idx_end;
+                    const char* val_begin = idx_end;
+                    while (val_begin < e && is_space(*val_begin)) ++val_begin;
+                    long long index;
+                    if (val_begin >= e || !parse_index(b, idx_end, &index) ||
+                        index < 0 || index >= num_attributes) {
+                        bad.store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    if (has_label && index == label_idx) {
+                        class_set = true;
+                        label_tokens[i] = {val_begin, e};
+                    } else {
+                        double value;
+                        if (!parse_value(val_begin, e, &value)) {
+                            bad.store(true, std::memory_order_relaxed);
+                            return;
+                        }
+                        if (has_label && index > label_idx) --index;
+                        row[index] = value;
+                    }
+                }
+                if (has_label && !class_set) {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+            } else {
+                if (*(ln.end - 1) == '}') {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+                const char* q = ln.begin;
+                long long field = 0;
+                long long feat = 0;
+                while (q <= ln.end) {
+                    const char* tok_end = static_cast<const char*>(
+                        memchr(q, ',', static_cast<size_t>(ln.end - q)));
+                    if (tok_end == nullptr) tok_end = ln.end;
+                    const char* b = q;
+                    const char* e = tok_end;
+                    while (b < e && is_space(*b)) ++b;
+                    while (e > b && is_space(*(e - 1))) --e;
+                    if (field >= num_attributes) {
+                        bad.store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    if (has_label && field == label_idx) {
+                        label_tokens[i] = {b, e};
+                    } else {
+                        double value;
+                        if (!parse_value(b, e, &value)) {
+                            bad.store(true, std::memory_order_relaxed);
+                            return;
+                        }
+                        row[feat++] = value;
+                    }
+                    ++field;
+                    if (tok_end == ln.end) break;
+                    q = tok_end + 1;
+                }
+                if (field != num_attributes) {
+                    bad.store(true, std::memory_order_relaxed);
+                    return;
+                }
+            }
+        }
+    });
+
+    if (bad.load()) {
+        free(data);
+        cleanup();
+        return 3;
+    }
+
+    char* labels_buf = nullptr;
+    int64_t labels_bytes = 0;
+    if (has_label) {
+        size_t total = 0;
+        for (size_t i = 0; i < n; ++i) {
+            total += static_cast<size_t>(
+                         label_tokens[i].end - label_tokens[i].begin) + 1;
+        }
+        labels_buf = static_cast<char*>(malloc(total));
+        if (labels_buf == nullptr) {
+            free(data);
+            cleanup();
+            return 2;
+        }
+        char* w = labels_buf;
+        for (size_t i = 0; i < n; ++i) {
+            const size_t len = static_cast<size_t>(
+                label_tokens[i].end - label_tokens[i].begin);
+            memcpy(w, label_tokens[i].begin, len);
+            w += len;
+            *w++ = '\0';
+        }
+        labels_bytes = static_cast<int64_t>(total);
+    }
+
+    cleanup();
+    out->data = data;
+    out->labels = labels_buf;
+    out->labels_bytes = labels_bytes;
+    out->n = static_cast<int64_t>(n);
+    out->n_total = static_cast<int64_t>(n);
+    out->d = num_features;
+    out->has_labels = has_label ? 1 : 0;
+    return 0;
+}
+
 // Write a LIBSVM model file: `header` verbatim (must end with "SV\n"), then
 // one row per support vector in `order` permutation (class-grouped by the
 // caller): n_coeffs alpha values (CPython repr formatting — byte-identical

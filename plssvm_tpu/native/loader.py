@@ -120,6 +120,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(_ParseResult),
             ]
             lib.plssvm_parse_model_svs.restype = ctypes.c_int
+            lib.plssvm_parse_arff_data.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(_ParseResult),
+            ]
+            lib.plssvm_parse_arff_data.restype = ctypes.c_int
             lib.plssvm_write_model.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_char_p,
@@ -240,6 +245,38 @@ def parse_model_svs_native(
             res.coeffs, shape=(n, int(res.n_lead))
         ).astype(dtype, copy=True)
         return coeffs, data
+    finally:
+        lib.plssvm_free_result(ctypes.byref(res))
+
+
+def parse_arff_data_native(
+    filename: str, offset: int, num_features: int, label_idx: int,
+    has_label: bool, dtype=np.float64,
+) -> Optional[Tuple[np.ndarray, Optional[List[str]]]]:
+    """Parse an ARFF data section starting at byte ``offset``.
+
+    Returns ``(data, labels_or_None)`` or ``None`` meaning 'fall back to the
+    Python parser' (native bails out on any content anomaly so the Python
+    path can raise the exact reference error message).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    res = _ParseResult()
+    rc = lib.plssvm_parse_arff_data(
+        filename.encode(), int(offset), int(num_features), int(label_idx),
+        1 if has_label else 0, ctypes.byref(res),
+    )
+    if rc != 0:
+        return None
+    try:
+        n, d = int(res.n), int(res.d)
+        data = np.ctypeslib.as_array(res.data, shape=(n, d)).astype(dtype, copy=True)
+        labels: Optional[List[str]] = None
+        if res.has_labels:
+            raw = ctypes.string_at(res.labels, int(res.labels_bytes))
+            labels = raw.decode(errors="replace").split("\x00")[:n]
+        return data, labels
     finally:
         lib.plssvm_free_result(ctypes.byref(res))
 

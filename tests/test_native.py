@@ -291,3 +291,79 @@ class TestNativeModelIO:
         for path in fixtures:
             with pytest.raises(InvalidFileFormatError):
                 parse_model_file(path)
+
+
+class TestNativeArff:
+    """Native ARFF data-section parse vs the Python path."""
+
+    def _write(self, path, body, labels="{A,B}"):
+        header = (
+            "% comment\n@RELATION test\n"
+            "@ATTRIBUTE f0 NUMERIC\n@ATTRIBUTE f1 NUMERIC\n"
+            "@ATTRIBUTE f2 NUMERIC\n"
+            + (f"@ATTRIBUTE class {labels}\n" if labels else "")
+            + "@DATA\n" + body
+        )
+        open(path, "w").write(header)
+
+    def test_dense_and_sparse_match_python(self, tmp_path, monkeypatch):
+        from plssvm_tpu.io.arff import parse_arff_file
+        import plssvm_tpu.native as native_mod
+
+        if not native_mod.native_available():
+            pytest.skip("native library unavailable")
+        path = str(tmp_path / "t.arff")
+        self._write(path, "1.0,2.5,-3.0,A\n"
+                          "{0 4.0, 3 B}\n"
+                          "{1 -1.5, 2 2.0, 3 A}\n"
+                          "% mid-data comment\n"
+                          "0.0,0.0,1.0,B\n")
+        got = parse_arff_file(path)
+        monkeypatch.setattr(
+            native_mod, "parse_arff_data_native", lambda *a, **k: None
+        )
+        want = parse_arff_file(path)
+        np.testing.assert_array_equal(got[0], want[0])
+        assert got[1] == want[1]
+        assert got[0].shape == (4, 3)
+
+    def test_unlabeled_and_class_position(self, tmp_path, monkeypatch):
+        from plssvm_tpu.io.arff import parse_arff_file
+        import plssvm_tpu.native as native_mod
+
+        if not native_mod.native_available():
+            pytest.skip("native library unavailable")
+        # CLASS attribute in the MIDDLE of the attribute list
+        path = str(tmp_path / "mid.arff")
+        open(path, "w").write(
+            "@RELATION r\n@ATTRIBUTE a NUMERIC\n@ATTRIBUTE class {x,y}\n"
+            "@ATTRIBUTE b NUMERIC\n@DATA\n"
+            "1.0,x,2.0\n{0 3.0, 1 y, 2 4.0}\n"
+        )
+        got = parse_arff_file(path)
+        monkeypatch.setattr(
+            native_mod, "parse_arff_data_native", lambda *a, **k: None
+        )
+        want = parse_arff_file(path)
+        np.testing.assert_array_equal(got[0], want[0])
+        assert got[1] == want[1] == ["x", "y"]
+
+        # unlabeled file
+        path2 = str(tmp_path / "nolabel.arff")
+        self._write(path2, "1.0,2.0,3.0\n{1 5.0}\n", labels=None)
+        got2 = parse_arff_file(path2)
+        want2 = parse_arff_file(path2)  # still monkeypatched -> python
+        np.testing.assert_array_equal(got2[0], want2[0])
+        assert got2[1] is None
+
+    def test_invalid_arff_fixtures_raise_same_errors(self):
+        import glob
+
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.arff import parse_arff_file
+
+        fixtures = sorted(glob.glob("tests/data/arff/invalid/*.arff"))
+        assert len(fixtures) >= 20
+        for path in fixtures:
+            with pytest.raises(InvalidFileFormatError):
+                parse_arff_file(path)
