@@ -297,18 +297,27 @@ def parse_arff_file(
 def write_arff_file(
     filename: str, data: np.ndarray, labels: Optional[np.ndarray] = None
 ) -> None:
-    """Write dense ARFF output (zeros included), reference arff_parsing.hpp:407-459."""
+    """Write dense ARFF output (zeros included), reference arff_parsing.hpp:407-459.
+
+    The row payload is formatted by the native multithreaded writer when
+    available (byte-identical "{:.10e}" output); Python is the fallback."""
     data = np.asarray(data)
     n, d = data.shape
+    header = [f"% {n}x{d}", "@RELATION data_set"]
+    header.extend(f"@ATTRIBUTE feature_{i} NUMERIC" for i in range(d))
+    if labels is not None:
+        unique = sorted({str(lab) for lab in labels})
+        header.append(f"@ATTRIBUTE class {{{','.join(unique)}}}")
+    header.append("@DATA")
+    header_str = "\n".join(header) + "\n"
+
+    from ..native import write_arff_native
+
+    if write_arff_native(filename, header_str, data, labels):
+        return
+
     with open(filename, "w", encoding="utf-8") as fh:
-        fh.write(f"% {n}x{d}\n")
-        fh.write("@RELATION data_set\n")
-        for i in range(d):
-            fh.write(f"@ATTRIBUTE feature_{i} NUMERIC\n")
-        if labels is not None:
-            unique = sorted({str(lab) for lab in labels})
-            fh.write(f"@ATTRIBUTE class {{{','.join(unique)}}}\n")
-        fh.write("@DATA\n")
+        fh.write(header_str)
         for i in range(n):
             row = ",".join(f"{v:.10e}" for v in data[i])
             if labels is not None:

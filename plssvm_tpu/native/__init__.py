@@ -11,6 +11,7 @@ from .loader import (
     parse_arff_data_native,
     parse_libsvm_native,
     parse_model_svs_native,
+    write_arff_native,
     write_libsvm_native,
     write_model_native,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "parse_arff_data_native",
     "parse_libsvm_native",
     "parse_model_svs_native",
+    "write_arff_native",
     "write_libsvm_native",
     "write_model_native",
 ]

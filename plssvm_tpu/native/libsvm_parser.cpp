@@ -890,6 +890,73 @@ int plssvm_parse_arff_data(const char* path, int64_t offset,
     return 0;
 }
 
+// Write an ARFF data file: `header` verbatim (through the "@DATA" line),
+// then dense "{:.10e},...,label" rows (zeros included — reference:
+// arff_parsing.hpp:407-459).  labels == NULL writes no label column.
+// Returns 0 on success, 2 on IO error.
+int plssvm_write_arff(const char* path, const char* header,
+                      const double* data, int64_t n, int64_t d,
+                      const char* labels) {
+    FILE* fh = fopen(path, "w");
+    if (fh == nullptr) return 2;
+    const size_t header_len = strlen(header);
+    if (header_len > 0 && fwrite(header, 1, header_len, fh) != header_len) {
+        fclose(fh);
+        return 2;
+    }
+
+    std::vector<const char*> label_ptr;
+    if (labels != nullptr) {
+        label_ptr.resize(static_cast<size_t>(n));
+        const char* q = labels;
+        for (int64_t i = 0; i < n; ++i) {
+            label_ptr[static_cast<size_t>(i)] = q;
+            q += strlen(q) + 1;
+        }
+    }
+
+    const size_t nt = num_threads_for(static_cast<size_t>(n));
+    const int64_t chunk =
+        (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
+    std::vector<std::string> buffers(nt);
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t < nt; ++t) {
+        const int64_t lo = static_cast<int64_t>(t) * chunk;
+        const int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([&, t, lo, hi] {
+            std::string& buf = buffers[t];
+            buf.reserve(static_cast<size_t>((hi - lo) * (d * 18 + 16)));
+            char tmp[40];
+            for (int64_t i = lo; i < hi; ++i) {
+                const double* row = data + i * d;
+                for (int64_t j = 0; j < d; ++j) {
+                    const int len =
+                        snprintf(tmp, sizeof(tmp), "%.10e,", row[j]);
+                    buf.append(tmp, static_cast<size_t>(len));
+                }
+                if (labels != nullptr) {
+                    buf += label_ptr[static_cast<size_t>(i)];
+                } else if (d > 0) {
+                    buf.pop_back();  // drop the trailing comma
+                }
+                buf += '\n';
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    int rc = 0;
+    for (const std::string& buf : buffers) {
+        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
+            rc = 2;
+            break;
+        }
+    }
+    if (fclose(fh) != 0) rc = 2;
+    return rc;
+}
+
 // Write a LIBSVM model file: `header` verbatim (must end with "SV\n"), then
 // one row per support vector in `order` permutation (class-grouped by the
 // caller): n_coeffs alpha values (CPython repr formatting — byte-identical

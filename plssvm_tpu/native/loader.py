@@ -125,6 +125,15 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(_ParseResult),
             ]
             lib.plssvm_parse_arff_data.restype = ctypes.c_int
+            lib.plssvm_write_arff.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_char_p,
+            ]
+            lib.plssvm_write_arff.restype = ctypes.c_int
             lib.plssvm_write_model.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_char_p,
@@ -305,6 +314,29 @@ def write_model_native(
         co.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         od.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n, d, co.shape[1],
+    )
+    return rc == 0
+
+
+def write_arff_native(
+    filename: str, header: str, data: np.ndarray, labels=None
+) -> bool:
+    """Write an ARFF data file natively; False = fall back to Python."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(data, dtype=np.float64)
+    n, d = arr.shape
+    labels_buf = None
+    if labels is not None:
+        labels_buf = b"\x00".join(str(lab).encode() for lab in labels) + b"\x00"
+    rc = lib.plssvm_write_arff(
+        filename.encode(),
+        header.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        d,
+        labels_buf,
     )
     return rc == 0
 

@@ -367,3 +367,34 @@ class TestNativeArff:
         for path in fixtures:
             with pytest.raises(InvalidFileFormatError):
                 parse_arff_file(path)
+
+
+def test_native_arff_write_byte_identical(tmp_path, monkeypatch):
+    from plssvm_tpu.io.arff import parse_arff_file, write_arff_file
+    import plssvm_tpu.native as native_mod
+
+    if not native_mod.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(40, 6))
+    y = np.asarray(["A" if i % 2 == 0 else "B" for i in range(40)])
+
+    f_nat = str(tmp_path / "nat.arff")
+    write_arff_file(f_nat, X, y)
+    f_py = str(tmp_path / "py.arff")
+    monkeypatch.setattr(native_mod, "write_arff_native", lambda *a, **k: False)
+    write_arff_file(f_py, X, y)
+    assert open(f_nat, "rb").read() == open(f_py, "rb").read()
+
+    # unlabeled variant (no trailing comma)
+    f_nat2 = str(tmp_path / "nat2.arff")
+    monkeypatch.undo()
+    write_arff_file(f_nat2, X)
+    f_py2 = str(tmp_path / "py2.arff")
+    monkeypatch.setattr(native_mod, "write_arff_native", lambda *a, **k: False)
+    write_arff_file(f_py2, X)
+    assert open(f_nat2, "rb").read() == open(f_py2, "rb").read()
+    # round-trips through the parser
+    data, labels = parse_arff_file(f_nat)
+    np.testing.assert_allclose(data, X, rtol=1e-10)
+    assert labels == list(y)
