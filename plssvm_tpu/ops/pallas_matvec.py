@@ -350,14 +350,20 @@ def kernel_matvec_pallas_dual(
     )
 
     if symmetric:
+        # strongly-typed i32 index math: under jax x64 mode the weak-typed
+        # grid indices and the literal 0 promote to i64 inside jnp.where,
+        # which Mosaic cannot legalize (infinite _convert_helper recursion)
         def xi_map(i, j, k):
-            return _i32(i, jnp.where(j >= i, k, 0))
+            i, j, k = _i32(i, j, k)
+            return i, jnp.where(j >= i, k, jnp.int32(0))
 
         def yj_map(i, j, k):
-            return _i32(jnp.maximum(i, j), jnp.where(j >= i, k, 0))
+            i, j, k = _i32(i, j, k)
+            return jnp.maximum(i, j), jnp.where(j >= i, k, jnp.int32(0))
 
         def colv_map(i, j, k):
-            return _i32(0, jnp.maximum(i, j))
+            i, j, k = _i32(i, j, k)
+            return jnp.int32(0), jnp.maximum(i, j)
     else:
         def xi_map(i, j, k):
             return _i32(i, k)
@@ -655,14 +661,20 @@ def kernel_matmat_pallas_dual(
     )
 
     if symmetric:
+        # strongly-typed i32 index math: under jax x64 mode the weak-typed
+        # grid indices and the literal 0 promote to i64 inside jnp.where,
+        # which Mosaic cannot legalize (infinite _convert_helper recursion)
         def xi_map(i, j, k):
-            return _i32(i, jnp.where(j >= i, k, 0))
+            i, j, k = _i32(i, j, k)
+            return i, jnp.where(j >= i, k, jnp.int32(0))
 
         def yj_map(i, j, k):
-            return _i32(jnp.maximum(i, j), jnp.where(j >= i, k, 0))
+            i, j, k = _i32(i, j, k)
+            return jnp.maximum(i, j), jnp.where(j >= i, k, jnp.int32(0))
 
         def colv_map(i, j, k):
-            return _i32(0, jnp.maximum(i, j))
+            i, j, k = _i32(i, j, k)
+            return jnp.int32(0), jnp.maximum(i, j)
     else:
         def xi_map(i, j, k):
             return _i32(i, k)

@@ -532,3 +532,50 @@ class TestMatmatDualKernelInterpret:
         np.testing.assert_allclose(
             np.asarray(got.rho), np.asarray(ref.rho), rtol=5e-3, atol=5e-4
         )
+
+
+def test_dual_kernels_lower_under_x64():
+    """Regression: with jax x64 enabled (a prior f64 fit in the same process
+    turns it on globally), the symmetric index maps once promoted weak-i32
+    grid indices + the literal 0 to i64 inside jnp.where — Mosaic's
+    convert_element_type helper then recursed forever.  Lowering (not
+    executing) the kernels for a TPU backend covers the legalization path;
+    interpret mode cannot (it never reaches Mosaic)."""
+    import functools
+
+    import jax
+
+    if not any(d.platform in ("tpu", "axon") for d in jax.devices()):
+        pytest.skip("needs a TPU backend to exercise Mosaic lowering")
+    from plssvm_tpu.ops.pallas_matvec import (
+        kernel_matmat_pallas_dual,
+        kernel_matvec_pallas_dual,
+    )
+
+    tpu_dev = next(
+        d for d in jax.devices() if d.platform in ("tpu", "axon")
+    )
+    was = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(tpu_dev):
+            m, d = 1024, 256
+            X = jnp.zeros((m, d), jnp.float32)
+            sq = jnp.zeros((m,), jnp.float32)
+            v = jnp.zeros((m,), jnp.float32)
+            V = jnp.zeros((8, m), jnp.float32)
+            for sym in (False, True):
+                f = functools.partial(
+                    kernel_matvec_pallas_dual, kind=KINDS["rbf"],
+                    gamma=jnp.float32(0.01), coef0=jnp.float32(0.0),
+                    degree=3, symmetric=sym,
+                )
+                jax.jit(f).lower(X, X, sq, sq, v, v)
+                g = functools.partial(
+                    kernel_matmat_pallas_dual, kind=KINDS["rbf"],
+                    gamma=jnp.float32(0.01), coef0=jnp.float32(0.0),
+                    degree=3, symmetric=sym,
+                )
+                jax.jit(g).lower(X, X, sq, sq, V, V)
+    finally:
+        jax.config.update("jax_enable_x64", was)
