@@ -552,8 +552,19 @@ class CSVM:
             )
 
             mesh = make_row_mesh(self.devices)
+            mesh_on_tpu = all(
+                getattr(dev, "platform", "") in ("tpu", "axon")
+                for dev in self.devices
+            )
+            shard_impl = (
+                "pallas"
+                if self.backend == BackendType.PALLAS
+                and kind != KernelFunctionType.LINEAR
+                and mesh_on_tpu
+                else "xla"
+            )
             solver = build_sharded_multi_solver(
-                mesh, kind=kind, degree=degree,
+                mesh, kind=kind, degree=degree, impl=shard_impl,
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
             )

@@ -120,6 +120,80 @@ def ring_kernel_matvec(
     return acc
 
 
+def ring_kernel_matmat(
+    X_local: jnp.ndarray,     # (m_local, d) this chip's row block
+    sq_local: jnp.ndarray,    # (m_local,)
+    V_local: jnp.ndarray,     # (m_local, C) this chip's slice of the RHS block
+    gamma,
+    coef0,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    axis_name: str,
+    num_devices: int,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """This chip's rows of ``K @ V`` via the ring — the block-matmat analog
+    of :func:`ring_kernel_matvec` for the one-vs-all multiclass solve.
+
+    ``impl="pallas"`` contracts each ring block with all C class-major
+    columns in one dual-matmat walk (the chip's own block through the
+    symmetric upper-triangle kernel); ``xla`` is the portable shared-Gram
+    matmul.
+    """
+    if impl == "pallas":
+        from ..solver.cg import PALLAS_MAX_OPERAND_BYTES
+
+        if X_local.size * X_local.dtype.itemsize > PALLAS_MAX_OPERAND_BYTES:
+            impl = "xla"  # per-chip block too large for 32-bit kernel offsets
+
+    perm = [(j, (j + 1) % num_devices) for j in range(num_devices)]
+    C = V_local.shape[1]
+    m_local = V_local.shape[0]
+    if impl == "pallas":
+        from ..ops.pallas_matvec import kernel_matmat_pallas_dual
+
+        cp = max(8, -(-C // 8) * 8)
+        vt_local = jnp.zeros((cp, m_local), jnp.float32).at[:C].set(
+            V_local.T.astype(jnp.float32)
+        )
+        Xc, sqc, vtc = X_local, sq_local, vt_local
+        accT = jnp.zeros((cp, m_local), jnp.float32)
+        for step in range(num_devices):
+            r, c = kernel_matmat_pallas_dual(
+                X_local, Xc, sq_local, sqc, vtc, vtc,
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                symmetric=(step == 0),
+            )
+            # the chip's own block walks the upper triangle only: the full
+            # contribution is rows + transposed-columns; cross blocks use
+            # the row contraction alone
+            accT = accT + (r + c if step == 0 else r)
+            if step + 1 < num_devices:
+                Xc = jax.lax.ppermute(Xc, axis_name, perm)
+                sqc = jax.lax.ppermute(sqc, axis_name, perm)
+                vtc = jax.lax.ppermute(vtc, axis_name, perm)
+        return accT.T[:, :C].astype(V_local.dtype)
+
+    Xc, sqc, vc = X_local, sq_local, V_local
+    acc = jnp.zeros_like(V_local)
+    for step in range(num_devices):
+        gram = jax.lax.dot_general(
+            X_local, Xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32 if X_local.dtype == jnp.float32 else None,
+        )
+        K_blk = apply_kernel_to_gram(
+            gram, sq_local[:, None], sqc[None, :], kind, gamma, coef0, degree
+        )
+        acc = acc + K_blk @ vc
+        if step + 1 < num_devices:
+            Xc = jax.lax.ppermute(Xc, axis_name, perm)
+            sqc = jax.lax.ppermute(sqc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+    return acc
+
+
 def linear_sharded_matvec(
     X_local: jnp.ndarray, v_local: jnp.ndarray, axis_name: str
 ) -> jnp.ndarray:
@@ -218,6 +292,7 @@ _MULTI_SOLVER_CACHE: dict = {}
 def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
+    impl: str = "xla",
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -227,7 +302,7 @@ def build_sharded_multi_solver(
     Gram saving of the block solve composes with the ring's O(n d / P)
     per-chip memory.  Per-class CG scalars are (C,) psums.
     """
-    key = (mesh, kind, degree, preconditioner, scalars)
+    key = (mesh, kind, degree, preconditioner, scalars, impl)
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -249,11 +324,11 @@ def build_sharded_multi_solver(
                 return linear_sharded_matvec(Xl, V, ROW_AXIS)
         else:
             def kernel_mm(Xl, sq, V, g, c0):
-                return ring_kernel_matvec(
+                return ring_kernel_matmat(
                     Xl, sq, V, g, c0,
                     kind=kind, degree=degree,
                     axis_name=ROW_AXIS, num_devices=num_devices,
-                    impl="xla",  # shared-Gram matmat; see _make_kernel_matmat
+                    impl=impl,
                 )
 
         return cg_ls_svm_multi_core(
@@ -276,6 +351,9 @@ def build_sharded_multi_solver(
                 delta=rep, delta0=rep,
                 r=row2, d=row2,
             ),
+            # pallas_call outputs carry no varying-mesh-axes metadata (same
+            # scoping as build_sharded_solver: the check stays ON for xla)
+            check_vma=(impl != "pallas"),
         )
     )
     _MULTI_SOLVER_CACHE[key] = solve

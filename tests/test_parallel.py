@@ -285,3 +285,50 @@ def test_sharded_pallas_ring_interpret(mesh):
     res_x = np.asarray(jax.device_get(sol_x(*args, *scalars).x))
     rel = np.linalg.norm(res_p - res_x) / np.linalg.norm(res_x)
     assert rel < 1e-4
+
+
+def test_sharded_multiclass_pallas_ring_interpret(mesh):
+    """The impl='pallas' multiclass ring (dual matmat per ring block) must
+    match the xla shared-Gram ring, via interpret mode on the CPU mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plssvm_tpu.parallel.sharded import build_sharded_multi_solver
+
+    devs = jax.devices("cpu")[:4]
+    small_mesh = make_row_mesh(devs)
+    dtype = np.float32
+    m, d, C = 4 * 128, 128, 3
+    rng = np.random.default_rng(1)
+    Xp = rng.normal(size=(m, d)).astype(dtype)
+    cls = rng.integers(0, C, size=m)
+    Yp = np.where(cls[:, None] == np.arange(C)[None, :], 1.0, -1.0).astype(dtype)
+    mask = np.ones((m,), dtype)
+    x_last = rng.normal(size=(d,)).astype(dtype)
+    y_last = np.asarray([1.0, -1.0, -1.0], dtype)
+    args = shard_arrays(small_mesh, Xp, x_last, Yp, y_last, mask, dtype)
+    # eps far below reach at max_iter=12: both implementations run EXACTLY
+    # the same 12 iterations, so states compare without the eps-boundary
+    # iteration-count ambiguity (rho's sum(alpha) amplifies tiny x
+    # differences through cancellation otherwise)
+    scalars = (
+        jnp.asarray(1.0 / d, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(10.0, dtype), jnp.asarray(1e-10, dtype),
+        jnp.asarray(12, jnp.int32),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        sol_p = build_sharded_multi_solver(
+            small_mesh, kind=KernelFunctionType.RBF, degree=3, impl="pallas"
+        )
+        res_p = sol_p(*args, *scalars)
+        xp = np.asarray(jax.device_get(res_p.x))
+    sol_x = build_sharded_multi_solver(
+        small_mesh, kind=KernelFunctionType.RBF, degree=3, impl="xla"
+    )
+    res_x = sol_x(*args, *scalars)
+    xx = np.asarray(jax.device_get(res_x.x))
+    assert int(res_p.iterations) == int(res_x.iterations) == 12
+    rel = np.linalg.norm(xp - xx) / np.linalg.norm(xx)
+    assert rel < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(res_p.rho), np.asarray(res_x.rho), rtol=1e-3, atol=1e-4
+    )
