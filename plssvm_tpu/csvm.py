@@ -443,6 +443,31 @@ class CSVM:
 
         return contextlib.nullcontext()
 
+    def _sharded_impl(self, kind, padded_shape, n_dev, n_classes=None):
+        """Kernel impl for the sharded (multi-device) solve: the Pallas
+        ring when the backend, kernel, mesh platform AND per-chip block
+        shape all allow it; otherwise the portable XLA ring.  The shape
+        pre-check matters: the dual kernels raise on a VMEM-infeasible
+        block (e.g. many classes x a tall shard), and the ring does not
+        silently downgrade (that would falsify the builders' per-impl
+        ``check_vma`` scoping)."""
+        if (
+            self.backend != BackendType.PALLAS
+            or kind == KernelFunctionType.LINEAR
+        ):
+            return "xla"
+        if not all(
+            getattr(dev, "platform", "") in ("tpu", "axon")
+            for dev in self.devices
+        ):
+            return "xla"
+        from .ops.pallas_matvec import ring_block_supported
+
+        m_pad, d_pad = padded_shape
+        if not ring_block_supported(m_pad // n_dev, d_pad, n_classes):
+            return "xla"
+        return "pallas"
+
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
@@ -475,17 +500,7 @@ class CSVM:
             )
 
             mesh = make_row_mesh(self.devices)
-            mesh_on_tpu = all(
-                getattr(dev, "platform", "") in ("tpu", "axon")
-                for dev in self.devices
-            )
-            shard_impl = (
-                "pallas"
-                if self.backend == BackendType.PALLAS
-                and kind != KernelFunctionType.LINEAR
-                and mesh_on_tpu
-                else "xla"
-            )
+            shard_impl = self._sharded_impl(kind, Xp.shape, n_dev)
             solver = build_sharded_solver(
                 mesh, kind=kind, degree=degree, impl=shard_impl,
                 preconditioner=self.preconditioner,
@@ -552,16 +567,8 @@ class CSVM:
             )
 
             mesh = make_row_mesh(self.devices)
-            mesh_on_tpu = all(
-                getattr(dev, "platform", "") in ("tpu", "axon")
-                for dev in self.devices
-            )
-            shard_impl = (
-                "pallas"
-                if self.backend == BackendType.PALLAS
-                and kind != KernelFunctionType.LINEAR
-                and mesh_on_tpu
-                else "xla"
+            shard_impl = self._sharded_impl(
+                kind, Xp.shape, n_dev, n_classes=yp.shape[1]
             )
             solver = build_sharded_multi_solver(
                 mesh, kind=kind, degree=degree, impl=shard_impl,

@@ -60,6 +60,12 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _FEATURE_BLOCK = 512
 #: widest feature axis the single-block (i, j) kernel will take whole
 _FULL_D_MAX = 1024
+#: per-pallas_call operand ceiling: beyond ~2 GiB the TPU worker faults
+#: (32-bit byte-offset arithmetic inside the kernel).  Larger problems are
+#: NOT a fallback anymore — the solve composes chunked dual-contraction
+#: calls (kernel_matvec_pallas_big); this constant still bounds each
+#: individual call (predict chunking, sharded ring blocks)
+PALLAS_MAX_OPERAND_BYTES = 3 << 29  # 1.5 GiB
 
 
 def _i32(*vals):
@@ -597,6 +603,43 @@ def _pick_dual_tile_multi(mr: int, mc: int, dk: int, cp: int):
     return None
 
 
+def class_pad(n_classes: int) -> int:
+    """Class-axis padding for the matmat kernels: multiple of 8 (f32
+    sublane tile), minimum 8."""
+    return max(8, -(-n_classes // 8) * 8)
+
+
+def pack_class_major(V: jnp.ndarray) -> jnp.ndarray:
+    """(m, C) row-major right-hand sides -> (cp, m) class-major f32 with
+    zero-padded class rows, the layout the matmat kernels contract."""
+    m, C = V.shape
+    cp = class_pad(C)
+    return jnp.zeros((cp, m), jnp.float32).at[:C].set(V.T.astype(jnp.float32))
+
+
+def ring_block_supported(
+    m_local: int, d: int, n_classes: int | None = None, itemsize: int = 4
+) -> bool:
+    """Can ONE dual pallas_call contract an (m_local, m_local, d) ring
+    block?  Checks both the 32-bit in-kernel offset range and that a VMEM-
+    feasible tile exists (the matmat kernels keep a (cp * m_local) column
+    accumulator resident, so many classes or tall shards can exhaust the
+    budget even when the operand itself fits).  The sharded-solve impl
+    selection (CSVM / multihost) must call this so an infeasible shape
+    degrades to the XLA ring instead of raising mid-fit."""
+    if m_local % 128 != 0 or d % 128 != 0:
+        return False
+    if m_local * d * itemsize > PALLAS_MAX_OPERAND_BYTES:
+        return False
+    dk = _pick_dual_dk(d)
+    if n_classes is None:
+        return _pick_dual_tile(m_local, m_local, dk) is not None
+    return (
+        _pick_dual_tile_multi(m_local, m_local, dk, class_pad(n_classes))
+        is not None
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
 )
@@ -738,8 +781,8 @@ def kernel_matmat_pallas_big(
     same per-call operand ceiling).  Takes and returns row-major (m, C)."""
     m, d = X.shape
     C = V.shape[1]
-    cp = max(8, -(-C // 8) * 8)
-    Vt = jnp.zeros((cp, m), jnp.float32).at[:C].set(V.T.astype(jnp.float32))
+    cp = class_pad(C)
+    Vt = pack_class_major(V)
 
     itemsize = 2 if precision == "bf16" else 4
     total = m * d * itemsize

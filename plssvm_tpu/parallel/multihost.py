@@ -195,6 +195,12 @@ def fit_multihost(
     d_pad = ((d + 127) // 128) * 128 if pallas else d
     chunk = n_dev * 128
     m_pad = max(((dept + chunk - 1) // chunk) * chunk, chunk)
+    if pallas:
+        # per-chip ring blocks must fit one dual pallas_call (offset range
+        # + a VMEM-feasible tile); otherwise use the portable XLA ring
+        from ..ops.pallas_matvec import ring_block_supported
+
+        pallas = ring_block_supported(m_pad // n_dev, d_pad)
 
     # ---- this host's row window: [begin, end) of the padded row axis ----
     begin, end = host_row_range(m_pad)

@@ -42,6 +42,7 @@ from ..ops.matvec import (
     kernel_matvec_xla,
     linear_kernel_matvec,
 )
+from ..ops.pallas_matvec import PALLAS_MAX_OPERAND_BYTES  # re-export (compat)
 
 #: exact-residual recomputation cadence (reference: gpu_csvm.hpp:595)
 EXACT_RESIDUAL_INTERVAL = 50
@@ -105,12 +106,6 @@ class CGResult(NamedTuple):
     d: jnp.ndarray        # final search direction
 
 
-#: per-pallas_call operand ceiling: beyond ~2 GiB the TPU worker faults
-#: (32-bit byte-offset arithmetic inside the kernel).  Larger problems are
-#: NOT a fallback anymore — the solve composes chunked dual-contraction
-#: calls (ops/pallas_matvec.py::kernel_matvec_pallas_big); this constant
-#: still bounds each individual call (predict chunking, sharded ring blocks)
-PALLAS_MAX_OPERAND_BYTES = 3 << 29  # 1.5 GiB
 
 
 def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:

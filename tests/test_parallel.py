@@ -159,6 +159,60 @@ def test_ring_matvec_matches_dense(mesh, kernel):
     np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("ndev", [2, 3, 5, 8])
+@pytest.mark.parametrize("matmat", [False, True])
+def test_symmetric_ring_all_device_counts(ndev, matmat):
+    """The symmetric ring (each off-diagonal block pair computed once, the
+    transposed contribution ppermuted back) must match the dense kernel
+    matvec/matmat for even P (with the antipodal rows-only half-step), odd
+    P (no half-step), and P=2 (half-step only)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plssvm_tpu.kernel_functions import apply_kernel_to_gram
+    from plssvm_tpu.parallel.sharded import (
+        ring_kernel_matmat, ring_kernel_matvec,
+    )
+
+    devs = jax.devices("cpu")
+    if len(devs) < ndev:
+        pytest.skip("needs virtual CPU devices")
+    small_mesh = make_row_mesh(devs[:ndev])
+
+    kind = KernelFunctionType.RBF
+    rng = np.random.default_rng(7)
+    m, d = ndev * 16, 6
+    X = rng.normal(size=(m, d))
+    v = rng.normal(size=(m, 3) if matmat else (m,))
+    gamma, coef0 = 0.3, 0.0
+    sq = np.sum(X * X, axis=1)
+    K = np.asarray(
+        apply_kernel_to_gram(
+            X @ X.T, sq[:, None], sq[None, :], kind, gamma, coef0, 3
+        )
+    )
+    ring = ring_kernel_matmat if matmat else ring_kernel_matvec
+    fn = jax.jit(
+        jax.shard_map(
+            lambda Xl, sql, vl: ring(
+                Xl, sql, vl, gamma, coef0,
+                kind=kind, degree=3, axis_name=ROW_AXIS, num_devices=ndev,
+            ),
+            mesh=small_mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS),
+                      P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS, None) if matmat else P(ROW_AXIS),
+        )
+    )
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(small_mesh, P(ROW_AXIS, None)))
+    sqs = jax.device_put(jnp.asarray(sq), NamedSharding(small_mesh, P(ROW_AXIS)))
+    vs = jax.device_put(
+        jnp.asarray(v),
+        NamedSharding(small_mesh, P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
+    )
+    got = np.asarray(jax.device_get(fn(Xs, sqs, vs)))
+    np.testing.assert_allclose(got, K @ v, rtol=1e-10, atol=1e-10)
+
+
 def test_linear_sharded_matvec_matches_dense(mesh):
     from plssvm_tpu.parallel.sharded import linear_sharded_matvec
     from jax.sharding import NamedSharding, PartitionSpec as P
