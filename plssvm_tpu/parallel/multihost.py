@@ -111,8 +111,10 @@ def shard_arrays_multihost(
     X_g = jax.make_array_from_process_local_data(
         row2, X_local, global_shape=(total_rows, X_local.shape[1])
     )
+    # (rows,) binary ±1 targets or (rows, C) one-vs-all target columns
     y_g = jax.make_array_from_process_local_data(
-        row1, y_local, global_shape=(total_rows,)
+        row2 if y_local.ndim == 2 else row1, y_local,
+        global_shape=(total_rows,) + y_local.shape[1:],
     )
     mask_g = jax.make_array_from_process_local_data(
         row1, mask_local, global_shape=(total_rows,)
@@ -138,7 +140,9 @@ def fit_multihost(
     psum'd scalars over ICI/DCN — the end-to-end path the round-1 verdict
     flagged as missing (`multihost.py` existed but nothing reachable from
     CSVM used it).  Works unchanged at process_count()==1, where it equals
-    `CSVM.fit` (tested on the 8-virtual-device CPU mesh).
+    `CSVM.fit` (tested on the 8-virtual-device CPU mesh).  Data with more
+    than two labels runs the one-vs-all block CG (multiclass extension),
+    same as `CSVM.fit`.
 
     Note: the returned Model's support vectors are ALL training points
     (LS-SVM file-format semantics, model.hpp:162-166) — materializing the
@@ -155,11 +159,14 @@ def fit_multihost(
     from .sharded import build_sharded_solver
     from ..native.loader import parse_libsvm_native_window
 
+    from ..csvm import _ensure_x64_if_needed
+
     start = _time.perf_counter()
     initialize_distributed()
     mesh = global_row_mesh()
     n_dev = mesh.devices.size
     dtype = csvm.dtype
+    _ensure_x64_if_needed(dtype)
 
     # ---- metadata scan: n_total, d, the full label column ----
     meta = parse_libsvm_native_window(filename, 0, 0, dtype=dtype)
@@ -177,7 +184,14 @@ def fit_multihost(
         )
     labels = _infer_label_array(list(raw_labels), label_type)
     mapper = LabelMapper(labels)
-    y_all = mapper.map_labels(labels, dtype=dtype)
+    multiclass = mapper.num_mappings > 2
+    n_classes = mapper.num_mappings
+    if multiclass:
+        # one-vs-all target columns; the C systems share the implicit
+        # matrix and solve together as block CG (solver/cg.py)
+        y_all = mapper.oaa_targets(labels, dtype=dtype)  # (n, C)
+    else:
+        y_all = mapper.map_labels(labels, dtype=dtype)
 
     if max_iter is None:
         max_iter = n_total
@@ -200,14 +214,16 @@ def fit_multihost(
         # + a VMEM-feasible tile); otherwise use the portable XLA ring
         from ..ops.pallas_matvec import ring_block_supported
 
-        pallas = ring_block_supported(m_pad // n_dev, d_pad)
+        pallas = ring_block_supported(
+            m_pad // n_dev, d_pad, n_classes if multiclass else None
+        )
 
     # ---- this host's row window: [begin, end) of the padded row axis ----
     begin, end = host_row_range(m_pad)
     real_end = min(end, dept)
     rows_local = end - begin
     X_local = np.zeros((rows_local, d_pad), dtype=dtype)
-    y_local = np.zeros((rows_local,), dtype=dtype)
+    y_local = np.zeros((rows_local,) + y_all.shape[1:], dtype=dtype)
     mask_local = np.zeros((rows_local,), dtype=dtype)
     if real_end > begin:
         if X_all is not None:
@@ -232,10 +248,20 @@ def fit_multihost(
     x_last[:d] = x_last_row
 
     impl = "pallas" if pallas else "xla"
-    solver = build_sharded_solver(
-        mesh, kind=kind, degree=degree, impl=impl,
-        preconditioner=csvm.preconditioner, scalars=csvm.scalar_precision,
-    )
+    if multiclass:
+        from .sharded import build_sharded_multi_solver
+
+        solver = build_sharded_multi_solver(
+            mesh, kind=kind, degree=degree, impl=impl,
+            preconditioner=csvm.preconditioner,
+            scalars=csvm.scalar_precision,
+        )
+    else:
+        solver = build_sharded_solver(
+            mesh, kind=kind, degree=degree, impl=impl,
+            preconditioner=csvm.preconditioner,
+            scalars=csvm.scalar_precision,
+        )
     sharded = shard_arrays_multihost(
         mesh, X_local, x_last, y_local, np.asarray(y_all[dept], dtype=dtype),
         mask_local, dtype,
@@ -256,14 +282,26 @@ def fit_multihost(
         x_sol = np.asarray(
             multihost_utils.process_allgather(result.x, tiled=True)
         )[:dept]
-    alpha = np.concatenate([x_sol, [float(result.alpha_last)]]).astype(dtype)
+    if multiclass:
+        alpha_last = np.asarray(jax.device_get(result.alpha_last))  # (C,)
+        alpha = np.vstack([x_sol, alpha_last[None, :]]).astype(dtype)
+        rho = np.asarray(jax.device_get(result.rho), dtype=np.float64)
+    else:
+        alpha = np.concatenate(
+            [x_sol, [float(result.alpha_last)]]
+        ).astype(dtype)
+        rho = float(result.rho)
     iterations = int(result.iterations)
 
     log(
         VerbosityLevel.LIBSVM, "optimization finished, #iter = {}\n", iterations
     )
     add_tracking_entry("cg", "iterations", iterations)
-    add_tracking_entry("cg", "residuum", float(result.delta))
+    add_tracking_entry(
+        "cg", "residuum",
+        float(np.max(np.asarray(result.delta)))  # worst class if multiclass
+        if multiclass else float(result.delta),
+    )
     add_tracking_entry(
         "cg", "total_runtime", (_time.perf_counter() - start) * 1000.0
     )
@@ -281,7 +319,7 @@ def fit_multihost(
         data = DataSet(X_all, labels)
     else:
         data = DataSet(filename, label_type=label_type, dtype=dtype)
-    model = Model(params, data, alpha=alpha, rho=float(result.rho))
+    model = Model(params, data, alpha=alpha, rho=rho)
     model.n_iter = iterations
     return model
 

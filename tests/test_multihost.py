@@ -119,3 +119,42 @@ def test_fit_multihost_matches_regular_fit(tmp_path, kernel):
     np.testing.assert_allclose(model.alpha, ref_model.alpha, rtol=1e-5, atol=1e-7)
     assert model.rho == pytest.approx(ref_model.rho, rel=1e-6)
     assert svm.score(model) == ref.score(ref_model)
+
+
+def test_fit_multihost_multiclass(tmp_path):
+    """fit_multihost on > 2 classes runs the one-vs-all block CG over the
+    global mesh and matches the single-device multiclass fit."""
+    import plssvm_tpu
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(scale=4.0, size=(3, 5))
+    cls = rng.integers(0, 3, size=150)
+    X = centers[cls] + rng.normal(size=(150, 5))
+    ds = plssvm_tpu.DataSet(X, cls.astype(np.int64))
+    f = str(tmp_path / "mh3.libsvm")
+    ds.save(f)
+
+    svm = plssvm_tpu.CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf",
+        devices=jax.devices("cpu")[:8],
+    )
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        model = svm.fit_multihost(f, epsilon=1e-9)
+    finally:
+        mh.global_row_mesh = orig
+
+    ref = plssvm_tpu.CSVM(backend="xla", target="cpu", dtype=np.float64,
+                          kernel_type="rbf")
+    ref_model = ref.fit(plssvm_tpu.DataSet(f, label_type=np.int64),
+                        epsilon=1e-9)
+    assert model.alpha.shape == (150, 3)
+    np.testing.assert_allclose(model.alpha, ref_model.alpha, rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(model.rho, ref_model.rho, rtol=1e-6,
+                               atol=1e-9)
+    assert svm.score(model) == ref.score(ref_model)
