@@ -486,31 +486,30 @@ class CSVM:
             )
 
         if n_dev > 1:
-            if checkpoint_path is not None:
-                import warnings
-
-                warnings.warn(
-                    "checkpoint_path is not supported on the multi-device "
-                    "(sharded) solve path yet — fitting without CG-state "
-                    "checkpoints.",
-                    stacklevel=3,
-                )
             from .parallel.sharded import (
                 build_sharded_solver, make_row_mesh, shard_arrays,
             )
 
             mesh = make_row_mesh(self.devices)
             shard_impl = self._sharded_impl(kind, Xp.shape, n_dev)
-            solver = build_sharded_solver(
-                mesh, kind=kind, degree=degree, impl=shard_impl,
-                preconditioner=self.preconditioner,
-                scalars=self.scalar_precision,
-            )
             sharded = shard_arrays(
                 mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
                 mask, self.dtype,
             )
-            result = solver(*sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_v)
+            scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            if checkpoint_path is None:
+                solver = build_sharded_solver(
+                    mesh, kind=kind, degree=degree, impl=shard_impl,
+                    preconditioner=self.preconditioner,
+                    scalars=self.scalar_precision,
+                )
+                result = solver(*sharded, *scalar_args, max_iter_v)
+            else:
+                result = self._fit_with_checkpointing_sharded(
+                    mesh, sharded, scalar_args, Xp, yp, epsilon,
+                    int(max_iter), checkpoint_path, int(checkpoint_interval),
+                    kind=kind, degree=degree, impl=shard_impl, multi=False,
+                )
         else:
             impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
             solve_args = (
@@ -551,15 +550,6 @@ class CSVM:
         the Pallas dual-contraction matmat (symmetric upper-triangle walk,
         class-major MXU contractions); elsewhere the XLA shared-Gram scan.
         """
-        if checkpoint_path is not None and n_dev > 1:
-            import warnings
-
-            warnings.warn(
-                "checkpoint_path is not supported on the multi-device "
-                "(sharded) multiclass solve path yet — fitting without "
-                "CG-state checkpoints.",
-                stacklevel=3,
-            )
         y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
         if n_dev > 1:
             from .parallel.sharded import (
@@ -570,15 +560,22 @@ class CSVM:
             shard_impl = self._sharded_impl(
                 kind, Xp.shape, n_dev, n_classes=yp.shape[1]
             )
-            solver = build_sharded_multi_solver(
-                mesh, kind=kind, degree=degree, impl=shard_impl,
-                preconditioner=self.preconditioner,
-                scalars=self.scalar_precision,
-            )
             sharded = shard_arrays(
                 mesh, Xp, x_last, yp, y_last, mask, self.dtype
             )
-            return solver(*sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_v)
+            scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            if checkpoint_path is None:
+                solver = build_sharded_multi_solver(
+                    mesh, kind=kind, degree=degree, impl=shard_impl,
+                    preconditioner=self.preconditioner,
+                    scalars=self.scalar_precision,
+                )
+                return solver(*sharded, *scalar_args, max_iter_v)
+            return self._fit_with_checkpointing_sharded(
+                mesh, sharded, scalar_args, Xp, yp, epsilon,
+                int(max_iter), checkpoint_path, int(checkpoint_interval),
+                kind=kind, degree=degree, impl=shard_impl, multi=True,
+            )
 
         from .solver.cg import solve_ls_svm_multi
 
@@ -732,6 +729,129 @@ class CSVM:
                 fingerprint=fingerprint,
             )
             save_checkpoint(checkpoint_path, ckpt)
+        # solved: the checkpoint is stale now
+        try:
+            import os
+
+            if os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
+        except OSError:
+            pass
+        return result
+
+    def _fit_with_checkpointing_sharded(
+        self, mesh, sharded_args, scalar_args, Xp, Yp, epsilon,
+        max_iter: int, checkpoint_path: str, checkpoint_interval: int,
+        *, kind, degree, impl, multi: bool,
+    ):
+        """Segmented sharded CG (binary or one-vs-all block) with state
+        persistence — CG-state checkpointing works on the multi-device
+        path exactly as on the single-device one.  Between segments the
+        row-sharded x/r/d are gathered to the host and re-placed on the
+        mesh at resume (checkpoint files are topology-independent for a
+        fixed padded shape)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.sharded import (
+            ROW_AXIS, build_sharded_multi_solver, build_sharded_solver,
+        )
+        from .solver.checkpoint import (
+            CGCheckpoint,
+            MultiCGCheckpoint,
+            load_checkpoint,
+            load_multi_checkpoint,
+            problem_fingerprint,
+            save_checkpoint,
+            save_multi_checkpoint,
+        )
+
+        build = build_sharded_multi_solver if multi else build_sharded_solver
+        common = dict(
+            kind=kind, degree=degree, impl=impl,
+            preconditioner=self.preconditioner,
+            scalars=self.scalar_precision,
+        )
+        solver = build(mesh, **common)
+        solver_resume = build(mesh, resume=True, **common)
+
+        row_sharding = NamedSharding(
+            mesh, P(ROW_AXIS, None) if multi else P(ROW_AXIS)
+        )
+        rep = NamedSharding(mesh, P())
+
+        fingerprint = problem_fingerprint(Xp, Yp, repr(self._params), epsilon)
+        load = load_multi_checkpoint if multi else load_checkpoint
+        ckpt = load(checkpoint_path, fingerprint)
+        if ckpt is not None:
+            log(
+                VerbosityLevel.FULL,
+                "Resuming sharded CG from checkpoint '{}' at iteration {}.\n",
+                checkpoint_path, ckpt.iteration,
+            )
+
+        result = None
+        while True:
+            if ckpt is None:
+                segment_end = min(checkpoint_interval, max_iter)
+                result = solver(
+                    *sharded_args, *scalar_args,
+                    jnp.asarray(segment_end, jnp.int32),
+                )
+            else:
+                segment_end = min(
+                    ckpt.iteration + checkpoint_interval, max_iter
+                )
+                state = [
+                    jax.device_put(
+                        jnp.asarray(ckpt.x, self.dtype), row_sharding
+                    ),
+                    jax.device_put(
+                        jnp.asarray(ckpt.r, self.dtype), row_sharding
+                    ),
+                    jax.device_put(
+                        jnp.asarray(ckpt.d, self.dtype), row_sharding
+                    ),
+                    jax.device_put(jnp.asarray(ckpt.delta, self.dtype), rep),
+                    jax.device_put(jnp.asarray(ckpt.delta0, self.dtype), rep),
+                    jax.device_put(
+                        jnp.asarray(ckpt.iteration, jnp.int32), rep
+                    ),
+                ]
+                if multi:
+                    state.append(
+                        jax.device_put(jnp.asarray(ckpt.itpc, jnp.int32), rep)
+                    )
+                result = solver_resume(
+                    *sharded_args, *scalar_args,
+                    jnp.asarray(segment_end, jnp.int32), *state,
+                )
+            iterations = int(result.iterations)
+            delta = np.asarray(jax.device_get(result.delta))
+            delta0 = np.asarray(jax.device_get(result.delta0))
+            converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
+            if converged or iterations >= max_iter:
+                break
+            state_fields = dict(
+                x=np.asarray(jax.device_get(result.x)),
+                r=np.asarray(jax.device_get(result.r)),
+                d=np.asarray(jax.device_get(result.d)),
+                iteration=iterations,
+                fingerprint=fingerprint,
+            )
+            if multi:
+                ckpt = MultiCGCheckpoint(
+                    delta=delta, delta0=delta0,
+                    itpc=np.asarray(
+                        jax.device_get(result.iterations_per_class)
+                    ),
+                    **state_fields,
+                )
+                save_multi_checkpoint(checkpoint_path, ckpt)
+            else:
+                ckpt = CGCheckpoint(
+                    delta=float(delta), delta0=float(delta0), **state_fields
+                )
+                save_checkpoint(checkpoint_path, ckpt)
         # solved: the checkpoint is stale now
         try:
             import os

@@ -287,6 +287,7 @@ _SOLVER_CACHE: dict = {}
 def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     preconditioner: str = "none", scalars: str = "plain",
+    resume: bool = False,
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -296,15 +297,23 @@ def build_sharded_solver(
     kernel for each ring block (TPU meshes only).  ``scalars="compensated"``
     runs the per-chip partial reductions with double-float accumulation
     before the psum (solver.cg.compensated_dot).
+
+    ``resume=True`` returns a variant taking six extra trailing arguments
+    ``(x0, r0, d0, delta, delta0, it0)`` — x0/r0/d0 row-sharded, the rest
+    replicated — continuing a checkpointed solve mid-CG (solver.checkpoint),
+    the sharded analog of `solve_ls_svm_resume`.
     """
-    key = (mesh, kind, degree, impl, preconditioner, scalars)
+    key = (mesh, kind, degree, impl, preconditioner, scalars, resume)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
 
     num_devices = mesh.devices.size
 
-    def local_solve(X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter):
+    def local_solve(
+        X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        *init_state,
+    ):
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -336,16 +345,20 @@ def build_sharded_solver(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
+            init_state=init_state if resume else None,
         )
 
     row = P(ROW_AXIS)
     rep = P()
+    in_specs = (P(ROW_AXIS, None), rep, row, rep, row,
+                rep, rep, rep, rep, rep)
+    if resume:
+        in_specs = in_specs + (row, row, row, rep, rep, rep)
     solve = jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, None), rep, row, rep, row,
-                      rep, rep, rep, rep, rep),
+            in_specs=in_specs,
             out_specs=CGResult(
                 x=row, rho=rep, alpha_last=rep,
                 iterations=rep, delta=rep, delta0=rep,
@@ -368,7 +381,7 @@ _MULTI_SOLVER_CACHE: dict = {}
 def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
-    impl: str = "xla",
+    impl: str = "xla", resume: bool = False,
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -377,15 +390,23 @@ def build_sharded_multi_solver(
     and each chip contracts its Gram blocks with ALL C columns — the shared-
     Gram saving of the block solve composes with the ring's O(n d / P)
     per-chip memory.  Per-class CG scalars are (C,) psums.
+
+    ``resume=True`` takes seven extra trailing arguments
+    ``(x0, r0, d0, delta, delta0, it0, itpc0)`` — x0/r0/d0 row-sharded,
+    the per-class scalars replicated — continuing a checkpointed block
+    solve (the sharded analog of `solve_ls_svm_multi_resume`).
     """
-    key = (mesh, kind, degree, preconditioner, scalars, impl)
+    key = (mesh, kind, degree, preconditioner, scalars, impl, resume)
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
 
     num_devices = mesh.devices.size
 
-    def local_solve(X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter):
+    def local_solve(
+        X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
+        *init_state,
+    ):
         if scalars == "compensated":
             from ..solver.cg import compensated_sum
 
@@ -411,16 +432,20 @@ def build_sharded_multi_solver(
             X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
             preconditioner=preconditioner,
+            init_state=init_state if resume else None,
         )
 
     row2 = P(ROW_AXIS, None)
     rep = P()
+    in_specs = (row2, rep, row2, rep, P(ROW_AXIS),
+                rep, rep, rep, rep, rep)
+    if resume:
+        in_specs = in_specs + (row2, row2, row2, rep, rep, rep, rep)
     solve = jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(row2, rep, row2, rep, P(ROW_AXIS),
-                      rep, rep, rep, rep, rep),
+            in_specs=in_specs,
             out_specs=MultiCGResult(
                 x=row2, rho=rep, alpha_last=rep,
                 iterations=rep, iterations_per_class=rep,

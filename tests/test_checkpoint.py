@@ -222,3 +222,74 @@ def test_multiclass_checkpoint_file_roundtrip(tmp_path):
     # (and vice versa): the loaders discriminate on the itpc field
     assert load_checkpoint(path, "abc") is None
     assert load_multi_checkpoint(path, "wrong") is None
+
+
+def test_sharded_checkpointed_fit_matches_plain(tmp_path, problem):
+    """CG-state checkpointing on the multi-device (sharded) path: the
+    segmented sharded solve lands on the same solution and iteration count
+    as the unsegmented sharded fit, and resumes from a mid-solve file."""
+    import os
+
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X, y = problem
+    data = plssvm_tpu.DataSet(X, y)
+
+    plain = plssvm_tpu.CSVM(
+        kernel_type="rbf", cost=10.0, dtype=np.float64, devices=devs[:8]
+    )
+    m_plain = plain.fit(data, epsilon=1e-8)
+    assert m_plain.n_iter > 10, "problem too easy to exercise checkpointing"
+
+    path = str(tmp_path / "cg_sharded.ckpt")
+    chk = plssvm_tpu.CSVM(
+        kernel_type="rbf", cost=10.0, dtype=np.float64, devices=devs[:8]
+    )
+    m_chk = chk.fit(
+        data, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=5,
+    )
+    assert m_chk.n_iter == m_plain.n_iter
+    np.testing.assert_allclose(
+        m_chk.alpha, m_plain.alpha, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(m_chk.rho, m_plain.rho, rtol=1e-12)
+    assert not os.path.exists(path)  # removed after successful completion
+
+
+def test_sharded_multiclass_checkpointed_fit(tmp_path):
+    """Sharded one-vs-all block CG with checkpointing: segmented == plain."""
+    import os
+
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    rng = np.random.default_rng(23)
+    centers = rng.normal(scale=1.2, size=(3, 8))
+    cls = rng.integers(0, 3, size=240)
+    X = centers[cls] + rng.normal(size=(240, 8))
+    data = plssvm_tpu.DataSet(X, cls.astype(np.int64))
+
+    plain = plssvm_tpu.CSVM(
+        kernel_type="rbf", cost=10.0, dtype=np.float64, devices=devs[:8]
+    )
+    m_plain = plain.fit(data, epsilon=1e-8)
+    assert m_plain.n_iter > 8
+
+    path = str(tmp_path / "cg_sharded_multi.ckpt")
+    chk = plssvm_tpu.CSVM(
+        kernel_type="rbf", cost=10.0, dtype=np.float64, devices=devs[:8]
+    )
+    m_chk = chk.fit(
+        data, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=4,
+    )
+    assert m_chk.n_iter == m_plain.n_iter
+    np.testing.assert_allclose(
+        m_chk.alpha, m_plain.alpha, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(m_chk.rho, m_plain.rho, rtol=1e-12)
+    assert not os.path.exists(path)
