@@ -47,11 +47,16 @@ def generate(
                 n_samples=n, n_features=d, centers=classes, random_state=seed
             )
         elif problem == "planes":
+            # make_classification requires
+            # n_classes * n_clusters_per_class(=2) <= 2**n_informative
+            n_informative = max(2, int(np.ceil(np.log2(2 * classes))))
             X, y = datasets.make_classification(
-                n_samples=n, n_features=d, n_redundant=0, n_classes=classes,
-                n_informative=max(2, int(np.ceil(np.log2(classes)))),
+                n_samples=n, n_features=max(d, n_informative),
+                n_redundant=0, n_classes=classes,
+                n_informative=n_informative,
                 random_state=seed,
             )
+            X = X[:, :d]
         elif problem == "gaussian":
             X, y = datasets.make_gaussian_quantiles(
                 n_samples=n, n_features=d, n_classes=classes, random_state=seed

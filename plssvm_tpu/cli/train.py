@@ -165,11 +165,27 @@ def main(argv=None) -> int:
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
         if args.multihost:
+            if args.checkpoint is not None:
+                print(
+                    "warning: --checkpoint is not supported with --multihost "
+                    "yet; fitting without CG-state checkpoints.",
+                    file=sys.stderr,
+                )
             svm = CSVM(devices="all", **svm_kwargs)
-            model = svm.fit_multihost(
-                args.input, epsilon=args.epsilon, max_iter=args.max_iter,
-                label_type=resolve_label_type(args),
-            )
+
+            def _fit_mh():
+                return svm.fit_multihost(
+                    args.input, epsilon=args.epsilon, max_iter=args.max_iter,
+                    label_type=resolve_label_type(args),
+                )
+
+            if args.profile is not None:
+                import jax
+
+                with jax.profiler.trace(args.profile):
+                    model = _fit_mh()
+            else:
+                model = _fit_mh()
         else:
             data = DataSet(
                 args.input,

@@ -988,12 +988,22 @@ class CSVM:
         chunk_max = max(
             128, (PALLAS_MAX_OPERAND_BYTES // (d_pad * itemsize)) // 128 * 128
         )
+        sv_chunk_max = chunk_max
+        if multi:
+            # the dual matmat keeps a (cp, sv_chunk) f32 column accumulator
+            # VMEM-resident — cap the SV chunk so a well-tiled pick always
+            # exists (~64 MB accumulator leaves room for 1024+ tiles within
+            # the ~96 MB budget); many-class models on narrow features
+            # would otherwise fault the tile pick, not the offset range
+            sv_chunk_max = min(
+                chunk_max, max(128, ((64 << 20) // (cp * 4)) // 128 * 128)
+            )
 
-        def _equal_chunk(total: int) -> int:
+        def _equal_chunk(total: int, cap: int = chunk_max) -> int:
             # equal-size chunks (all calls share ONE compiled shape — compile
             # over the tunneled runtime costs minutes per distinct shape);
             # 2048-divisible so the rect kernel can pick its widest tiles
-            n_chunks = -(-total // chunk_max)
+            n_chunks = -(-total // cap)
             mult = 2048 if total >= 2048 else 128
             return _round_up(-(-total // n_chunks), mult)
         # when the SV operand is huge the kernel streams it once per row
@@ -1001,7 +1011,7 @@ class CSVM:
         p_chunk = _equal_chunk(
             _round_up(n_pred, 2048) if n_pred >= 2048 else _round_up(n_pred, 128)
         )
-        sv_chunk = _equal_chunk(_round_up(n_sv, 128))
+        sv_chunk = _equal_chunk(_round_up(n_sv, 128), sv_chunk_max)
         np_pad = _round_up(n_pred, p_chunk)
         nsv_pad = _round_up(n_sv, sv_chunk)
         points_p = _pad_2d(points, np_pad, d_pad)

@@ -217,32 +217,14 @@ def _read_arff_header_and_offset(filename: str):
     just past the @DATA line, or ``None`` when no @DATA marker appears
     within a sane header budget (the caller falls back to the full-file
     Python path, which raises the exact reference error)."""
-    lines: List[str] = []
-    pos = 0
-    try:
-        with open(filename, "rb") as fh:
-            buf = b""
-            while True:
-                chunk = fh.read(65536)
-                if not chunk:
-                    return None
-                buf += chunk
-                while True:
-                    nl = buf.find(b"\n")
-                    if nl < 0:
-                        break
-                    raw = buf[:nl]
-                    buf = buf[nl + 1:]
-                    pos += nl + 1
-                    s = raw.decode("utf-8", errors="replace").strip()
-                    if s and not s.startswith(ARFF_COMMENT):
-                        lines.append(s)
-                        if s.upper().startswith("@DATA"):
-                            return lines, pos
-                if pos > (1 << 22):
-                    return None
-    except OSError:
-        return None
+    from .file_reader import stream_header_lines
+
+    return stream_header_lines(
+        filename,
+        comment=ARFF_COMMENT,
+        is_terminator=lambda s: s.upper().startswith("@DATA"),
+        max_bytes=1 << 22,
+    )
 
 
 def parse_arff_file(

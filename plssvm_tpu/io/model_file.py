@@ -237,32 +237,15 @@ def _read_header_and_offset(filename: str):
     SV marker appears within a sane header budget (the caller falls back to
     the full-file Python path, which raises the exact reference error).
     """
-    lines: List[str] = []
-    pos = 0
-    try:
-        with open(filename, "rb") as fh:
-            buf = b""
-            while True:
-                chunk = fh.read(65536)
-                if not chunk:
-                    return None
-                buf += chunk
-                while True:
-                    nl = buf.find(b"\n")
-                    if nl < 0:
-                        break
-                    raw = buf[:nl]
-                    buf = buf[nl + 1:]
-                    pos += nl + 1
-                    s = raw.decode("utf-8", errors="replace").strip()
-                    if s and not s.startswith("#"):
-                        lines.append(s)
-                        if s.lower() == "sv":
-                            return lines, pos
-                if len(lines) > 64 or pos > (1 << 20):
-                    return None
-    except OSError:
-        return None
+    from .file_reader import stream_header_lines
+
+    return stream_header_lines(
+        filename,
+        comment="#",
+        is_terminator=lambda s: s.lower() == "sv",
+        max_lines=64,
+        max_bytes=1 << 20,
+    )
 
 
 def parse_model_file(

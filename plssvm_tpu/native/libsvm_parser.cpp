@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <atomic>
 #include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -119,9 +120,18 @@ void parallel_for_lines(size_t n, Fn&& fn) {
 // (sign + >=2 exponent digits).  Keeps natively-written model files
 // byte-identical to the Python writer (io/model_file.py::_fmt_g).
 int py_repr(double v, char* buf) {
+    if (!std::isfinite(v)) {
+        // to_chars SUCCEEDS for inf/nan (writes "inf"/"nan" with no 'e'),
+        // which would send the exponent scan past the terminator — handle
+        // them up front, matching CPython repr(): 'inf', '-inf', 'nan'
+        const char* s = std::isnan(v) ? "nan" : (v < 0 ? "-inf" : "inf");
+        const int n = static_cast<int>(strlen(s));
+        memcpy(buf, s, static_cast<size_t>(n) + 1);
+        return n;
+    }
     auto res = std::to_chars(buf, buf + 40, v, std::chars_format::scientific);
     int len = static_cast<int>(res.ptr - buf);
-    if (res.ec != std::errc()) {  // inf/nan etc. — match repr()
+    if (res.ec != std::errc()) {  // cannot happen for finite v; be safe
         const int n = snprintf(buf, 48, "%g", v);
         return n;
     }

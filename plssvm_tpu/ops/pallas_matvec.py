@@ -284,6 +284,36 @@ def _pick_dual_tile(mr: int, mc: int, dk: int):
     return None
 
 
+def _dual_index_maps(symmetric: bool):
+    """(xi_map, yj_map, colv_map) shared by the dual matvec/matmat
+    dispatchers.  Strongly-typed i32 index math: under jax x64 mode the
+    weak-typed grid indices and the literal 0 promote to i64 inside
+    jnp.where, which Mosaic cannot legalize (infinite _convert_helper
+    recursion)."""
+    if symmetric:
+        def xi_map(i, j, k):
+            i, j, k = _i32(i, j, k)
+            return i, jnp.where(j >= i, k, jnp.int32(0))
+
+        def yj_map(i, j, k):
+            i, j, k = _i32(i, j, k)
+            return jnp.maximum(i, j), jnp.where(j >= i, k, jnp.int32(0))
+
+        def colv_map(i, j, k):
+            i, j, k = _i32(i, j, k)
+            return jnp.int32(0), jnp.maximum(i, j)
+    else:
+        def xi_map(i, j, k):
+            return _i32(i, k)
+
+        def yj_map(i, j, k):
+            return _i32(j, k)
+
+        def colv_map(i, j, k):
+            return _i32(0, j)
+    return xi_map, yj_map, colv_map
+
+
 def _pick_dual_dk(d: int) -> int:
     if d <= _FULL_D_MAX:
         return d
@@ -355,30 +385,7 @@ def kernel_matvec_pallas_dual(
         ),
     )
 
-    if symmetric:
-        # strongly-typed i32 index math: under jax x64 mode the weak-typed
-        # grid indices and the literal 0 promote to i64 inside jnp.where,
-        # which Mosaic cannot legalize (infinite _convert_helper recursion)
-        def xi_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return i, jnp.where(j >= i, k, jnp.int32(0))
-
-        def yj_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return jnp.maximum(i, j), jnp.where(j >= i, k, jnp.int32(0))
-
-        def colv_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return jnp.int32(0), jnp.maximum(i, j)
-    else:
-        def xi_map(i, j, k):
-            return _i32(i, k)
-
-        def yj_map(i, j, k):
-            return _i32(j, k)
-
-        def colv_map(i, j, k):
-            return _i32(0, j)
+    xi_map, yj_map, colv_map = _dual_index_maps(symmetric)
 
     outr, outc = pl.pallas_call(
         functools.partial(
@@ -703,30 +710,7 @@ def kernel_matmat_pallas_dual(
         ),
     )
 
-    if symmetric:
-        # strongly-typed i32 index math: under jax x64 mode the weak-typed
-        # grid indices and the literal 0 promote to i64 inside jnp.where,
-        # which Mosaic cannot legalize (infinite _convert_helper recursion)
-        def xi_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return i, jnp.where(j >= i, k, jnp.int32(0))
-
-        def yj_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return jnp.maximum(i, j), jnp.where(j >= i, k, jnp.int32(0))
-
-        def colv_map(i, j, k):
-            i, j, k = _i32(i, j, k)
-            return jnp.int32(0), jnp.maximum(i, j)
-    else:
-        def xi_map(i, j, k):
-            return _i32(i, k)
-
-        def yj_map(i, j, k):
-            return _i32(j, k)
-
-        def colv_map(i, j, k):
-            return _i32(0, j)
+    xi_map, yj_map, colv_map = _dual_index_maps(symmetric)
 
     outr, outc = pl.pallas_call(
         functools.partial(
@@ -786,10 +770,24 @@ def kernel_matmat_pallas_big(
 
     itemsize = 2 if precision == "bf16" else 4
     total = m * d * itemsize
+    dk = _pick_dual_dk(d)
+
+    def _chunk_ok(nc_: int) -> bool:
+        # chunks must divide evenly into 128-multiples AND leave room for
+        # the VMEM-resident (cp, rows) column accumulator — many classes
+        # over tall chunks can exhaust the budget even when the operand
+        # itself is within the per-call byte range
+        if m % nc_ != 0 or (m // nc_) % 128 != 0:
+            return False
+        rows_ = m // nc_
+        return _pick_dual_tile_multi(rows_, rows_, dk, cp) is not None
+
     nc = max(1, -(-total // CHUNK_TARGET_BYTES))
-    while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+    while nc < m // 128 and not _chunk_ok(nc):
         nc += 1
-    if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
+    if nc == 1 or not _chunk_ok(nc):
+        # one call (or no feasible chunking exists, in which case the dual
+        # kernel raises its descriptive tile error)
         outr, outc = kernel_matmat_pallas_dual(
             X, X, sq_norms, sq_norms, Vt, Vt,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,

@@ -40,19 +40,49 @@ def initialize_distributed(
 ) -> None:
     """Initialize the JAX process group for multi-host execution.
 
-    On TPU pods with standard env configuration (e.g. GKE/TPU-VM metadata),
+    On TPU pods with standard env configuration (GKE/TPU-VM worker env),
     call with no arguments.  No-op when already initialized, and no-op for
     plain single-process runs with no coordinator configured (so the same
     code path works in tests and on pods).
+
+    The single-process detection deliberately uses ONLY environment
+    variables: `jax.distributed.initialize` must run before any JAX call
+    that initializes the XLA backend, and even `jax.process_count()` is
+    such a call — probing it here would break real multi-host startup.
+    On clusters whose launcher sets none of the recognized variables,
+    pass `coordinator_address`/`num_processes`/`process_id` explicitly or
+    export ``JAX_COORDINATOR_ADDRESS``.
     """
     import os
+
+    def _multi_process_env() -> bool:
+        # explicit coordinator configuration always counts
+        if any(
+            os.environ.get(v)
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        ):
+            return True
+        # TPU VMs set TPU_WORKER_HOSTNAMES even on single-worker slices —
+        # only a comma-separated multi-host list indicates a pod launch
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            return True
+        for v in ("SLURM_NTASKS", "SLURM_JOB_NUM_NODES",
+                  "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+            try:
+                if int(os.environ.get(v, "1")) > 1:
+                    return True
+            except ValueError:
+                pass
+        return False
 
     if (
         coordinator_address is None
         and num_processes is None
-        and not os.environ.get("JAX_COORDINATOR_ADDRESS")
-        and not os.environ.get("COORDINATOR_ADDRESS")
-        and jax.process_count() == 1
+        and not _multi_process_env()
     ):
         return
     try:

@@ -255,6 +255,24 @@ class TestScalingFactors:
         assert (lo, hi) == (-1.4, 2.6)
         assert factors.shape == (4, 3)
 
+    def test_reference_invalid_scaling_corpus(self, reference_data_dir):
+        """Every file in the reference's invalid scaling-factors corpus
+        (9 distinct parser-error shapes, tests/data/scaling_factors/invalid)
+        must be rejected."""
+        import glob
+
+        corpus = sorted(
+            glob.glob(
+                os.path.join(
+                    reference_data_dir, "scaling_factors", "invalid", "*.txt"
+                )
+            )
+        )
+        assert len(corpus) >= 9
+        for path in corpus:
+            with pytest.raises(InvalidFileFormatError):
+                parse_scaling_factors(path)
+
 
 class TestModelHeaderOrdering:
     def test_header_entries_any_order(self):

@@ -196,7 +196,8 @@ class TestNativeModelIO:
         alpha = (
             rng.normal(size=n) if C == 1 else rng.normal(size=(n, C))
         ).astype(dtype)
-        # repr edge cases: integral floats, tiny/huge magnitudes, -0.0
+        # repr edge cases: integral floats, tiny/huge magnitudes, -0.0,
+        # non-finite values (a diverged solve must still round-trip)
         flat = alpha.reshape(-1)
         flat[0] = 1.0
         flat[1] = -0.0
@@ -204,6 +205,9 @@ class TestNativeModelIO:
         flat[3] = 1e-5
         flat[4] = 0.0001
         flat[5] = 9999999999999998.0
+        flat[6] = np.inf
+        flat[7] = -np.inf
+        flat[8] = np.nan
         labels = np.asarray(["1" if i % 2 == 0 else "-1" for i in range(n)])
         return sv, alpha, labels
 

@@ -502,6 +502,40 @@ class TestMatmatDualKernelInterpret:
         want = self._oracle(X, sq, V, KINDS["rbf"], gamma, jnp.float32(0.0))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    def test_big_composition_vmem_driven_chunks(self, monkeypatch):
+        """An operand within the byte range but whose (cp, m) column
+        accumulator busts the VMEM budget must be CHUNKED, not raise
+        ValueError('no Pallas tile') — regression for the many-class /
+        narrow-feature shapes the round-2 review flagged."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        import plssvm_tpu.ops.pallas_matvec as pm
+
+        rng = np.random.default_rng(26)
+        m, d, C = 1024, 128, 3
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
+        V = jnp.asarray(rng.normal(size=(m, C)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma = jnp.float32(1.0 / d)
+        # budget where t=128 fits at m=512 (nc=2) but NOT at m=1024 (nc=1):
+        # fixed tile cost 2*t*dk*4 + 2*t*t*4 + 3*cp*t*4 = 274 KB; the
+        # accumulator adds cp*m*4 = 32 KB (m=1024) vs 16 KB (m=512)
+        monkeypatch.setattr(pm, "_SYM_TILES", (128,))
+        monkeypatch.setattr(
+            pm, "_VMEM_LIMIT_BYTES", (8 << 20) + 295 * 1024
+        )
+        assert pm._pick_dual_tile_multi(m, m, d, 8) is None  # forces chunks
+        assert pm._pick_dual_tile_multi(512, 512, d, 8) is not None
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pm.kernel_matmat_pallas_big(
+                    X, sq, V, kind=KINDS["rbf"], gamma=gamma,
+                    coef0=jnp.float32(0.0), degree=3,
+                )
+            )
+        want = self._oracle(X, sq, V, KINDS["rbf"], gamma, jnp.float32(0.0))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
     def test_multiclass_solve_pallas_impl_interpret(self):
         """solve_ls_svm_multi(impl='pallas') equals impl='xla' end-to-end."""
         from jax.experimental.pallas import tpu as pltpu
