@@ -165,19 +165,17 @@ def main(argv=None) -> int:
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
         if args.multihost:
-            if args.checkpoint is not None:
-                print(
-                    "warning: --checkpoint is not supported with --multihost "
-                    "yet; fitting without CG-state checkpoints.",
-                    file=sys.stderr,
-                )
             svm = CSVM(devices="all", **svm_kwargs)
+            mh_kwargs = dict(
+                epsilon=args.epsilon, max_iter=args.max_iter,
+                label_type=resolve_label_type(args),
+            )
+            if args.checkpoint is not None:
+                mh_kwargs["checkpoint_path"] = args.checkpoint
+                mh_kwargs["checkpoint_interval"] = args.checkpoint_interval
 
             def _fit_mh():
-                return svm.fit_multihost(
-                    args.input, epsilon=args.epsilon, max_iter=args.max_iter,
-                    label_type=resolve_label_type(args),
-                )
+                return svm.fit_multihost(args.input, **mh_kwargs)
 
             if args.profile is not None:
                 import jax

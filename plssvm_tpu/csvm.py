@@ -412,6 +412,8 @@ class CSVM:
         epsilon: float = 0.001,
         max_iter: Optional[int] = None,
         label_type=None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_interval: int = 1000,
     ) -> Model:
         """Multi-host fit from a LIBSVM file on shared storage.
 
@@ -419,6 +421,11 @@ class CSVM:
         and the CG solve runs row-sharded over the GLOBAL device mesh —
         see plssvm_tpu.parallel.multihost.fit_multihost.  At
         process_count()==1 this equals ``fit(DataSet(filename))``.
+
+        ``checkpoint_path`` (on shared storage) enables CG-state
+        checkpointing, as in :meth:`fit`: process 0 persists the gathered
+        global solver state every ``checkpoint_interval`` iterations and an
+        interrupted run resumes from the file on every host.
         """
         from .parallel.multihost import fit_multihost as _fit_multihost
 
@@ -432,7 +439,8 @@ class CSVM:
             )
         return _fit_multihost(
             self, filename, epsilon=epsilon, max_iter=max_iter,
-            label_type=label_type,
+            label_type=label_type, checkpoint_path=checkpoint_path,
+            checkpoint_interval=checkpoint_interval,
         )
 
     def _device_ctx(self):

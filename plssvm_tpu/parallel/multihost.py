@@ -154,6 +154,143 @@ def shard_arrays_multihost(
     return X_g, x_last_g, y_g, y_last_g, mask_g
 
 
+def _multihost_fingerprint(
+    n_total: int, d: int, params_repr: str, epsilon: float,
+    x_last: np.ndarray,
+) -> str:
+    """Problem fingerprint computable identically on EVERY host: global
+    metadata plus the replicated folded-out last row (no host sees the full
+    matrix, so the single-host array-sampling fingerprint does not apply)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr((int(n_total), int(d), params_repr, float(epsilon))).encode())
+    h.update(np.ascontiguousarray(np.asarray(x_last, np.float64)).tobytes())
+    return "mh-" + h.hexdigest()
+
+
+def _gather_global(arr) -> np.ndarray:
+    """Host copy of a (possibly non-addressable) global array."""
+    if arr.is_fully_addressable:
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def _run_segments_multihost(
+    build, sharded, scalar_args, mesh, dtype, *,
+    n_total, d, params_repr, epsilon, x_last, max_iter,
+    checkpoint_path, checkpoint_interval, multi,
+):
+    """Segmented multi-host CG with CG-state checkpointing.
+
+    Host-identical control flow by construction: the fingerprint uses only
+    globally replicated metadata (`_multihost_fingerprint`), every host
+    loads the (shared-storage) checkpoint file and re-places ITS row window
+    of the saved global state, and only process 0 writes checkpoint files.
+    """
+    from ..solver.checkpoint import (
+        CGCheckpoint,
+        MultiCGCheckpoint,
+        load_checkpoint,
+        load_multi_checkpoint,
+        save_checkpoint,
+        save_multi_checkpoint,
+    )
+    from ..utils.logger import VerbosityLevel, log
+
+    fingerprint = _multihost_fingerprint(
+        n_total, d, params_repr, epsilon, x_last
+    )
+    load = load_multi_checkpoint if multi else load_checkpoint
+    ckpt = load(checkpoint_path, fingerprint)
+    if ckpt is not None:
+        log(
+            VerbosityLevel.FULL,
+            "Resuming multi-host CG from checkpoint '{}' at iteration {}.\n",
+            checkpoint_path, ckpt.iteration,
+        )
+
+    solver = build()
+    solver_resume = build(resume=True)
+    row_sharding = NamedSharding(
+        mesh, P(ROW_AXIS, None) if multi else P(ROW_AXIS)
+    )
+    rep = NamedSharding(mesh, P())
+
+    def place_state(c):
+        begin, end = host_row_range(c.x.shape[0])
+
+        def place_rows(a):
+            local = np.asarray(a[begin:end], dtype)
+            return jax.make_array_from_process_local_data(
+                row_sharding, local, global_shape=a.shape
+            )
+
+        state = [
+            place_rows(c.x), place_rows(c.r), place_rows(c.d),
+            jax.device_put(jnp.asarray(c.delta, dtype), rep),
+            jax.device_put(jnp.asarray(c.delta0, dtype), rep),
+            jax.device_put(jnp.asarray(c.iteration, jnp.int32), rep),
+        ]
+        if multi:
+            state.append(
+                jax.device_put(jnp.asarray(c.itpc, jnp.int32), rep)
+            )
+        return state
+
+    result = None
+    while True:
+        if ckpt is None:
+            seg_end = min(checkpoint_interval, max_iter)
+            result = solver(
+                *sharded, *scalar_args, jnp.asarray(seg_end, jnp.int32)
+            )
+        else:
+            seg_end = min(ckpt.iteration + checkpoint_interval, max_iter)
+            result = solver_resume(
+                *sharded, *scalar_args, jnp.asarray(seg_end, jnp.int32),
+                *place_state(ckpt),
+            )
+        iterations = int(result.iterations)
+        delta = np.asarray(jax.device_get(result.delta))
+        delta0 = np.asarray(jax.device_get(result.delta0))
+        converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
+        if converged or iterations >= max_iter:
+            break
+        fields = dict(
+            x=_gather_global(result.x),
+            r=_gather_global(result.r),
+            d=_gather_global(result.d),
+            iteration=iterations,
+            fingerprint=fingerprint,
+        )
+        if multi:
+            ckpt = MultiCGCheckpoint(
+                delta=delta, delta0=delta0,
+                itpc=np.asarray(jax.device_get(result.iterations_per_class)),
+                **fields,
+            )
+            if jax.process_index() == 0:
+                save_multi_checkpoint(checkpoint_path, ckpt)
+        else:
+            ckpt = CGCheckpoint(
+                delta=float(delta), delta0=float(delta0), **fields
+            )
+            if jax.process_index() == 0:
+                save_checkpoint(checkpoint_path, ckpt)
+    if jax.process_index() == 0:  # solved: the checkpoint is stale now
+        try:
+            import os
+
+            if os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
+        except OSError:
+            pass
+    return result
+
+
 def fit_multihost(
     csvm,
     filename: str,
@@ -161,6 +298,8 @@ def fit_multihost(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     label_type=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_interval: int = 1000,
 ):
     """End-to-end multi-host LS-SVM fit from a LIBSVM file on shared storage.
 
@@ -277,21 +416,17 @@ def fit_multihost(
     x_last = np.zeros((d_pad,), dtype=dtype)
     x_last[:d] = x_last_row
 
-    impl = "pallas" if pallas else "xla"
-    if multiclass:
-        from .sharded import build_sharded_multi_solver
+    import functools as _functools
 
-        solver = build_sharded_multi_solver(
-            mesh, kind=kind, degree=degree, impl=impl,
-            preconditioner=csvm.preconditioner,
-            scalars=csvm.scalar_precision,
-        )
-    else:
-        solver = build_sharded_solver(
-            mesh, kind=kind, degree=degree, impl=impl,
-            preconditioner=csvm.preconditioner,
-            scalars=csvm.scalar_precision,
-        )
+    from .sharded import build_sharded_multi_solver
+
+    impl = "pallas" if pallas else "xla"
+    build = _functools.partial(
+        build_sharded_multi_solver if multiclass else build_sharded_solver,
+        mesh, kind=kind, degree=degree, impl=impl,
+        preconditioner=csvm.preconditioner,
+        scalars=csvm.scalar_precision,
+    )
     sharded = shard_arrays_multihost(
         mesh, X_local, x_last, y_local, np.asarray(y_all[dept], dtype=dtype),
         mask_local, dtype,
@@ -299,10 +434,22 @@ def fit_multihost(
     gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dtype)
     coef0_v = jnp.asarray(params.coef0.value, dtype=dtype)
     cost_v = jnp.asarray(params.cost.value, dtype=dtype)
-    result = solver(
-        *sharded, gamma_v, coef0_v, cost_v,
-        jnp.asarray(epsilon, dtype=dtype), jnp.asarray(max_iter, jnp.int32),
+    scalar_args = (
+        gamma_v, coef0_v, cost_v, jnp.asarray(epsilon, dtype=dtype),
     )
+    if checkpoint_path is None:
+        result = build()(
+            *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32)
+        )
+    else:
+        result = _run_segments_multihost(
+            build, sharded, scalar_args, mesh, dtype,
+            n_total=n_total, d=d, params_repr=repr(params),
+            epsilon=epsilon, x_last=x_last, max_iter=int(max_iter),
+            checkpoint_path=checkpoint_path,
+            checkpoint_interval=int(checkpoint_interval),
+            multi=multiclass,
+        )
 
     if result.x.is_fully_addressable:
         x_sol = np.asarray(jax.device_get(result.x))[:dept]

@@ -158,3 +158,87 @@ def test_fit_multihost_multiclass(tmp_path):
     np.testing.assert_allclose(model.rho, ref_model.rho, rtol=1e-6,
                                atol=1e-9)
     assert svm.score(model) == ref.score(ref_model)
+
+
+def test_fit_multihost_checkpointed(tmp_path):
+    """Segmented multi-host fit (CG-state checkpointing) lands on the same
+    solution and iteration count as the unsegmented multi-host fit, and a
+    mid-solve checkpoint file resumes instead of restarting."""
+    import os
+
+    import plssvm_tpu
+
+    rng = np.random.default_rng(41)
+    X = (rng.normal(size=(300, 10)) * 0.4)
+    y = np.where(rng.random(300) > 0.5, 1, -1)
+    ds = plssvm_tpu.DataSet(X, y)
+    f = str(tmp_path / "mh_ck.libsvm")
+    ds.save(f)
+
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        svm = plssvm_tpu.CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", cost=10.0,
+            devices=jax.devices("cpu")[:8],
+        )
+        plain = svm.fit_multihost(f, epsilon=1e-8)
+        assert plain.n_iter > 10, "problem too easy to exercise segments"
+
+        path = str(tmp_path / "mh_cg.ckpt")
+        seg = svm.fit_multihost(
+            f, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=5,
+        )
+        assert seg.n_iter == plain.n_iter
+        np.testing.assert_allclose(seg.alpha, plain.alpha, rtol=1e-12,
+                                   atol=1e-14)
+        assert seg.rho == pytest.approx(plain.rho, rel=1e-12)
+        assert not os.path.exists(path)  # cleaned after completion
+        # (plain.n_iter > 10 with interval=5 means the segmented run went
+        # through the resume path — solver_resume + re-placed global state —
+        # at least twice to reach the identical solution)
+    finally:
+        mh.global_row_mesh = orig
+
+
+def test_fit_multihost_multiclass_checkpointed(tmp_path):
+    """Multiclass multi-host segmented fit == plain multiclass fit."""
+    import os
+
+    import plssvm_tpu
+
+    rng = np.random.default_rng(43)
+    centers = rng.normal(scale=1.2, size=(3, 8))
+    cls = rng.integers(0, 3, size=240)
+    X = centers[cls] + rng.normal(size=(240, 8))
+    ds = plssvm_tpu.DataSet(X, cls.astype(np.int64))
+    f = str(tmp_path / "mh3_ck.libsvm")
+    ds.save(f)
+
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        svm = plssvm_tpu.CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", cost=10.0,
+            devices=jax.devices("cpu")[:8],
+        )
+        plain = svm.fit_multihost(f, epsilon=1e-8)
+        assert plain.n_iter > 8
+
+        path = str(tmp_path / "mh3_cg.ckpt")
+        seg = svm.fit_multihost(
+            f, epsilon=1e-8, checkpoint_path=path, checkpoint_interval=4,
+        )
+        assert seg.n_iter == plain.n_iter
+        np.testing.assert_allclose(seg.alpha, plain.alpha, rtol=1e-12,
+                                   atol=1e-14)
+        np.testing.assert_allclose(seg.rho, plain.rho, rtol=1e-12)
+        assert not os.path.exists(path)
+    finally:
+        mh.global_row_mesh = orig
