@@ -15,6 +15,42 @@ from ..utils.logger import VerbosityLevel, set_verbosity
 from ..version import DESCRIPTION, __version__
 
 
+def add_sycl_compat_options(parser: argparse.ArgumentParser) -> None:
+    """Accept the reference's SYCL-backend flags as warn-and-ignore no-ops.
+
+    plssvm-train/-predict take --sycl_kernel_invocation_type and
+    --sycl_implementation_type (parser_train.cpp:60-61); the reference
+    itself warns and ignores them when the backend is not SYCL
+    (parser_train.cpp:168-183).  There is no SYCL backend here, so a
+    migrated invocation always gets that warning path rather than an
+    argparse error."""
+    parser.add_argument(
+        "--sycl_kernel_invocation_type", default="automatic",
+        help="accepted for PLSSVM command-line compatibility; ignored "
+        "(this framework has no SYCL backend)",
+    )
+    parser.add_argument(
+        "--sycl_implementation_type", default="automatic",
+        help="accepted for PLSSVM command-line compatibility; ignored "
+        "(this framework has no SYCL backend)",
+    )
+
+
+def warn_ignored_sycl_options(args) -> None:
+    """Reference-style warning when a SYCL flag was explicitly set
+    (parser_train.cpp:168-183)."""
+    import sys
+
+    for flag in ("sycl_kernel_invocation_type", "sycl_implementation_type"):
+        value = getattr(args, flag, "automatic")
+        if value != "automatic":
+            print(
+                f"WARNING: explicitly set a SYCL {flag.split('sycl_')[1].replace('_', ' ')} "
+                f"but this backend isn't SYCL; ignoring --{flag}={value}",
+                file=sys.stderr,
+            )
+
+
 def add_common_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--performance_tracking",

@@ -21,6 +21,8 @@ from ..utils.logger import VerbosityLevel, log
 from ..utils.tracker import add_tracking_entry, global_tracker
 from .common import (
     add_common_options,
+    add_sycl_compat_options,
+    warn_ignored_sycl_options,
     resolve_dtype,
     resolve_label_type,
     resolve_verbosity,
@@ -36,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the backend: automatic|xla|pallas")
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
+    add_sycl_compat_options(parser)
     add_common_options(parser)
     parser.add_argument("test", metavar="test_file")
     parser.add_argument("model", metavar="model_file")
@@ -47,6 +50,7 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     resolve_verbosity(args)
+    warn_ignored_sycl_options(args)
 
     predict_filename = args.output
     if predict_filename is None:

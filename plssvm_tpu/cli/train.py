@@ -19,6 +19,8 @@ from ..utils.logger import VerbosityLevel, log
 from ..utils.tracker import add_tracking_entry, global_tracker
 from .common import (
     add_common_options,
+    add_sycl_compat_options,
+    warn_ignored_sycl_options,
     resolve_dtype,
     resolve_label_type,
     resolve_verbosity,
@@ -72,6 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--checkpoint_interval", type=int, default=1000,
                         help="iterations between CG-state checkpoints")
+    add_sycl_compat_options(parser)
     add_common_options(parser)
     parser.add_argument("input", metavar="training_set_file")
     parser.add_argument("model", metavar="model_file", nargs="?", default=None)
@@ -130,6 +133,7 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     resolve_verbosity(args)
+    warn_ignored_sycl_options(args)
 
     if args.gamma is not None and args.gamma <= 0.0:
         print(f"gamma must be greater than 0.0, but is {args.gamma}!", file=sys.stderr)
