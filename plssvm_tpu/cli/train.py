@@ -168,26 +168,18 @@ def main(argv=None) -> int:
         )
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
+        fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
+        if args.checkpoint is not None:
+            fit_kwargs["checkpoint_path"] = args.checkpoint
+            fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
         if args.multihost:
             svm = CSVM(devices="all", **svm_kwargs)
-            mh_kwargs = dict(
-                epsilon=args.epsilon, max_iter=args.max_iter,
-                label_type=resolve_label_type(args),
-            )
-            if args.checkpoint is not None:
-                mh_kwargs["checkpoint_path"] = args.checkpoint
-                mh_kwargs["checkpoint_interval"] = args.checkpoint_interval
 
-            def _fit_mh():
-                return svm.fit_multihost(args.input, **mh_kwargs)
-
-            if args.profile is not None:
-                import jax
-
-                with jax.profiler.trace(args.profile):
-                    model = _fit_mh()
-            else:
-                model = _fit_mh()
+            def run_fit():
+                return svm.fit_multihost(
+                    args.input, label_type=resolve_label_type(args),
+                    **fit_kwargs,
+                )
         else:
             data = DataSet(
                 args.input,
@@ -195,17 +187,17 @@ def main(argv=None) -> int:
                 dtype=resolve_dtype(args),
             )
             svm = CSVM(**svm_kwargs)
-            fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
-            if args.checkpoint is not None:
-                fit_kwargs["checkpoint_path"] = args.checkpoint
-                fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
-            if args.profile is not None:
-                import jax
 
-                with jax.profiler.trace(args.profile):
-                    model = svm.fit(data, **fit_kwargs)
-            else:
-                model = svm.fit(data, **fit_kwargs)
+            def run_fit():
+                return svm.fit(data, **fit_kwargs)
+
+        if args.profile is not None:
+            import jax
+
+            with jax.profiler.trace(args.profile):
+                model = run_fit()
+        else:
+            model = run_fit()
         model.save(model_filename)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)

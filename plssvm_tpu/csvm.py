@@ -253,6 +253,11 @@ class CSVM:
             raise InvalidParameterError(
                 f"max_iter must be greater than 0, but is {max_iter}!"
             )
+        if checkpoint_path is not None and int(checkpoint_interval) < 1:
+            raise InvalidParameterError(
+                f"checkpoint_interval must be at least 1, but is "
+                f"{checkpoint_interval}!"
+            )
 
         params = self._params.copy()
         if params.gamma.is_default():
@@ -436,6 +441,11 @@ class CSVM:
         if max_iter is not None and max_iter <= 0:
             raise InvalidParameterError(
                 f"max_iter must be greater than 0, but is {max_iter}!"
+            )
+        if checkpoint_path is not None and int(checkpoint_interval) < 1:
+            raise InvalidParameterError(
+                f"checkpoint_interval must be at least 1, but is "
+                f"{checkpoint_interval}!"
             )
         return _fit_multihost(
             self, filename, epsilon=epsilon, max_iter=max_iter,
@@ -657,6 +667,11 @@ class CSVM:
             converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
             if converged or iterations >= max_iter:
                 break
+            if ckpt is not None and iterations <= int(ckpt.iteration):
+                # no forward progress: the solver's in-dtype stop target can
+                # be minutely looser than this f64 check at the eps
+                # boundary — accept the solver's verdict instead of spinning
+                break
             ckpt = MultiCGCheckpoint(
                 x=np.asarray(jax.device_get(result.x)),
                 r=np.asarray(jax.device_get(result.r)),
@@ -726,6 +741,11 @@ class CSVM:
             target = float(epsilon) ** 2 * float(result.delta0)
             converged = delta <= target
             if converged or iterations >= max_iter:
+                break
+            if ckpt is not None and iterations <= int(ckpt.iteration):
+                # no forward progress: the solver's in-dtype stop target can
+                # be minutely looser than this f64 check at the eps
+                # boundary — accept the solver's verdict instead of spinning
                 break
             ckpt = CGCheckpoint(
                 x=np.asarray(jax.device_get(result.x)),
@@ -838,6 +858,11 @@ class CSVM:
             delta0 = np.asarray(jax.device_get(result.delta0))
             converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
             if converged or iterations >= max_iter:
+                break
+            if ckpt is not None and iterations <= int(ckpt.iteration):
+                # no forward progress: the solver's in-dtype stop target can
+                # be minutely looser than this f64 check at the eps
+                # boundary — accept the solver's verdict instead of spinning
                 break
             state_fields = dict(
                 x=np.asarray(jax.device_get(result.x)),

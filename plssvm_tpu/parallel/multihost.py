@@ -67,17 +67,12 @@ def initialize_distributed(
         ):
             return True
         # TPU VMs set TPU_WORKER_HOSTNAMES even on single-worker slices —
-        # only a comma-separated multi-host list indicates a pod launch
-        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
-            return True
-        for v in ("SLURM_NTASKS", "SLURM_JOB_NUM_NODES",
-                  "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
-            try:
-                if int(os.environ.get(v, "1")) > 1:
-                    return True
-            except ValueError:
-                pass
-        return False
+        # only a comma-separated multi-host list indicates a pod launch.
+        # Deliberately NO generic SLURM/MPI heuristics: N *independent*
+        # single-process trainings under one SLURM job would be force-fused
+        # into one wrong multi-host group; on such launchers set
+        # JAX_COORDINATOR_ADDRESS (or pass explicit args) instead.
+        return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
     if (
         coordinator_address is None
@@ -156,16 +151,25 @@ def shard_arrays_multihost(
 
 def _multihost_fingerprint(
     n_total: int, d: int, params_repr: str, epsilon: float,
-    x_last: np.ndarray,
+    x_last: np.ndarray, y_all: np.ndarray, m_pad: int,
 ) -> str:
     """Problem fingerprint computable identically on EVERY host: global
-    metadata plus the replicated folded-out last row (no host sees the full
-    matrix, so the single-host array-sampling fingerprint does not apply)."""
+    metadata, the FULL mapped label column (read globally by every host —
+    edited labels must invalidate a checkpoint), the replicated folded-out
+    last row (no host sees the full matrix, so the single-host
+    array-sampling fingerprint does not apply), and the padded global row
+    count (a job rescheduled onto a different host/device count gets a
+    different m_pad — its stale-shaped checkpoint must NOT resume)."""
     import hashlib
 
     h = hashlib.sha256()
-    h.update(repr((int(n_total), int(d), params_repr, float(epsilon))).encode())
+    h.update(
+        repr(
+            (int(n_total), int(d), params_repr, float(epsilon), int(m_pad))
+        ).encode()
+    )
     h.update(np.ascontiguousarray(np.asarray(x_last, np.float64)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(y_all, np.float64)).tobytes())
     return "mh-" + h.hexdigest()
 
 
@@ -180,7 +184,7 @@ def _gather_global(arr) -> np.ndarray:
 
 def _run_segments_multihost(
     build, sharded, scalar_args, mesh, dtype, *,
-    n_total, d, params_repr, epsilon, x_last, max_iter,
+    n_total, d, params_repr, epsilon, x_last, y_all, m_pad, max_iter,
     checkpoint_path, checkpoint_interval, multi,
 ):
     """Segmented multi-host CG with CG-state checkpointing.
@@ -201,7 +205,7 @@ def _run_segments_multihost(
     from ..utils.logger import VerbosityLevel, log
 
     fingerprint = _multihost_fingerprint(
-        n_total, d, params_repr, epsilon, x_last
+        n_total, d, params_repr, epsilon, x_last, y_all, m_pad
     )
     load = load_multi_checkpoint if multi else load_checkpoint
     ckpt = load(checkpoint_path, fingerprint)
@@ -258,6 +262,11 @@ def _run_segments_multihost(
         delta0 = np.asarray(jax.device_get(result.delta0))
         converged = bool(np.all(delta <= float(epsilon) ** 2 * delta0))
         if converged or iterations >= max_iter:
+            break
+        if ckpt is not None and iterations <= int(ckpt.iteration):
+            # no forward progress: the solver's in-dtype stop target can be
+            # minutely looser than this f64 check at the eps boundary —
+            # accept the solver's verdict instead of spinning
             break
         fields = dict(
             x=_gather_global(result.x),
@@ -445,7 +454,8 @@ def fit_multihost(
         result = _run_segments_multihost(
             build, sharded, scalar_args, mesh, dtype,
             n_total=n_total, d=d, params_repr=repr(params),
-            epsilon=epsilon, x_last=x_last, max_iter=int(max_iter),
+            epsilon=epsilon, x_last=x_last, y_all=y_all, m_pad=m_pad,
+            max_iter=int(max_iter),
             checkpoint_path=checkpoint_path,
             checkpoint_interval=int(checkpoint_interval),
             multi=multiclass,
