@@ -35,6 +35,11 @@ def main() -> int:
     parser.add_argument("--mesh-sizes", default=None,
                         help="comma-separated device counts (default: 1,2,4,..,max)")
     parser.add_argument("--kernel", default="rbf")
+    parser.add_argument(
+        "--performance_tracking", metavar="FILE", default=None,
+        help="append the sweep results to FILE in the tracker YAML schema "
+        "(one document per run, categories scaling/parameter)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -115,6 +120,22 @@ def main() -> int:
             f"scaling efficiency {eff:6.1f}%",
             flush=True,
         )
+        if args.performance_tracking:
+            from plssvm_tpu.utils.tracker import add_tracking_entry
+
+            add_tracking_entry("scaling", "num_devices", ndev)
+            add_tracking_entry("scaling", "cg_iterations_per_second", rate)
+            add_tracking_entry("scaling", "efficiency_percent", eff)
+
+    if args.performance_tracking:
+        from plssvm_tpu.utils.tracker import (
+            add_tracking_entry, global_tracker,
+        )
+
+        add_tracking_entry("parameter", "num_data_points", n)
+        add_tracking_entry("parameter", "num_features", d)
+        add_tracking_entry("parameter", "kernel_type", args.kernel)
+        global_tracker.save(args.performance_tracking)
     return 0
 
 
