@@ -159,6 +159,63 @@ def test_ring_matvec_matches_dense(mesh, kernel):
     np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("ndev", [2, 3])
+@pytest.mark.parametrize("matmat", [False, True])
+def test_symmetric_ring_pallas_impl_interpret(ndev, matmat):
+    """The Pallas symmetric ring at P=2 (half-step only: rect matvec /
+    dual-discard matmat) and P=3 (dual + ppermute-back, no half-step) must
+    match the dense kernel — interpret mode on the CPU mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plssvm_tpu.kernel_functions import apply_kernel_to_gram
+    from plssvm_tpu.parallel.sharded import (
+        ring_kernel_matmat, ring_kernel_matvec,
+    )
+
+    devs = jax.devices("cpu")
+    if len(devs) < ndev:
+        pytest.skip("needs virtual CPU devices")
+    small_mesh = make_row_mesh(devs[:ndev])
+
+    kind = KernelFunctionType.RBF
+    rng = np.random.default_rng(9)
+    m, d = ndev * 128, 128  # pallas blocks must be 128-aligned
+    X = rng.normal(size=(m, d)).astype(np.float32) * 0.2
+    v = rng.normal(size=(m, 3) if matmat else (m,)).astype(np.float32)
+    gamma, coef0 = np.float32(1.0 / d), np.float32(0.0)
+    sq = np.sum(X * X, axis=1)
+    K = np.asarray(
+        apply_kernel_to_gram(
+            X @ X.T, sq[:, None], sq[None, :], kind, gamma, coef0, 3
+        )
+    )
+    ring = ring_kernel_matmat if matmat else ring_kernel_matvec
+    fn = jax.jit(
+        jax.shard_map(
+            lambda Xl, sql, vl: ring(
+                Xl, sql, vl, gamma, coef0,
+                kind=kind, degree=3, axis_name=ROW_AXIS, num_devices=ndev,
+                impl="pallas",
+            ),
+            mesh=small_mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS),
+                      P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS, None) if matmat else P(ROW_AXIS),
+            check_vma=False,
+        )
+    )
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(small_mesh, P(ROW_AXIS, None)))
+    sqs = jax.device_put(jnp.asarray(sq), NamedSharding(small_mesh, P(ROW_AXIS)))
+    vs = jax.device_put(
+        jnp.asarray(v),
+        NamedSharding(small_mesh, P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.device_get(fn(Xs, sqs, vs)))
+    np.testing.assert_allclose(got, K @ v, rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("ndev", [2, 3, 5, 8])
 @pytest.mark.parametrize("matmat", [False, True])
 def test_symmetric_ring_all_device_counts(ndev, matmat):
