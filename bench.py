@@ -115,6 +115,30 @@ def _bench_cg(n=10240, d=200, dtype=np.float32):
 
 
 def main():
+    # fail fast if the tunneled TPU runtime is down: axon client creation
+    # can hang forever (observed: multi-hour outage), which would stall the
+    # whole bench run with no diagnostic.  Exit non-zero instead.
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(600):
+            print(
+                "[bench] FATAL: JAX backend init did not complete within "
+                "600 s — the tunneled TPU runtime appears to be down.",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()  # force backend init under the watchdog
+    ready.set()
+
     mv = _bench_matvec()
     cg_rate, cg_iters, acc, cg_time = _bench_cg()
     print(
