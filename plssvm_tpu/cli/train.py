@@ -37,7 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="set type of kernel function.\n"
         " 0 -- linear: u'*v\n"
         " 1 -- polynomial: (gamma*u'*v + coef0)^degree\n"
-        " 2 -- radial basis function: exp(-gamma*|u-v|^2)",
+        " 2 -- radial basis function: exp(-gamma*|u-v|^2)\n"
+        " 3 -- sigmoid: tanh(gamma*u'*v + coef0)\n"
+        " 4 -- laplacian: exp(-gamma*|u-v|_1)\n"
+        " 5 -- chi-squared: exp(-gamma*sum((x-y)^2/(x+y)))",
     )
     parser.add_argument("-d", "--degree", type=int, default=None,
                         help="set degree in kernel function")
@@ -100,7 +103,20 @@ def _format_params(args, kernel: KernelFunctionType, model_filename: str) -> str
             f"degree: {args.degree if args.degree is not None else 3}"
             f"{' (default)' if args.degree is None else ''}"
         )
-    elif kernel == KernelFunctionType.RBF:
+    elif kernel == KernelFunctionType.SIGMOID:
+        lines.append(
+            "gamma: 1 / num_features (default)" if args.gamma is None
+            else f"gamma: {args.gamma}"
+        )
+        lines.append(
+            f"coef0: {args.coef0 if args.coef0 is not None else 0.0}"
+            f"{' (default)' if args.coef0 is None else ''}"
+        )
+    elif kernel in (
+        KernelFunctionType.RBF,
+        KernelFunctionType.LAPLACIAN,
+        KernelFunctionType.CHI_SQUARED,
+    ):
         lines.append(
             "gamma: 1 / num_features (default)" if args.gamma is None
             else f"gamma: {args.gamma}"

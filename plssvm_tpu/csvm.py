@@ -18,6 +18,7 @@ import numpy as np
 
 from .data_set import DataSet
 from .exceptions import InvalidParameterError, UnsupportedBackendError
+from .kernel_functions import is_gram_kernel as _is_gram_kernel
 from .model import Model
 from .ops.matvec import DEFAULT_ROW_BLOCK
 from .ops.predict import (
@@ -68,6 +69,16 @@ def _ensure_x64_if_needed(dtype) -> None:
     """Enable JAX x64 mode when float64 math is requested."""
     if np.dtype(dtype) == np.float64 and not jax.config.read("jax_enable_x64"):
         jax.config.update("jax_enable_x64", True)
+
+
+def _check_chi_squared_data(X: np.ndarray, what: str) -> None:
+    """The chi-squared kernel is only defined for non-negative data."""
+    lo = float(np.min(X)) if X.size else 0.0
+    if lo < 0.0:
+        raise InvalidParameterError(
+            f"The chi-squared kernel requires non-negative values, but the "
+            f"{what} contains {lo}!"
+        )
 
 
 def _has_tpu() -> bool:
@@ -277,6 +288,8 @@ class CSVM:
         multiclass = n_classes > 2
 
         X = np.asarray(data.data, dtype=self.dtype)
+        if kind == KernelFunctionType.CHI_SQUARED:
+            _check_chi_squared_data(X, "training data")
         if multiclass:
             y = data.mapper.oaa_targets(data.labels, dtype=self.dtype)  # (n, C)
         else:
@@ -294,9 +307,14 @@ class CSVM:
                 _round_up(d, 128)
                 if self.backend == BackendType.PALLAS
                 and kind != KernelFunctionType.LINEAR
+                and _is_gram_kernel(kind)
                 else d
             )
-        elif self.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR:
+        elif (
+            self.backend == BackendType.PALLAS
+            and kind != KernelFunctionType.LINEAR
+            and _is_gram_kernel(kind)
+        ):
             from .ops.pallas_matvec import preferred_row_multiple
 
             d_pad = _round_up(d, 128)
@@ -472,6 +490,7 @@ class CSVM:
         if (
             self.backend != BackendType.PALLAS
             or kind == KernelFunctionType.LINEAR
+            or not _is_gram_kernel(kind)
         ):
             return "xla"
         if not all(
@@ -914,6 +933,8 @@ class CSVM:
         _ensure_x64_if_needed(self.dtype)
         params = model.params
         kind = params.kernel_type.value
+        if kind == KernelFunctionType.CHI_SQUARED:
+            _check_chi_squared_data(np.asarray(data.data), "predict points")
         with self._device_ctx():
             # memoize the device-resident SVs/alpha on the model: repeated
             # predicts (scoring sweeps) skip re-transfer
@@ -954,6 +975,7 @@ class CSVM:
                 )
             elif (
                 self.backend == BackendType.PALLAS
+                and _is_gram_kernel(kind)
                 and points.shape[0] >= 512
                 and sv.shape[0] >= 512
             ):

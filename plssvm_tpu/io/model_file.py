@@ -163,6 +163,26 @@ def parse_model_header(
                 "Explicitly provided a value for the coef0 parameter which is "
                 "not used in the radial basis function kernel!"
             )
+    elif kt == KernelFunctionType.SIGMOID:
+        if not params.degree.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the degree parameter which is "
+                "not used in the sigmoid kernel!"
+            )
+    elif kt in (KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED):
+        name = (
+            "laplacian" if kt == KernelFunctionType.LAPLACIAN else "chi-squared"
+        )
+        if not params.degree.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the degree parameter which is "
+                f"not used in the {name} kernel!"
+            )
+        if not params.coef0.is_default():
+            raise InvalidFileFormatError(
+                "Explicitly provided a value for the coef0 parameter which is "
+                f"not used in the {name} kernel!"
+            )
 
     if nr_class is None:
         raise InvalidFileFormatError("Missing number of different classes nr_class!")
@@ -359,7 +379,14 @@ def write_model_file(
         header.append(f"degree {params.degree.value}")
         header.append(f"gamma {_fmt_g(params.gamma.value)}")
         header.append(f"coef0 {_fmt_g(params.coef0.value)}")
-    elif kt == KernelFunctionType.RBF:
+    elif kt == KernelFunctionType.SIGMOID:
+        header.append(f"gamma {_fmt_g(params.gamma.value)}")
+        header.append(f"coef0 {_fmt_g(params.coef0.value)}")
+    elif kt in (
+        KernelFunctionType.RBF,
+        KernelFunctionType.LAPLACIAN,
+        KernelFunctionType.CHI_SQUARED,
+    ):
         header.append(f"gamma {_fmt_g(params.gamma.value)}")
     counts = [int(np.sum(labels == lab)) for lab in different_labels]
     header.append(f"nr_class {len(different_labels)}")

@@ -23,8 +23,9 @@ TPU-native re-design — two key departures from the reference:
    (the reference always walks the full kernel matrix, svm_kernel.cu:17-88).
    This is an asymptotic win, not a constant-factor one.
 
-For polynomial/RBF the kernel matrix is computed blockwise: a row-block Gram
-matrix on the MXU, the kernel epilogue on the VPU, immediately contracted
+For the other kernels the matrix is computed blockwise: a row-block kernel
+block (Gram on the MXU + fused epilogue for polynomial/RBF/sigmoid; tiled
+VPU pairwise distance for laplacian/chi-squared) immediately contracted
 against ``v`` — O(row_block * n) memory, never O(n^2).
 
 Padded rows/columns: callers zero-pad X and guarantee ``v == 0`` on padded
@@ -41,7 +42,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..kernel_functions import apply_kernel_to_gram
+from ..kernel_functions import kernel_block
 from ..parameter import KernelFunctionType
 
 #: default row-block height for the blockwise matvec; a multiple of the MXU
@@ -90,13 +91,10 @@ def kernel_matvec_xla(
 
     def body(_, inp):
         X_blk, s_blk = inp
-        gram = jax.lax.dot_general(
-            X_blk, X,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32 if X.dtype == jnp.float32 else None,
-        )  # (block, m)
-        K_blk = apply_kernel_to_gram(
-            gram, s_blk[:, None], sq_norms[None, :], kind, gamma, coef0, degree
+        # (block, m): Gram + fused epilogue for Gram kernels, tiled pairwise
+        # distance for laplacian/chi-squared (kernel_functions.kernel_block)
+        K_blk = kernel_block(
+            X_blk, X, s_blk, sq_norms, kind, gamma, coef0, degree
         )
         return None, K_blk @ v
 

@@ -380,7 +380,7 @@ def kernel_matvec_pallas_dual(
         bytes_accessed=(mr + mc) * d * itemsize + 6 * (mr + mc) * 4,
         transcendentals=(
             (mr * mc // 2 if symmetric else mr * mc)
-            if kind == KernelFunctionType.RBF
+            if kind in (KernelFunctionType.RBF, KernelFunctionType.SIGMOID)
             else 0
         ),
     )
@@ -705,7 +705,7 @@ def kernel_matmat_pallas_dual(
         bytes_accessed=(mr + mc) * d * itemsize + 3 * cp * (mr + mc) * 4,
         transcendentals=(
             (mr * mc // 2 if symmetric else mr * mc)
-            if kind == KernelFunctionType.RBF
+            if kind in (KernelFunctionType.RBF, KernelFunctionType.SIGMOID)
             else 0
         ),
     )
@@ -882,7 +882,11 @@ def kernel_matvec_pallas_rect(
     cost = pl.CostEstimate(
         flops=flops,
         bytes_accessed=(mr + mc) * d * itemsize + 3 * mc * 4,
-        transcendentals=mr * mc if kind == KernelFunctionType.RBF else 0,
+        transcendentals=(
+            mr * mc
+            if kind in (KernelFunctionType.RBF, KernelFunctionType.SIGMOID)
+            else 0
+        ),
     )
 
     # square case: exploit K's symmetry via the dual-contraction kernel —

@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..kernel_functions import apply_kernel_to_gram
+from ..kernel_functions import kernel_block
 from ..parameter import KernelFunctionType
 
 
@@ -68,16 +68,10 @@ def predict_values(
         )
         return out - rho
 
-    gram = jax.lax.dot_general(
-        predict_points, support_vectors,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32
-        if predict_points.dtype == jnp.float32
-        else None,
+    K = kernel_block(
+        predict_points, support_vectors, sq_pred, sq_sv,
+        kind, gamma, coef0, degree,
     )  # (n_pred, n_sv)
-    K = apply_kernel_to_gram(
-        gram, sq_pred[:, None], sq_sv[None, :], kind, gamma, coef0, degree
-    )
     return K @ alpha - rho
 
 
@@ -109,17 +103,11 @@ def predict_values_blocked(
     Pb = predict_points.reshape(nb, row_block, d)
 
     def body(_, P_blk):
-        gram = jax.lax.dot_general(
-            P_blk, support_vectors,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32
-            if P_blk.dtype == jnp.float32
-            else None,
-        )  # (row_block, n_sv)
         sq_blk = jnp.sum(P_blk * P_blk, axis=-1)
-        K_blk = apply_kernel_to_gram(
-            gram, sq_blk[:, None], sq_sv[None, :], kind, gamma, coef0, degree
-        )
+        K_blk = kernel_block(
+            P_blk, support_vectors, sq_blk, sq_sv,
+            kind, gamma, coef0, degree,
+        )  # (row_block, n_sv)
         return None, K_blk @ alpha
 
     _, out = jax.lax.scan(body, None, Pb)

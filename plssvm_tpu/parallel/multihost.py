@@ -381,8 +381,12 @@ def fit_multihost(
     kind = params.kernel_type.value
     degree = params.degree.value
 
+    from ..kernel_functions import is_gram_kernel
+
     pallas = (
-        csvm.backend == BackendType.PALLAS and kind != KernelFunctionType.LINEAR
+        csvm.backend == BackendType.PALLAS
+        and kind != KernelFunctionType.LINEAR
+        and is_gram_kernel(kind)
     )
     d_pad = ((d + 127) // 128) * 128 if pallas else d
     chunk = n_dev * 128

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..kernel_functions import apply_kernel_to_gram
+from ..kernel_functions import kernel_block
 from ..parameter import KernelFunctionType
 from ..solver.cg import (
     CGResult,
@@ -64,16 +64,10 @@ def make_row_mesh(devices: Optional[Sequence] = None) -> Mesh:
 
 
 def _xla_kernel_block(X_rows, Xc, sq_rows, sqc, kind, gamma, coef0, degree):
-    """One dense kernel block K(X_rows, Xc) on the XLA path."""
-    gram = jax.lax.dot_general(
-        X_rows, Xc,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=(
-            jnp.float32 if X_rows.dtype == jnp.float32 else None
-        ),
-    )
-    return apply_kernel_to_gram(
-        gram, sq_rows[:, None], sqc[None, :], kind, gamma, coef0, degree
+    """One dense kernel block K(X_rows, Xc) on the XLA path (all kernels,
+    including the VPU-bound laplacian/chi-squared distance kernels)."""
+    return kernel_block(
+        X_rows, Xc, sq_rows, sqc, kind, gamma, coef0, degree
     )
 
 

@@ -30,7 +30,10 @@ T = TypeVar("T")
 class KernelFunctionType(enum.IntEnum):
     """The implemented kernel functions.
 
-    reference: include/plssvm/kernel_function_types.hpp:31-38
+    reference: include/plssvm/kernel_function_types.hpp:31-38 (linear,
+    polynomial, rbf).  SIGMOID/LAPLACIAN/CHI_SQUARED are extensions matching
+    upstream PLSSVM v3's kernel set (the same indices LIBSVM/PLSSVM use);
+    this reference snapshot predates them.
     """
 
     #: linear kernel: u'*v
@@ -39,6 +42,13 @@ class KernelFunctionType(enum.IntEnum):
     POLYNOMIAL = 1
     #: radial basis function kernel: exp(-gamma*|u-v|^2)
     RBF = 2
+    #: sigmoid kernel: tanh(gamma*u'*v + coef0) — extension
+    SIGMOID = 3
+    #: laplacian kernel: exp(-gamma*|u-v|_1) — extension
+    LAPLACIAN = 4
+    #: chi-squared kernel: exp(-gamma*sum_i (u_i-v_i)^2/(u_i+v_i)) — extension
+    #: (requires non-negative data)
+    CHI_SQUARED = 5
 
     def __str__(self) -> str:  # round-trips through from_string
         return self.name.lower()
@@ -53,6 +63,10 @@ class KernelFunctionType(enum.IntEnum):
             KernelFunctionType.LINEAR: "u'*v",
             KernelFunctionType.POLYNOMIAL: "(gamma*u'*v+coef0)^degree",
             KernelFunctionType.RBF: "exp(-gamma*|u-v|^2)",
+            KernelFunctionType.SIGMOID: "tanh(gamma*u'*v+coef0)",
+            KernelFunctionType.LAPLACIAN: "exp(-gamma*|u-v|_1)",
+            KernelFunctionType.CHI_SQUARED:
+                "exp(-gamma*sum_i((x[i]-y[i])^2/(x[i]+y[i])))",
         }[self]
 
     @classmethod
@@ -71,6 +85,10 @@ class KernelFunctionType(enum.IntEnum):
             "polynomial": cls.POLYNOMIAL,
             "poly": cls.POLYNOMIAL,
             "rbf": cls.RBF,
+            "sigmoid": cls.SIGMOID,
+            "laplacian": cls.LAPLACIAN,
+            "chi_squared": cls.CHI_SQUARED,
+            "chi-squared": cls.CHI_SQUARED,
         }
         if s not in aliases:
             raise UnsupportedKernelTypeError(f"Unrecognized kernel type '{value}'!")
@@ -279,7 +297,9 @@ class Parameter:
             checks = ["cost"]
         elif kt == KernelFunctionType.POLYNOMIAL:
             checks = ["degree", "gamma", "coef0", "cost"]
-        else:  # RBF
+        elif kt == KernelFunctionType.SIGMOID:
+            checks = ["gamma", "coef0", "cost"]
+        else:  # RBF / LAPLACIAN / CHI_SQUARED
             checks = ["gamma", "cost"]
         return all(getattr(self, n).value == getattr(other, n).value for n in checks)
 
@@ -308,7 +328,7 @@ class Parameter:
             )
         kt = self.kernel_type.value
         if (
-            kt in (KernelFunctionType.POLYNOMIAL, KernelFunctionType.RBF)
+            kt != KernelFunctionType.LINEAR
             and not self.gamma.is_default()
             and self.gamma.value <= 0.0
         ):

@@ -35,7 +35,11 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..kernel_functions import apply_kernel_to_gram, kernel_against_point
+from ..kernel_functions import (
+    is_gram_kernel,
+    kernel_against_point,
+    kernel_self_diag,
+)
 from ..parameter import KernelFunctionType
 from ..ops.matvec import (
     DEFAULT_ROW_BLOCK,
@@ -124,10 +128,19 @@ def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:
 
 
 def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_block: int):
-    """Select the K@v implementation for the static configuration."""
-    if impl == "pallas" and kind != KernelFunctionType.LINEAR:
-        # the linear kernel always uses the factored O(n d) path — a fused
-        # Pallas walk over the full kernel matrix could never beat it
+    """Select the K@v implementation for the static configuration.
+
+    The Pallas kernels require a Gram-expressible kernel (the laplacian /
+    chi-squared distance reductions are VPU-bound and run the XLA path by
+    design — kernel_functions module docstring); the linear kernel always
+    uses the factored O(n d) path — a fused Pallas walk over the full
+    kernel matrix could never beat it.
+    """
+    if (
+        impl == "pallas"
+        and kind != KernelFunctionType.LINEAR
+        and is_gram_kernel(kind)
+    ):
         from ..ops.pallas_matvec import kernel_matvec_pallas_big
 
         def kv(X, sq_norms, v, gamma, coef0):
@@ -196,7 +209,7 @@ def cg_ls_svm_core(
     q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
     # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508)
     xl_sq = jnp.dot(x_last, x_last)
-    qa = apply_kernel_to_gram(xl_sq, xl_sq, xl_sq, kind, gamma, coef0, degree)
+    qa = kernel_self_diag(xl_sq, kind, gamma, coef0, degree)
     QA_cost = qa + cost_inv
 
     # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
@@ -213,14 +226,7 @@ def cg_ls_svm_core(
 
     if preconditioner == "jacobi":
         # diag(A_hat) = k(x_i, x_i) + QA_cost - 2 q_i + 1/C
-        if kind == KernelFunctionType.LINEAR:
-            k_diag = sq_norms
-        elif kind == KernelFunctionType.POLYNOMIAL:
-            k_diag = apply_kernel_to_gram(
-                sq_norms, sq_norms, sq_norms, kind, gamma, coef0, degree
-            )
-        else:  # RBF: k(x, x) = 1
-            k_diag = jnp.ones_like(sq_norms)
+        k_diag = kernel_self_diag(sq_norms, kind, gamma, coef0, degree)
         diag = k_diag + QA_cost - 2.0 * q + cost_inv
         minv = mask / diag
 
@@ -365,7 +371,7 @@ def cg_ls_svm_multi_core(
 
     q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
     xl_sq = jnp.dot(x_last, x_last)
-    qa = apply_kernel_to_gram(xl_sq, xl_sq, xl_sq, kind, gamma, coef0, degree)
+    qa = kernel_self_diag(xl_sq, kind, gamma, coef0, degree)
     QA_cost = qa + cost_inv
 
     B = (Y - y_last[None, :]) * mask[:, None]
@@ -385,14 +391,7 @@ def cg_ls_svm_multi_core(
         return out * mask[:, None]
 
     if preconditioner == "jacobi":
-        if kind == KernelFunctionType.LINEAR:
-            k_diag = sq_norms
-        elif kind == KernelFunctionType.POLYNOMIAL:
-            k_diag = apply_kernel_to_gram(
-                sq_norms, sq_norms, sq_norms, kind, gamma, coef0, degree
-            )
-        else:
-            k_diag = jnp.ones_like(sq_norms)
+        k_diag = kernel_self_diag(sq_norms, kind, gamma, coef0, degree)
         diag = k_diag + QA_cost - 2.0 * q + cost_inv
         minv = mask / diag
 
@@ -486,7 +485,11 @@ def _make_kernel_matmat(
     block computed once and contracted with all C columns (the portable
     oracle path).
     """
-    if impl == "pallas" and kind != KernelFunctionType.LINEAR:
+    if (
+        impl == "pallas"
+        and kind != KernelFunctionType.LINEAR
+        and is_gram_kernel(kind)
+    ):
         from ..ops.pallas_matvec import kernel_matmat_pallas_big
 
         def kmm(X, sq_norms, V, gamma, coef0):

@@ -66,7 +66,7 @@ class TestKernelFunctionType:
 
     def test_invalid(self):
         with pytest.raises(UnsupportedKernelTypeError):
-            KernelFunctionType.from_string("sigmoid")
+            KernelFunctionType.from_string("quadratic")
         with pytest.raises(UnsupportedKernelTypeError):
             KernelFunctionType.from_string("7")
 
