@@ -32,18 +32,23 @@ from . import libsvm
 
 def parse_model_header(
     lines: List[str],
-) -> Tuple[Parameter, "np.ndarray", List[str], int]:
+) -> Tuple[Parameter, "np.ndarray", List[str], int, Optional[tuple]]:
     """Parse the model-file header.
 
-    Returns ``(params, rho, per_point_labels, num_header_lines)`` where
+    Returns ``(params, rho, per_point_labels, num_header_lines, prob)`` where
     ``rho`` is a float array (1 value for binary models, C for one-vs-all
     multiclass) and ``per_point_labels`` holds the label string of each SV
-    row, expanded from the ``label`` / ``nr_sv`` header entries.
+    row, expanded from the ``label`` / ``nr_sv`` header entries.  ``prob`` is
+    ``None`` or ``(probA, probB)`` float arrays from the optional LIBSVM
+    probability-calibration header lines (EXTENSION — the reference has no
+    probability support; LIBSVM writes these for ``-b 1`` models).
 
     reference: libsvm_model_parsing.hpp:83-272 (parse_libsvm_model_header).
     """
     params = Parameter()
     rho: Optional[np.ndarray] = None
+    prob_a: Optional[np.ndarray] = None
+    prob_b: Optional[np.ndarray] = None
     num_support_vectors: Optional[int] = None
     nr_class: Optional[int] = None
     labels: Optional[List[str]] = None
@@ -94,6 +99,16 @@ def parse_model_header(
             )
             if rho.size == 0:
                 raise InvalidFileFormatError("Missing rho value!")
+        elif lower.startswith("proba"):
+            prob_a = np.asarray(
+                [_to_float(tok, "probA") for tok in value.split()],
+                dtype=np.float64,
+            )
+        elif lower.startswith("probb"):
+            prob_b = np.asarray(
+                [_to_float(tok, "probB") for tok in value.split()],
+                dtype=np.float64,
+            )
         elif lower.startswith("label"):
             # preserve the original case of the labels
             original = line[line.find(" ") + 1:].lstrip() if " " in line else ""
@@ -227,7 +242,22 @@ def parse_model_header(
             f"but {rho.size} were given!"
         )
 
-    return params, rho, per_point_labels, header_line + 1
+    # optional Platt calibration: probA and probB come as a pair with one
+    # value per sigmoid (1 for binary, C for one-vs-all multiclass)
+    prob: Optional[tuple] = None
+    if (prob_a is None) != (prob_b is None):
+        raise InvalidFileFormatError(
+            "probA and probB must both be given (or neither)!"
+        )
+    if prob_a is not None:
+        if prob_a.size != expected_rho or prob_b.size != expected_rho:
+            raise InvalidFileFormatError(
+                f"Expected {expected_rho} probA/probB value(s) for nr_class "
+                f"{nr_class}, but {prob_a.size}/{prob_b.size} were given!"
+            )
+        prob = (prob_a, prob_b)
+
+    return params, rho, per_point_labels, header_line + 1, prob
 
 
 def _to_float(value: str, name: str) -> float:
@@ -270,10 +300,12 @@ def _read_header_and_offset(filename: str):
 
 def parse_model_file(
     filename: str, dtype: np.dtype = np.float64
-) -> Tuple[Parameter, np.ndarray, np.ndarray, np.ndarray, List[str]]:
+) -> Tuple[Parameter, np.ndarray, np.ndarray, np.ndarray, List[str], Optional[tuple]]:
     """Read a full model file.
 
-    Returns ``(params, rho, support_vectors, alpha, labels)``.  For a binary
+    Returns ``(params, rho, support_vectors, alpha, labels, prob)`` with
+    ``prob`` either ``None`` or the ``(probA, probB)`` Platt-calibration
+    arrays from the optional probability header lines.  For a binary
     model ``rho`` has 1 entry and ``alpha`` is (n_sv,): the alpha values are
     the "label column" of the SV rows (reference: model.hpp:169-201 — alpha
     is parsed as the label of a regular LIBSVM data section).  For a
@@ -295,7 +327,7 @@ def parse_model_file(
         try:
             # the placeholder row only satisfies the header parser's
             # "rows exist after SV" check; it is never parsed
-            params, rho, labels, _ = parse_model_header(
+            params, rho, labels, _, prob = parse_model_header(
                 header_lines + ["<sv-row>"]
             )
         except InvalidFileFormatError:
@@ -314,10 +346,10 @@ def parse_model_file(
                         f"{len(labels)}!"
                     )
                 alpha = coeffs[:, 0] if nr_class == 2 else coeffs
-                return params, rho, data, alpha, labels
+                return params, rho, data, alpha, labels, prob
 
     lines = read_lines(filename, comment="#")
-    params, rho, labels, num_header_lines = parse_model_header(lines)
+    params, rho, labels, num_header_lines, prob = parse_model_header(lines)
     sv_lines = lines[num_header_lines:]
     nr_class = rho.size if rho.size > 1 else 2
 
@@ -348,7 +380,7 @@ def parse_model_file(
         raise InvalidFileFormatError(
             f"Found {data.shape[0]} support vectors, but expected {len(labels)}!"
         )
-    return params, rho, data, alpha, labels
+    return params, rho, data, alpha, labels, prob
 
 
 def write_model_file(
@@ -359,13 +391,18 @@ def write_model_file(
     support_vectors: np.ndarray,
     labels: np.ndarray,
     different_labels: List[str],
+    prob_a: Optional[np.ndarray] = None,
+    prob_b: Optional[np.ndarray] = None,
 ) -> None:
     """Write the model file, grouping SVs per class in ``different_labels`` order.
 
     reference: libsvm_model_parsing.hpp:294-500 (write_libsvm_model_data).
     Binary models (scalar ``rho``, 1-D ``alpha``) keep the reference's exact
     format; one-vs-all multiclass models (``rho`` (C,), ``alpha`` (n_sv, C))
-    write C rho values and C alpha columns per SV row.
+    write C rho values and C alpha columns per SV row.  ``prob_a``/``prob_b``
+    (when both given) add the LIBSVM probA/probB calibration header lines
+    (plssvm_tpu.probability) — absent by default, keeping the output
+    byte-identical to the reference's.
     """
     labels = np.asarray([str(lab) for lab in labels])
     alpha = np.asarray(alpha)
@@ -394,6 +431,13 @@ def write_model_file(
     header.append(f"total_sv {len(labels)}")
     header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
     header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
+    if prob_a is not None and prob_b is not None:
+        header.append(
+            f"probA {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_a))}"
+        )
+        header.append(
+            f"probB {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_b))}"
+        )
     header.append("SV")
 
     sv = np.asarray(support_vectors)

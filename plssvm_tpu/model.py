@@ -48,13 +48,18 @@ class Model:
         self.w: Optional[np.ndarray] = None
         #: CG iterations of the producing fit (None for file-loaded models)
         self.n_iter: Optional[int] = None
+        #: Platt-sigmoid calibration (plssvm_tpu.probability) — (C,) arrays
+        #: (C = 1 for binary models), None when the model is uncalibrated.
+        #: Persisted as the LIBSVM probA/probB model-file header lines.
+        self.prob_a: Optional[np.ndarray] = None
+        self.prob_b: Optional[np.ndarray] = None
 
     # -- file IO ----------------------------------------------------------
     @classmethod
     def load(cls, filename: str, label_type=None, dtype=np.float64) -> "Model":
         """Read a LIBSVM model file (reference: model.hpp:169-201)."""
         start = time.perf_counter()
-        params, rho, support_vectors, alpha, raw_labels = parse_model_file(
+        params, rho, support_vectors, alpha, raw_labels, prob = parse_model_file(
             filename, dtype=dtype
         )
         from .data_set import _infer_label_array
@@ -65,6 +70,8 @@ class Model:
         # one-vs-all multiclass (io/model_file.py extension format)
         rho_val = float(rho[0]) if np.asarray(rho).size == 1 else rho
         model = cls(params, data, alpha=alpha, rho=rho_val)
+        if prob is not None:
+            model.prob_a, model.prob_b = prob
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         log(
             VerbosityLevel.FULL | VerbosityLevel.TIMING,
@@ -90,6 +97,8 @@ class Model:
             self.data.data,
             self.data.labels,
             [str(lab) for lab in self.data.different_labels],
+            prob_a=self.prob_a,
+            prob_b=self.prob_b,
         )
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         log(

@@ -1,0 +1,240 @@
+"""Probability calibration: Platt scaling of LS-SVM decision values.
+
+EXTENSION — the reference's sklearn binding rejects ``probability=True``
+(bindings/Python/sklearn.cpp:74-110) and its C++ API has no probability
+support at all.  This module implements the standard LIBSVM-style pipeline:
+
+1. **Cross-validated decision values**: the calibration set is built from
+   stratified K-fold cross-validation (default 5 folds, as in LIBSVM's
+   ``svm_binary_svc_probability``) — each point's decision value comes from
+   a model that did NOT train on it, removing the optimistic bias of
+   training-set decision values (in LS-SVM *every* training point is a
+   support vector, so this matters even more than for sparse SVMs).
+2. **Sigmoid fit**: ``P(y=+1 | f) = 1 / (1 + exp(A f + B))`` with (A, B)
+   found by the regularized Newton iteration of Lin, Weng & Keerthi,
+   "A note on Platt's probabilistic outputs for support vector machines"
+   (Machine Learning 68, 2007) — the numerically robust variant of Platt's
+   original pseudocode, implemented here from the paper.
+
+Multiclass (one-vs-all) models fit one sigmoid per class column and
+normalize the per-class probabilities to sum to one (the sklearn OvR
+convention; LIBSVM's pairwise coupling does not apply to OvA columns).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def fit_sigmoid(
+    decision_values: np.ndarray,
+    targets: np.ndarray,
+    *,
+    max_iter: int = 100,
+    min_step: float = 1e-10,
+    sigma: float = 1e-12,
+    eps: float = 1e-5,
+) -> Tuple[float, float]:
+    """Fit ``P(y=+1 | f) = 1 / (1 + exp(A f + B))`` to (f, y) pairs.
+
+    ``targets`` is boolean (True = positive class).  Returns (A, B).
+    Newton's method with backtracking line search on the regularized
+    cross-entropy objective (Lin/Weng/Keerthi 2007, Algorithm 1).
+    """
+    f = np.asarray(decision_values, dtype=np.float64).ravel()
+    y = np.asarray(targets, dtype=bool).ravel()
+    prior1 = float(np.sum(y))
+    prior0 = float(len(y) - prior1)
+
+    # soft targets with the Bayesian prior correction (Platt 1999 §2.2)
+    hi = (prior1 + 1.0) / (prior1 + 2.0)
+    lo = 1.0 / (prior0 + 2.0)
+    t = np.where(y, hi, lo)
+
+    def objective(A: float, B: float) -> float:
+        z = A * f + B
+        # -t*log(p) - (1-t)*log(1-p) with p = sigmoid(-z), computed stably
+        return float(np.sum(
+            np.where(
+                z >= 0,
+                t * z + np.log1p(np.exp(-z)),
+                (t - 1.0) * z + np.log1p(np.exp(z)),
+            )
+        ))
+
+    A = 0.0
+    B = float(np.log((prior0 + 1.0) / (prior1 + 1.0)))
+    fval = objective(A, B)
+
+    for _ in range(max_iter):
+        z = A * f + B
+        # p = P(y=+1|f) = sigmoid(-z); q = 1 - p — both branches stable
+        ez = np.exp(-np.abs(z))
+        p = np.where(z >= 0, ez / (1.0 + ez), 1.0 / (1.0 + ez))
+        q = 1.0 - p
+        d2 = p * q
+        h11 = float(np.dot(f * f, d2)) + sigma
+        h22 = float(np.sum(d2)) + sigma
+        h21 = float(np.dot(f, d2))
+        d1 = t - p
+        g1 = float(np.dot(f, d1))
+        g2 = float(np.sum(d1))
+        if abs(g1) < eps and abs(g2) < eps:
+            break
+        # Newton direction: solve the 2x2 system H d = -g
+        det = h11 * h22 - h21 * h21
+        dA = -(h22 * g1 - h21 * g2) / det
+        dB = -(-h21 * g1 + h11 * g2) / det
+        gd = g1 * dA + g2 * dB
+        step = 1.0
+        while step >= min_step:
+            newA, newB = A + step * dA, B + step * dB
+            newf = objective(newA, newB)
+            if newf < fval + 1e-4 * step * gd:
+                A, B, fval = newA, newB, newf
+                break
+            step /= 2.0
+        else:
+            break  # line search failed — accept the current point
+    return A, B
+
+
+def sigmoid_probability(
+    decision_values: np.ndarray, A: float, B: float
+) -> np.ndarray:
+    """``P(y=+1 | f)`` under a fitted (A, B) sigmoid, computed stably."""
+    z = A * np.asarray(decision_values, dtype=np.float64) + B
+    ez = np.exp(-np.abs(z))
+    return np.where(z >= 0, ez / (1.0 + ez), 1.0 / (1.0 + ez))
+
+
+def stratified_folds(
+    labels: np.ndarray, n_folds: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Fold index per data point, stratified by class label.
+
+    Each class's (shuffled) members are dealt round-robin over the folds, so
+    every fold sees every class whenever the class has >= n_folds members.
+    """
+    labels = np.asarray(labels)
+    fold_of = np.empty(len(labels), dtype=np.int32)
+    for lab in np.unique(labels):
+        idx = np.flatnonzero(labels == lab)
+        rng.shuffle(idx)
+        fold_of[idx] = np.arange(len(idx)) % n_folds
+    return fold_of
+
+
+def cross_validated_decision_values(
+    csvm,
+    data,
+    *,
+    n_folds: int = 5,
+    random_state: Optional[int] = None,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+) -> np.ndarray:
+    """Out-of-fold decision values for every training point.
+
+    Trains ``n_folds`` models, each on (n_folds - 1)/n_folds of ``data``,
+    and evaluates each fold's points with the model that excluded them —
+    LIBSVM's ``svm_binary_svc_probability`` scheme.  Returns (n,) for
+    binary data, (n, C) for multiclass.
+    """
+    from .data_set import DataSet
+
+    X = np.asarray(data.data)
+    labels = np.asarray(data.labels)
+    n = len(labels)
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be at least 2, but is {n_folds}!")
+    n_folds = min(n_folds, n)
+    rng = np.random.default_rng(0 if random_state is None else random_state)
+    fold_of = stratified_folds(labels, n_folds, rng)
+
+    out: Optional[np.ndarray] = None
+    for k in range(n_folds):
+        train_idx = np.flatnonzero(fold_of != k)
+        test_idx = np.flatnonzero(fold_of == k)
+        if len(test_idx) == 0:
+            continue
+        fold_data = DataSet(X[train_idx], labels[train_idx])
+        kwargs = {} if max_iter is None else {"max_iter": max_iter}
+        model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        vals = csvm.predict_values(model, DataSet(X[test_idx]))
+        if out is None:
+            out = np.zeros((n,) + vals.shape[1:], dtype=np.float64)
+        out[test_idx] = vals
+    return out
+
+
+def calibrate_model(
+    csvm,
+    model,
+    data,
+    *,
+    n_folds: int = 5,
+    random_state: Optional[int] = None,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit Platt sigmoid(s) for ``model`` and store them on it.
+
+    Binary models get one (A, B) pair fitted to the positive-class
+    indicator; one-vs-all multiclass models get per-class pairs fitted to
+    each class's OvA column.  Sets ``model.prob_a`` / ``model.prob_b``
+    ((C,) float arrays; C = 1 for binary) and returns them.
+    """
+    labels = np.asarray(data.labels)
+    decisions = cross_validated_decision_values(
+        csvm, data,
+        n_folds=n_folds, random_state=random_state,
+        epsilon=epsilon, max_iter=max_iter,
+    )
+    different = list(data.different_labels)
+    if decisions.ndim == 1:
+        # binary: positive class is different_labels[1] (the +1 mapping)
+        positive = labels == different[1]
+        A, B = fit_sigmoid(decisions, positive)
+        prob_a = np.asarray([A], dtype=np.float64)
+        prob_b = np.asarray([B], dtype=np.float64)
+    else:
+        pairs = [
+            fit_sigmoid(decisions[:, c], labels == lab)
+            for c, lab in enumerate(different)
+        ]
+        prob_a = np.asarray([a for a, _ in pairs], dtype=np.float64)
+        prob_b = np.asarray([b for _, b in pairs], dtype=np.float64)
+    model.prob_a = prob_a
+    model.prob_b = prob_b
+    return prob_a, prob_b
+
+
+def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
+    """(n, C) class-probability matrix from decision values.
+
+    Binary: columns ``[P(class0), P(class1)]`` with ``class1`` the positive
+    mapping.  Multiclass OvA: per-class sigmoids normalized to sum to one
+    (the sklearn OvR convention).  Requires a calibrated model
+    (:func:`calibrate_model`).
+    """
+    if getattr(model, "prob_a", None) is None:
+        raise ValueError(
+            "The model has no probability calibration — fit with "
+            "probability enabled (SVC(probability=True)) or call "
+            "probability.calibrate_model first!"
+        )
+    values = np.asarray(decision_values)
+    if values.ndim == 1:
+        p = sigmoid_probability(values, model.prob_a[0], model.prob_b[0])
+        return np.stack([1.0 - p, p], axis=1)
+    cols = [
+        sigmoid_probability(values[:, c], model.prob_a[c], model.prob_b[c])
+        for c in range(values.shape[1])
+    ]
+    P = np.stack(cols, axis=1)
+    total = np.sum(P, axis=1, keepdims=True)
+    # degenerate all-zero rows (cannot happen with finite sigmoids) guard
+    return P / np.where(total > 0, total, 1.0)

@@ -8,6 +8,10 @@ Differences from the reference (capabilities exceeded, not dropped):
 - `decision_function`, `intercept_`, `dual_coef_` and `n_iter_` are
   implemented here; the reference raises AttributeError for them
   (sklearn.cpp:143-145,319-339).
+- `probability=True` / `predict_proba` / `predict_log_proba` / `probA_` /
+  `probB_` are implemented (Platt scaling on stratified-5-fold CV decision
+  values, plssvm_tpu.probability); the reference rejects them
+  (sklearn.cpp:74-110).
 - real/label types are runtime choices, not compile-time build flags
   (sklearn.cpp:37-38).
 """
@@ -24,19 +28,21 @@ from .model import Model
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 
 #: sklearn.svm.SVC constructor parameters the reference accepts but does not
-#: implement — passing one raises AttributeError (sklearn.cpp:74-110)
+#: implement — passing one raises AttributeError (sklearn.cpp:74-110).
+#: ``probability`` and ``random_state`` ARE implemented here (capability
+#: exceeded): Platt scaling on stratified-5-fold CV decision values
+#: (plssvm_tpu.probability), seeded by ``random_state``.
 _UNSUPPORTED_PARAMS = (
     "shrinking",
-    "probability",
     "cache_size",
     "class_weight",
     "decision_function_shape",
     "break_ties",
-    "random_state",
 )
 
 _KNOWN_PARAMS = (
     "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
+    "probability", "random_state",
 ) + _UNSUPPORTED_PARAMS
 
 
@@ -63,6 +69,8 @@ class SVC:
         self._data: Optional[DataSet] = None
         self._model: Optional[Model] = None
         self._gamma_scale = False
+        self._probability = False
+        self._random_state: Optional[int] = None
         self._parse_params(kwargs)
 
     # -- parameter plumbing ------------------------------------------------
@@ -109,6 +117,11 @@ class SVC:
         if "max_iter" in kwargs:
             mi = int(kwargs["max_iter"])
             self._max_iter = None if mi == -1 else mi
+        if "probability" in kwargs:
+            self._probability = bool(kwargs["probability"])
+        if "random_state" in kwargs:
+            rs = kwargs["random_state"]
+            self._random_state = None if rs is None else int(rs)
 
     def get_params(self, deep: bool = True) -> dict:
         """Estimator parameters as a dict (sklearn.cpp:196-219)."""
@@ -122,6 +135,8 @@ class SVC:
             "tol": self._epsilon if self._epsilon is not None else 1e-3,
             "verbose": get_verbosity() != VerbosityLevel.QUIET,
             "max_iter": self._max_iter if self._max_iter is not None else -1,
+            "probability": self._probability,
+            "random_state": self._random_state,
         }
 
     def set_params(self, **kwargs) -> "SVC":
@@ -150,6 +165,18 @@ class SVC:
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
         self._model = self._svm.fit(self._data, **kwargs)
+        if self._probability:
+            # Platt scaling on stratified-5-fold CV decision values — the
+            # LIBSVM pipeline (plssvm_tpu.probability); the reference's
+            # binding rejects probability=True (sklearn.cpp:74-110)
+            from .probability import calibrate_model
+
+            calibrate_model(
+                self._svm, self._model, self._data,
+                random_state=self._random_state,
+                epsilon=self._epsilon if self._epsilon is not None else 0.001,
+                max_iter=self._max_iter,
+            )
         return self
 
     def _check_fitted(self, what: str = "estimator"):
@@ -177,15 +204,25 @@ class SVC:
         self._check_fitted()
         return self._svm.score(self._model, DataSet(np.asarray(X), np.asarray(y)))
 
-    def predict_proba(self, X):
-        raise AttributeError(
-            "'SVC' object has no function 'predict_proba' (not implemented)"
-        )
+    def predict_proba(self, X) -> np.ndarray:
+        """(n, n_classes) class probabilities in ``classes_`` order.
 
-    def predict_log_proba(self, X):
-        raise AttributeError(
-            "'SVC' object has no function 'predict_log_proba' (not implemented)"
-        )
+        Implemented via Platt scaling (plssvm_tpu.probability); requires
+        ``probability=True`` at construction, like sklearn.  The reference
+        raises unconditionally.
+        """
+        self._check_fitted()
+        if not self._probability:
+            raise AttributeError(
+                "predict_proba is not available when probability=False"
+            )
+        from .probability import predict_probabilities
+
+        values = self._svm.predict_values(self._model, DataSet(np.asarray(X)))
+        return predict_probabilities(self._model, values)
+
+    def predict_log_proba(self, X) -> np.ndarray:
+        return np.log(self.predict_proba(X))
 
     # -- fitted attributes (sklearn.cpp:304-420) ---------------------------
     @property
@@ -271,13 +308,23 @@ class SVC:
         )
 
     @property
-    def probA_(self):
-        raise AttributeError(
-            "'SVC' object has no attribute 'probA_' (not implemented)"
-        )
+    def probA_(self) -> np.ndarray:
+        """Platt-sigmoid slope(s) (implemented when probability=True)."""
+        self._check_fitted()
+        if getattr(self._model, "prob_a", None) is None:
+            raise AttributeError(
+                "'SVC' object has no attribute 'probA_' (fit with "
+                "probability=True)"
+            )
+        return np.asarray(self._model.prob_a)
 
     @property
-    def probB_(self):
-        raise AttributeError(
-            "'SVC' object has no attribute 'probB_' (not implemented)"
-        )
+    def probB_(self) -> np.ndarray:
+        """Platt-sigmoid intercept(s) (implemented when probability=True)."""
+        self._check_fitted()
+        if getattr(self._model, "prob_b", None) is None:
+            raise AttributeError(
+                "'SVC' object has no attribute 'probB_' (fit with "
+                "probability=True)"
+            )
+        return np.asarray(self._model.prob_b)

@@ -53,11 +53,12 @@ def test_set_params_returns_self():
 
 @pytest.mark.parametrize(
     "param",
-    ["shrinking", "probability", "cache_size", "class_weight",
-     "decision_function_shape", "break_ties", "random_state"],
+    ["shrinking", "cache_size", "class_weight",
+     "decision_function_shape", "break_ties"],
 )
 def test_unimplemented_constructor_params_raise(param):
-    # reference raises AttributeError for these (sklearn.cpp:74-110)
+    # reference raises AttributeError for these (sklearn.cpp:74-110);
+    # probability and random_state ARE implemented here (Platt scaling)
     with pytest.raises(AttributeError, match="not implemented"):
         SVC(**{param: 1})
 
@@ -107,12 +108,13 @@ def test_decision_function_consistent_with_predict(blobs):
     np.testing.assert_array_equal(np.where(vals > 0, 1, -1), preds)
 
 
-def test_probability_methods_raise(blobs):
+def test_probability_methods_raise_without_probability(blobs):
+    # without probability=True the methods raise, like sklearn
     X, y = blobs
     clf = SVC().fit(X, y)
-    with pytest.raises(AttributeError, match="predict_proba"):
+    with pytest.raises(AttributeError, match="probability"):
         clf.predict_proba(X)
-    with pytest.raises(AttributeError, match="predict_log_proba"):
+    with pytest.raises(AttributeError, match="probability"):
         clf.predict_log_proba(X)
     for attr in ("class_weight_", "coef_", "probA_", "probB_"):
         with pytest.raises(AttributeError):
