@@ -18,7 +18,10 @@ import numpy as np
 
 from .data_set import DataSet
 from .exceptions import InvalidParameterError, UnsupportedBackendError
-from .kernel_functions import is_gram_kernel as _is_gram_kernel
+from .kernel_functions import (
+    is_gram_kernel as _is_gram_kernel,
+    uses_pallas_kernels as _uses_pallas_kernels,
+)
 from .model import Model
 from .ops.matvec import DEFAULT_ROW_BLOCK
 from .ops.predict import (
@@ -306,15 +309,10 @@ class CSVM:
             d_pad = (
                 _round_up(d, 128)
                 if self.backend == BackendType.PALLAS
-                and kind != KernelFunctionType.LINEAR
-                and _is_gram_kernel(kind)
+                and _uses_pallas_kernels(kind)
                 else d
             )
-        elif (
-            self.backend == BackendType.PALLAS
-            and kind != KernelFunctionType.LINEAR
-            and _is_gram_kernel(kind)
-        ):
+        elif self.backend == BackendType.PALLAS and _uses_pallas_kernels(kind):
             from .ops.pallas_matvec import preferred_row_multiple
 
             d_pad = _round_up(d, 128)
@@ -487,11 +485,7 @@ class CSVM:
         block (e.g. many classes x a tall shard), and the ring does not
         silently downgrade (that would falsify the builders' per-impl
         ``check_vma`` scoping)."""
-        if (
-            self.backend != BackendType.PALLAS
-            or kind == KernelFunctionType.LINEAR
-            or not _is_gram_kernel(kind)
-        ):
+        if self.backend != BackendType.PALLAS or not _uses_pallas_kernels(kind):
             return "xla"
         if not all(
             getattr(dev, "platform", "") in ("tpu", "axon")
@@ -988,7 +982,11 @@ class CSVM:
                 points.shape[0] * sv.shape[0] * points.dtype.itemsize
                 > _PREDICT_GRAM_BUDGET
                 or alpha.ndim == 2
+                or not _is_gram_kernel(kind)
             ):
+                # distance kernels ALWAYS stream: pairwise_distance's tiled
+                # temporary scales with the un-tiled point-row count, so the
+                # Gram-budget check above does not model their memory
                 # stream over point row blocks: O(row_block * n_sv) memory,
                 # never the full (n_pred, n_sv) matrix — the reference's
                 # streaming predict equivalent (predict_kernel.cu:32-74)

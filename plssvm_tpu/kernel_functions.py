@@ -55,6 +55,17 @@ def is_gram_kernel(kind: KernelFunctionType) -> bool:
     return kind in GRAM_KERNELS
 
 
+def uses_pallas_kernels(kind: KernelFunctionType) -> bool:
+    """Whether the fused Pallas matvec/matmat kernels apply to ``kind``.
+
+    One rule for every dispatch site: a Gram kernel other than linear.
+    The linear kernel always takes the factored ``X (X^T v)`` O(n d) path
+    (a fused walk over the full kernel matrix could never beat it), and
+    the distance kernels are VPU-bound XLA-path-only by design.
+    """
+    return kind != KernelFunctionType.LINEAR and kind in GRAM_KERNELS
+
+
 def apply_kernel_to_gram(
     gram: ArrayLike,
     sq_row: ArrayLike,

@@ -381,13 +381,9 @@ def fit_multihost(
     kind = params.kernel_type.value
     degree = params.degree.value
 
-    from ..kernel_functions import is_gram_kernel
+    from ..kernel_functions import uses_pallas_kernels
 
-    pallas = (
-        csvm.backend == BackendType.PALLAS
-        and kind != KernelFunctionType.LINEAR
-        and is_gram_kernel(kind)
-    )
+    pallas = csvm.backend == BackendType.PALLAS and uses_pallas_kernels(kind)
     d_pad = ((d + 127) // 128) * 128 if pallas else d
     chunk = n_dev * 128
     m_pad = max(((dept + chunk - 1) // chunk) * chunk, chunk)
@@ -428,6 +424,28 @@ def fit_multihost(
         x_last_row = x_last_row[0]
     x_last = np.zeros((d_pad,), dtype=dtype)
     x_last[:d] = x_last_row
+
+    if kind == KernelFunctionType.CHI_SQUARED:
+        # the same non-negativity rule CSVM.fit enforces — checked over the
+        # GLOBAL data: every host gathers all window minima so they reach
+        # the same verdict (one host raising alone would leave the others
+        # hanging in the first collective)
+        local_min = float(min(X_local.min() if X_local.size else 0.0,
+                              x_last.min()))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            mins = np.asarray(
+                multihost_utils.process_allgather(np.asarray([local_min]))
+            )
+            local_min = float(mins.min())
+        if local_min < 0.0:
+            from ..exceptions import InvalidParameterError
+
+            raise InvalidParameterError(
+                f"The chi-squared kernel requires non-negative values, but "
+                f"the training data contains {local_min}!"
+            )
 
     import functools as _functools
 

@@ -188,11 +188,28 @@ def calibrate_model(
     ((C,) float arrays; C = 1 for binary) and returns them.
     """
     labels = np.asarray(data.labels)
-    decisions = cross_validated_decision_values(
-        csvm, data,
-        n_folds=n_folds, random_state=random_state,
-        epsilon=epsilon, max_iter=max_iter,
-    )
+    _, class_counts = np.unique(labels.astype(str), return_counts=True)
+    if int(class_counts.min()) < 2:
+        # a singleton class cannot be stratified: every CV training split
+        # either drops the class (LIBSVM pads such subproblems with fixed
+        # decision values) or keeps no test point for it.  Fall back to
+        # calibrating on the (already-fit) model's training decision values
+        # — biased, but well-defined — and say so.
+        import warnings
+
+        warnings.warn(
+            "probability calibration: a class has fewer than 2 samples, so "
+            "cross-validation is impossible — calibrating on training-set "
+            "decision values instead (optimistically biased).",
+            stacklevel=2,
+        )
+        decisions = np.asarray(csvm.predict_values(model, data), np.float64)
+    else:
+        decisions = cross_validated_decision_values(
+            csvm, data,
+            n_folds=n_folds, random_state=random_state,
+            epsilon=epsilon, max_iter=max_iter,
+        )
     different = list(data.different_labels)
     if decisions.ndim == 1:
         # binary: positive class is different_labels[1] (the +1 mapping)

@@ -36,9 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from ..kernel_functions import (
-    is_gram_kernel,
     kernel_against_point,
     kernel_self_diag,
+    uses_pallas_kernels,
 )
 from ..parameter import KernelFunctionType
 from ..ops.matvec import (
@@ -136,11 +136,7 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
     uses the factored O(n d) path — a fused Pallas walk over the full
     kernel matrix could never beat it.
     """
-    if (
-        impl == "pallas"
-        and kind != KernelFunctionType.LINEAR
-        and is_gram_kernel(kind)
-    ):
+    if impl == "pallas" and uses_pallas_kernels(kind):
         from ..ops.pallas_matvec import kernel_matvec_pallas_big
 
         def kv(X, sq_norms, v, gamma, coef0):
@@ -485,11 +481,7 @@ def _make_kernel_matmat(
     block computed once and contracted with all C columns (the portable
     oracle path).
     """
-    if (
-        impl == "pallas"
-        and kind != KernelFunctionType.LINEAR
-        and is_gram_kernel(kind)
-    ):
+    if impl == "pallas" and uses_pallas_kernels(kind):
         from ..ops.pallas_matvec import kernel_matmat_pallas_big
 
         def kmm(X, sq_norms, V, gamma, coef0):

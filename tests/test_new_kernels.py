@@ -457,3 +457,36 @@ class TestPallasSigmoid:
         svm.backend = p.BackendType.PALLAS  # force, regardless of host
         assert svm._sharded_impl(KT.LAPLACIAN, (256, 128), 2) == "xla"
         assert svm._sharded_impl(KT.CHI_SQUARED, (256, 128), 2) == "xla"
+
+
+class TestDistancePredictRouting:
+    def test_one_shot_path_never_serves_distance_kernels(self, monkeypatch):
+        # the Gram-budget check does not model pairwise_distance memory, so
+        # distance kernels must always stream through the blocked path
+        import plssvm_tpu.csvm as csvm_mod
+
+        X, y = _blobs_for(KT.LAPLACIAN, n=96, d=6)
+        svm = p.CSVM(kernel_type="laplacian", gamma=0.2)
+        model = svm.fit(p.DataSet(X, y), max_iter=30)
+
+        def boom(*a, **k):
+            raise AssertionError("one-shot predict used for a distance kernel")
+
+        monkeypatch.setattr(csvm_mod, "predict_values_op", boom)
+        acc = svm.score(model)  # must route through predict_values_blocked
+        assert acc >= 0.9
+
+
+class TestMultihostChiSquared:
+    def test_fit_multihost_rejects_negative_data(self, tmp_path, cpu_devices):
+        if len(cpu_devices) < 2:
+            pytest.skip("needs virtual CPU devices")
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+
+        X, y = make_blobs(64, 6, seed=20, dtype=np.float64)  # has negatives
+        path = str(tmp_path / "neg.libsvm")
+        write_libsvm_file(path, X, y)
+        svm = p.CSVM(kernel_type="chi_squared", gamma=0.1,
+                     devices=cpu_devices[:2])
+        with pytest.raises(InvalidParameterError, match="non-negative"):
+            svm.fit_multihost(path, max_iter=10)

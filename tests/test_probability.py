@@ -197,3 +197,18 @@ class TestCalibrateModelAPI:
         model = svm.fit(ds)
         with pytest.raises(ValueError, match="calibration"):
             predict_probabilities(model, svm.predict_values(model, ds))
+
+
+class TestDegenerateClasses:
+    def test_singleton_class_falls_back_with_warning(self):
+        rng = np.random.default_rng(6)
+        X = np.concatenate([rng.normal(-1, 1, (40, 4)),
+                            rng.normal(1, 1, (40, 4)),
+                            rng.normal(5, 1, (1, 4))])  # singleton class
+        y = np.array([0] * 40 + [1] * 40 + [2])
+        clf = SVC(kernel="rbf", gamma=0.3, probability=True)
+        with pytest.warns(UserWarning, match="fewer than 2 samples"):
+            clf.fit(X, y)
+        P = clf.predict_proba(X)
+        assert P.shape == (81, 3)
+        np.testing.assert_allclose(P.sum(axis=1), 1.0)
