@@ -41,6 +41,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernel_functions import kernel_block
 from ..parameter import KernelFunctionType
@@ -100,6 +101,66 @@ def kernel_matvec_xla(
 
     _, out = jax.lax.scan(body, None, (Xb, sb))
     return out.reshape((m,) + v.shape[1:])
+
+
+def distance_kernel_matvec_sym(
+    X: jnp.ndarray,
+    v: jnp.ndarray,
+    gamma,
+    *,
+    kind: KernelFunctionType,
+    row_block: int = DEFAULT_ROW_BLOCK,
+) -> jnp.ndarray:
+    """``K @ v`` for a DISTANCE kernel over the rows of ``X``, walking only
+    the upper triangle of block pairs.
+
+    K is symmetric, so block (i, j) serves both output slices: ``out_i +=
+    K_blk @ v_j`` and (off-diagonal only) ``out_j += K_blk^T @ v_i`` — the
+    same ~2x work saving the fused Pallas dual kernel gets for Gram kernels
+    (which cannot apply here: the L1/chi-squared pairwise reductions are
+    VPU-bound and twice-computed in the plain blockwise scan).
+
+    ``X``: (m, d) with m % row_block == 0 (the caller pads); ``v``: (m,) or
+    (m, C).  Padded rows produce garbage K values but carry v == 0 and the
+    caller masks padded output rows — the module-docstring contract.
+    """
+    from ..kernel_functions import pairwise_distance
+
+    m, _ = X.shape
+    rb = min(row_block, m)
+    if m % rb != 0:
+        raise ValueError(
+            f"row_block {rb} must divide the padded row count {m}"
+        )
+    nb = m // rb
+    n_pairs = (nb * (nb + 1)) // 2
+    # upper-triangle pair list (static): pair p -> blocks (bi[p], bj[p])
+    bi_np, bj_np = np.triu_indices(nb)
+    bi = jnp.asarray(bi_np, jnp.int32)
+    bj = jnp.asarray(bj_np, jnp.int32)
+
+    def body(p, out):
+        i = bi[p] * rb
+        j = bj[p] * rb
+        Xi = jax.lax.dynamic_slice_in_dim(X, i, rb, 0)
+        Xj = jax.lax.dynamic_slice_in_dim(X, j, rb, 0)
+        K_blk = jnp.exp(-gamma * pairwise_distance(Xi, Xj, kind))
+        vj = jax.lax.dynamic_slice_in_dim(v, j, rb, 0)
+        rows = K_blk @ vj
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, jax.lax.dynamic_slice_in_dim(out, i, rb, 0) + rows, i, 0
+        )
+        # the transposed contribution — zeroed on diagonal pairs, which
+        # would double-count (branch-free: cond would recompute shapes)
+        vi = jax.lax.dynamic_slice_in_dim(v, i, rb, 0)
+        off = jnp.where(i == j, 0.0, 1.0).astype(X.dtype)
+        cols = (K_blk.T @ vi) * off
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, jax.lax.dynamic_slice_in_dim(out, j, rb, 0) + cols, j, 0
+        )
+
+    out0 = jnp.zeros(v.shape, v.dtype)
+    return jax.lax.fori_loop(0, n_pairs, body, out0)
 
 
 def assemble_matvec(

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kernel_functions import (
+    DISTANCE_KERNELS,
     kernel_against_point,
     kernel_self_diag,
     uses_pallas_kernels,
@@ -43,6 +44,7 @@ from ..kernel_functions import (
 from ..parameter import KernelFunctionType
 from ..ops.matvec import (
     DEFAULT_ROW_BLOCK,
+    distance_kernel_matvec_sym,
     kernel_matvec_xla,
     linear_kernel_matvec,
 )
@@ -152,6 +154,13 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
     def kv(X, sq_norms, v, gamma, coef0):
         if kind == KernelFunctionType.LINEAR:
             return linear_kernel_matvec(X, v)
+        m = X.shape[0]
+        if kind in DISTANCE_KERNELS and m % min(row_block, m) == 0:
+            # training matvec is K(X, X) @ v: walk only the upper triangle
+            # of block pairs — ~2x less of the VPU-bound distance work
+            return distance_kernel_matvec_sym(
+                X, v, gamma, kind=kind, row_block=row_block
+            )
         return kernel_matvec_xla(
             X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
             degree=degree, row_block=row_block,
@@ -495,6 +504,13 @@ def _make_kernel_matmat(
     def kmm(X, sq_norms, V, gamma, coef0):
         if kind == KernelFunctionType.LINEAR:
             return linear_kernel_matvec(X, V)
+        m = X.shape[0]
+        if kind in DISTANCE_KERNELS and m % min(row_block, m) == 0:
+            # block matmat shares the triangle walk: each distance block is
+            # contracted with all C columns both ways
+            return distance_kernel_matvec_sym(
+                X, V, gamma, kind=kind, row_block=row_block
+            )
         return kernel_matvec_xla(
             X, sq_norms, V, kind=kind, gamma=gamma, coef0=coef0,
             degree=degree, row_block=row_block,

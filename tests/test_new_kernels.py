@@ -490,3 +490,31 @@ class TestMultihostChiSquared:
                      devices=cpu_devices[:2])
         with pytest.raises(InvalidParameterError, match="non-negative"):
             svm.fit_multihost(path, max_iter=10)
+
+
+class TestSymmetricDistanceWalk:
+    """distance_kernel_matvec_sym == the plain blockwise scan."""
+
+    @pytest.mark.parametrize("kind", NEW_KERNELS[1:], ids=str)
+    @pytest.mark.parametrize("cols", [None, 3], ids=["matvec", "matmat"])
+    @pytest.mark.parametrize("m,rb", [(512, 128), (128, 128), (256, 512)],
+                             ids=["4-blocks", "1-block", "rb>m"])
+    def test_matches_plain_scan(self, kind, cols, m, rb):
+        from plssvm_tpu.ops.matvec import (
+            distance_kernel_matvec_sym, kernel_matvec_xla,
+        )
+
+        rng = np.random.default_rng(21)
+        X = np.abs(rng.normal(size=(m, 10))).astype(np.float32)
+        shape = (m,) if cols is None else (m, cols)
+        v = rng.normal(size=shape).astype(np.float32)
+        sq = jnp.asarray(np.sum(X * X, -1))
+        gamma = jnp.asarray(0.15, jnp.float32)
+        sym = np.asarray(distance_kernel_matvec_sym(
+            jnp.asarray(X), jnp.asarray(v), gamma, kind=kind, row_block=rb,
+        ))
+        plain = np.asarray(kernel_matvec_xla(
+            jnp.asarray(X), sq, jnp.asarray(v),
+            kind=kind, gamma=gamma, coef0=0.0, degree=3, row_block=rb,
+        ))
+        np.testing.assert_allclose(sym, plain, rtol=1e-4, atol=1e-4)
