@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the backend: automatic|xla|pallas")
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
+    parser.add_argument(
+        "--probability", action="store_true",
+        help="output class probabilities in LIBSVM's svm-predict -b 1 "
+             "format ('labels ...' header, then 'label P(c1) P(c2) ...' per "
+             "point); requires a model trained with probability calibration "
+             "(plssvm-train --probability)",
+    )
     add_sycl_compat_options(parser)
     add_common_options(parser)
     parser.add_argument("test", metavar="test_file")
@@ -88,14 +95,44 @@ def main(argv=None) -> int:
             target=args.target_platform,
             dtype=resolve_dtype(args),
         )
-        predicted = svm.predict(model, data)
+        probabilities = None
+        if args.probability:
+            if getattr(model, "prob_a", None) is None:
+                print(
+                    "Model does not support probability estimates — train "
+                    "with plssvm-train --probability!",
+                    file=sys.stderr,
+                )
+                return 1
+            from ..probability import predict_probabilities
+
+            values = svm.predict_values(model, data)
+            probabilities = predict_probabilities(model, values)
+            # LIBSVM convention: the -b 1 prediction is the argmax of the
+            # calibrated probabilities (may differ from sign(f) near 0.5)
+            classes = np.asarray(model.different_labels)
+            predicted = classes[np.argmax(probabilities, axis=1)]
+        else:
+            predicted = svm.predict(model, data)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)
         return 1
 
     write_start = time.perf_counter()
     with open(predict_filename, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(str(lab) for lab in predicted))
+        if probabilities is None:
+            fh.write("\n".join(str(lab) for lab in predicted))
+        else:
+            # svm-predict -b 1 format: 'labels <classes>' header, then one
+            # 'label P(c1) P(c2) ...' line per point in header class order
+            fh.write(
+                "labels " + " ".join(str(c) for c in model.different_labels)
+            )
+            for lab, row in zip(predicted, probabilities):
+                fh.write(
+                    "\n" + str(lab) + " "
+                    + " ".join(format(p, ".10g") for p in row)
+                )
     write_ms = (time.perf_counter() - write_start) * 1000.0
     log(
         VerbosityLevel.FULL | VerbosityLevel.TIMING,

@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the backend: automatic|xla|pallas")
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
+    parser.add_argument(
+        "--probability", action="store_true",
+        help="train a probability model: Platt-sigmoid calibration on "
+             "stratified-5-fold CV decision values is fitted after training "
+             "and stored as the LIBSVM probA/probB model-file header lines "
+             "(like svm-train -b 1; -b is taken by --backend here)",
+    )
     parser.add_argument("--preconditioner", default="none",
                         choices=["none", "jacobi"],
                         help="CG preconditioner; 'jacobi' can cut iterations "
@@ -207,6 +214,14 @@ def main(argv=None) -> int:
             def run_fit():
                 return svm.fit(data, **fit_kwargs)
 
+        if args.probability and args.multihost:
+            print(
+                "--probability is not supported together with --multihost "
+                "(the cross-validation fits are single-host)!",
+                file=sys.stderr,
+            )
+            return 1
+
         if args.profile is not None:
             import jax
 
@@ -214,6 +229,13 @@ def main(argv=None) -> int:
                 model = run_fit()
         else:
             model = run_fit()
+        if args.probability:
+            from ..probability import calibrate_model
+
+            calibrate_model(
+                svm, model, data,
+                epsilon=args.epsilon, max_iter=args.max_iter,
+            )
         model.save(model_filename)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)

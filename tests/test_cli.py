@@ -124,3 +124,64 @@ class TestScaleCLI:
     def test_invalid_interval(self, train_file):
         rc = cli_scale.main(["-q", "-l", "1", "-u", "-1", train_file])
         assert rc != 0
+
+
+class TestProbabilityCLI:
+    """plssvm-train --probability / plssvm-predict --probability
+    (svm-train/-predict -b 1 equivalents; -b is taken by --backend)."""
+
+    def _write_blobs(self, tmp_path):
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+
+        rng = np.random.default_rng(30)
+        X = np.concatenate(
+            [rng.normal(-1, 1, (40, 5)), rng.normal(1, 1, (40, 5))]
+        )
+        y = np.array([-1] * 40 + [1] * 40)
+        path = str(tmp_path / "blobs.libsvm")
+        write_libsvm_file(path, X, y)
+        return path
+
+    def test_train_then_predict_probability(self, tmp_path, capsys):
+        data_file = self._write_blobs(tmp_path)
+        model_file = str(tmp_path / "m.model")
+        out_file = str(tmp_path / "p.predict")
+        rc = cli_train.main([
+            "-q", "-t", "rbf", "-g", "0.2", "--probability",
+            data_file, model_file,
+        ])
+        assert rc == 0
+        content = open(model_file).read()
+        assert "probA " in content and "probB " in content
+
+        rc = cli_predict.main([
+            "-q", "--probability", data_file, model_file, out_file,
+        ])
+        assert rc == 0
+        lines = open(out_file).read().splitlines()
+        assert lines[0].startswith("labels ")
+        classes = lines[0].split()[1:]
+        assert len(lines) == 81
+        row = lines[1].split()
+        assert row[0] in classes
+        probs = [float(x) for x in row[1:]]
+        assert len(probs) == len(classes)
+        assert sum(probs) == pytest.approx(1.0)
+
+    def test_predict_probability_needs_calibrated_model(
+        self, tmp_path, capsys
+    ):
+        data_file = self._write_blobs(tmp_path)
+        model_file = str(tmp_path / "m.model")
+        assert cli_train.main(["-q", data_file, model_file]) == 0
+        rc = cli_predict.main(["-q", "--probability", data_file, model_file])
+        assert rc != 0
+        assert "does not support probability" in capsys.readouterr().err
+
+    def test_probability_with_multihost_rejected(self, tmp_path, capsys):
+        data_file = self._write_blobs(tmp_path)
+        rc = cli_train.main(
+            ["-q", "--probability", "--multihost", data_file]
+        )
+        assert rc != 0
+        assert "--multihost" in capsys.readouterr().err
