@@ -1,6 +1,10 @@
 """Microbenchmark: kernel-matvec implementations across shapes/precisions.
 
-Usage: python tools/bench_matvec.py [m] [d] [iters]
+Usage: python tools/bench_matvec.py [m] [d] [iters] [only] [kernel]
+``kernel`` is any KernelFunctionType name (default rbf).  Gram kernels
+(rbf/polynomial/sigmoid) run the XLA + Pallas variants; distance kernels
+(laplacian/chi_squared) run the blockwise scan vs the symmetric
+block-pair walk (both VPU-bound by nature — TOPS, not MXU TFLOP/s).
 Runs on the default device (the TPU under axon).  Use a large iteration
 count: the tunneled chip has ~40-60 ms fixed dispatch latency per jitted
 call, which must be amortized for a true device-side throughput number.
@@ -15,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from plssvm_tpu.ops.matvec import kernel_matvec_xla
+from plssvm_tpu.kernel_functions import is_gram_kernel
+from plssvm_tpu.ops.matvec import distance_kernel_matvec_sym, kernel_matvec_xla
 from plssvm_tpu.ops.pallas_matvec import (
     kernel_matvec_pallas,
     kernel_matvec_pallas_big,
@@ -47,9 +52,14 @@ def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-    kind = KernelFunctionType.RBF
+    kind = KernelFunctionType.from_string(
+        sys.argv[5] if len(sys.argv) > 5 else "rbf"
+    )
     rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    Xh = rng.normal(size=(m, d)).astype(np.float32)
+    if kind == KernelFunctionType.CHI_SQUARED:
+        Xh = np.abs(Xh)
+    X = jnp.asarray(Xh)
     v0 = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
     sq = jnp.sum(X * X, axis=-1)
     gamma = jnp.float32(1.0 / d)
@@ -57,7 +67,18 @@ def main():
 
     flops = 2 * m * m * d + 8 * m * m
 
-    variants = {
+    if not is_gram_kernel(kind):
+        variants = {
+            "xla_scan_rb256": lambda X, sq, v: kernel_matvec_xla(
+                X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3,
+                row_block=256),
+            "sym_walk_rb256": lambda X, sq, v: distance_kernel_matvec_sym(
+                X, v, gamma, kind=kind, row_block=256),
+            "sym_walk_rb512": lambda X, sq, v: distance_kernel_matvec_sym(
+                X, v, gamma, kind=kind, row_block=512),
+        }
+    else:
+        variants = {
         "xla_rb2048": lambda X, sq, v: kernel_matvec_xla(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, row_block=2048),
         "pallas_f32": lambda X, sq, v: kernel_matvec_pallas(
@@ -73,8 +94,8 @@ def main():
         "rect_full": lambda X, sq, v: kernel_matvec_pallas_rect(
             X, X, sq, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3,
             symmetric=False),
-    }
-    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+        }
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 and sys.argv[4] != "all" else None
     if only:
         variants = {k: v for k, v in variants.items() if k in only}
 
@@ -83,7 +104,20 @@ def main():
     if m <= 16384:
         Xn = np.asarray(X, np.float64)
         sqn = (Xn * Xn).sum(1)
-        K = np.exp(-float(gamma) * (sqn[:, None] + sqn[None, :] - 2 * Xn @ Xn.T))
+        if kind == KernelFunctionType.RBF:
+            K = np.exp(-float(gamma) * (sqn[:, None] + sqn[None, :] - 2 * Xn @ Xn.T))
+        elif kind == KernelFunctionType.POLYNOMIAL:
+            K = (float(gamma) * (Xn @ Xn.T) + float(coef0)) ** 3
+        elif kind == KernelFunctionType.SIGMOID:
+            K = np.tanh(float(gamma) * (Xn @ Xn.T) + float(coef0))
+        elif kind == KernelFunctionType.LAPLACIAN:
+            K = np.exp(-float(gamma) * np.abs(
+                Xn[:, None, :] - Xn[None, :, :]).sum(-1))
+        else:  # chi-squared (data made non-negative below for this kind)
+            den = Xn[:, None, :] + Xn[None, :, :]
+            num = (Xn[:, None, :] - Xn[None, :, :]) ** 2
+            K = np.exp(-float(gamma) * np.where(
+                den != 0, num / np.where(den != 0, den, 1), 0).sum(-1))
         ref = K @ np.asarray(v0, np.float64)
         refn = np.linalg.norm(ref)
 
