@@ -65,6 +65,8 @@ from .csvm import (
     list_available_target_platforms,
     make_csvm,
 )
+from .kernel_functions import kernel_function
+from .probability import calibrate_model, predict_probabilities
 from .sklearn import SVC
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
@@ -91,6 +93,9 @@ __all__ = [
     "CSVM",
     "SVC",
     "make_csvm",
+    "kernel_function",
+    "calibrate_model",
+    "predict_probabilities",
     "csvm_backend_exists",
     "list_available_backends",
     "list_available_target_platforms",
