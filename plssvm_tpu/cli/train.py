@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["none", "jacobi"],
                         help="CG preconditioner; 'jacobi' can cut iterations "
                         "on ill-conditioned problems (default: none)")
+    parser.add_argument("--gram_precision", default="f32",
+                        choices=["f32", "bf16", "highest"],
+                        help="Gram contraction precision on the TPU kernels: "
+                        "f32 = single-pass MXU (default), bf16 = + bfloat16 "
+                        "operand storage (half the HBM traffic), highest = "
+                        "multi-pass full-f32 dots (reference-grade accuracy "
+                        "at ~1/3 the rate); the convergence-deciding exact "
+                        "residuals always run at full precision")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
@@ -183,6 +191,7 @@ def main(argv=None) -> int:
             target=args.target_platform,
             dtype=resolve_dtype(args),
             preconditioner=args.preconditioner,
+            gram_precision=args.gram_precision,
             kernel_type=kernel,
             degree=args.degree,
             gamma=args.gamma,

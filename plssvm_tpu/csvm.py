@@ -118,6 +118,7 @@ class CSVM:
         devices=None,
         preconditioner: str = "none",
         scalar_precision: str = "auto",
+        gram_precision: str = "f32",
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -170,6 +171,19 @@ class CSVM:
                 "compensated" if self.dtype == np.float32 else "plain"
             )
         self.scalar_precision = scalar_precision
+        # Gram contraction precision for the Pallas training kernels
+        # (ops/pallas_matvec module docstring): "f32" = single-pass MXU
+        # (default), "bf16" = + bfloat16 operand storage (half the HBM
+        # traffic), "highest" = multi-pass full-f32 dots (reference-grade
+        # accuracy at ~1/3 rate).  Below "highest", the initial and
+        # every-50th exact residuals still run at full precision
+        # (solver/cg.py inexact-Krylov contract).
+        if gram_precision not in ("f32", "bf16", "highest"):
+            raise InvalidParameterError(
+                f"Unrecognized gram_precision '{gram_precision}' "
+                "(must be 'f32', 'bf16' or 'highest')!"
+            )
+        self.gram_precision = gram_precision
 
         # multi-chip: row-shard the CG solve over a 1-D device mesh
         # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
@@ -533,6 +547,7 @@ class CSVM:
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
+                    gram_precision=self.gram_precision,
                 )
                 result = solver(*sharded, *scalar_args, max_iter_v)
             else:
@@ -559,6 +574,7 @@ class CSVM:
                 row_block=min(self.row_block, m_pad),
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
+                gram_precision=self.gram_precision,
             )
             if checkpoint_path is None:
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
@@ -600,6 +616,7 @@ class CSVM:
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
+                    gram_precision=self.gram_precision,
                 )
                 return solver(*sharded, *scalar_args, max_iter_v)
             return self._fit_with_checkpointing_sharded(
@@ -624,6 +641,7 @@ class CSVM:
             row_block=min(self.row_block, m_pad),
             preconditioner=self.preconditioner,
             scalars=self.scalar_precision,
+            gram_precision=self.gram_precision,
         )
         if checkpoint_path is None:
             return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
@@ -811,6 +829,7 @@ class CSVM:
             kind=kind, degree=degree, impl=impl,
             preconditioner=self.preconditioner,
             scalars=self.scalar_precision,
+            gram_precision=self.gram_precision,
         )
         solver = build(mesh, **common)
         solver_resume = build(mesh, resume=True, **common)

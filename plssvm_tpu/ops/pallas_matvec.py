@@ -29,10 +29,22 @@ Two kernels, chosen by feature width:
 2. ``d > _FULL_D_MAX``: grid (i, j, k) accumulating the Gram tile over
    feature blocks in VMEM scratch (bounded VMEM at any d).
 
-``precision`` selects the Gram dtype: "f32" (default) or "bf16" (inputs cast
-to bfloat16, f32 accumulation — ~2x MXU throughput and half the HBM traffic;
-the CG solve tolerates it because the convergence test uses the same
-operator, but model parity with f64 references degrades — opt-in).
+``precision`` selects the Gram contraction precision:
+
+- "f32" (default): f32 storage/HBM traffic, single-pass MXU dots.  NOTE the
+  TPU MXU multiplies in bf16 — a single-pass f32 dot rounds each operand to
+  bf16 (JAX's default dot precision), so elementwise Gram error is ~5e-4
+  regardless of the f32 storage.  Accumulation is always f32.
+- "bf16": additionally stores/streams the operands as bfloat16 — half the
+  HBM traffic at the same MXU rate and the same single-pass accuracy.
+- "highest": f32 storage + multi-pass f32 dots (``lax.Precision.HIGHEST``)
+  — reference(f64)-grade Gram accuracy (~1e-6) at roughly 1/3 the MXU rate;
+  for ill-conditioned problems / tiny epsilons.
+
+The CG solve tolerates single-pass precision because the convergence test
+uses the same operator and the every-50th exact residual re-anchors drift
+(solver/cg.py); model parity with f64 references degrades — see
+``solve_ls_svm``'s ``gram_precision`` contract.
 """
 
 from __future__ import annotations
@@ -114,7 +126,7 @@ def _matvec_kernel_fulld(
     xj_ref,                        # VMEM (T, d) col tile — streams
     sqi_ref, sqj_ref, vj_ref,      # VMEM (1, T)
     out_ref,                       # VMEM (1, T) — accumulated across j
-    *, kind, degree,
+    *, kind, degree, dot_prec=None,
 ):
     j = pl.program_id(1)
 
@@ -126,6 +138,7 @@ def _matvec_kernel_fulld(
         xi_ref[:], xj_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_prec,
     )
     _epilogue_and_contract(
         gram, sqi_ref, sqj_ref, vj_ref, out_ref,
@@ -139,6 +152,23 @@ def _matvec_kernel_fulld(
 _SYM_TILES = (2048, 1024, 512, 256, 128)
 
 
+def _dot_prec(precision: str):
+    """In-kernel MXU dot precision for a Gram-precision level.
+
+    "bf16" and "f32" run the MXU's native single pass (f32 *storage* still
+    rounds each operand to bf16 inside the MXU — JAX's default dot
+    precision on TPU; elementwise Gram error ~5e-4).  "highest" requests
+    full-f32 multi-pass dots — reference(f64)-grade Gram accuracy at ~1/3
+    the MXU rate; use it for ill-conditioned problems or tiny epsilons.
+    """
+    if precision not in ("bf16", "f32", "highest"):
+        raise ValueError(
+            f"unknown gram precision '{precision}' "
+            "(must be 'bf16', 'f32' or 'highest')"
+        )
+    return jax.lax.Precision.HIGHEST if precision == "highest" else None
+
+
 def _matvec_kernel_blocked(
     gamma_ref, coef0_ref,
     xi_ref,                        # VMEM (T, dk)
@@ -146,7 +176,7 @@ def _matvec_kernel_blocked(
     sqi_ref, sqj_ref, vj_ref,      # VMEM (1, T)
     out_ref,                       # VMEM (1, T)
     gram_acc,                      # VMEM scratch (T, T) f32
-    *, kind, degree,
+    *, kind, degree, dot_prec=None,
 ):
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -160,6 +190,7 @@ def _matvec_kernel_blocked(
         xi_ref[:], xj_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_prec,
     )
 
     @pl.when(k == 0)
@@ -211,7 +242,7 @@ def _matvec_kernel_dual(
     outr_ref,                      # VMEM (1, t) block i — row accumulator
     outc_ref,                      # VMEM (ntj, t) resident — col accumulator
     gram_acc,                      # VMEM scratch (t, t) f32
-    *, kind, degree, nk, symmetric,
+    *, kind, degree, nk, symmetric, dot_prec=None,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -230,6 +261,7 @@ def _matvec_kernel_dual(
             xi_ref[:], yj_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_prec,
         )
         if nk > 1:
             @pl.when(k == 0)
@@ -391,6 +423,7 @@ def kernel_matvec_pallas_dual(
         functools.partial(
             _matvec_kernel_dual,
             kind=kind, degree=degree, nk=nk, symmetric=symmetric,
+            dot_prec=_dot_prec(precision),
         ),
         grid=(ni, nj, nk),
         in_specs=[
@@ -527,7 +560,7 @@ def _matmat_kernel_dual(
     outr_ref,                      # VMEM (cp, t) block i — row accumulator
     outc_ref,                      # VMEM (nj*cp, t) resident — col accumulator
     gram_acc,                      # VMEM scratch (t, t) f32
-    *, kind, degree, nk, symmetric, cp,
+    *, kind, degree, nk, symmetric, cp, dot_prec=None,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -546,6 +579,7 @@ def _matmat_kernel_dual(
             xi_ref[:], yj_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_prec,
         )
         if nk > 1:
             @pl.when(k == 0)
@@ -573,6 +607,7 @@ def _matmat_kernel_dual(
                 vy_ref[:], k_tile,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_prec,
             )
             outr_ref[:] = outr_ref[:] + rowT
             # cols: outc[c, tj] += sum_ti k_tile[ti, tj] vx[c, ti]
@@ -580,6 +615,7 @@ def _matmat_kernel_dual(
                 vx_ref[:], k_tile,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_prec,
             )
             if symmetric:
                 # the diagonal tile contributes rows only
@@ -716,6 +752,7 @@ def kernel_matmat_pallas_dual(
         functools.partial(
             _matmat_kernel_dual,
             kind=kind, degree=degree, nk=nk, symmetric=symmetric, cp=cp,
+            dot_prec=_dot_prec(precision),
         ),
         grid=(ni, nj, nk),
         in_specs=[
@@ -927,7 +964,10 @@ def kernel_matvec_pallas_rect(
             tj = _pick_tile(mc, (128,))
         grid = (mr // ti, mc // tj)
         out = pl.pallas_call(
-            functools.partial(_matvec_kernel_fulld, kind=kind, degree=degree),
+            functools.partial(
+                _matvec_kernel_fulld, kind=kind, degree=degree,
+                dot_prec=_dot_prec(precision),
+            ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j: _i32(0, 0), memory_space=pltpu.SMEM),
@@ -951,7 +991,10 @@ def kernel_matvec_pallas_rect(
         dk = _pick_feature_block(d)
         grid = (mr // ti, mc // tj, d // dk)
         out = pl.pallas_call(
-            functools.partial(_matvec_kernel_blocked, kind=kind, degree=degree),
+            functools.partial(
+                _matvec_kernel_blocked, kind=kind, degree=degree,
+                dot_prec=_dot_prec(precision),
+            ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0), memory_space=pltpu.SMEM),

@@ -457,6 +457,7 @@ def fit_multihost(
         mesh, kind=kind, degree=degree, impl=impl,
         preconditioner=csvm.preconditioner,
         scalars=csvm.scalar_precision,
+        gram_precision=csvm.gram_precision,
     )
     sharded = shard_arrays_multihost(
         mesh, X_local, x_last, y_local, np.asarray(y_all[dept], dtype=dtype),

@@ -116,6 +116,7 @@ def ring_kernel_matvec(
     axis_name: str,
     num_devices: int,
     impl: str = "xla",
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """This chip's rows of ``out_p = sum_q K(X_p, X_q) @ v_q`` via the
     symmetric ring (see :func:`_symmetric_ring`).
@@ -144,7 +145,7 @@ def ring_kernel_matvec(
             r, c = kernel_matvec_pallas_dual(
                 X_local, X_local, sq_local, sq_local, v_local, v_local,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=True,
+                symmetric=True, precision=precision,
             )
             return r + c
 
@@ -152,14 +153,14 @@ def ring_kernel_matvec(
             return kernel_matvec_pallas_dual(
                 X_local, Xc, sq_local, sqc, vc, v_local,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=False,
+                symmetric=False, precision=precision,
             )
 
         def cross_rows(Xc, sqc, vc):
             return kernel_matvec_pallas_rect(
                 X_local, Xc, sq_local, sqc, vc,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=False,
+                symmetric=False, precision=precision,
             )
     else:
         def own():
@@ -199,6 +200,7 @@ def ring_kernel_matmat(
     axis_name: str,
     num_devices: int,
     impl: str = "xla",
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """This chip's rows of ``K @ V`` via the symmetric ring — the block-
     matmat analog of :func:`ring_kernel_matvec` for the one-vs-all
@@ -232,7 +234,7 @@ def ring_kernel_matmat(
         r, c = kernel_matmat_pallas_dual(
             X_local, X_local, sq_local, sq_local, vt_local, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=True,
+            symmetric=True, precision=precision,
         )
         return r + c
 
@@ -240,7 +242,7 @@ def ring_kernel_matmat(
         return kernel_matmat_pallas_dual(
             X_local, Xc, sq_local, sqc, vtc, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=False,
+            symmetric=False, precision=precision,
         )
 
     def cross_rows(Xc, sqc, vtc):
@@ -249,7 +251,7 @@ def ring_kernel_matmat(
         r, _ = kernel_matmat_pallas_dual(
             X_local, Xc, sq_local, sqc, vtc, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=False,
+            symmetric=False, precision=precision,
         )
         return r
 
@@ -281,7 +283,7 @@ _SOLVER_CACHE: dict = {}
 def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     preconditioner: str = "none", scalars: str = "plain",
-    resume: bool = False,
+    resume: bool = False, gram_precision: str = "f32",
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -297,7 +299,10 @@ def build_sharded_solver(
     replicated — continuing a checkpointed solve mid-CG (solver.checkpoint),
     the sharded analog of `solve_ls_svm_resume`.
     """
-    key = (mesh, kind, degree, impl, preconditioner, scalars, resume)
+    key = (
+        mesh, kind, degree, impl, preconditioner, scalars, resume,
+        gram_precision,
+    )
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -332,7 +337,7 @@ def build_sharded_solver(
                     Xl, sq, v, g, c0,
                     kind=kind, degree=degree,
                     axis_name=ROW_AXIS, num_devices=num_devices,
-                    impl=impl,
+                    impl=impl, precision=gram_precision,
                 )
 
         return cg_ls_svm_core(
@@ -375,7 +380,7 @@ _MULTI_SOLVER_CACHE: dict = {}
 def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
-    impl: str = "xla", resume: bool = False,
+    impl: str = "xla", resume: bool = False, gram_precision: str = "f32",
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -390,7 +395,10 @@ def build_sharded_multi_solver(
     the per-class scalars replicated — continuing a checkpointed block
     solve (the sharded analog of `solve_ls_svm_multi_resume`).
     """
-    key = (mesh, kind, degree, preconditioner, scalars, impl, resume)
+    key = (
+        mesh, kind, degree, preconditioner, scalars, impl, resume,
+        gram_precision,
+    )
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -419,7 +427,7 @@ def build_sharded_multi_solver(
                     Xl, sq, V, g, c0,
                     kind=kind, degree=degree,
                     axis_name=ROW_AXIS, num_devices=num_devices,
-                    impl=impl,
+                    impl=impl, precision=gram_precision,
                 )
 
         return cg_ls_svm_multi_core(

@@ -129,7 +129,10 @@ def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:
     return rb
 
 
-def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_block: int):
+def _make_kernel_matvec(
+    kind: KernelFunctionType, degree: int, impl: str, row_block: int,
+    precision: str = "f32",
+):
     """Select the K@v implementation for the static configuration.
 
     The Pallas kernels require a Gram-expressible kernel (the laplacian /
@@ -137,6 +140,10 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
     design — kernel_functions module docstring); the linear kernel always
     uses the factored O(n d) path — a fused Pallas walk over the full
     kernel matrix could never beat it.
+
+    ``precision="bf16"`` (Pallas path only) casts the Gram contraction
+    inputs to bfloat16 with f32 accumulation — ~2x MXU rate and half the
+    HBM traffic; see ``solve_ls_svm``'s gram_precision contract.
     """
     if impl == "pallas" and uses_pallas_kernels(kind):
         from ..ops.pallas_matvec import kernel_matvec_pallas_big
@@ -146,7 +153,8 @@ def _make_kernel_matvec(kind: KernelFunctionType, degree: int, impl: str, row_bl
             # the per-call 32-bit offset range, a triangle of chunk-pair
             # calls beyond it (the round-1 XLA fallback at >1.5 GiB is gone)
             return kernel_matvec_pallas_big(
-                X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0, degree=degree
+                X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
+                degree=degree, precision=precision,
             )
 
         return kv
@@ -188,6 +196,7 @@ def cg_ls_svm_core(
     vsum: Callable = jnp.sum,   # GLOBAL vector sum (psum'd when sharded)
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume from
     preconditioner: str = "none",  # "none" (exact reference semantics) | "jacobi"
+    kernel_mv_exact: Callable = None,  # full-precision K @ v for the exact residual
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -205,6 +214,14 @@ def cg_ls_svm_core(
     an O(n)-cost improvement over the reference (which has no preconditioner)
     that reduces time-to-epsilon on ill-conditioned problems.  The stop
     criterion stays the reference's plain ``r.r <= eps^2 r0.r0`` either way.
+
+    ``kernel_mv_exact``: optional alternative matvec for the INITIAL
+    residual and the every-50th exact recomputation ``r = b - A x``.
+    Default (and the only configuration the standard wrappers use): the
+    same ``kernel_mv``.  WARNING — a higher-precision recompute mixed with
+    reduced-precision iterations breaks CG's conjugacy and stalls (see the
+    precision-consistency note above ``solve_ls_svm_multi``); only pass a
+    different operator from solver variants designed for it.
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
@@ -220,14 +237,20 @@ def cg_ls_svm_core(
     # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
     b = (y - y_last) * mask
 
-    def matvec(v):
+    def _matvec_with(kmv, v):
         # A_hat @ v = K@v + (QA_cost - q)*sum(v) - (q.v)*1 + (1/C)*v; the
         # rank-1 epilogue needs the GLOBAL sum(v) and q.v
         s = vsum(v)
         qv = dot(q, v)
-        out = kernel_mv(X, sq_norms, v, gamma, coef0)
+        out = kmv(X, sq_norms, v, gamma, coef0)
         out = out + (QA_cost - q) * s - qv + cost_inv * v
         return out * mask
+
+    def matvec(v):
+        return _matvec_with(kernel_mv, v)
+
+    def matvec_exact(v):
+        return _matvec_with(kernel_mv_exact or kernel_mv, v)
 
     if preconditioner == "jacobi":
         # diag(A_hat) = k(x_i, x_i) + QA_cost - 2 q_i + 1/C
@@ -244,7 +267,7 @@ def cg_ls_svm_core(
     if init_state is None:
         # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
         x0 = mask.astype(dtype)
-        r0 = b - matvec(x0)
+        r0 = b - matvec_exact(x0)
         delta0 = dot(r0, r0)
         d_init = precond(r0)
         delta_init = delta0
@@ -274,7 +297,7 @@ def cg_ls_svm_core(
         # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
         r = jax.lax.cond(
             (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
-            lambda: b - matvec(x),
+            lambda: b - matvec_exact(x),
             lambda: s.r - alpha_cd * Ad,
         )
         delta = dot(r, r)
@@ -348,6 +371,7 @@ def cg_ls_svm_multi_core(
     colsum: Callable = None,  # GLOBAL per-column sum (m, C) -> (C,)
     preconditioner: str = "none",
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
+    kernel_mm_exact: Callable = None,  # full-precision K @ V (see cg_ls_svm_core)
 ) -> MultiCGResult:
     """One-vs-all multiclass LS-SVM: C binary systems solved as ONE block CG.
 
@@ -381,12 +405,12 @@ def cg_ls_svm_multi_core(
 
     B = (Y - y_last[None, :]) * mask[:, None]
 
-    def matmat(V):
+    def _matmat_with(kmm, V):
         # A_hat @ V column-wise; the rank-1 epilogue terms need the GLOBAL
         # per-column sums s_c = sum(V[:, c]) and qv_c = q . V[:, c]
         s = colsum(V)
         qv = colsum(q[:, None] * V)
-        out = kernel_mm(X, sq_norms, V, gamma, coef0)
+        out = kmm(X, sq_norms, V, gamma, coef0)
         out = (
             out
             + (QA_cost - q)[:, None] * s[None, :]
@@ -394,6 +418,12 @@ def cg_ls_svm_multi_core(
             + cost_inv * V
         )
         return out * mask[:, None]
+
+    def matmat(V):
+        return _matmat_with(kernel_mm, V)
+
+    def matmat_exact(V):
+        return _matmat_with(kernel_mm_exact or kernel_mm, V)
 
     if preconditioner == "jacobi":
         k_diag = kernel_self_diag(sq_norms, kind, gamma, coef0, degree)
@@ -411,7 +441,7 @@ def cg_ls_svm_multi_core(
 
     if init_state is None:
         x0 = jnp.broadcast_to(mask[:, None], (mask.shape[0], C)).astype(dtype)
-        r0 = B - matmat(x0)
+        r0 = B - matmat_exact(x0)
         delta0 = colsum(r0 * r0)
         d_init = precond(r0)
         delta_init = delta0
@@ -442,7 +472,7 @@ def cg_ls_svm_multi_core(
         x = s.x + alpha_cd[None, :] * s.d
         r = jax.lax.cond(
             (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
-            lambda: B - matmat(x),
+            lambda: B - matmat_exact(x),
             lambda: s.r - alpha_cd[None, :] * Ad,
         )
         delta = colsum(r * r)
@@ -478,7 +508,8 @@ def cg_ls_svm_multi_core(
 
 
 def _make_kernel_matmat(
-    kind: KernelFunctionType, degree: int, row_block: int, impl: str = "xla"
+    kind: KernelFunctionType, degree: int, row_block: int, impl: str = "xla",
+    precision: str = "f32",
 ):
     """K @ V implementation for the block (multiclass) solve.
 
@@ -496,7 +527,7 @@ def _make_kernel_matmat(
         def kmm(X, sq_norms, V, gamma, coef0):
             return kernel_matmat_pallas_big(
                 X, sq_norms, V, kind=kind, gamma=gamma, coef0=coef0,
-                degree=degree,
+                degree=degree, precision=precision,
             )
 
         return kmm
@@ -519,10 +550,26 @@ def _make_kernel_matmat(
     return kmm
 
 
+# NOTE on precision consistency: the every-50th exact-residual recompute MUST
+# use the SAME Gram precision as the per-iteration matvec.  It exists to fight
+# floating-point *drift* in the cheap residual recurrence, not operator error:
+# injecting a true-operator (multi-pass f32) residual into a CG whose search
+# directions come from the single-pass operator breaks conjugacy — measured on
+# the 10k x 200 RBF bench problem (cost=100, eps=1e-6), a mixed
+# fast-iterations/"highest"-recompute CG stalls at max_iter with 65% train
+# accuracy where the consistent single-pass CG converges in 121 iterations at
+# 100%.  Users who need reference(f64)-grade solutions set
+# gram_precision="highest" end-to-end (106 iterations on the same problem).
+# The cores' ``kernel_mv_exact`` hook stays for solvers that CAN use an
+# inconsistent recompute (e.g. restarted/flexible variants), but the standard
+# wrappers never split precisions.
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+        "gram_precision",
     ),
 )
 def solve_ls_svm_multi(
@@ -543,9 +590,12 @@ def solve_ls_svm_multi(
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
+    gram_precision: str = "f32",
 ) -> MultiCGResult:
     """Single-device one-vs-all multiclass LS-SVM block-CG solve."""
-    kernel_mm = _make_kernel_matmat(kind, degree, row_block, impl)
+    kernel_mm = _make_kernel_matmat(
+        kind, degree, row_block, impl, precision=gram_precision
+    )
     colsum = compensated_sum if scalars == "compensated" else (
         lambda M: jnp.sum(M, axis=0)
     )
@@ -560,6 +610,7 @@ def solve_ls_svm_multi(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+        "gram_precision",
     ),
 )
 def solve_ls_svm_multi_resume(
@@ -587,9 +638,12 @@ def solve_ls_svm_multi_resume(
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
+    gram_precision: str = "f32",
 ) -> MultiCGResult:
     """Continue a checkpointed one-vs-all block-CG solve."""
-    kernel_mm = _make_kernel_matmat(kind, degree, row_block, impl)
+    kernel_mm = _make_kernel_matmat(
+        kind, degree, row_block, impl, precision=gram_precision
+    )
     colsum = compensated_sum if scalars == "compensated" else (
         lambda M: jnp.sum(M, axis=0)
     )
@@ -605,6 +659,7 @@ def solve_ls_svm_multi_resume(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+        "gram_precision",
     ),
 )
 def solve_ls_svm(
@@ -625,14 +680,26 @@ def solve_ls_svm(
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
+    gram_precision: str = "f32",
 ) -> CGResult:
     """Run the full LS-SVM CG solve on a single device.
 
     ``scalars="compensated"`` accumulates the CG scalar reductions (delta,
     d.Ad, q.v, sums) with double-float TwoSum folds — f64-equivalent
     accuracy on f32 TPUs (SURVEY.md §7 precision decision).
+
+    ``gram_precision`` selects the Pallas Gram-contraction tier
+    (ops/pallas_matvec module docstring): "f32" single-pass MXU (default),
+    "bf16" + bfloat16 operand storage (half the HBM traffic), "highest"
+    multi-pass full-f32 dots — reference(f64)-grade accuracy; converges on
+    ill-conditioned systems where single-pass CG stalls at its residual
+    floor.  Every matvec in the solve (incl. the exact-residual recompute)
+    runs the SAME tier — see the precision-consistency note above
+    ``solve_ls_svm_multi``.  The XLA path ignores the knob.
     """
-    kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+    kernel_mv = _make_kernel_matvec(
+        kind, degree, impl, row_block, precision=gram_precision
+    )
     dot, vsum = _scalar_reductions(scalars)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
@@ -645,6 +712,7 @@ def solve_ls_svm(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
+        "gram_precision",
     ),
 )
 def solve_ls_svm_resume(
@@ -671,9 +739,12 @@ def solve_ls_svm_resume(
     row_block: int = DEFAULT_ROW_BLOCK,
     preconditioner: str = "none",
     scalars: str = "plain",
+    gram_precision: str = "f32",
 ) -> CGResult:
     """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
-    kernel_mv = _make_kernel_matvec(kind, degree, impl, row_block)
+    kernel_mv = _make_kernel_matvec(
+        kind, degree, impl, row_block, precision=gram_precision
+    )
     dot, vsum = _scalar_reductions(scalars)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,

@@ -267,3 +267,76 @@ class TestCompensatedScalars:
         # converged (not just hit max_iter) and within 25% of the f64 count
         assert d32 <= 1e-10 * d032 * 1.01 or it32c < 4 * n
         assert it32c <= it64 * 1.25 + 2
+
+
+class TestGramPrecision:
+    """gram_precision (bf16 / f32 / highest) through the Pallas solve path.
+
+    The fast tier runs the CG iterations; the initial and every-50th exact
+    residuals always run at "highest" (solver.cg._gram_pair_precisions) so
+    the convergence decision stays trustworthy — the TPU answer to the
+    reference's all-f64 solve (gpu_csvm.hpp:617-619)."""
+
+    def _solve(self, gram_precision, max_iter=600):
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(11)
+        n, d = 129, 16  # pads to m=128 rows (dept=128), d stays 16
+        X = rng.normal(size=(n, d))
+        y = np.where(X[:, 0] + 0.2 * rng.normal(size=n) > 0, 1.0, -1.0)
+        dept = n - 1
+        m = 128
+        Xp = np.zeros((m, d), np.float32)
+        Xp[:dept] = X[:dept]
+        yp = np.zeros(m, np.float32)
+        yp[:dept] = y[:dept]
+        mask = np.ones(m, np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            res = solve_ls_svm(
+                jnp.asarray(Xp), jnp.asarray(X[-1], jnp.float32),
+                jnp.asarray(yp), jnp.asarray(np.float32(y[-1])),
+                jnp.asarray(mask),
+                jnp.asarray(np.float32(0.1)), jnp.asarray(np.float32(0.0)),
+                jnp.asarray(np.float32(10.0)), jnp.asarray(np.float32(1e-6)),
+                jnp.asarray(max_iter, jnp.int32),
+                kind=KernelFunctionType.RBF, degree=3, impl="pallas",
+                row_block=128, gram_precision=gram_precision,
+            )
+        alpha = np.concatenate(
+            [np.asarray(res.x)[:dept], [float(res.alpha_last)]]
+        )
+        return alpha, float(res.rho), int(res.iterations), (
+            float(res.delta), float(res.delta0))
+
+    @pytest.mark.parametrize("gp", ["bf16", "f32", "highest"])
+    def test_converges_and_matches_f32(self, gp):
+        a_ref, rho_ref, _, _ = self._solve("f32")
+        a, rho, iters, (delta, delta0) = self._solve(gp)
+        # converged (relative residual met), not max_iter exhaustion
+        assert delta <= 1e-12 * delta0 * 1.01 or iters < 600
+        # all precisions solve the same well-conditioned system; bf16
+        # perturbs the operator by ~5e-4 elementwise -> ~1e-2 solution norm
+        # deviation (measured), "highest" is bit-identical in interpret mode
+        rel = np.linalg.norm(a - a_ref) / np.linalg.norm(a_ref)
+        assert rel < (5e-2 if gp == "bf16" else 1e-6)
+        assert rho == pytest.approx(rho_ref, abs=5e-3)
+
+    def test_invalid_precision_rejected(self):
+        from plssvm_tpu.ops.pallas_matvec import _dot_prec
+
+        with pytest.raises(ValueError, match="unknown gram precision"):
+            _dot_prec("f16")
+
+    def test_csvm_validates_gram_precision(self):
+        import plssvm_tpu
+        from plssvm_tpu.exceptions import InvalidParameterError
+
+        with pytest.raises(InvalidParameterError, match="gram_precision"):
+            plssvm_tpu.CSVM(gram_precision="f64")
+
+    def test_csvm_accepts_and_stores(self):
+        import plssvm_tpu
+
+        svm = plssvm_tpu.CSVM(gram_precision="bf16")
+        assert svm.gram_precision == "bf16"

@@ -89,6 +89,8 @@ def main():
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="f32"),
         "dual_bf16": lambda X, sq, v: kernel_matvec_pallas_big(
             X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="bf16"),
+        "dual_hi": lambda X, sq, v: kernel_matvec_pallas_big(
+            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=3, precision="highest"),
         # the 2x full walk (every (i, j) tile computed) — the round-1 design
         # the dual kernel replaced; kept benchable for the comparison
         "rect_full": lambda X, sq, v: kernel_matvec_pallas_rect(
@@ -111,13 +113,21 @@ def main():
         elif kind == KernelFunctionType.SIGMOID:
             K = np.tanh(float(gamma) * (Xn @ Xn.T) + float(coef0))
         elif kind == KernelFunctionType.LAPLACIAN:
-            K = np.exp(-float(gamma) * np.abs(
-                Xn[:, None, :] - Xn[None, :, :]).sum(-1))
+            # blockwise: the broadcasted (m, m, d) distance tensor is
+            # O(m^2 d) host memory — 128 GiB already at 8192 x 256
+            K = np.concatenate([
+                np.exp(-float(gamma) * np.abs(
+                    Xn[i:i + 256, None, :] - Xn[None, :, :]).sum(-1))
+                for i in range(0, m, 256)
+            ])
         else:  # chi-squared (data made non-negative below for this kind)
-            den = Xn[:, None, :] + Xn[None, :, :]
-            num = (Xn[:, None, :] - Xn[None, :, :]) ** 2
-            K = np.exp(-float(gamma) * np.where(
-                den != 0, num / np.where(den != 0, den, 1), 0).sum(-1))
+            blocks = []
+            for i in range(0, m, 256):
+                den = Xn[i:i + 256, None, :] + Xn[None, :, :]
+                num = (Xn[i:i + 256, None, :] - Xn[None, :, :]) ** 2
+                blocks.append(np.exp(-float(gamma) * np.where(
+                    den != 0, num / np.where(den != 0, den, 1), 0).sum(-1)))
+            K = np.concatenate(blocks)
         ref = K @ np.asarray(v0, np.float64)
         refn = np.linalg.norm(ref)
 
