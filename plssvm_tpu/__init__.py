@@ -50,6 +50,7 @@ from .exceptions import (
 )
 from .parameter import (
     BackendType,
+    ClassificationType,
     DefaultValue,
     FileFormatType,
     KernelFunctionType,
@@ -81,6 +82,7 @@ __all__ = [
     "UnsupportedBackendError",
     "UnsupportedKernelTypeError",
     "BackendType",
+    "ClassificationType",
     "DefaultValue",
     "FileFormatType",
     "KernelFunctionType",

@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
     parser.add_argument(
+        "--classification", default="oaa", choices=["oaa", "oao"],
+        help="multiclass decomposition (> 2 labels; upstream PLSSVM v3 "
+             "parity): oaa = one-vs-all block CG sharing the Gram work "
+             "(default), oao = one-vs-one pair machines stored in the "
+             "standard LIBSVM multiclass model layout",
+    )
+    parser.add_argument(
         "--probability", action="store_true",
         help="train a probability model: Platt-sigmoid calibration on "
              "stratified-5-fold CV decision values is fitted after training "
@@ -200,7 +207,10 @@ def main(argv=None) -> int:
         )
         add_tracking_entry("parameter", "kernel_type", str(kernel))
         add_tracking_entry("parameter", "epsilon", args.epsilon)
-        fit_kwargs = dict(epsilon=args.epsilon, max_iter=args.max_iter)
+        fit_kwargs = dict(
+            epsilon=args.epsilon, max_iter=args.max_iter,
+            classification=args.classification,
+        )
         if args.checkpoint is not None:
             fit_kwargs["checkpoint_path"] = args.checkpoint
             fit_kwargs["checkpoint_interval"] = args.checkpoint_interval

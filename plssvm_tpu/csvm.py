@@ -29,7 +29,13 @@ from .ops.predict import (
     predict_values as predict_values_op,
     predict_values_blocked,
 )
-from .parameter import BackendType, KernelFunctionType, Parameter, TargetPlatform
+from .parameter import (
+    BackendType,
+    ClassificationType,
+    KernelFunctionType,
+    Parameter,
+    TargetPlatform,
+)
 from .solver.cg import solve_ls_svm
 from .utils.logger import VerbosityLevel, log
 from .utils.tracker import add_tracking_entry
@@ -256,6 +262,7 @@ class CSVM:
         max_iter: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_interval: int = 1000,
+        classification: Union[str, ClassificationType] = ClassificationType.OAA,
     ) -> Model:
         """Solve the LS-SVM dual with CG and return the model.
 
@@ -266,6 +273,13 @@ class CSVM:
         is saved every ``checkpoint_interval`` iterations and an interrupted
         fit resumes from the file automatically (a capability the reference
         lacks — it can only restart from scratch, SURVEY.md §5).
+
+        ``classification`` picks the multiclass decomposition (ignored for
+        binary data): ``"oaa"`` (default) trains C one-vs-all machines as ONE
+        block CG sharing the Gram work per iteration; ``"oao"`` trains the
+        C(C-1)/2 one-vs-one pair machines on their class-pair row subsets and
+        stores them in the standard LIBSVM multiclass model layout
+        (plssvm_tpu.oao) — upstream PLSSVM v3's --classification parity.
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
@@ -297,12 +311,19 @@ class CSVM:
         _ensure_x64_if_needed(self.dtype)
         start = time.perf_counter()
 
-        # multiclass (> 2 labels): one-vs-all block CG — an EXTENSION; the
-        # reference rejects such data (data_set.hpp:443).  The C binary
-        # systems share one implicit matrix, so they are solved TOGETHER
-        # against an (m, C) block of right-hand sides (solver/cg.py).
+        # multiclass (> 2 labels): an EXTENSION; the reference rejects such
+        # data (data_set.hpp:443).  OAA solves the C one-vs-all systems
+        # TOGETHER as one block CG sharing the implicit matrix (solver/cg.py);
+        # OAO trains the C(C-1)/2 pair machines on row subsets.
         n_classes = data.num_different_labels
         multiclass = n_classes > 2
+        classification = ClassificationType.from_string(classification)
+        if multiclass and classification == ClassificationType.OAO:
+            return self._fit_oao(
+                data, epsilon=epsilon, max_iter=max_iter,
+                checkpoint_path=checkpoint_path,
+                checkpoint_interval=checkpoint_interval,
+            )
 
         X = np.asarray(data.data, dtype=self.dtype)
         if kind == KernelFunctionType.CHI_SQUARED:
@@ -440,6 +461,87 @@ class CSVM:
         model.n_iter = iterations
         return model
 
+    def _fit_oao(
+        self,
+        data: DataSet,
+        *,
+        epsilon: float,
+        max_iter: Optional[int],
+        checkpoint_path: Optional[str],
+        checkpoint_interval: int,
+    ) -> Model:
+        """One-vs-one multiclass fit: C(C-1)/2 pairwise LS-SVM machines.
+
+        Each pair machine (i, j) trains on the rows of classes i and j only
+        (class i mapped to +1, LIBSVM's convention) through the regular
+        binary solve — so every execution path (Pallas kernels, sharded
+        mesh, checkpointing) applies per machine.  The result is stored in
+        the standard LIBSVM multiclass layout (plssvm_tpu.oao): sv_coef
+        (n_sv, C-1) + pair-ordered rho, so the model file round-trips with
+        LIBSVM itself.
+
+        For balanced classes the total Gram work is ~2x a single binary
+        solve on all n points (sum over pairs of (2n/C)^2 x C(C-1)/2 ~ 2n^2)
+        — compare OAA's C-fold right-hand-side block at 1x.  OAO wins when
+        its smaller subproblems converge in fewer iterations or when LIBSVM
+        model interop matters.
+        """
+        from . import oao
+
+        start = time.perf_counter()
+        params = self._params.copy()
+        if params.gamma.is_default():
+            params.gamma.value = 1.0 / data.num_features
+
+        C = data.num_different_labels
+        labels = np.asarray(data.labels)
+        idx = data.mapper.map_labels(labels, dtype=np.int64)
+        X = np.asarray(data.data)
+        n = X.shape[0]
+        sv_coef = np.zeros((n, C - 1), dtype=self.dtype)
+        pairs = oao.class_pairs(C)
+        rho = np.zeros(len(pairs), dtype=np.float64)
+        total_iters = 0
+        iters_per_machine = []
+        for m, (i, j) in enumerate(pairs):
+            rows = np.flatnonzero((idx == i) | (idx == j))
+            is_first = idx[rows] == i
+            # class i is the +1 side: machine (i, j) votes i when f > 0
+            y_pair = np.where(is_first, 1.0, -1.0)
+            sub = DataSet(X[rows], y_pair)
+            ckpt = (
+                None
+                if checkpoint_path is None
+                else f"{checkpoint_path}.pair{i}-{j}"
+            )
+            sub_model = self.fit(
+                sub, epsilon=epsilon, max_iter=max_iter,
+                checkpoint_path=ckpt,
+                checkpoint_interval=checkpoint_interval,
+            )
+            oao.scatter_pair_alphas(
+                sv_coef, rows, is_first,
+                np.asarray(sub_model.alpha, dtype=self.dtype), i, j,
+            )
+            rho[m] = float(sub_model.rho)
+            iters_per_machine.append(int(sub_model.n_iter or 0))
+            total_iters += iters_per_machine[-1]
+
+        total_ms = (time.perf_counter() - start) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Solved {} one-vs-one machines ({} classes) in {:.2f}ms "
+            "({} CG iterations in total).\n\n",
+            len(pairs), C, total_ms, total_iters,
+        )
+        add_tracking_entry("cg", "classification", "oao")
+        add_tracking_entry("cg", "iterations_per_machine", iters_per_machine)
+        add_tracking_entry("cg", "total_runtime", total_ms)
+        model = Model(params, data, alpha=sv_coef, rho=rho)
+        model.classification = ClassificationType.OAO
+        model.n_iter = total_iters
+        return model
+
     def fit_multihost(
         self,
         filename: str,
@@ -449,6 +551,7 @@ class CSVM:
         label_type=None,
         checkpoint_path: Optional[str] = None,
         checkpoint_interval: int = 1000,
+        classification: Union[str, ClassificationType] = ClassificationType.OAA,
     ) -> Model:
         """Multi-host fit from a LIBSVM file on shared storage.
 
@@ -464,6 +567,12 @@ class CSVM:
         """
         from .parallel.multihost import fit_multihost as _fit_multihost
 
+        if ClassificationType.from_string(classification) == ClassificationType.OAO:
+            raise InvalidParameterError(
+                "classification='oao' is not supported on the multi-host "
+                "path (the pair machines train on row subsets that defeat "
+                "the per-host window ingest) — use the default 'oaa'!"
+            )
         if epsilon <= 0.0:
             raise InvalidParameterError(
                 f"epsilon must be less than 0.0, but is {epsilon}!"
@@ -935,7 +1044,9 @@ class CSVM:
 
         Binary models return shape (n_pred,); one-vs-all multiclass models
         (extension) return (n_pred, C) — one decision column per class, the
-        sklearn ``decision_function`` OvR convention.
+        sklearn ``decision_function`` OvR convention.  One-vs-one models
+        return (n_pred, C(C-1)/2) — one column per pair machine in LIBSVM
+        order (plssvm_tpu.oao.class_pairs).
         """
         if model.num_features != data.num_features:
             raise InvalidParameterError(
@@ -943,6 +1054,11 @@ class CSVM:
                 f"the number of features per support vector of the provided model "
                 f"({model.num_features})!"
             )
+        if (
+            model.classification == ClassificationType.OAO
+            and np.ndim(model.alpha) == 2
+        ):
+            return self._predict_values_oao(model, data)
         _ensure_x64_if_needed(self.dtype)
         params = model.params
         kind = params.kernel_type.value
@@ -1028,6 +1144,31 @@ class CSVM:
                     kind=kind, degree=degree,
                 )
             return np.asarray(jax.device_get(values))
+
+    def _predict_values_oao(self, model: Model, data: DataSet) -> np.ndarray:
+        """One-vs-one decision values as ONE kernel matmat.
+
+        LIBSVM loops over the C(C-1)/2 machines per point; here the sv_coef
+        block expands once into the dense (n_sv, n_machines) weight matrix W
+        (plssvm_tpu.oao.weight_matrix) and all machines evaluate together as
+        ``K(points, SV) @ W - rho`` — riding the same fused Pallas/XLA/
+        sharded matmat paths as one-vs-all models via a cached shadow model.
+        """
+        shadow = getattr(model, "_oao_shadow", None)
+        if shadow is None:
+            from . import oao
+
+            labels = np.asarray(model.data.labels)
+            idx = model.data.mapper.map_labels(labels, dtype=np.int64)
+            W = oao.weight_matrix(
+                np.asarray(model.alpha), idx, model.num_classes
+            )
+            shadow = Model(
+                model.params, model.data, alpha=W,
+                rho=np.atleast_1d(np.asarray(model.rho, dtype=np.float64)),
+            )
+            model._oao_shadow = shadow
+        return self.predict_values(shadow, data)
 
     def _predict_values_pallas(
         self, sv, alpha, points, rho, gamma, coef0, kind, degree
@@ -1169,12 +1310,17 @@ class CSVM:
 
         Binary: sign(f), with sign(0) = -1 like the reference
         (operators.hpp:179-181).  Multiclass (extension): argmax over the
-        C one-vs-all decision columns.
+        C one-vs-all decision columns, or pairwise voting for one-vs-one
+        models (LIBSVM's svm_predict semantics, plssvm_tpu.oao.vote).
         """
         values = self.predict_values(model, data)
         mapper = model.data.mapper
         labels_arr = np.asarray(mapper.labels())
         if values.ndim == 2:
+            if model.classification == ClassificationType.OAO:
+                from . import oao
+
+                return labels_arr[oao.vote(values, model.num_classes)]
             return labels_arr[np.argmax(values, axis=1)]
         return labels_arr[(values > 0).astype(np.intp)]
 

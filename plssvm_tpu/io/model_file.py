@@ -10,12 +10,17 @@ cross-consistency rules; the writer groups support vectors by class in
 ``different_labels()`` order (libsvm_model_parsing.hpp:294-500).
 
 Multiclass EXTENSION (the reference rejects nr_class > 2,
-libsvm_model_parsing.hpp:268): a one-vs-all model with C classes stores C
-space-separated values on the ``rho`` line and C leading alpha columns per
-SV row — the same grammatical shape as LIBSVM's own multi-value rho /
-multi-coefficient SV lines, but with one-vs-all semantics (column c belongs
-to the "class c vs rest" machine).  ``nr_class 2`` files remain byte-for-byte
-the reference's binary format.
+libsvm_model_parsing.hpp:268) — two layouts, auto-detected from the SV
+rows' leading-coefficient count:
+
+- **one-vs-all** (C leading alpha columns, C rho values): column c belongs
+  to the "class c vs rest" machine — this framework's OAA block-CG output;
+- **one-vs-one** (C-1 leading columns, C(C-1)/2 rho values): the STANDARD
+  LIBSVM multiclass format (sv_coef layout + pair-ordered rho, see
+  plssvm_tpu.oao), so OAO model files interoperate with LIBSVM's own
+  svm-train/svm-predict.
+
+``nr_class 2`` files remain byte-for-byte the reference's binary format.
 """
 
 from __future__ import annotations
@@ -234,26 +239,34 @@ def parse_model_header(
     for lab, count in zip(labels, nr_sv):
         per_point_labels.extend([lab] * count)
 
-    # binary: exactly one rho; one-vs-all multiclass: one rho per class
-    expected_rho = 1 if nr_class == 2 else nr_class
-    if rho.size != expected_rho:
+    # binary: exactly one rho; multiclass: C one-vs-all values (extension)
+    # or C(C-1)/2 one-vs-one values (standard LIBSVM multiclass layout) —
+    # the SV rows' coefficient-column count resolves the format
+    if nr_class == 2:
+        allowed_rho = (1,)
+    else:
+        allowed_rho = tuple(
+            sorted({nr_class, nr_class * (nr_class - 1) // 2})
+        )
+    if rho.size not in allowed_rho:
         raise InvalidFileFormatError(
-            f"Expected {expected_rho} rho value(s) for nr_class {nr_class}, "
-            f"but {rho.size} were given!"
+            f"Expected {' or '.join(map(str, allowed_rho))} rho value(s) for "
+            f"nr_class {nr_class}, but {rho.size} were given!"
         )
 
     # optional Platt calibration: probA and probB come as a pair with one
-    # value per sigmoid (1 for binary, C for one-vs-all multiclass)
+    # value per sigmoid — always the same count as rho (1 binary, C
+    # one-vs-all, C(C-1)/2 one-vs-one, exactly LIBSVM's layout)
     prob: Optional[tuple] = None
     if (prob_a is None) != (prob_b is None):
         raise InvalidFileFormatError(
             "probA and probB must both be given (or neither)!"
         )
     if prob_a is not None:
-        if prob_a.size != expected_rho or prob_b.size != expected_rho:
+        if prob_a.size != rho.size or prob_b.size != rho.size:
             raise InvalidFileFormatError(
-                f"Expected {expected_rho} probA/probB value(s) for nr_class "
-                f"{nr_class}, but {prob_a.size}/{prob_b.size} were given!"
+                f"Expected {rho.size} probA/probB value(s) matching the rho "
+                f"count, but {prob_a.size}/{prob_b.size} were given!"
             )
         prob = (prob_a, prob_b)
 
@@ -276,6 +289,57 @@ def _to_int(value: str, name: str) -> int:
         raise InvalidFileFormatError(
             f"Can't convert '{value}' to a value of type int ({name})!"
         ) from None
+
+
+def _count_leading_coeffs(line: str) -> int:
+    """Number of leading tokens without ':' (the alpha/sv_coef columns)."""
+    n = 0
+    for tok in line.split():
+        if ":" in tok:
+            break
+        n += 1
+    return n
+
+
+def _resolve_multiclass_lead(
+    first_sv_line: str, nr_class: int, rho_size: int
+) -> int:
+    """Resolve the multiclass layout from the first SV row.
+
+    C leading coefficient columns = one-vs-all (extension, C rho values);
+    C-1 columns = standard LIBSVM one-vs-one (C(C-1)/2 rho values).  The
+    rho count must agree with the resolved layout.
+    """
+    n_lead = _count_leading_coeffs(first_sv_line)
+    n_pairs = nr_class * (nr_class - 1) // 2
+    if n_lead == nr_class:
+        layout, expected_rho = "one-vs-all", nr_class
+    elif n_lead == nr_class - 1:
+        layout, expected_rho = "one-vs-one", n_pairs
+    else:
+        raise InvalidFileFormatError(
+            f"Expected {nr_class} (one-vs-all) or {nr_class - 1} "
+            f"(one-vs-one) leading alpha values per support vector in a "
+            f"{nr_class}-class model, but found {n_lead}!"
+        )
+    if rho_size != expected_rho:
+        raise InvalidFileFormatError(
+            f"The SV rows' {n_lead} alpha columns imply the {layout} layout "
+            f"with {expected_rho} rho value(s), but {rho_size} were given!"
+        )
+    return n_lead
+
+
+def _peek_first_sv_line(filename: str, offset: int):
+    """First non-comment, non-empty line at/after ``offset`` (or None)."""
+    with open(filename, "rb") as fh:
+        fh.seek(offset)
+        chunk = fh.read(1 << 20)
+    for raw in chunk.split(b"\n"):
+        stripped = raw.strip()
+        if stripped and not stripped.startswith(b"#"):
+            return stripped.decode("utf-8", "replace")
+    return None
 
 
 def _read_header_and_offset(filename: str):
@@ -335,8 +399,17 @@ def parse_model_file(
         if params is not None:
             from ..native import parse_model_svs_native
 
-            nr_class = rho.size if rho.size > 1 else 2
-            n_lead = 1 if nr_class == 2 else nr_class
+            nr_class = len(set(labels))
+            if nr_class == 2:
+                n_lead = 1
+            else:
+                first = _peek_first_sv_line(filename, sv_offset)
+                if first is None:
+                    raise InvalidFileFormatError(
+                        "Can't parse file: no support vectors are given or "
+                        "SV is missing!"
+                    )
+                n_lead = _resolve_multiclass_lead(first, nr_class, rho.size)
             native = parse_model_svs_native(filename, sv_offset, n_lead, dtype)
             if native is not None:
                 coeffs, data = native
@@ -351,7 +424,7 @@ def parse_model_file(
     lines = read_lines(filename, comment="#")
     params, rho, labels, num_header_lines, prob = parse_model_header(lines)
     sv_lines = lines[num_header_lines:]
-    nr_class = rho.size if rho.size > 1 else 2
+    nr_class = len(set(labels))
 
     if nr_class == 2:
         data, alpha_strings = libsvm.parse_libsvm_lines(sv_lines, dtype=dtype)
@@ -359,20 +432,28 @@ def parse_model_file(
             raise InvalidFileFormatError("Missing alpha values in the model file!")
         alpha = np.asarray(alpha_strings, dtype=dtype)
     else:
-        # one-vs-all: strip the C leading alpha columns, parse the remaining
-        # feature entries as an unlabeled LIBSVM section
-        C = nr_class
+        # multiclass: strip the leading coefficient columns (C for
+        # one-vs-all, C-1 for one-vs-one — resolved from the first row),
+        # parse the remaining feature entries as an unlabeled LIBSVM section
+        n_lead = _resolve_multiclass_lead(sv_lines[0], nr_class, rho.size)
+        layout = "one-vs-all" if n_lead == nr_class else "one-vs-one"
         alpha_rows: List[List[float]] = []
         feature_lines: List[str] = []
         for line in sv_lines:
             tokens = line.split()
-            if len(tokens) < C or any(":" in tok for tok in tokens[:C]):
+            if (
+                len(tokens) < n_lead
+                or any(":" in tok for tok in tokens[:n_lead])
+                or (len(tokens) > n_lead and ":" not in tokens[n_lead])
+            ):
                 raise InvalidFileFormatError(
-                    f"Expected {C} leading alpha values per support vector "
-                    f"in a {C}-class one-vs-all model!"
+                    f"Expected {n_lead} leading alpha values per support "
+                    f"vector in a {nr_class}-class {layout} model!"
                 )
-            alpha_rows.append([_to_float(tok, "alpha") for tok in tokens[:C]])
-            feature_lines.append(" ".join(tokens[C:]))
+            alpha_rows.append(
+                [_to_float(tok, "alpha") for tok in tokens[:n_lead]]
+            )
+            feature_lines.append(" ".join(tokens[n_lead:]))
         data, _ = libsvm.parse_libsvm_lines(feature_lines, dtype=dtype)
         alpha = np.asarray(alpha_rows, dtype=dtype)
 

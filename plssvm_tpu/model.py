@@ -36,9 +36,11 @@ class Model:
         self.params = params
         self.data = data
         #: (n_sv,) weights for binary models; (n_sv, C) one-vs-all columns
-        #: for multiclass models (extension — the reference is binary-only)
+        #: or (n_sv, C-1) LIBSVM-layout one-vs-one sv_coef for multiclass
+        #: models (extension — the reference is binary-only)
         self.alpha = alpha
-        #: scalar -bias for binary models; (C,) array for multiclass
+        #: scalar -bias for binary models; (C,) array for one-vs-all,
+        #: (C(C-1)/2,) for one-vs-one multiclass
         self.rho = (
             np.asarray(rho, dtype=np.float64)
             if np.ndim(rho) > 0
@@ -48,11 +50,18 @@ class Model:
         self.w: Optional[np.ndarray] = None
         #: CG iterations of the producing fit (None for file-loaded models)
         self.n_iter: Optional[int] = None
-        #: Platt-sigmoid calibration (plssvm_tpu.probability) — (C,) arrays
-        #: (C = 1 for binary models), None when the model is uncalibrated.
+        #: Platt-sigmoid calibration (plssvm_tpu.probability) — one (A, B)
+        #: pair per sigmoid: 1 for binary, C for one-vs-all, C(C-1)/2 for
+        #: one-vs-one models; None when the model is uncalibrated.
         #: Persisted as the LIBSVM probA/probB model-file header lines.
         self.prob_a: Optional[np.ndarray] = None
         self.prob_b: Optional[np.ndarray] = None
+        #: multiclass decomposition of this model: OAA (one-vs-all block CG,
+        #: the default) or OAO (one-vs-one, LIBSVM model layout).  Binary
+        #: models are the same machine either way and keep the default.
+        from .parameter import ClassificationType
+
+        self.classification = ClassificationType.OAA
 
     # -- file IO ----------------------------------------------------------
     @classmethod
@@ -70,6 +79,13 @@ class Model:
         # one-vs-all multiclass (io/model_file.py extension format)
         rho_val = float(rho[0]) if np.asarray(rho).size == 1 else rho
         model = cls(params, data, alpha=alpha, rho=rho_val)
+        # multiclass format detection: C-1 coefficient columns = the standard
+        # LIBSVM one-vs-one layout; C columns = the one-vs-all extension
+        C = data.num_different_labels
+        if C > 2 and np.ndim(alpha) == 2 and alpha.shape[1] == C - 1:
+            from .parameter import ClassificationType
+
+            model.classification = ClassificationType.OAO
         if prob is not None:
             model.prob_a, model.prob_b = prob
         elapsed_ms = (time.perf_counter() - start) * 1000.0

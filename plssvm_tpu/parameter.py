@@ -176,6 +176,45 @@ class TargetPlatform(enum.Enum):
         raise InvalidParameterError(f"Unrecognized target platform '{value}'!")
 
 
+class ClassificationType(enum.Enum):
+    """Multiclass decomposition strategy (EXTENSION — the bundled reference
+    is binary-only, data_set.hpp:443; upstream PLSSVM v3 added the same
+    ``oaa``/``oao`` choice).
+
+    - ``OAA`` (one-vs-all): C binary machines, class c vs the rest, solved
+      TOGETHER as one block CG sharing the Gram work (solver/cg.py).
+    - ``OAO`` (one-vs-one): C(C-1)/2 pairwise machines on class-pair row
+      subsets, stored in the standard LIBSVM multiclass model format
+      (C(C-1)/2 rho values, C-1 coefficient columns per SV) — model files
+      interoperate with LIBSVM's own ``svm-train`` output.
+    """
+
+    OAA = "oaa"
+    OAO = "oao"
+
+    def __str__(self) -> str:
+        return self.value
+
+    @classmethod
+    def from_string(
+        cls, value: Union[str, "ClassificationType"]
+    ) -> "ClassificationType":
+        if isinstance(value, cls):
+            return value
+        s = str(value).strip().lower()
+        aliases = {
+            "oaa": cls.OAA, "one_vs_all": cls.OAA, "one-vs-all": cls.OAA,
+            "ova": cls.OAA, "ovr": cls.OAA,
+            "oao": cls.OAO, "one_vs_one": cls.OAO, "one-vs-one": cls.OAO,
+            "ovo": cls.OAO,
+        }
+        if s not in aliases:
+            raise InvalidParameterError(
+                f"Unrecognized classification type '{value}'!"
+            )
+        return aliases[s]
+
+
 class DefaultValue(Generic[T]):
     """A value that knows whether it is still the default.
 

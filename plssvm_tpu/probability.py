@@ -19,6 +19,12 @@ support at all.  This module implements the standard LIBSVM-style pipeline:
 Multiclass (one-vs-all) models fit one sigmoid per class column and
 normalize the per-class probabilities to sum to one (the sklearn OvR
 convention; LIBSVM's pairwise coupling does not apply to OvA columns).
+
+Multiclass one-vs-one models follow LIBSVM exactly: one sigmoid per pair
+machine, calibrated on cross-validated decision values WITHIN that pair's
+rows (svm_train's per-pair svm_binary_svc_probability call), and class
+probabilities recovered by Wu/Lin/Weng pairwise coupling
+(plssvm_tpu.oao.pairwise_coupling = LIBSVM's multiclass_probability).
 """
 
 from __future__ import annotations
@@ -184,9 +190,22 @@ def calibrate_model(
 
     Binary models get one (A, B) pair fitted to the positive-class
     indicator; one-vs-all multiclass models get per-class pairs fitted to
-    each class's OvA column.  Sets ``model.prob_a`` / ``model.prob_b``
-    ((C,) float arrays; C = 1 for binary) and returns them.
+    each class's OvA column; one-vs-one models get per-machine pairs fitted
+    on the pair's own rows (LIBSVM's scheme).  Sets ``model.prob_a`` /
+    ``model.prob_b`` (one value per sigmoid: 1 binary, C one-vs-all,
+    C(C-1)/2 one-vs-one) and returns them.
     """
+    from .parameter import ClassificationType
+
+    if (
+        model.classification == ClassificationType.OAO
+        and np.ndim(model.alpha) == 2
+    ):
+        return _calibrate_model_oao(
+            csvm, model, data,
+            n_folds=n_folds, random_state=random_state,
+            epsilon=epsilon, max_iter=max_iter,
+        )
     labels = np.asarray(data.labels)
     _, class_counts = np.unique(labels.astype(str), return_counts=True)
     if int(class_counts.min()) < 2:
@@ -229,13 +248,76 @@ def calibrate_model(
     return prob_a, prob_b
 
 
+def _calibrate_model_oao(
+    csvm,
+    model,
+    data,
+    *,
+    n_folds: int = 5,
+    random_state: Optional[int] = None,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-pair-machine Platt calibration of a one-vs-one model.
+
+    LIBSVM's svm_train pipeline: for each pair (i, j), cross-validate a
+    binary machine on the pair's rows only and fit one sigmoid to its
+    out-of-fold decision values.  probA/probB get C(C-1)/2 entries in
+    machine order — byte-compatible with LIBSVM's ``-b 1`` model header.
+    """
+    from .data_set import DataSet
+    from .oao import class_pairs
+
+    labels = np.asarray(data.labels)
+    idx = data.mapper.map_labels(labels, dtype=np.int64)
+    X = np.asarray(data.data)
+    C = data.num_different_labels
+    pairs = class_pairs(C)
+    prob_a = np.zeros(len(pairs), dtype=np.float64)
+    prob_b = np.zeros(len(pairs), dtype=np.float64)
+    biased_pairs = []
+    for m, (i, j) in enumerate(pairs):
+        rows = np.flatnonzero((idx == i) | (idx == j))
+        is_first = idx[rows] == i
+        if int(is_first.sum()) < 2 or int((~is_first).sum()) < 2:
+            # a pair side with < 2 samples cannot be stratified: calibrate
+            # on the fitted model's own decision column (biased), as the
+            # binary path does for singleton classes
+            biased_pairs.append((i, j))
+            vals = csvm.predict_values(model, DataSet(X[rows]))[:, m]
+        else:
+            pair_data = DataSet(
+                X[rows], np.where(is_first, 1.0, -1.0)
+            )
+            vals = cross_validated_decision_values(
+                csvm, pair_data,
+                n_folds=n_folds, random_state=random_state,
+                epsilon=epsilon, max_iter=max_iter,
+            )
+        prob_a[m], prob_b[m] = fit_sigmoid(vals, is_first)
+    if biased_pairs:
+        import warnings
+
+        warnings.warn(
+            "probability calibration: pair machine(s) "
+            f"{biased_pairs} have a class side with fewer than 2 samples — "
+            "calibrated on training-set decision values instead "
+            "(optimistically biased).",
+            stacklevel=3,
+        )
+    model.prob_a = prob_a
+    model.prob_b = prob_b
+    return prob_a, prob_b
+
+
 def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
     """(n, C) class-probability matrix from decision values.
 
     Binary: columns ``[P(class0), P(class1)]`` with ``class1`` the positive
     mapping.  Multiclass OvA: per-class sigmoids normalized to sum to one
-    (the sklearn OvR convention).  Requires a calibrated model
-    (:func:`calibrate_model`).
+    (the sklearn OvR convention).  Multiclass OvO: per-machine sigmoids
+    combined by Wu/Lin/Weng pairwise coupling (LIBSVM's svm_predict_
+    probability).  Requires a calibrated model (:func:`calibrate_model`).
     """
     if getattr(model, "prob_a", None) is None:
         raise ValueError(
@@ -247,6 +329,21 @@ def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
     if values.ndim == 1:
         p = sigmoid_probability(values, model.prob_a[0], model.prob_b[0])
         return np.stack([1.0 - p, p], axis=1)
+    from .parameter import ClassificationType
+
+    if model.classification == ClassificationType.OAO:
+        from .oao import pairwise_coupling
+
+        r = np.stack(
+            [
+                sigmoid_probability(
+                    values[:, m], model.prob_a[m], model.prob_b[m]
+                )
+                for m in range(values.shape[1])
+            ],
+            axis=1,
+        )
+        return pairwise_coupling(r, model.num_classes)
     cols = [
         sigmoid_probability(values[:, c], model.prob_a[c], model.prob_b[c])
         for c in range(values.shape[1])

@@ -36,13 +36,13 @@ _UNSUPPORTED_PARAMS = (
     "shrinking",
     "cache_size",
     "class_weight",
-    "decision_function_shape",
     "break_ties",
 )
 
 _KNOWN_PARAMS = (
     "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
-    "probability", "random_state",
+    "probability", "random_state", "decision_function_shape",
+    "classification",
 ) + _UNSUPPORTED_PARAMS
 
 
@@ -71,6 +71,13 @@ class SVC:
         self._gamma_scale = False
         self._probability = False
         self._random_state: Optional[int] = None
+        #: multiclass decomposition: "oaa" (default) or "oao" (sklearn's SVC
+        #: itself always trains ovo; here the block-CG OvA is the default
+        #: because it shares the Gram work across classes)
+        self._classification = "oaa"
+        #: decision_function output for OAO models: "ovr" (sklearn default,
+        #: vote-based transform) or "ovo" (raw pair columns)
+        self._decision_function_shape = "ovr"
         self._parse_params(kwargs)
 
     # -- parameter plumbing ------------------------------------------------
@@ -122,6 +129,20 @@ class SVC:
         if "random_state" in kwargs:
             rs = kwargs["random_state"]
             self._random_state = None if rs is None else int(rs)
+        if "classification" in kwargs:
+            from .parameter import ClassificationType
+
+            self._classification = str(
+                ClassificationType.from_string(kwargs["classification"])
+            )
+        if "decision_function_shape" in kwargs:
+            shape = kwargs["decision_function_shape"]
+            if shape not in ("ovr", "ovo"):
+                raise AttributeError(
+                    "decision_function_shape must be either 'ovr' or 'ovo', "
+                    f"got {shape!r}."
+                )
+            self._decision_function_shape = shape
 
     def get_params(self, deep: bool = True) -> dict:
         """Estimator parameters as a dict (sklearn.cpp:196-219)."""
@@ -137,6 +158,8 @@ class SVC:
             "max_iter": self._max_iter if self._max_iter is not None else -1,
             "probability": self._probability,
             "random_state": self._random_state,
+            "decision_function_shape": self._decision_function_shape,
+            "classification": self._classification,
         }
 
     def set_params(self, **kwargs) -> "SVC":
@@ -159,7 +182,7 @@ class SVC:
             self._svm.set_params(
                 gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
             )
-        kwargs = {}
+        kwargs = {"classification": self._classification}
         if self._epsilon is not None:
             kwargs["epsilon"] = self._epsilon
         if self._max_iter is not None:
@@ -191,9 +214,26 @@ class SVC:
         return self._svm.predict(self._model, DataSet(np.asarray(X)))
 
     def decision_function(self, X) -> np.ndarray:
-        """Signed distance values f(x) (implemented; reference raises)."""
+        """Signed distance values f(x) (implemented; reference raises).
+
+        Binary: (n,).  Multiclass OAA: the (n, C) OvR decision matrix.
+        Multiclass OAO: the raw (n, C(C-1)/2) pair columns when
+        ``decision_function_shape='ovo'``, else sklearn's vote-based OvR
+        transform of them (plssvm_tpu.oao.ovr_from_ovo).
+        """
         self._check_fitted()
-        return self._svm.predict_values(self._model, DataSet(np.asarray(X)))
+        values = self._svm.predict_values(self._model, DataSet(np.asarray(X)))
+        from .parameter import ClassificationType
+
+        if (
+            values.ndim == 2
+            and self._model.classification == ClassificationType.OAO
+            and self._decision_function_shape == "ovr"
+        ):
+            from .oao import ovr_from_ovo
+
+            return ovr_from_ovo(values, self._model.num_classes)
+        return values
 
     def score(self, X, y, sample_weight=None) -> float:
         if sample_weight is not None:

@@ -53,14 +53,19 @@ def test_set_params_returns_self():
 
 @pytest.mark.parametrize(
     "param",
-    ["shrinking", "cache_size", "class_weight",
-     "decision_function_shape", "break_ties"],
+    ["shrinking", "cache_size", "class_weight", "break_ties"],
 )
 def test_unimplemented_constructor_params_raise(param):
     # reference raises AttributeError for these (sklearn.cpp:74-110);
-    # probability and random_state ARE implemented here (Platt scaling)
+    # probability, random_state and decision_function_shape ARE
+    # implemented here (Platt scaling / OAO support)
     with pytest.raises(AttributeError, match="not implemented"):
         SVC(**{param: 1})
+
+
+def test_invalid_decision_function_shape_raises():
+    with pytest.raises(AttributeError, match="ovr"):
+        SVC(decision_function_shape="bogus")
 
 
 def test_unknown_param_raises():
