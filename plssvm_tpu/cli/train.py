@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
              "and stored as the LIBSVM probA/probB model-file header lines "
              "(like svm-train -b 1; -b is taken by --backend here)",
     )
+    parser.add_argument("--solver", default="automatic",
+                        choices=["automatic", "cg_explicit", "cg_implicit"],
+                        help="CG solver type (upstream PLSSVM v3 parity): "
+                        "cg_implicit recomputes the kernel matrix every "
+                        "iteration (any problem size); cg_explicit "
+                        "materializes it once on device — faster for wide "
+                        "feature axes and for laplacian/chi-squared, bounded "
+                        "by device memory; automatic picks per fit")
     parser.add_argument("--preconditioner", default="none",
                         choices=["none", "jacobi"],
                         help="CG preconditioner; 'jacobi' can cut iterations "
@@ -199,6 +207,7 @@ def main(argv=None) -> int:
             dtype=resolve_dtype(args),
             preconditioner=args.preconditioner,
             gram_precision=args.gram_precision,
+            solver=args.solver,
             kernel_type=kernel,
             degree=args.degree,
             gamma=args.gamma,

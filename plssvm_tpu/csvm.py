@@ -19,6 +19,7 @@ import numpy as np
 from .data_set import DataSet
 from .exceptions import InvalidParameterError, UnsupportedBackendError
 from .kernel_functions import (
+    DISTANCE_KERNELS,
     is_gram_kernel as _is_gram_kernel,
     uses_pallas_kernels as _uses_pallas_kernels,
 )
@@ -125,6 +126,7 @@ class CSVM:
         preconditioner: str = "none",
         scalar_precision: str = "auto",
         gram_precision: str = "f32",
+        solver: str = "automatic",
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -190,6 +192,20 @@ class CSVM:
                 "(must be 'f32', 'bf16' or 'highest')!"
             )
         self.gram_precision = gram_precision
+        # solver type (upstream PLSSVM v3 parity; the bundled reference has
+        # only the implicit solve): "cg_implicit" recomputes the kernel
+        # matrix every CG iteration (O(n^2 d)/iter, any problem size);
+        # "cg_explicit" materializes K once on device and iterates with
+        # O(n^2) HBM-bound matvecs (solver/explicit.py) — faster for wide
+        # feature axes and dramatically faster for the VPU-bound distance
+        # kernels, but bounded by device memory; "automatic" picks
+        # cg_explicit exactly where it wins AND fits.
+        if solver not in ("automatic", "cg_explicit", "cg_implicit"):
+            raise InvalidParameterError(
+                f"Unrecognized solver '{solver}' (must be 'automatic', "
+                "'cg_explicit' or 'cg_implicit')!"
+            )
+        self.solver = solver
 
         # multi-chip: row-shard the CG solve over a 1-D device mesh
         # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
@@ -338,7 +354,16 @@ class CSVM:
         # pad the dept axis so blockwise/Pallas kernels see aligned shapes;
         # replaces the reference's boundary padding of 16*6=96 (gpu_csvm.hpp:494)
         n_dev = len(self.devices) if self.devices is not None else 1
-        if n_dev > 1:
+        use_explicit = self._use_explicit_solver(dept, d, kind, n_dev)
+        add_tracking_entry(
+            "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
+        )
+        if use_explicit:
+            # explicit matrix: MXU-aligned rows for the one-shot Gram build;
+            # no Pallas/row-block constraints apply to the K @ v iterations
+            m_pad = max(_round_up(dept, 128), 128)
+            d_pad = d
+        elif n_dev > 1:
             # sharded: every chip's row block is a multiple of the MXU tile
             m_pad = max(_round_up(dept, n_dev * 128), n_dev * 128)
             d_pad = (
@@ -409,6 +434,7 @@ class CSVM:
             result = self._run_solve(
                 Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
                 kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
+                use_explicit,
             )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
         if multiclass:
@@ -573,6 +599,12 @@ class CSVM:
                 "path (the pair machines train on row subsets that defeat "
                 "the per-host window ingest) — use the default 'oaa'!"
             )
+        if self.solver == "cg_explicit":
+            raise InvalidParameterError(
+                "solver='cg_explicit' is single-device (the kernel matrix "
+                "is not sharded) — use solver='automatic' or 'cg_implicit' "
+                "for multi-host fits!"
+            )
         if epsilon <= 0.0:
             raise InvalidParameterError(
                 f"epsilon must be less than 0.0, but is {epsilon}!"
@@ -600,6 +632,63 @@ class CSVM:
 
         return contextlib.nullcontext()
 
+    def _explicit_k_bytes(self, m_pad: int) -> int:
+        """Device bytes of the explicit kernel matrix at the current tier."""
+        itemsize = 2 if self.gram_precision == "bf16" else self.dtype.itemsize
+        return m_pad * m_pad * itemsize
+
+    def _explicit_budget(self) -> int:
+        """Device-memory budget for the explicit kernel matrix (bytes).
+
+        Default 6 GiB (leaves a 16 GB v5e room for the data operand, CG
+        vectors and XLA workspace); override with
+        ``PLSSVM_TPU_EXPLICIT_BUDGET`` (bytes).
+        """
+        import os
+
+        return int(os.environ.get("PLSSVM_TPU_EXPLICIT_BUDGET", 6 << 30))
+
+    def _use_explicit_solver(self, dept: int, d: int, kind, n_dev: int) -> bool:
+        """Resolve solver='automatic'/'cg_explicit'/'cg_implicit' for a fit.
+
+        cg_explicit changes the per-iteration cost from O(n^2 d) compute to
+        an O(n^2) HBM-bound matvec, so 'automatic' picks it when the matrix
+        fits the memory budget AND the kernel profile favors it: always for
+        the VPU-bound distance kernels (their pairwise reduction is paid
+        once at build time), for Gram kernels only on wide feature axes
+        (past the compute/bandwidth crossover d ~ 2 R/BW — ~900 on a v5e
+        against the 354-TFLOP/s Pallas kernel, lower against plain XLA).
+        The linear kernel never benefits (the factored O(n d) matvec wins).
+        """
+        if self.solver == "cg_implicit":
+            return False
+        m_pad = max(_round_up(dept, 128), 128)
+        fits = self._explicit_k_bytes(m_pad) <= self._explicit_budget()
+        if self.solver == "cg_explicit":
+            if n_dev > 1:
+                raise InvalidParameterError(
+                    "solver='cg_explicit' is single-device (the kernel "
+                    "matrix is not sharded) — use devices=None or "
+                    "solver='automatic'!"
+                )
+            if not fits:
+                raise InvalidParameterError(
+                    f"solver='cg_explicit' needs "
+                    f"{self._explicit_k_bytes(m_pad)} bytes for the "
+                    f"{m_pad}x{m_pad} kernel matrix, over the "
+                    f"{self._explicit_budget()}-byte budget "
+                    "(PLSSVM_TPU_EXPLICIT_BUDGET) — use gram_precision="
+                    "'bf16', solver='automatic', or cg_implicit!"
+                )
+            return True
+        # automatic
+        if n_dev > 1 or not fits or kind == KernelFunctionType.LINEAR:
+            return False
+        if kind in DISTANCE_KERNELS:
+            return True
+        pallas = self.backend == BackendType.PALLAS and _uses_pallas_kernels(kind)
+        return d >= (1024 if pallas else 512)
+
     def _sharded_impl(self, kind, padded_shape, n_dev, n_classes=None):
         """Kernel impl for the sharded (multi-device) solve: the Pallas
         ring when the backend, kernel, mesh platform AND per-chip block
@@ -622,9 +711,29 @@ class CSVM:
             return "xla"
         return "pallas"
 
+    def _build_explicit_k(self, Xp, gamma_v, coef0_v, kind, degree):
+        """Materialize the kernel matrix once (solver/explicit.py), timed."""
+        from .solver.explicit import build_kernel_matrix
+
+        t0 = time.perf_counter()
+        K = build_kernel_matrix(
+            jnp.asarray(Xp), gamma_v, coef0_v,
+            kind=kind, degree=degree, precision=self.gram_precision,
+        )
+        K.block_until_ready()
+        build_ms = (time.perf_counter() - t0) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Assembled the explicit {}x{} kernel matrix ({}) in {:.2f}ms.\n",
+            K.shape[0], K.shape[1], str(K.dtype), build_ms,
+        )
+        add_tracking_entry("cg", "kernel_matrix_build_time", build_ms)
+        return K
+
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
+        use_explicit=False,
     ):
         gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
         coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
@@ -636,7 +745,39 @@ class CSVM:
             return self._run_solve_multiclass(
                 Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
                 max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
-                checkpoint_interval, epsilon, max_iter,
+                checkpoint_interval, epsilon, max_iter, use_explicit,
+            )
+
+        if use_explicit:
+            from .solver.explicit import (
+                solve_ls_svm_explicit, solve_ls_svm_explicit_resume,
+            )
+
+            K = self._build_explicit_k(Xp, gamma_v, coef0_v, kind, degree)
+            solve_args = (
+                K,
+                jnp.asarray(Xp),
+                jnp.asarray(x_last),
+                jnp.asarray(yp),
+                jnp.asarray(y[-1], dtype=self.dtype),
+                jnp.asarray(mask),
+                gamma_v, coef0_v, cost_v, eps_v,
+            )
+            solve_kwargs = dict(
+                kind=kind, degree=degree,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+                precision=self.gram_precision,
+            )
+            if checkpoint_path is None:
+                return solve_ls_svm_explicit(
+                    *solve_args, max_iter_v, **solve_kwargs
+                )
+            return self._fit_with_checkpointing(
+                solve_args, solve_kwargs, Xp, yp, epsilon,
+                int(max_iter), checkpoint_path, int(checkpoint_interval),
+                solve_fn=solve_ls_svm_explicit,
+                resume_fn=solve_ls_svm_explicit_resume,
             )
 
         if n_dev > 1:
@@ -697,7 +838,7 @@ class CSVM:
     def _run_solve_multiclass(
         self, Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
         max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
-        checkpoint_interval, epsilon, max_iter,
+        checkpoint_interval, epsilon, max_iter, use_explicit=False,
     ):
         """One-vs-all block-CG solve (C classes, shared Gram per iteration).
 
@@ -707,6 +848,38 @@ class CSVM:
         class-major MXU contractions); elsewhere the XLA shared-Gram scan.
         """
         y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
+        if use_explicit:
+            from .solver.explicit import (
+                solve_ls_svm_explicit_multi,
+                solve_ls_svm_explicit_multi_resume,
+            )
+
+            K = self._build_explicit_k(Xp, gamma_v, coef0_v, kind, degree)
+            solve_args = (
+                K,
+                jnp.asarray(Xp),
+                jnp.asarray(x_last),
+                jnp.asarray(yp),
+                y_last,
+                jnp.asarray(mask),
+                gamma_v, coef0_v, cost_v, eps_v,
+            )
+            solve_kwargs = dict(
+                kind=kind, degree=degree,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+                precision=self.gram_precision,
+            )
+            if checkpoint_path is None:
+                return solve_ls_svm_explicit_multi(
+                    *solve_args, max_iter_v, **solve_kwargs
+                )
+            return self._fit_with_checkpointing_multi(
+                solve_args, solve_kwargs, Xp, yp, epsilon,
+                int(max_iter), checkpoint_path, int(checkpoint_interval),
+                solve_fn=solve_ls_svm_explicit_multi,
+                resume_fn=solve_ls_svm_explicit_multi_resume,
+            )
         if n_dev > 1:
             from .parallel.sharded import (
                 build_sharded_multi_solver, make_row_mesh, shard_arrays,
@@ -762,9 +935,20 @@ class CSVM:
     def _fit_with_checkpointing_multi(
         self, solve_args, solve_kwargs, Xp, Yp, epsilon,
         max_iter: int, checkpoint_path: str, checkpoint_interval: int,
+        solve_fn=None, resume_fn=None,
     ):
-        """Segmented one-vs-all block-CG with per-class state persistence."""
+        """Segmented one-vs-all block-CG with per-class state persistence.
+
+        ``solve_fn``/``resume_fn`` default to the implicit solvers; the
+        explicit-matrix fit passes solver/explicit.py's variants (same
+        signatures with the prebuilt K leading ``solve_args``).
+        """
         from .solver.cg import solve_ls_svm_multi, solve_ls_svm_multi_resume
+
+        if solve_fn is None:
+            solve_fn = solve_ls_svm_multi
+        if resume_fn is None:
+            resume_fn = solve_ls_svm_multi_resume
         from .solver.checkpoint import (
             MultiCGCheckpoint,
             load_multi_checkpoint,
@@ -785,13 +969,13 @@ class CSVM:
         while True:
             if ckpt is None:
                 segment_end = min(checkpoint_interval, max_iter)
-                result = solve_ls_svm_multi(
+                result = solve_fn(
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     **solve_kwargs,
                 )
             else:
                 segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
-                result = solve_ls_svm_multi_resume(
+                result = resume_fn(
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
                     jnp.asarray(ckpt.d),
@@ -836,9 +1020,20 @@ class CSVM:
     def _fit_with_checkpointing(
         self, solve_args, solve_kwargs, Xp, yp, epsilon,
         max_iter: int, checkpoint_path: str, checkpoint_interval: int,
+        solve_fn=None, resume_fn=None,
     ):
-        """Run CG in segments, persisting solver state between them."""
+        """Run CG in segments, persisting solver state between them.
+
+        ``solve_fn``/``resume_fn`` default to the implicit solvers; the
+        explicit-matrix fit passes solver/explicit.py's variants (same
+        signatures with the prebuilt K leading ``solve_args``).
+        """
         from .solver.cg import solve_ls_svm_resume
+
+        if solve_fn is None:
+            solve_fn = solve_ls_svm
+        if resume_fn is None:
+            resume_fn = solve_ls_svm_resume
         from .solver.checkpoint import (
             CGCheckpoint,
             load_checkpoint,
@@ -861,13 +1056,13 @@ class CSVM:
         while True:
             if ckpt is None:
                 segment_end = min(checkpoint_interval, max_iter)
-                result = solve_ls_svm(
+                result = solve_fn(
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     **solve_kwargs,
                 )
             else:
                 segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
-                result = solve_ls_svm_resume(
+                result = resume_fn(
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
                     jnp.asarray(ckpt.d),

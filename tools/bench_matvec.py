@@ -39,11 +39,14 @@ def bench(fn, X, sq, v0, flops, iters, reps=2):
             return out / jnp.linalg.norm(out)
         return jax.lax.fori_loop(0, iters, body, v)
 
-    jax.block_until_ready(run(X, sq, v0))
+    # time through device_get of one element: block_until_ready can return
+    # before the computation finishes on the tunneled runtime (see
+    # tools/bench_solver.py::bench_loop)
+    jax.device_get(run(X, sq, v0)[0])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(X, sq, v0))
+        jax.device_get(run(X, sq, v0)[0])
         best = min(best, time.perf_counter() - t0)
     return flops * iters / best / 1e12
 
