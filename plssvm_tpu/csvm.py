@@ -359,9 +359,10 @@ class CSVM:
             "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
         )
         if use_explicit:
-            # explicit matrix: MXU-aligned rows for the one-shot Gram build;
-            # no Pallas/row-block constraints apply to the K @ v iterations
-            m_pad = max(_round_up(dept, 128), 128)
+            # explicit matrix: MXU-aligned rows for the one-shot Gram build
+            # (x n_dev so the row-sharded K divides the mesh evenly); no
+            # Pallas/row-block constraints apply to the K @ v iterations
+            m_pad = max(_round_up(dept, 128 * n_dev), 128 * n_dev)
             d_pad = d
         elif n_dev > 1:
             # sharded: every chip's row block is a multiple of the MXU tile
@@ -566,6 +567,9 @@ class CSVM:
         model = Model(params, data, alpha=sv_coef, rho=rho)
         model.classification = ClassificationType.OAO
         model.n_iter = total_iters
+        #: per-pair-machine CG iteration counts (LIBSVM machine order) —
+        #: sklearn's multiclass n_iter_ shape
+        model.n_iter_per_machine = iters_per_machine
         return model
 
     def fit_multihost(
@@ -662,27 +666,24 @@ class CSVM:
         """
         if self.solver == "cg_implicit":
             return False
-        m_pad = max(_round_up(dept, 128), 128)
-        fits = self._explicit_k_bytes(m_pad) <= self._explicit_budget()
+        m_pad = max(_round_up(dept, 128 * n_dev), 128 * n_dev)
+        # multi-device: K is row-sharded (parallel.sharded), so the budget
+        # applies PER CHIP — the explicit size ceiling grows ~sqrt(P)
+        per_chip = self._explicit_k_bytes(m_pad) // n_dev
+        fits = per_chip <= self._explicit_budget()
         if self.solver == "cg_explicit":
-            if n_dev > 1:
-                raise InvalidParameterError(
-                    "solver='cg_explicit' is single-device (the kernel "
-                    "matrix is not sharded) — use devices=None or "
-                    "solver='automatic'!"
-                )
             if not fits:
                 raise InvalidParameterError(
-                    f"solver='cg_explicit' needs "
-                    f"{self._explicit_k_bytes(m_pad)} bytes for the "
-                    f"{m_pad}x{m_pad} kernel matrix, over the "
-                    f"{self._explicit_budget()}-byte budget "
-                    "(PLSSVM_TPU_EXPLICIT_BUDGET) — use gram_precision="
-                    "'bf16', solver='automatic', or cg_implicit!"
+                    f"solver='cg_explicit' needs {per_chip} bytes per device "
+                    f"for the {m_pad}x{m_pad} kernel matrix over {n_dev} "
+                    f"device(s), over the {self._explicit_budget()}-byte "
+                    "budget (PLSSVM_TPU_EXPLICIT_BUDGET) — use "
+                    "gram_precision='bf16', solver='automatic', or "
+                    "cg_implicit!"
                 )
             return True
         # automatic
-        if n_dev > 1 or not fits or kind == KernelFunctionType.LINEAR:
+        if not fits or kind == KernelFunctionType.LINEAR:
             return False
         if kind in DISTANCE_KERNELS:
             return True
@@ -730,6 +731,27 @@ class CSVM:
         add_tracking_entry("cg", "kernel_matrix_build_time", build_ms)
         return K
 
+    def _build_explicit_k_sharded(
+        self, mesh, X_sharded, gamma_v, coef0_v, kind, degree
+    ):
+        """Materialize the ROW-SHARDED kernel matrix over the mesh, timed."""
+        from .parallel.sharded import build_sharded_kernel_matrix_fn
+
+        t0 = time.perf_counter()
+        K = build_sharded_kernel_matrix_fn(
+            mesh, kind=kind, degree=degree, precision=self.gram_precision,
+        )(X_sharded, gamma_v, coef0_v)
+        K.block_until_ready()
+        build_ms = (time.perf_counter() - t0) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Assembled the explicit {}x{} kernel matrix ({}) row-sharded "
+            "over {} devices in {:.2f}ms.\n",
+            K.shape[0], K.shape[1], str(K.dtype), mesh.devices.size, build_ms,
+        )
+        add_tracking_entry("cg", "kernel_matrix_build_time", build_ms)
+        return K
+
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
@@ -746,6 +768,35 @@ class CSVM:
                 Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
                 max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
                 checkpoint_interval, epsilon, max_iter, use_explicit,
+            )
+
+        if use_explicit and n_dev > 1:
+            from .parallel.sharded import (
+                build_sharded_explicit_solver, make_row_mesh, shard_arrays,
+            )
+
+            mesh = make_row_mesh(self.devices)
+            sharded = shard_arrays(
+                mesh, Xp, x_last, yp, np.asarray(y[-1], dtype=self.dtype),
+                mask, self.dtype,
+            )
+            K = self._build_explicit_k_sharded(
+                mesh, sharded[0], gamma_v, coef0_v, kind, degree
+            )
+            scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            if checkpoint_path is None:
+                solver = build_sharded_explicit_solver(
+                    mesh, kind=kind, degree=degree,
+                    preconditioner=self.preconditioner,
+                    scalars=self.scalar_precision,
+                    precision=self.gram_precision,
+                )
+                return solver(K, *sharded, *scalar_args, max_iter_v)
+            return self._fit_with_checkpointing_sharded(
+                mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
+                int(max_iter), checkpoint_path, int(checkpoint_interval),
+                kind=kind, degree=degree, impl="xla", multi=False,
+                explicit=True,
             )
 
         if use_explicit:
@@ -848,6 +899,33 @@ class CSVM:
         class-major MXU contractions); elsewhere the XLA shared-Gram scan.
         """
         y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
+        if use_explicit and n_dev > 1:
+            from .parallel.sharded import (
+                build_sharded_explicit_solver, make_row_mesh, shard_arrays,
+            )
+
+            mesh = make_row_mesh(self.devices)
+            sharded = shard_arrays(
+                mesh, Xp, x_last, yp, y_last, mask, self.dtype
+            )
+            K = self._build_explicit_k_sharded(
+                mesh, sharded[0], gamma_v, coef0_v, kind, degree
+            )
+            scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            if checkpoint_path is None:
+                solver = build_sharded_explicit_solver(
+                    mesh, kind=kind, degree=degree,
+                    preconditioner=self.preconditioner,
+                    scalars=self.scalar_precision,
+                    precision=self.gram_precision, multi=True,
+                )
+                return solver(K, *sharded, *scalar_args, max_iter_v)
+            return self._fit_with_checkpointing_sharded(
+                mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
+                int(max_iter), checkpoint_path, int(checkpoint_interval),
+                kind=kind, degree=degree, impl="xla", multi=True,
+                explicit=True,
+            )
         if use_explicit:
             from .solver.explicit import (
                 solve_ls_svm_explicit_multi,
@@ -1105,7 +1183,7 @@ class CSVM:
     def _fit_with_checkpointing_sharded(
         self, mesh, sharded_args, scalar_args, Xp, Yp, epsilon,
         max_iter: int, checkpoint_path: str, checkpoint_interval: int,
-        *, kind, degree, impl, multi: bool,
+        *, kind, degree, impl, multi: bool, explicit: bool = False,
     ):
         """Segmented sharded CG (binary or one-vs-all block) with state
         persistence — CG-state checkpointing works on the multi-device
@@ -1128,15 +1206,33 @@ class CSVM:
             save_multi_checkpoint,
         )
 
-        build = build_sharded_multi_solver if multi else build_sharded_solver
-        common = dict(
-            kind=kind, degree=degree, impl=impl,
-            preconditioner=self.preconditioner,
-            scalars=self.scalar_precision,
-            gram_precision=self.gram_precision,
-        )
-        solver = build(mesh, **common)
-        solver_resume = build(mesh, resume=True, **common)
+        if explicit:
+            # explicit-matrix sharded solve: K leads sharded_args; one
+            # builder handles binary and multiclass (parallel.sharded)
+            from .parallel.sharded import build_sharded_explicit_solver
+
+            common = dict(
+                kind=kind, degree=degree,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+                precision=self.gram_precision, multi=multi,
+            )
+            solver = build_sharded_explicit_solver(mesh, **common)
+            solver_resume = build_sharded_explicit_solver(
+                mesh, resume=True, **common
+            )
+        else:
+            build = (
+                build_sharded_multi_solver if multi else build_sharded_solver
+            )
+            common = dict(
+                kind=kind, degree=degree, impl=impl,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+                gram_precision=self.gram_precision,
+            )
+            solver = build(mesh, **common)
+            solver_resume = build(mesh, resume=True, **common)
 
         row_sharding = NamedSharding(
             mesh, P(ROW_AXIS, None) if multi else P(ROW_AXIS)

@@ -210,13 +210,17 @@ def pairwise_distance(
     def col_body(_, Y_blk):  # (cb, nk, dk)
         Yk = Y_blk.transpose(1, 0, 2)  # (nk, cb, dk)
 
-        def feat_body(acc, ab):
+        # stacked-outputs scan + sum instead of a carried accumulator: a
+        # zeros-initialized carry has no varying-mesh-axes metadata, which
+        # trips shard_map's VMA check when this runs inside a sharded solve
+        # (e.g. the row-sharded explicit kernel-matrix build); the (nk, b,
+        # cb) stack is small — nk = d / feature_block
+        def feat_body(_, ab):
             a_blk, y_blk = ab
-            return acc + _distance_tile(a_blk, y_blk, kind), None
+            return None, _distance_tile(a_blk, y_blk, kind)
 
-        acc0 = jnp.zeros((b, cb), Xb.dtype)
-        acc, _ = jax.lax.scan(feat_body, acc0, (Xk, Yk))
-        return None, acc
+        _, parts = jax.lax.scan(feat_body, None, (Xk, Yk))
+        return None, jnp.sum(parts, axis=0)
 
     _, out = jax.lax.scan(col_body, None, Yc)  # (m//cb, b, cb)
     return out.transpose(1, 0, 2).reshape(b, m)[:, :m_out]

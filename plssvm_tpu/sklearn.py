@@ -322,8 +322,16 @@ class SVC:
 
     @property
     def n_iter_(self) -> np.ndarray:
-        """CG iterations of the fit (implemented; reference raises)."""
+        """CG iterations of the fit (implemented; reference raises).
+
+        Shape (1,) for binary/OAA fits; for one-vs-one multiclass the
+        per-pair-machine counts in LIBSVM machine order — sklearn's own
+        multiclass ``n_iter_`` convention (one entry per ovo machine).
+        """
         self._check_fitted()
+        per_machine = getattr(self._model, "n_iter_per_machine", None)
+        if per_machine is not None:
+            return np.asarray(per_machine, dtype=np.int32)
         iters = getattr(self._model, "n_iter", None)
         if iters is None:
             raise AttributeError("'SVC' object has no attribute 'n_iter_'")
@@ -342,10 +350,30 @@ class SVC:
         )
 
     @property
-    def coef_(self):
-        raise AttributeError(
-            "'SVC' object has no attribute 'coef_' (not implemented)"
-        )
+    def coef_(self) -> np.ndarray:
+        """Primal weight vector(s) for LINEAR-kernel fits (implemented; the
+        reference raises).  sklearn shapes: (1, d) binary, (n_machines, d)
+        for multiclass (OAA machines or OAO pair machines).  Non-linear
+        kernels raise sklearn's own error message.
+        """
+        self._check_fitted()
+        params = self._model.params
+        from .parameter import KernelFunctionType
+
+        if params.kernel_type.value != KernelFunctionType.LINEAR:
+            raise AttributeError(
+                "coef_ is only available when using a linear kernel"
+            )
+        alpha = np.asarray(self._model.alpha)
+        sv = np.asarray(self._model.support_vectors)
+        if self._model.classification.value == "oao" and alpha.ndim == 2:
+            from .oao import weight_matrix
+
+            labels = np.asarray(self._model.data.labels)
+            idx = self._model.data.mapper.map_labels(labels, dtype=np.int64)
+            alpha = weight_matrix(alpha, idx, self._model.num_classes)
+        W = sv.T @ (alpha if alpha.ndim == 2 else alpha[:, None])
+        return W.T  # (n_machines, d)
 
     @property
     def probA_(self) -> np.ndarray:

@@ -61,6 +61,63 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
     return 1
 
 
+def kernel_matrix_block(
+    X_rows: jnp.ndarray,
+    X_cols: jnp.ndarray,
+    gamma,
+    coef0,
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    precision: str = "f32",
+    row_block: int = 256,
+) -> jnp.ndarray:
+    """Dense ``K[i, j] = k(X_rows_i, X_cols_j)`` -> (m_rows, m_cols).
+
+    The traced building block behind both the single-device matrix and the
+    row-sharded per-chip block (parallel.sharded).  Gram kernels build in
+    one fused MXU matmul + epilogue; ``"highest"`` runs the Gram contraction
+    with full-f32 multi-pass dots (reference-grade accuracy), ``"bf16"``
+    stores the result in bfloat16 (half the memory and per-iteration HBM
+    traffic).  Distance kernels build with the tiled VPU pairwise reduction,
+    row-blocked so the broadcast temporary stays bounded.
+    """
+    if is_gram_kernel(kind):
+        sq_r = jnp.sum(X_rows * X_rows, axis=-1)
+        sq_c = jnp.sum(X_cols * X_cols, axis=-1)
+        gram = jax.lax.dot_general(
+            X_rows, X_cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=(
+                jax.lax.Precision.HIGHEST if precision == "highest" else None
+            ),
+            preferred_element_type=(
+                jnp.float32 if X_rows.dtype == jnp.float32 else None
+            ),
+        )
+        K = apply_kernel_to_gram(
+            gram, sq_r[:, None], sq_c[None, :], kind, gamma, coef0, degree
+        )
+    else:
+        m = X_rows.shape[0]
+        rb = _largest_divisor_leq(m, row_block)
+        if rb == m:
+            K = jnp.exp(-gamma * pairwise_distance(X_rows, X_cols, kind))
+        else:
+            Xb = X_rows.reshape(m // rb, rb, X_rows.shape[1])
+
+            def body(_, blk):
+                return None, jnp.exp(
+                    -gamma * pairwise_distance(blk, X_cols, kind)
+                )
+
+            _, K = jax.lax.scan(body, None, Xb)
+            K = K.reshape(m, X_cols.shape[0])
+    if precision == "bf16":
+        K = K.astype(jnp.bfloat16)
+    return K
+
+
 @functools.partial(
     jax.jit, static_argnames=("kind", "degree", "precision", "row_block")
 )
@@ -74,45 +131,11 @@ def build_kernel_matrix(
     precision: str = "f32",
     row_block: int = 256,
 ) -> jnp.ndarray:
-    """Dense kernel matrix ``K[i, j] = k(x_i, x_j)`` -> (m, m).
-
-    Gram kernels build in one fused MXU matmul + epilogue; ``"highest"``
-    runs the Gram contraction with full-f32 multi-pass dots (reference-grade
-    accuracy), ``"bf16"`` stores the result in bfloat16 (half the memory and
-    per-iteration HBM traffic).  Distance kernels build with the tiled VPU
-    pairwise reduction, row-blocked so the broadcast temporary stays bounded.
-    """
-    if is_gram_kernel(kind):
-        sq = jnp.sum(X * X, axis=-1)
-        gram = jax.lax.dot_general(
-            X, X,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=(
-                jax.lax.Precision.HIGHEST if precision == "highest" else None
-            ),
-            preferred_element_type=(
-                jnp.float32 if X.dtype == jnp.float32 else None
-            ),
-        )
-        K = apply_kernel_to_gram(
-            gram, sq[:, None], sq[None, :], kind, gamma, coef0, degree
-        )
-    else:
-        m = X.shape[0]
-        rb = _largest_divisor_leq(m, row_block)
-        if rb == m:
-            K = jnp.exp(-gamma * pairwise_distance(X, X, kind))
-        else:
-            Xb = X.reshape(m // rb, rb, X.shape[1])
-
-            def body(_, blk):
-                return None, jnp.exp(-gamma * pairwise_distance(blk, X, kind))
-
-            _, K = jax.lax.scan(body, None, Xb)
-            K = K.reshape(m, m)
-    if precision == "bf16":
-        K = K.astype(jnp.bfloat16)
-    return K
+    """Dense kernel matrix ``K[i, j] = k(x_i, x_j)`` -> (m, m), jitted."""
+    return kernel_matrix_block(
+        X, X, gamma, coef0,
+        kind=kind, degree=degree, precision=precision, row_block=row_block,
+    )
 
 
 def _explicit_matvec(K: jnp.ndarray, out_dtype, precision: str):

@@ -190,20 +190,70 @@ class TestSolverSelection:
         # linear never; distance kernels always (when they fit)
         assert svm._use_explicit_solver(1000, 600, lin, 1) is False
         assert svm._use_explicit_solver(1000, 10, lap, 1) is True
-        # multi-device: automatic falls back to implicit
-        assert svm._use_explicit_solver(1000, 600, rbf, 4) is False
+        # multi-device: the per-chip budget applies (row-sharded K)
+        assert svm._use_explicit_solver(1000, 600, rbf, 4) is True
 
-    def test_explicit_with_devices_raises(self):
-        devs = jax.devices("cpu")[:2]
-        if len(devs) < 2:
-            pytest.skip("needs >= 2 virtual CPU devices")
-        X, y = _binary_data(n=100, seed=10)
-        svm = CSVM(
+    def test_sharded_explicit_matches_single_device(self):
+        devs = jax.devices("cpu")[:4]
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 virtual CPU devices")
+        X, y = _binary_data(n=180, seed=10)
+        ds = DataSet(X, y)
+        single = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+            solver="cg_explicit",
+        )
+        m1 = single.fit(ds, epsilon=1e-10)
+        sharded = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+            solver="cg_explicit", devices=devs,
+        )
+        m2 = sharded.fit(DataSet(X, y), epsilon=1e-10)
+        np.testing.assert_allclose(m2.rho, m1.rho, rtol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(m2.alpha), np.asarray(m1.alpha), rtol=1e-6, atol=1e-9
+        )
+
+    def test_sharded_explicit_multiclass(self):
+        devs = jax.devices("cpu")[:4]
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 virtual CPU devices")
+        X, y = make_multiclass_blobs(80, 5, n_classes=3, seed=11)
+        single = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf",
+            solver="cg_explicit",
+        )
+        m1 = single.fit(DataSet(X, y), epsilon=1e-10)
+        sharded = CSVM(
             backend="xla", dtype=np.float64, kernel_type="rbf",
             solver="cg_explicit", devices=devs,
         )
-        with pytest.raises(InvalidParameterError, match="single-device"):
-            svm.fit(DataSet(X, y))
+        m2 = sharded.fit(DataSet(X, y), epsilon=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(m2.rho), np.asarray(m1.rho), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.alpha), np.asarray(m1.alpha), rtol=1e-6, atol=1e-9
+        )
+
+    def test_sharded_explicit_checkpoint_bit_identical(self, tmp_path):
+        devs = jax.devices("cpu")[:4]
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 virtual CPU devices")
+        X, y = _binary_data(n=160, seed=12)
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+            solver="cg_explicit", devices=devs,
+        )
+        m1 = svm.fit(DataSet(X, y), epsilon=1e-10)
+        m2 = svm.fit(
+            DataSet(X, y), epsilon=1e-10,
+            checkpoint_path=str(tmp_path / "ck"), checkpoint_interval=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m1.alpha), np.asarray(m2.alpha)
+        )
+        assert m1.rho == m2.rho
 
     def test_multihost_rejects_forced_explicit(self):
         svm = CSVM(backend="xla", dtype=np.float64, solver="cg_explicit")

@@ -376,6 +376,26 @@ class TestOAOSklearn:
         assert clf.intercept_.shape == (6,)
         assert clf.score(X, y) == 1.0
 
+    def test_n_iter_per_machine(self):
+        X, y = make_multiclass_blobs(45, 3, n_classes=3, seed=10)
+        clf = SVC(kernel="rbf", gamma=0.4, classification="oao")
+        clf.fit(X, y)
+        iters = clf.n_iter_
+        assert iters.shape == (3,)  # one entry per ovo machine (sklearn)
+        assert np.all(iters > 0)
+
+    def test_linear_coef_oao(self):
+        X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=11)
+        clf = SVC(kernel="linear", classification="oao")
+        clf.fit(X, y)
+        w = clf.coef_
+        assert w.shape == (3, 4)  # one row per pair machine
+        clf.set_params(decision_function_shape="ovo")
+        np.testing.assert_allclose(
+            X[:6] @ w.T + clf.intercept_[None, :],
+            clf.decision_function(X[:6]), rtol=1e-8,
+        )
+
     def test_get_params_round_trip(self):
         clf = SVC(classification="oao", decision_function_shape="ovo")
         params = clf.get_params()

@@ -121,9 +121,18 @@ def test_probability_methods_raise_without_probability(blobs):
         clf.predict_proba(X)
     with pytest.raises(AttributeError, match="probability"):
         clf.predict_log_proba(X)
-    for attr in ("class_weight_", "coef_", "probA_", "probB_"):
+    for attr in ("class_weight_", "probA_", "probB_"):
         with pytest.raises(AttributeError):
             getattr(clf, attr)
+    # coef_ is implemented for linear kernels (capability exceeded — the
+    # reference raises); non-linear kernels raise sklearn's own message
+    with pytest.raises(AttributeError, match="linear"):
+        SVC(kernel="rbf").fit(X, y).coef_
+    w = clf.coef_  # default kernel is linear
+    assert w.shape == (1, X.shape[1])
+    np.testing.assert_allclose(
+        X @ w[0] + clf.intercept_[0], clf.decision_function(X), rtol=1e-8
+    )
 
 
 def test_string_labels():
