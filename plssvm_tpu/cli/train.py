@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
+    parser.add_argument("--warm_start", metavar="MODEL_FILE", default=None,
+                        help="warm-start CG from an existing model file's "
+                        "alpha (same data set; binary/one-vs-all only) — "
+                        "refine a converged model at a tighter -e or after "
+                        "a -c change without solving from scratch")
     parser.add_argument("--checkpoint", metavar="FILE", default=None,
                         help="CG-state checkpoint file: training state is saved "
                         "every --checkpoint_interval iterations and an "
@@ -220,6 +225,20 @@ def main(argv=None) -> int:
             epsilon=args.epsilon, max_iter=args.max_iter,
             classification=args.classification,
         )
+        if args.warm_start is not None:
+            if args.multihost:
+                print(
+                    "--warm_start is not supported together with "
+                    "--multihost!",
+                    file=sys.stderr,
+                )
+                return 1
+            from ..model import Model
+
+            fit_kwargs["initial_model"] = Model.load(
+                args.warm_start, label_type=resolve_label_type(args),
+                dtype=resolve_dtype(args),
+            )
         if args.checkpoint is not None:
             fit_kwargs["checkpoint_path"] = args.checkpoint
             fit_kwargs["checkpoint_interval"] = args.checkpoint_interval

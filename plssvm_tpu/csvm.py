@@ -279,6 +279,7 @@ class CSVM:
         checkpoint_path: Optional[str] = None,
         checkpoint_interval: int = 1000,
         classification: Union[str, ClassificationType] = ClassificationType.OAA,
+        initial_model: Optional[Model] = None,
     ) -> Model:
         """Solve the LS-SVM dual with CG and return the model.
 
@@ -296,6 +297,18 @@ class CSVM:
         C(C-1)/2 one-vs-one pair machines on their class-pair row subsets and
         stores them in the standard LIBSVM multiclass model layout
         (plssvm_tpu.oao) — upstream PLSSVM v3's --classification parity.
+
+        ``initial_model`` WARM-STARTS CG from a previous fit's alpha
+        (EXTENSION): the residual and stop threshold are recomputed from it
+        exactly, so refining a converged model at a tighter epsilon, or
+        re-fitting after a small C change, skips most iterations.  Combined
+        with solver='cg_explicit' (whose kernel matrix is cached on the
+        DataSet independently of C) a grid search over C is nearly free.
+        Single-device binary/OAA fits only.  Correctness never depends on
+        the warm start (it only sets CG's starting point), but the benefit
+        does require the model's alpha rows to align with ``data``'s row
+        order — note that model FILES store support vectors class-grouped,
+        not in original training order.
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
@@ -334,6 +347,37 @@ class CSVM:
         n_classes = data.num_different_labels
         multiclass = n_classes > 2
         classification = ClassificationType.from_string(classification)
+        if initial_model is not None:
+            if checkpoint_path is not None:
+                raise InvalidParameterError(
+                    "initial_model cannot be combined with CG-state "
+                    "checkpointing (the checkpoint already carries the "
+                    "solver state)!"
+                )
+            if multiclass and classification == ClassificationType.OAO:
+                raise InvalidParameterError(
+                    "initial_model warm starts are not supported for "
+                    "classification='oao' (warm-start the pair machines "
+                    "via 'oaa' or binary fits)!"
+                )
+            if initial_model.num_support_vectors != data.num_data_points:
+                raise InvalidParameterError(
+                    f"initial_model has {initial_model.num_support_vectors} "
+                    f"support vectors but the data set has "
+                    f"{data.num_data_points} points!"
+                )
+            alpha0 = np.asarray(initial_model.alpha)
+            if multiclass and (
+                alpha0.ndim != 2 or alpha0.shape[1] != n_classes
+            ):
+                raise InvalidParameterError(
+                    "initial_model is not a one-vs-all model of "
+                    f"{n_classes} classes!"
+                )
+            if not multiclass and alpha0.ndim != 1:
+                raise InvalidParameterError(
+                    "initial_model is not a binary model!"
+                )
         if multiclass and classification == ClassificationType.OAO:
             return self._fit_oao(
                 data, epsilon=epsilon, max_iter=max_iter,
@@ -431,11 +475,24 @@ class CSVM:
             "transform", "time", (time.perf_counter() - transform_start) * 1000.0
         )
 
+        x_init = None
+        if initial_model is not None:
+            if n_dev > 1:
+                raise InvalidParameterError(
+                    "initial_model warm starts are single-device — use "
+                    "devices=None!"
+                )
+            alpha0 = np.asarray(initial_model.alpha, dtype=self.dtype)
+            x_init = np.zeros(
+                (m_pad,) + alpha0.shape[1:], dtype=self.dtype
+            )
+            x_init[:dept] = alpha0[:dept]
+
         with self._device_ctx():
             result = self._run_solve(
                 Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
                 kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
-                use_explicit,
+                use_explicit, data, x_init,
             )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
         if multiclass:
@@ -712,8 +769,31 @@ class CSVM:
             return "xla"
         return "pallas"
 
-    def _build_explicit_k(self, Xp, gamma_v, coef0_v, kind, degree):
-        """Materialize the kernel matrix once (solver/explicit.py), timed."""
+    def _k_cache_key(self, Xp_shape, gamma_v, coef0_v, kind, degree, extra=None):
+        """Cache key for a memoized explicit kernel matrix.
+
+        The SVM cost parameter C is deliberately ABSENT: it only enters the
+        solve through the rank-1/diagonal epilogue, so hyperparameter sweeps
+        over C (the common grid-search axis) reuse the built matrix.
+        """
+        return (
+            Xp_shape, float(gamma_v), float(coef0_v), kind, degree,
+            self.gram_precision, str(self.dtype), str(self._pin_device),
+            extra,
+        )
+
+    def _build_explicit_k(self, data, Xp, gamma_v, coef0_v, kind, degree):
+        """Materialize the kernel matrix once (solver/explicit.py), timed.
+
+        The device-resident matrix is memoized on the DataSet: repeated fits
+        with the same kernel parameters (e.g. a grid search over C, or a
+        warm-started refinement) skip the rebuild entirely.
+        """
+        key = self._k_cache_key(Xp.shape, gamma_v, coef0_v, kind, degree)
+        cache = getattr(data, "_k_cache", None)
+        if cache is not None and cache[0] == key:
+            add_tracking_entry("cg", "kernel_matrix_build_time", 0.0)
+            return cache[1]
         from .solver.explicit import build_kernel_matrix
 
         t0 = time.perf_counter()
@@ -729,12 +809,26 @@ class CSVM:
             K.shape[0], K.shape[1], str(K.dtype), build_ms,
         )
         add_tracking_entry("cg", "kernel_matrix_build_time", build_ms)
+        if data is not None:
+            data._k_cache = (key, K)
         return K
 
     def _build_explicit_k_sharded(
-        self, mesh, X_sharded, gamma_v, coef0_v, kind, degree
+        self, mesh, data, X_sharded, gamma_v, coef0_v, kind, degree
     ):
-        """Materialize the ROW-SHARDED kernel matrix over the mesh, timed."""
+        """Materialize the ROW-SHARDED kernel matrix over the mesh, timed.
+
+        Memoized on the DataSet like the single-device build (keyed also by
+        the mesh devices).
+        """
+        key = self._k_cache_key(
+            X_sharded.shape, gamma_v, coef0_v, kind, degree,
+            extra=tuple(str(d) for d in mesh.devices.flat),
+        )
+        cache = getattr(data, "_k_cache", None)
+        if cache is not None and cache[0] == key:
+            add_tracking_entry("cg", "kernel_matrix_build_time", 0.0)
+            return cache[1]
         from .parallel.sharded import build_sharded_kernel_matrix_fn
 
         t0 = time.perf_counter()
@@ -750,12 +844,14 @@ class CSVM:
             K.shape[0], K.shape[1], str(K.dtype), mesh.devices.size, build_ms,
         )
         add_tracking_entry("cg", "kernel_matrix_build_time", build_ms)
+        if data is not None:
+            data._k_cache = (key, K)
         return K
 
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
-        use_explicit=False,
+        use_explicit=False, data=None, x_init=None,
     ):
         gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
         coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
@@ -767,7 +863,8 @@ class CSVM:
             return self._run_solve_multiclass(
                 Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
                 max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
-                checkpoint_interval, epsilon, max_iter, use_explicit,
+                checkpoint_interval, epsilon, max_iter, use_explicit, data,
+                x_init,
             )
 
         if use_explicit and n_dev > 1:
@@ -781,7 +878,7 @@ class CSVM:
                 mask, self.dtype,
             )
             K = self._build_explicit_k_sharded(
-                mesh, sharded[0], gamma_v, coef0_v, kind, degree
+                mesh, data, sharded[0], gamma_v, coef0_v, kind, degree
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
             if checkpoint_path is None:
@@ -804,7 +901,7 @@ class CSVM:
                 solve_ls_svm_explicit, solve_ls_svm_explicit_resume,
             )
 
-            K = self._build_explicit_k(Xp, gamma_v, coef0_v, kind, degree)
+            K = self._build_explicit_k(data, Xp, gamma_v, coef0_v, kind, degree)
             solve_args = (
                 K,
                 jnp.asarray(Xp),
@@ -821,6 +918,8 @@ class CSVM:
                 precision=self.gram_precision,
             )
             if checkpoint_path is None:
+                if x_init is not None:
+                    solve_kwargs["x_init"] = jnp.asarray(x_init)
                 return solve_ls_svm_explicit(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -878,6 +977,8 @@ class CSVM:
                 gram_precision=self.gram_precision,
             )
             if checkpoint_path is None:
+                if x_init is not None:
+                    solve_kwargs["x_init"] = jnp.asarray(x_init)
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
             else:
                 result = self._fit_with_checkpointing(
@@ -889,7 +990,8 @@ class CSVM:
     def _run_solve_multiclass(
         self, Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
         max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
-        checkpoint_interval, epsilon, max_iter, use_explicit=False,
+        checkpoint_interval, epsilon, max_iter, use_explicit=False, data=None,
+        x_init=None,
     ):
         """One-vs-all block-CG solve (C classes, shared Gram per iteration).
 
@@ -909,7 +1011,7 @@ class CSVM:
                 mesh, Xp, x_last, yp, y_last, mask, self.dtype
             )
             K = self._build_explicit_k_sharded(
-                mesh, sharded[0], gamma_v, coef0_v, kind, degree
+                mesh, data, sharded[0], gamma_v, coef0_v, kind, degree
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
             if checkpoint_path is None:
@@ -932,7 +1034,7 @@ class CSVM:
                 solve_ls_svm_explicit_multi_resume,
             )
 
-            K = self._build_explicit_k(Xp, gamma_v, coef0_v, kind, degree)
+            K = self._build_explicit_k(data, Xp, gamma_v, coef0_v, kind, degree)
             solve_args = (
                 K,
                 jnp.asarray(Xp),
@@ -949,6 +1051,8 @@ class CSVM:
                 precision=self.gram_precision,
             )
             if checkpoint_path is None:
+                if x_init is not None:
+                    solve_kwargs["x_init"] = jnp.asarray(x_init)
                 return solve_ls_svm_explicit_multi(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1004,6 +1108,8 @@ class CSVM:
             gram_precision=self.gram_precision,
         )
         if checkpoint_path is None:
+            if x_init is not None:
+                solve_kwargs["x_init"] = jnp.asarray(x_init)
             return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
         return self._fit_with_checkpointing_multi(
             solve_args, solve_kwargs, Xp, yp, epsilon,

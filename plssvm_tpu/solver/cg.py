@@ -197,6 +197,7 @@ def cg_ls_svm_core(
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume from
     preconditioner: str = "none",  # "none" (exact reference semantics) | "jacobi"
     kernel_mv_exact: Callable = None,  # full-precision K @ v for the exact residual
+    x_init=None,           # optional warm-start solution (replaces x0 = 1)
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -265,12 +266,22 @@ def cg_ls_svm_core(
             return r
 
     if init_state is None:
-        # start vector x = 1 on real rows (OpenMP/csvm.cpp:95)
-        x0 = mask.astype(dtype)
+        # start vector x = 1 on real rows (OpenMP/csvm.cpp:95), or the
+        # caller's warm start (a previous fit's alpha)
+        x0 = mask.astype(dtype) if x_init is None else x_init.astype(dtype) * mask
         r0 = b - matvec_exact(x0)
-        delta0 = dot(r0, r0)
+        delta_init = dot(r0, r0)
+        if x_init is None:
+            delta0 = delta_init
+        else:
+            # the stop criterion is RELATIVE (eps^2 * delta0); anchoring
+            # delta0 to the warm residual would demand eps^2 of an already
+            # tiny value and never terminate.  Anchor it to the reference's
+            # cold start (x = 1) instead — one extra matvec — so a warm fit
+            # stops at exactly the accuracy a cold fit would
+            r_cold = b - matvec_exact(mask.astype(dtype))
+            delta0 = dot(r_cold, r_cold)
         d_init = precond(r0)
-        delta_init = delta0
         it0 = jnp.asarray(0, jnp.int32)
     else:
         x0, r0, d_init, delta_init, delta0, it0 = init_state
@@ -372,6 +383,7 @@ def cg_ls_svm_multi_core(
     preconditioner: str = "none",
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
     kernel_mm_exact: Callable = None,  # full-precision K @ V (see cg_ls_svm_core)
+    x_init=None,           # optional (m, C) warm-start block (replaces x0 = 1)
 ) -> MultiCGResult:
     """One-vs-all multiclass LS-SVM: C binary systems solved as ONE block CG.
 
@@ -440,11 +452,25 @@ def cg_ls_svm_multi_core(
     C = Y.shape[1]
 
     if init_state is None:
-        x0 = jnp.broadcast_to(mask[:, None], (mask.shape[0], C)).astype(dtype)
-        r0 = B - matmat_exact(x0)
-        delta0 = colsum(r0 * r0)
+        if x_init is None:
+            x0 = jnp.broadcast_to(
+                mask[:, None], (mask.shape[0], C)
+            ).astype(dtype)
+            r0 = B - matmat_exact(x0)
+            delta_init = colsum(r0 * r0)
+            delta0 = delta_init
+        else:
+            x0 = x_init.astype(dtype) * mask[:, None]
+            r0 = B - matmat_exact(x0)
+            delta_init = colsum(r0 * r0)
+            # anchor the relative stop target to the cold start (see the
+            # binary core): warm fits stop at cold-fit accuracy
+            ones = jnp.broadcast_to(
+                mask[:, None], (mask.shape[0], C)
+            ).astype(dtype)
+            r_cold = B - matmat_exact(ones)
+            delta0 = colsum(r_cold * r_cold)
         d_init = precond(r0)
-        delta_init = delta0
         it0 = jnp.asarray(0, jnp.int32)
         itpc0 = jnp.zeros((C,), jnp.int32)
     else:
@@ -591,8 +617,15 @@ def solve_ls_svm_multi(
     preconditioner: str = "none",
     scalars: str = "plain",
     gram_precision: str = "f32",
+    x_init=None,
 ) -> MultiCGResult:
-    """Single-device one-vs-all multiclass LS-SVM block-CG solve."""
+    """Single-device one-vs-all multiclass LS-SVM block-CG solve.
+
+    ``x_init`` warm-starts the block CG from a previous fit's (m, C) alpha
+    block (EXTENSION — e.g. refining a converged model at a tighter epsilon
+    or re-fitting after a small C change); the residual block and stop
+    thresholds are recomputed from it exactly.
+    """
     kernel_mm = _make_kernel_matmat(
         kind, degree, row_block, impl, precision=gram_precision
     )
@@ -602,7 +635,7 @@ def solve_ls_svm_multi(
     return cg_ls_svm_multi_core(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, x_init=x_init,
     )
 
 
@@ -681,8 +714,13 @@ def solve_ls_svm(
     preconditioner: str = "none",
     scalars: str = "plain",
     gram_precision: str = "f32",
+    x_init=None,
 ) -> CGResult:
     """Run the full LS-SVM CG solve on a single device.
+
+    ``x_init`` warm-starts CG from a previous fit's alpha vector (EXTENSION;
+    the residual and stop threshold are recomputed from it exactly, so a
+    warm start from a converged solution terminates immediately).
 
     ``scalars="compensated"`` accumulates the CG scalar reductions (delta,
     d.Ad, q.v, sums) with double-float TwoSum folds — f64-equivalent
@@ -704,7 +742,7 @@ def solve_ls_svm(
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, x_init=x_init,
     )
 
 

@@ -180,14 +180,20 @@ def solve_ls_svm_explicit(
     preconditioner: str = "none",
     scalars: str = "plain",
     precision: str = "f32",
+    x_init=None,
 ) -> CGResult:
-    """Single-device binary LS-SVM CG against the explicit kernel matrix."""
+    """Single-device binary LS-SVM CG against the explicit kernel matrix.
+
+    ``x_init`` warm-starts CG from a previous fit's alpha (see
+    solver.cg.solve_ls_svm) — combined with the CSVM-level kernel-matrix
+    cache this makes hyperparameter sweeps over C nearly free.
+    """
     dot, vsum = _scalar_reductions(scalars)
     return cg_ls_svm_core(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree,
         kernel_mv=_explicit_matvec(K, X.dtype, precision),
-        dot=dot, vsum=vsum, preconditioner=preconditioner,
+        dot=dot, vsum=vsum, preconditioner=preconditioner, x_init=x_init,
     )
 
 
@@ -253,9 +259,11 @@ def solve_ls_svm_explicit_multi(
     preconditioner: str = "none",
     scalars: str = "plain",
     precision: str = "f32",
+    x_init=None,
 ) -> MultiCGResult:
     """One-vs-all block CG against the explicit matrix: K is read from HBM
-    once per iteration for ALL C right-hand sides (K @ V)."""
+    once per iteration for ALL C right-hand sides (K @ V).  ``x_init``
+    warm-starts from a previous (m, C) alpha block."""
     colsum = compensated_sum if scalars == "compensated" else (
         lambda M: jnp.sum(M, axis=0)
     )
@@ -263,7 +271,7 @@ def solve_ls_svm_explicit_multi(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree,
         kernel_mm=_explicit_matvec(K, X.dtype, precision),
-        colsum=colsum, preconditioner=preconditioner,
+        colsum=colsum, preconditioner=preconditioner, x_init=x_init,
     )
 
 
