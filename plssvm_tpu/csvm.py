@@ -482,7 +482,7 @@ class CSVM:
                     "initial_model warm starts are single-device — use "
                     "devices=None!"
                 )
-            alpha0 = np.asarray(initial_model.alpha, dtype=self.dtype)
+            alpha0 = self._warm_start_alpha(initial_model, data)
             x_init = np.zeros(
                 (m_pad,) + alpha0.shape[1:], dtype=self.dtype
             )
@@ -544,6 +544,49 @@ class CSVM:
         model = Model(params, data, alpha=alpha, rho=rho)
         model.n_iter = iterations
         return model
+
+    def _warm_start_alpha(self, initial_model: Model, data: DataSet):
+        """The warm-start alpha, re-aligned to ``data``'s row order.
+
+        Model FILES store support vectors class-grouped (the writer keeps
+        the within-class relative order), so a loaded model's alpha rows are
+        a known permutation of the training file's rows: the k-th occurrence
+        of class c in data order is the k-th row of the model's class-c
+        block.  Misalignment never affects correctness (the warm start only
+        sets CG's starting point) but destroys the benefit — reproduced:
+        62 cold iterations vs 0 aligned vs 61 misaligned.
+
+        Loaded one-vs-all models may also carry an UNSORTED label header;
+        their alpha COLUMNS follow the model's layout order and are permuted
+        here to the mapper's sorted order the solver trains in.
+        """
+        alpha0 = np.asarray(initial_model.alpha, dtype=self.dtype)
+        m_labels = np.asarray(initial_model.data.labels)
+        d_labels = np.asarray(data.labels)
+        if not (
+            m_labels.shape == d_labels.shape
+            and bool(np.all(m_labels == d_labels))
+        ):
+            if sorted(map(str, m_labels.tolist())) != sorted(
+                map(str, d_labels.tolist())
+            ):
+                raise InvalidParameterError(
+                    "initial_model labels do not match the data set's "
+                    "labels (same points required for a warm start)!"
+                )
+            aligned = np.zeros_like(alpha0)
+            for lab in data.different_labels:  # per-label, order-free
+                aligned[np.flatnonzero(d_labels == lab)] = alpha0[
+                    np.flatnonzero(m_labels == lab)
+                ]
+            alpha0 = aligned
+        if alpha0.ndim == 2:
+            order = initial_model.class_order()
+            target = list(data.different_labels)
+            if order != target:
+                perm = [order.index(lab) for lab in target]
+                alpha0 = alpha0[:, perm]
+        return alpha0
 
     def _fit_oao(
         self,
@@ -1555,11 +1598,11 @@ class CSVM:
         if shadow is None:
             from . import oao
 
-            labels = np.asarray(model.data.labels)
-            idx = model.data.mapper.map_labels(labels, dtype=np.int64)
-            W = oao.weight_matrix(
-                np.asarray(model.alpha), idx, model.num_classes
-            )
+            # the expansion follows the model's LAYOUT class order (the
+            # file's label-header order for loaded models) — sorted-order
+            # indices would scramble machine/rho/sv_coef association for
+            # LIBSVM files whose header is in appearance order
+            W = oao.model_weight_matrix(model)
             shadow = Model(
                 model.params, model.data, alpha=W,
                 rho=np.atleast_1d(np.asarray(model.rho, dtype=np.float64)),
@@ -1711,14 +1754,16 @@ class CSVM:
         models (LIBSVM's svm_predict semantics, plssvm_tpu.oao.vote).
         """
         values = self.predict_values(model, data)
-        mapper = model.data.mapper
-        labels_arr = np.asarray(mapper.labels())
         if values.ndim == 2:
+            # multiclass columns/machines follow the model's LAYOUT class
+            # order — the file's label-header order for loaded models
+            order_arr = np.asarray(model.class_order())
             if model.classification == ClassificationType.OAO:
                 from . import oao
 
-                return labels_arr[oao.vote(values, model.num_classes)]
-            return labels_arr[np.argmax(values, axis=1)]
+                return order_arr[oao.vote(values, model.num_classes)]
+            return order_arr[np.argmax(values, axis=1)]
+        labels_arr = np.asarray(model.data.mapper.labels())
         return labels_arr[(values > 0).astype(np.intp)]
 
     def score(self, model: Model, data: Optional[DataSet] = None) -> float:

@@ -62,6 +62,13 @@ class Model:
         from .parameter import ClassificationType
 
         self.classification = ClassificationType.OAA
+        #: the class order DEFINING the multiclass column/machine layout —
+        #: alpha columns, rho entries and (for OAO) the pair enumeration all
+        #: follow it.  None = the LabelMapper's sorted order (models trained
+        #: here).  Model files loaded from LIBSVM may carry an UNSORTED
+        #: ``label`` header (order of first appearance); Model.load records
+        #: it so machine/rho/sv_coef association survives the round trip.
+        self.label_order = None
 
     # -- file IO ----------------------------------------------------------
     @classmethod
@@ -82,6 +89,13 @@ class Model:
         # multiclass format detection: C-1 coefficient columns = the standard
         # LIBSVM one-vs-one layout; C columns = the one-vs-all extension
         C = data.num_different_labels
+        if C > 2:
+            # the file's label-header order (first appearance in the
+            # class-grouped SV section) defines the column/machine layout —
+            # LIBSVM writes it in training-file appearance order, which is
+            # NOT necessarily sorted
+            seen = dict.fromkeys(labels.tolist())
+            model.label_order = list(seen)
         if C > 2 and np.ndim(alpha) == 2 and alpha.shape[1] == C - 1:
             from .parameter import ClassificationType
 
@@ -112,7 +126,10 @@ class Model:
             np.asarray(self.alpha),
             self.data.data,
             self.data.labels,
-            [str(lab) for lab in self.data.different_labels],
+            # class grouping follows the model's layout order so rho /
+            # alpha-column association survives re-saving a loaded model
+            # whose label header was not sorted
+            [str(lab) for lab in self.class_order()],
             prob_a=self.prob_a,
             prob_b=self.prob_b,
         )
@@ -126,6 +143,16 @@ class Model:
         add_tracking_entry("model_write", "time", elapsed_ms)
 
     # -- accessors ---------------------------------------------------------
+    def class_order(self) -> List:
+        """The class order defining this model's column/machine layout.
+
+        ``label_order`` when set (file-loaded multiclass models keep the
+        file's header order), else the LabelMapper's sorted order.
+        """
+        if self.label_order is not None:
+            return list(self.label_order)
+        return list(self.data.different_labels)
+
     @property
     def num_classes(self) -> int:
         """2 for binary models, C for one-vs-all multiclass models."""

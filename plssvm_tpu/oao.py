@@ -98,6 +98,41 @@ def weight_matrix(
     return W
 
 
+def model_class_indices(model) -> np.ndarray:
+    """(n_sv,) class indices of a model's SV rows in its LAYOUT order.
+
+    The layout order is ``model.class_order()`` — the file's label-header
+    order for loaded models (LIBSVM writes it in appearance order, not
+    sorted), the mapper's sorted order otherwise.  Machine enumeration,
+    sv_coef columns and rho entries are all defined against it.
+    """
+    order = model.class_order()
+    labels = np.asarray(model.data.labels)
+    idx = np.full(len(labels), -1, dtype=np.int64)
+    for c, lab in enumerate(order):
+        idx[labels == lab] = c
+    if (idx < 0).any():
+        raise ValueError("model labels outside its class order")
+    return idx
+
+
+def model_weight_matrix(model) -> np.ndarray:
+    """The dense (n_sv, n_machines) OAO weight block for ``model``, cached.
+
+    One shared expansion for prediction (csvm._predict_values_oao) and
+    sklearn's ``coef_`` — see :func:`weight_matrix`.
+    """
+    cached = getattr(model, "_oao_weights", None)
+    if cached is not None:
+        return cached
+    W = weight_matrix(
+        np.asarray(model.alpha), model_class_indices(model),
+        model.num_classes,
+    )
+    model._oao_weights = W
+    return W
+
+
 def vote(decision_values: np.ndarray, n_classes: int) -> np.ndarray:
     """(n_pred,) class indices from (n_pred, n_machines) OAO decisions.
 
@@ -122,6 +157,8 @@ def ovr_from_ovo(decision_values: np.ndarray, n_classes: int) -> np.ndarray:
     Mirrors sklearn.utils.multiclass._ovr_decision_function: per-class vote
     counts, plus the (monotonically squashed) sum of raw confidences scaled
     into (-1/3, 1/3) so it breaks vote ties without ever reordering them.
+    An exactly-zero decision votes class i, as in sklearn (``dec < 0`` is
+    False at 0) — :func:`vote` keeps LIBSVM's opposite convention.
     """
     values = np.asarray(decision_values, dtype=np.float64)
     n_pred = values.shape[0]
@@ -129,7 +166,7 @@ def ovr_from_ovo(decision_values: np.ndarray, n_classes: int) -> np.ndarray:
     sums = np.zeros((n_pred, n_classes))
     for m, (i, j) in enumerate(class_pairs(n_classes)):
         col = values[:, m]
-        positive = col > 0
+        positive = col >= 0
         votes[:, i] += positive
         votes[:, j] += ~positive
         sums[:, i] += col

@@ -269,7 +269,12 @@ def _calibrate_model_oao(
     from .oao import class_pairs
 
     labels = np.asarray(data.labels)
-    idx = data.mapper.map_labels(labels, dtype=np.int64)
+    # machine enumeration follows the MODEL's layout class order (loaded
+    # LIBSVM files may carry an unsorted label header)
+    order = model.class_order()
+    idx = np.full(len(labels), -1, dtype=np.int64)
+    for c, lab in enumerate(order):
+        idx[labels == lab] = c
     X = np.asarray(data.data)
     C = data.num_different_labels
     pairs = class_pairs(C)

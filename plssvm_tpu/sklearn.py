@@ -225,14 +225,20 @@ class SVC:
         values = self._svm.predict_values(self._model, DataSet(np.asarray(X)))
         from .parameter import ClassificationType
 
-        if (
-            values.ndim == 2
-            and self._model.classification == ClassificationType.OAO
-            and self._decision_function_shape == "ovr"
-        ):
-            from .oao import ovr_from_ovo
+        if values.ndim == 2:
+            is_oao = self._model.classification == ClassificationType.OAO
+            if is_oao and self._decision_function_shape == "ovr":
+                from .oao import ovr_from_ovo
 
-            return ovr_from_ovo(values, self._model.num_classes)
+                return ovr_from_ovo(values, self._model.num_classes)
+            if not is_oao and self._decision_function_shape == "ovo":
+                # an OAA model has no pairwise machines to report — refuse
+                # loudly rather than return (n, C) where sklearn semantics
+                # promise (n, C(C-1)/2)
+                raise AttributeError(
+                    "decision_function_shape='ovo' requires a one-vs-one "
+                    "model — fit with classification='oao'"
+                )
         return values
 
     def score(self, X, y, sample_weight=None) -> float:
@@ -367,11 +373,10 @@ class SVC:
         alpha = np.asarray(self._model.alpha)
         sv = np.asarray(self._model.support_vectors)
         if self._model.classification.value == "oao" and alpha.ndim == 2:
-            from .oao import weight_matrix
+            from .oao import model_weight_matrix
 
-            labels = np.asarray(self._model.data.labels)
-            idx = self._model.data.mapper.map_labels(labels, dtype=np.int64)
-            alpha = weight_matrix(alpha, idx, self._model.num_classes)
+            # the same cached layout-order-aware expansion prediction uses
+            alpha = model_weight_matrix(self._model)
         W = sv.T @ (alpha if alpha.ndim == 2 else alpha[:, None])
         return W.T  # (n_machines, d)
 

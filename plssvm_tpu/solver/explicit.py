@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kernel_functions import (
+    _largest_divisor_leq,
     apply_kernel_to_gram,
     is_gram_kernel,
     pairwise_distance,
@@ -52,13 +53,6 @@ from .cg import (
     _scalar_reductions,
     compensated_sum,
 )
-
-
-def _largest_divisor_leq(n: int, cap: int) -> int:
-    for c in range(min(cap, n), 0, -1):
-        if n % c == 0:
-            return c
-    return 1
 
 
 def kernel_matrix_block(

@@ -265,6 +265,78 @@ class TestOAOModelFile:
         preds = svm.predict(model, DataSet(pts))
         assert set(preds.tolist()) <= {7, 8, 9}
 
+    def test_unsorted_label_header_keeps_machine_association(self, tmp_path):
+        """LIBSVM writes the label header in APPEARANCE order (e.g.
+        'label 9 7 8'); machine enumeration, sv_coef columns and rho all
+        follow that order, NOT sorted order — regression test for the
+        round-3 review finding (sorted-order indices scrambled them)."""
+        path = str(tmp_path / "unsorted.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type c_svc\n"
+                "kernel_type linear\n"
+                "nr_class 3\n"
+                "total_sv 3\n"
+                "rho 0.1 -0.2 0.3\n"
+                "label 9 7 8\n"
+                "nr_sv 1 1 1\n"
+                "SV\n"
+                "0.5 0.25 1:1.0 2:0.0\n"   # class 9 (layout index 0)
+                "-0.5 0.75 1:0.0 2:1.0\n"  # class 7 (layout index 1)
+                "-0.25 -0.75 1:1.0 2:1.0\n"  # class 8 (layout index 2)
+            )
+        model = Model.load(path, label_type=int)
+        assert model.classification == ClassificationType.OAO
+        assert model.label_order == [9, 7, 8]
+
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="linear")
+        pts = np.asarray([[1.0, 0.0], [0.0, 1.0], [2.0, 2.0]])
+        vals = svm.predict_values(model, DataSet(pts))
+        sv = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        K = pts @ sv.T
+        # machines in LAYOUT order: (9,7), (9,8), (7,8)
+        np.testing.assert_allclose(
+            vals[:, 0], 0.5 * K[:, 0] - 0.5 * K[:, 1] - 0.1, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            vals[:, 1], 0.25 * K[:, 0] - 0.25 * K[:, 2] + 0.2, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            vals[:, 2], 0.75 * K[:, 1] - 0.75 * K[:, 2] - 0.3, rtol=1e-12
+        )
+        # votes map through the LAYOUT order {9, 7, 8}
+        votes = oao.vote(vals, 3)
+        expected = np.asarray([9, 7, 8])[votes]
+        np.testing.assert_array_equal(svm.predict(model, DataSet(pts)), expected)
+
+        # re-saving keeps the layout: predictions survive the round trip
+        path2 = str(tmp_path / "unsorted2.model")
+        model.save(path2)
+        loaded2 = Model.load(path2, label_type=int)
+        np.testing.assert_allclose(
+            svm.predict_values(loaded2, DataSet(pts)), vals, rtol=1e-12
+        )
+
+    def test_unsorted_label_header_oaa(self, tmp_path):
+        """One-vs-all extension files honor the header order too: column c
+        belongs to the c-th LABEL-HEADER class, and argmax maps through it."""
+        path = str(tmp_path / "unsorted_oaa.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type c_svc\nkernel_type linear\nnr_class 3\n"
+                "total_sv 3\nrho 0.0 0.0 0.0\nlabel 5 1 3\nnr_sv 1 1 1\nSV\n"
+                "1.0 0 0 1:1.0 2:0.0\n"   # class 5's OvA machine: +s0
+                "0 1.0 0 1:0.0 2:1.0\n"   # class 1's: +s1
+                "0 0 1.0 1:-1.0 2:-1.0\n"  # class 3's: +s2
+            )
+        model = Model.load(path, label_type=int)
+        assert model.label_order == [5, 1, 3]
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="linear")
+        # strongly aligned with s0 -> column 0 wins -> label 5 (NOT sorted
+        # order's label 1)
+        pred = svm.predict(model, DataSet(np.asarray([[3.0, 0.0]])))
+        assert pred[0] == 5
+
     def test_oao_rho_count_mismatch_raises(self, tmp_path):
         # 4 classes, C-1 = 3 coefficient columns imply 6 rho values, not 4
         path = str(tmp_path / "bad_oao.model")

@@ -91,6 +91,31 @@ def test_warm_start_tighter_epsilon_refines():
     np.testing.assert_allclose(refined.rho, cold.rho, rtol=1e-6)
 
 
+def test_warm_start_from_model_file_realigns_rows(tmp_path):
+    """Model files store SVs class-grouped; the warm start must re-align
+    the loaded alpha to the training data's row order (review finding:
+    a misaligned warm start is correct but saves nothing — 61/62
+    iterations instead of 0)."""
+    X, y = _binary(seed=11)
+    ds = DataSet(X, y)
+    svm = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.05,
+    )
+    m1 = svm.fit(ds, epsilon=1e-10)
+    assert m1.n_iter > 5
+    path = str(tmp_path / "warm.model")
+    m1.save(path)
+    from plssvm_tpu import Model
+
+    loaded = Model.load(path, label_type=int)
+    assert not np.array_equal(
+        np.asarray(loaded.data.labels), np.asarray(ds.labels)
+    )  # the file IS class-grouped — alignment is actually exercised
+    m2 = svm.fit(ds, epsilon=1e-10, initial_model=loaded)
+    assert m2.n_iter == 0
+    np.testing.assert_allclose(m2.rho, m1.rho, rtol=1e-8)
+
+
 def test_warm_start_errors():
     X, y = _binary(n=100, seed=5)
     ds = DataSet(X, y)
