@@ -109,8 +109,10 @@ def main(argv=None) -> int:
             values = svm.predict_values(model, data)
             probabilities = predict_probabilities(model, values)
             # LIBSVM convention: the -b 1 prediction is the argmax of the
-            # calibrated probabilities (may differ from sign(f) near 0.5)
-            classes = np.asarray(model.different_labels)
+            # calibrated probabilities (may differ from sign(f) near 0.5);
+            # probability columns follow the model's LAYOUT class order
+            # (the file's label-header order for loaded multiclass models)
+            classes = np.asarray(model.class_order())
             predicted = classes[np.argmax(probabilities, axis=1)]
         else:
             predicted = svm.predict(model, data)
@@ -126,7 +128,7 @@ def main(argv=None) -> int:
             # svm-predict -b 1 format: 'labels <classes>' header, then one
             # 'label P(c1) P(c2) ...' line per point in header class order
             fh.write(
-                "labels " + " ".join(str(c) for c in model.different_labels)
+                "labels " + " ".join(str(c) for c in model.class_order())
             )
             for lab, row in zip(predicted, probabilities):
                 fh.write(
