@@ -788,7 +788,10 @@ class CSVM:
         if kind in DISTANCE_KERNELS:
             return True
         pallas = self.backend == BackendType.PALLAS and _uses_pallas_kernels(kind)
-        return d >= (1024 if pallas else 512)
+        # bf16-stored K halves the per-iteration HBM traffic, halving the
+        # compute/bandwidth crossover width
+        scale = 2 if self.gram_precision == "bf16" else 1
+        return d >= (1024 if pallas else 512) // scale
 
     def _sharded_impl(self, kind, padded_shape, n_dev, n_classes=None):
         """Kernel impl for the sharded (multi-device) solve: the Pallas
