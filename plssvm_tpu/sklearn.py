@@ -78,6 +78,9 @@ class SVC:
         #: decision_function output for OAO models: "ovr" (sklearn default,
         #: vote-based transform) or "ovo" (raw pair columns)
         self._decision_function_shape = "ovr"
+        #: raw user-provided parameters, returned VERBATIM by get_params —
+        #: sklearn's clone() contract compares them by identity
+        self._user_params: dict = {}
         self._parse_params(kwargs)
 
     # -- parameter plumbing ------------------------------------------------
@@ -94,6 +97,7 @@ class SVC:
                     f"The '{key}' parameter for a call to the 'SVC' "
                     "constructor is not implemented yet!"
                 )
+        self._user_params.update(kwargs)
         if "C" in kwargs:
             self._svm.set_params(cost=float(kwargs["C"]))
         if "kernel" in kwargs:
@@ -144,23 +148,46 @@ class SVC:
                 )
             self._decision_function_shape = shape
 
+    def __sklearn_tags__(self):
+        """Estimator tags for sklearn >= 1.6 model-selection machinery.
+
+        Imported lazily so sklearn stays an optional dependency — the method
+        is only ever called by sklearn itself (GridSearchCV, cross_val_*).
+        """
+        from sklearn.base import BaseEstimator, ClassifierMixin
+
+        class _TagDonor(ClassifierMixin, BaseEstimator):
+            pass
+
+        return _TagDonor().__sklearn_tags__()
+
+    #: get_params defaults for parameters the user did not provide
+    _PARAM_DEFAULTS = {
+        "C": 1.0,
+        "kernel": "linear",
+        "degree": 3,
+        "gamma": "auto",
+        "coef0": 0.0,
+        "tol": 1e-3,
+        "verbose": False,
+        "max_iter": -1,
+        "probability": False,
+        "random_state": None,
+        "decision_function_shape": "ovr",
+        "classification": "oaa",
+    }
+
     def get_params(self, deep: bool = True) -> dict:
-        """Estimator parameters as a dict (sklearn.cpp:196-219)."""
-        params = self._svm.get_params()
-        return {
-            "C": params.cost.value,
-            "kernel": str(params.kernel_type.value),
-            "degree": params.degree.value,
-            "gamma": params.gamma.value,
-            "coef0": params.coef0.value,
-            "tol": self._epsilon if self._epsilon is not None else 1e-3,
-            "verbose": get_verbosity() != VerbosityLevel.QUIET,
-            "max_iter": self._max_iter if self._max_iter is not None else -1,
-            "probability": self._probability,
-            "random_state": self._random_state,
-            "decision_function_shape": self._decision_function_shape,
-            "classification": self._classification,
-        }
+        """Estimator parameters as a dict (sklearn.cpp:196-219).
+
+        User-provided values are returned VERBATIM (sklearn's clone()
+        compares them by identity); unset ones report their defaults.
+        The gamma resolved at fit time from 'auto'/'scale' is on the
+        underlying CSVM (``clf._svm.get_params().gamma``), as in sklearn.
+        """
+        out = dict(self._PARAM_DEFAULTS)
+        out.update(self._user_params)
+        return out
 
     def set_params(self, **kwargs) -> "SVC":
         self._parse_params(kwargs)

@@ -1,0 +1,175 @@
+"""Gold-standard LIBSVM interop: models trained by the REAL libsvm.
+
+sklearn.svm.SVC wraps libsvm itself; its fitted attributes (support
+vectors, dual_coef_, intercept_, probA_/probB_) are libsvm's model arrays
+in the standard one-vs-one layout.  These tests serialize a fitted sklearn
+SVC into a LIBSVM model file, load it with plssvm_tpu, and require:
+
+- decision values == sklearn's decision_function(ovo) to f64 precision
+  (same kernel math, same machine enumeration, same rho signs),
+- predicted labels == sklearn's predict (same voting + tie-break),
+- predict_proba == sklearn's (same per-pair sigmoids + the same
+  Wu/Lin/Weng pairwise coupling libsvm runs).
+
+This pins the OAO machinery against the actual libsvm implementation, not
+just against this repo's own reading of the format.
+"""
+
+import numpy as np
+import pytest
+
+sklearn = pytest.importorskip("sklearn")
+
+from sklearn import svm as sk_svm
+
+from plssvm_tpu import CSVM, ClassificationType, DataSet, Model
+from plssvm_tpu.probability import predict_probabilities
+
+
+def _blobs(n_per=30, d=4, n_classes=3, seed=0, labels=None):
+    rng = np.random.default_rng(seed)
+    centers = 5.0 * rng.normal(size=(n_classes, d))
+    X = np.concatenate(
+        [centers[c] + 0.8 * rng.normal(size=(n_per, d)) for c in range(n_classes)]
+    )
+    lab = labels if labels is not None else list(range(n_classes))
+    y = np.concatenate([[lab[c]] * n_per for c in range(n_classes)])
+    perm = rng.permutation(len(y))
+    return X[perm], y[perm]
+
+
+def write_sklearn_svc_model(clf, path, kernel, gamma, coef0=0.0, degree=3):
+    """Serialize a fitted sklearn SVC into a LIBSVM model file.
+
+    sklearn keeps libsvm's arrays verbatim: support vectors grouped by class
+    in ``classes_`` order (``n_support_`` per class), ``dual_coef_`` the
+    (C-1, n_SV) sv_coef block, ``intercept_ = -rho`` in libsvm pair order.
+    """
+    classes = clf.classes_
+    n_support = clf.n_support_
+    sv = clf.support_vectors_
+    sv_coef = clf.dual_coef_  # (C-1, n_SV)
+    rho = -clf.intercept_
+    lines = ["svm_type c_svc", f"kernel_type {kernel}"]
+    if kernel == "polynomial":
+        lines += [f"degree {degree}", f"gamma {gamma!r}", f"coef0 {coef0!r}"]
+    elif kernel == "rbf":
+        lines += [f"gamma {gamma!r}"]
+    lines += [
+        f"nr_class {len(classes)}",
+        "label " + " ".join(str(int(c)) for c in classes),
+        f"total_sv {sv.shape[0]}",
+        "nr_sv " + " ".join(str(int(n)) for n in n_support),
+        "rho " + " ".join(repr(float(r)) for r in np.atleast_1d(rho)),
+    ]
+    # sklearn 1.9 deprecates `probability` (the attribute holds the string
+    # "deprecated"!) — detect calibration by a non-empty probA_ instead
+    try:
+        prob_a, prob_b = np.asarray(clf.probA_), np.asarray(clf.probB_)
+    except AttributeError:
+        prob_a = prob_b = np.empty(0)
+    if prob_a.size:
+        lines.append("probA " + " ".join(repr(float(v)) for v in prob_a))
+        lines.append("probB " + " ".join(repr(float(v)) for v in prob_b))
+    lines.append("SV")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+        for p in range(sv.shape[0]):
+            coeffs = " ".join(repr(float(c)) for c in sv_coef[:, p])
+            feats = " ".join(
+                f"{j + 1}:{sv[p, j]:.16e}" for j in range(sv.shape[1])
+            )
+            fh.write(f"{coeffs} {feats}\n")
+
+
+@pytest.mark.parametrize("kernel,sk_kernel", [("rbf", "rbf"), ("linear", "linear")])
+def test_decision_values_match_real_libsvm(tmp_path, kernel, sk_kernel):
+    X, y = _blobs(n_classes=3, seed=1)
+    gamma = 0.3
+    clf = sk_svm.SVC(
+        kernel=sk_kernel, gamma=gamma, C=10.0,
+        decision_function_shape="ovo",
+    )
+    clf.fit(X, y)
+    path = str(tmp_path / f"sk_{kernel}.model")
+    write_sklearn_svc_model(clf, path, kernel, gamma)
+
+    model = Model.load(path, label_type=int)
+    assert model.classification == ClassificationType.OAO
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type=kernel)
+    pts = DataSet(X[:25])
+    ours = plssvm.predict_values(model, pts)
+    theirs = clf.decision_function(X[:25])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(
+        plssvm.predict(model, pts), clf.predict(X[:25])
+    )
+
+
+def test_four_class_unsorted_labels_match_real_libsvm(tmp_path):
+    # non-contiguous, non-zero-based labels; libsvm still sorts them in
+    # classes_, and the machine layout must line up machine for machine
+    X, y = _blobs(n_per=25, d=5, n_classes=4, seed=2, labels=[7, 2, 9, 5])
+    gamma = 0.25
+    clf = sk_svm.SVC(kernel="rbf", gamma=gamma, C=5.0,
+                     decision_function_shape="ovo")
+    clf.fit(X, y)
+    path = str(tmp_path / "sk4.model")
+    write_sklearn_svc_model(clf, path, "rbf", gamma)
+
+    model = Model.load(path, label_type=int)
+    assert np.asarray(model.alpha).shape[1] == 3
+    assert np.asarray(model.rho).size == 6
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    pts = DataSet(X[:40])
+    np.testing.assert_allclose(
+        plssvm.predict_values(model, pts),
+        clf.decision_function(X[:40]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        plssvm.predict(model, pts), clf.predict(X[:40])
+    )
+
+
+def test_predict_proba_matches_real_libsvm(tmp_path):
+    X, y = _blobs(n_per=40, d=4, n_classes=3, seed=3)
+    gamma = 0.3
+    clf = sk_svm.SVC(
+        kernel="rbf", gamma=gamma, C=10.0, probability=True, random_state=0,
+    )
+    clf.fit(X, y)
+    path = str(tmp_path / "sk_prob.model")
+    write_sklearn_svc_model(clf, path, "rbf", gamma)
+
+    model = Model.load(path, label_type=int)
+    assert model.prob_a is not None and model.prob_a.size == 3
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    values = plssvm.predict_values(model, DataSet(X[:30]))
+    ours = predict_probabilities(model, values)
+    theirs = clf.predict_proba(X[:30])
+    # the pairwise coupling STOPS within eps = 0.005/C of the fixpoint
+    # (libsvm's multiclass_probability tolerance), per sample in libsvm vs
+    # jointly here — so individual probabilities agree to that tolerance,
+    # not to float precision
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.argmax(ours, axis=1), np.argmax(theirs, axis=1)
+    )
+
+
+def test_gridsearchcv_over_svc():
+    """Our SVC composes with sklearn's model selection (clone/get_params)."""
+    from sklearn.model_selection import GridSearchCV
+
+    from plssvm_tpu import SVC
+
+    X, y = _blobs(n_per=20, d=3, n_classes=2, seed=4)
+    gs = GridSearchCV(
+        SVC(kernel="rbf", dtype=np.float64),
+        {"C": [0.5, 5.0], "gamma": [0.1, 0.5]},
+        cv=3, n_jobs=1,
+    )
+    gs.fit(X, y)
+    assert gs.best_score_ >= 0.9
+    assert set(gs.best_params_) == {"C", "gamma"}

@@ -29,7 +29,10 @@ def test_fit_predict_score(blobs):
 def test_constructor_param_mapping():
     clf = SVC(kernel="poly", degree=4, gamma=0.5, coef0=1.5, C=3.0, max_iter=100)
     params = clf.get_params()
-    assert params["kernel"] == "polynomial"
+    # raw user value, verbatim (sklearn's clone contract); the canonical
+    # name lives on the underlying CSVM parameter
+    assert params["kernel"] == "poly"
+    assert str(clf._svm.get_params().kernel_type.value) == "polynomial"
     assert params["degree"] == 4
     assert params["gamma"] == 0.5
     assert params["coef0"] == 1.5
@@ -149,7 +152,10 @@ def test_gamma_scale(blobs):
     X, y = blobs
     clf = SVC(kernel="rbf", gamma="scale", tol=1e-6).fit(X, y)
     expected = 1.0 / (X.shape[1] * X.var())
-    assert clf.get_params()["gamma"] == pytest.approx(expected)
+    # get_params returns the user's 'scale' VERBATIM (sklearn clone
+    # contract); the resolved value lives on the underlying CSVM
+    assert clf.get_params()["gamma"] == "scale"
+    assert clf._svm.get_params().gamma.value == pytest.approx(expected)
     assert clf.score(X, y) >= 0.95
     # matches an explicit-gamma fit exactly
     ref = SVC(kernel="rbf", gamma=expected, tol=1e-6).fit(X, y)
