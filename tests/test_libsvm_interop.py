@@ -132,6 +132,34 @@ def test_four_class_unsorted_labels_match_real_libsvm(tmp_path):
     )
 
 
+def test_binary_model_matches_real_libsvm(tmp_path):
+    """Binary sklearn/libsvm models load and predict identically.
+
+    sklearn sign-normalizes libsvm's binary outputs so that positive
+    decision values mean ``classes_[1]`` — which coincides with this
+    framework's (and the PLSSVM reference's) sorted {-1,+1} mapping.
+    """
+    X, y = _blobs(n_per=40, d=4, n_classes=2, seed=5, labels=[3, 8])
+    gamma = 0.3
+    clf = sk_svm.SVC(kernel="rbf", gamma=gamma, C=10.0)
+    clf.fit(X, y)
+    path = str(tmp_path / "sk_bin.model")
+    write_sklearn_svc_model(clf, path, "rbf", gamma)
+
+    model = Model.load(path, label_type=int)
+    assert np.asarray(model.alpha).ndim == 1
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    pts = DataSet(X[:30])
+    np.testing.assert_allclose(
+        plssvm.predict_values(model, pts),
+        clf.decision_function(X[:30]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        plssvm.predict(model, pts), clf.predict(X[:30])
+    )
+
+
 def test_predict_proba_matches_real_libsvm(tmp_path):
     X, y = _blobs(n_per=40, d=4, n_classes=3, seed=3)
     gamma = 0.3

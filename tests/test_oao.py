@@ -157,6 +157,19 @@ class TestOAOFit:
         )
         np.testing.assert_allclose(got, np.asarray(binary.alpha), rtol=1e-9)
 
+    def test_distance_kernel_oao(self):
+        """OAO pair machines ride the distance-kernel (VPU) paths too."""
+        X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=12)
+        X = np.abs(X)
+        for kern in ("laplacian", "chi_squared"):
+            ds = DataSet(X, y)
+            svm = CSVM(
+                backend="xla", dtype=np.float64, kernel_type=kern, gamma=0.2
+            )
+            model = svm.fit(ds, classification="oao", epsilon=1e-8)
+            assert model.classification == ClassificationType.OAO
+            assert svm.score(model) == 1.0
+
     def test_linear_kernel_oao(self):
         svm, model, X, y = self._fit(kernel="linear")
         assert svm.score(model) == 1.0
