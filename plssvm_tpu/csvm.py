@@ -1698,12 +1698,14 @@ class CSVM:
                         pts_blk, sv_blk, sq_blk, sq_sv_blk,
                         alpha_t[:, sj:sj + sv_chunk], vx_zero,
                         kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                        precision=self.gram_precision,
                     )
                 else:
                     alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)
                     blk = kernel_matvec_pallas_rect(
                         pts_blk, sv_blk, sq_blk, sq_sv_blk, alpha_blk,
                         kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+                        precision=self.gram_precision,
                     )
                 # bound live memory: without the sync every chunk's padded
                 # slice stays allocated until the whole loop has dispatched
