@@ -703,12 +703,6 @@ class CSVM:
                 "path (the pair machines train on row subsets that defeat "
                 "the per-host window ingest) — use the default 'oaa'!"
             )
-        if self.solver == "cg_explicit":
-            raise InvalidParameterError(
-                "solver='cg_explicit' is single-device (the kernel matrix "
-                "is not sharded) — use solver='automatic' or 'cg_implicit' "
-                "for multi-host fits!"
-            )
         if epsilon <= 0.0:
             raise InvalidParameterError(
                 f"epsilon must be less than 0.0, but is {epsilon}!"

@@ -449,16 +449,12 @@ def fit_multihost(
 
     import functools as _functools
 
-    from .sharded import build_sharded_multi_solver
-
-    impl = "pallas" if pallas else "xla"
-    build = _functools.partial(
-        build_sharded_multi_solver if multiclass else build_sharded_solver,
-        mesh, kind=kind, degree=degree, impl=impl,
-        preconditioner=csvm.preconditioner,
-        scalars=csvm.scalar_precision,
-        gram_precision=csvm.gram_precision,
+    from .sharded import (
+        build_sharded_explicit_solver,
+        build_sharded_kernel_matrix_fn,
+        build_sharded_multi_solver,
     )
+
     sharded = shard_arrays_multihost(
         mesh, X_local, x_last, y_local, np.asarray(y_all[dept], dtype=dtype),
         mask_local, dtype,
@@ -469,6 +465,35 @@ def fit_multihost(
     scalar_args = (
         gamma_v, coef0_v, cost_v, jnp.asarray(epsilon, dtype=dtype),
     )
+
+    # solver type: same rules as CSVM.fit — the kernel matrix row-shards
+    # over the GLOBAL mesh (per-chip budget; the one-time build's
+    # all_gather of X rides DCN across hosts, then iterations are local
+    # matmuls + an all_gather of the m-length direction)
+    use_explicit = csvm._use_explicit_solver(dept, d, kind, n_dev)
+    if use_explicit:
+        K = build_sharded_kernel_matrix_fn(
+            mesh, kind=kind, degree=degree, precision=csvm.gram_precision,
+        )(sharded[0], gamma_v, coef0_v)
+        sharded = (K,) + tuple(sharded)
+        add_tracking_entry("cg", "solver", "cg_explicit")
+        build = _functools.partial(
+            build_sharded_explicit_solver,
+            mesh, kind=kind, degree=degree,
+            preconditioner=csvm.preconditioner,
+            scalars=csvm.scalar_precision,
+            precision=csvm.gram_precision, multi=multiclass,
+        )
+    else:
+        add_tracking_entry("cg", "solver", "cg_implicit")
+        impl = "pallas" if pallas else "xla"
+        build = _functools.partial(
+            build_sharded_multi_solver if multiclass else build_sharded_solver,
+            mesh, kind=kind, degree=degree, impl=impl,
+            preconditioner=csvm.preconditioner,
+            scalars=csvm.scalar_precision,
+            gram_precision=csvm.gram_precision,
+        )
     if checkpoint_path is None:
         result = build()(
             *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32)

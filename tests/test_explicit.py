@@ -255,10 +255,41 @@ class TestSolverSelection:
         )
         assert m1.rho == m2.rho
 
-    def test_multihost_rejects_forced_explicit(self):
-        svm = CSVM(backend="xla", dtype=np.float64, solver="cg_explicit")
-        with pytest.raises(InvalidParameterError, match="single-device"):
-            svm.fit_multihost("unused.libsvm")
+    def test_multihost_explicit_matches_regular_fit(self, tmp_path):
+        """fit_multihost supports cg_explicit: K row-shards over the global
+        mesh; at process_count()==1 the result equals the plain fit."""
+        import plssvm_tpu
+
+        X, y = _binary_data(n=160, d=6, seed=13)
+        ds = plssvm_tpu.DataSet(X, y)
+        f = str(tmp_path / "mh_exp.libsvm")
+        ds.save(f)
+
+        devs = jax.devices("cpu")[:8]
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+            solver="cg_explicit", devices=devs,
+        )
+        from plssvm_tpu.parallel import multihost as mh
+        from plssvm_tpu.parallel.sharded import make_row_mesh
+
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = lambda: make_row_mesh(devs)
+        try:
+            model = svm.fit_multihost(f, epsilon=1e-9)
+        finally:
+            mh.global_row_mesh = orig
+        ref = CSVM(
+            backend="xla", target="cpu", dtype=np.float64,
+            kernel_type="rbf", gamma=0.1, solver="cg_explicit",
+        ).fit(plssvm_tpu.DataSet(f), epsilon=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(model.alpha), np.asarray(ref.alpha),
+            rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(model.rho, ref.rho, rtol=1e-6)
 
     def test_tracker_records_solver(self):
         from plssvm_tpu.utils.tracker import global_tracker
