@@ -68,7 +68,7 @@ from .csvm import (
 )
 from .kernel_functions import kernel_function
 from .probability import calibrate_model, predict_probabilities
-from .sklearn import SVC
+from .sklearn import SVC, SVR
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
 
@@ -94,6 +94,7 @@ __all__ = [
     "Model",
     "CSVM",
     "SVC",
+    "SVR",
     "make_csvm",
     "kernel_function",
     "calibrate_model",

@@ -122,7 +122,10 @@ def main(argv=None) -> int:
 
     write_start = time.perf_counter()
     with open(predict_filename, "w", encoding="utf-8") as fh:
-        if probabilities is None:
+        if model.is_regression:
+            # one predicted value per line (svm-predict's regression output)
+            fh.write("\n".join(format(v, ".10g") for v in predicted))
+        elif probabilities is None:
             fh.write("\n".join(str(lab) for lab in predicted))
         else:
             # svm-predict -b 1 format: 'labels <classes>' header, then one
@@ -145,7 +148,22 @@ def main(argv=None) -> int:
     add_tracking_entry("predictions_write", "filename", predict_filename)
 
     # print achieved accuracy if the test data is labeled (main_predict.cpp:70-85)
-    if data.has_labels():
+    if data.has_labels() and model.is_regression:
+        # LIBSVM svm-predict's regression metrics
+        targets = np.asarray(data.labels, dtype=np.float64)
+        values = np.asarray(predicted, dtype=np.float64)
+        mse = float(np.mean((values - targets) ** 2))
+        vt = targets - targets.mean()
+        vv = values - values.mean()
+        denom = float(np.sum(vt * vt) * np.sum(vv * vv))
+        scc = float(np.sum(vt * vv)) ** 2 / denom if denom > 0 else 0.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+            "Mean squared error = {} (regression)\n"
+            "Squared correlation coefficient = {} (regression)\n",
+            mse, scc,
+        )
+    elif data.has_labels():
         correct = int(np.sum(np.asarray(predicted) == np.asarray(data.labels)))
         log(
             VerbosityLevel.FULL | VerbosityLevel.LIBSVM,

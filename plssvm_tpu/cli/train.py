@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-p", "--target_platform", default="automatic",
                         help="choose the target platform: automatic|cpu|tpu")
     parser.add_argument(
+        "-s", "--svm_type", default="c_svc",
+        choices=["c_svc", "epsilon_svr", "svr"],
+        help="c_svc = classification (default); epsilon_svr/svr = "
+             "least-squares REGRESSION on continuous targets (LS-SVR, an "
+             "extension — same linear system, squared loss; the model file "
+             "uses LIBSVM's epsilon_svr layout)",
+    )
+    parser.add_argument(
         "--classification", default="oaa", choices=["oaa", "oao"],
         help="multiclass decomposition (> 2 labels; upstream PLSSVM v3 "
              "parity): oaa = one-vs-all block CG sharing the Gram work "
@@ -243,6 +251,13 @@ def main(argv=None) -> int:
             fit_kwargs["checkpoint_path"] = args.checkpoint
             fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
         if args.multihost:
+            if args.svm_type != "c_svc":
+                print(
+                    "--svm_type epsilon_svr is not supported together with "
+                    "--multihost yet!",
+                    file=sys.stderr,
+                )
+                return 1
             svm = CSVM(devices="all", **svm_kwargs)
 
             def run_fit():
@@ -251,10 +266,12 @@ def main(argv=None) -> int:
                     **fit_kwargs,
                 )
         else:
+            regression = args.svm_type in ("epsilon_svr", "svr")
             data = DataSet(
                 args.input,
-                label_type=resolve_label_type(args),
+                label_type=float if regression else resolve_label_type(args),
                 dtype=resolve_dtype(args),
+                regression=regression,
             )
             svm = CSVM(**svm_kwargs)
 

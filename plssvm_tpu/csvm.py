@@ -561,6 +561,11 @@ class CSVM:
         here to the mapper's sorted order the solver trains in.
         """
         alpha0 = np.asarray(initial_model.alpha, dtype=self.dtype)
+        if data.is_regression or initial_model.is_regression:
+            # continuous targets carry no class structure to realign by —
+            # the warm start is used as-is (still correct regardless of
+            # row order; only the iteration saving depends on alignment)
+            return alpha0
         m_labels = np.asarray(initial_model.data.labels)
         d_labels = np.asarray(data.labels)
         if not (
@@ -1753,6 +1758,9 @@ class CSVM:
         models (LIBSVM's svm_predict semantics, plssvm_tpu.oao.vote).
         """
         values = self.predict_values(model, data)
+        if model.is_regression:
+            # LS-SVR: the decision value IS the prediction (no sign/vote)
+            return values
         if values.ndim == 2:
             # multiclass columns/machines follow the model's LAYOUT class
             # order — the file's label-header order for loaded models
@@ -1766,7 +1774,12 @@ class CSVM:
         return labels_arr[(values > 0).astype(np.intp)]
 
     def score(self, model: Model, data: Optional[DataSet] = None) -> float:
-        """Classification accuracy (reference: csvm.hpp:345-375)."""
+        """Classification accuracy (reference: csvm.hpp:345-375).
+
+        Regression models (EXTENSION) return the coefficient of
+        determination R^2 over the data set's continuous targets — the
+        sklearn SVR.score convention.
+        """
         if data is None:
             data = model.data
         if not data.has_labels():
@@ -1777,6 +1790,14 @@ class CSVM:
                 f"the number of features per support vector of the provided model "
                 f"({model.num_features})!"
             )
+        if model.is_regression:
+            targets = np.asarray(data.labels, dtype=np.float64)
+            values = np.asarray(
+                self.predict_values(model, data), dtype=np.float64
+            )
+            ss_res = float(np.sum((targets - values) ** 2))
+            ss_tot = float(np.sum((targets - targets.mean()) ** 2))
+            return 1.0 - ss_res / (ss_tot if ss_tot > 0.0 else 1.0)
         predicted = self.predict(model, data)
         correct = int(np.sum(predicted == np.asarray(data.labels)))
         return correct / len(predicted)

@@ -209,7 +209,13 @@ class DataSet:
         scaling: Optional[Union[Scaling, Tuple[float, float]]] = None,
         label_type=None,
         dtype=None,
+        regression: bool = False,
     ):
+        """``regression=True`` treats the label column as CONTINUOUS
+        regression targets (LS-SVR, an EXTENSION — neither the reference
+        nor upstream supports regression): no label mapping happens and
+        the solver consumes the raw float targets."""
+        self._regression = bool(regression)
         self._scaling: Optional[Scaling] = None
         if isinstance(scaling, tuple):
             scaling = Scaling(*scaling)
@@ -246,8 +252,15 @@ class DataSet:
         self._mapper: Optional[LabelMapper] = None
         self._y: Optional[np.ndarray] = None
         if self._labels is not None:
-            self._mapper = LabelMapper(self._labels)
-            self._y = self._mapper.map_labels(self._labels, dtype=self._X.dtype)
+            if self._regression:
+                # continuous targets go to the solver verbatim
+                self._labels = np.asarray(self._labels, dtype=np.float64)
+                self._y = self._labels.astype(self._X.dtype)
+            else:
+                self._mapper = LabelMapper(self._labels)
+                self._y = self._mapper.map_labels(
+                    self._labels, dtype=self._X.dtype
+                )
 
         if scaling is not None:
             self._scaling = scaling
@@ -393,6 +406,11 @@ class DataSet:
     @property
     def num_features(self) -> int:
         return int(self._X.shape[1])
+
+    @property
+    def is_regression(self) -> bool:
+        """Whether the label column holds continuous regression targets."""
+        return self._regression
 
     @property
     def different_labels(self) -> Optional[list]:

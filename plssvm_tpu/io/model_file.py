@@ -58,7 +58,7 @@ def parse_model_header(
     nr_class: Optional[int] = None
     labels: Optional[List[str]] = None
     nr_sv: Optional[List[int]] = None
-    svm_type_set = False
+    svm_type: Optional[str] = None
     kernel_type_set = False
 
     header_line = 0
@@ -71,11 +71,17 @@ def parse_model_header(
         value = lower[space + 1:].lstrip() if space != -1 else ""
 
         if lower.startswith("svm_type"):
-            if value != "c_svc":
+            # c_svc = classification; epsilon_svr / nu_svr = regression
+            # (EXTENSION: LS-SVR models are stored in LIBSVM's epsilon_svr
+            # layout — the prediction function sum_i alpha_i k(x_i, x) - rho
+            # is identical, so the files interoperate with LIBSVM tools,
+            # even though the TRAINING loss differs: least-squares here vs
+            # epsilon-insensitive there)
+            if value not in ("c_svc", "epsilon_svr", "nu_svr"):
                 raise InvalidFileFormatError(
                     f"Can only use c_svc as svm_type, but '{value}' was given!"
                 )
-            svm_type_set = True
+            svm_type = value
         elif lower.startswith("kernel_type"):
             try:
                 params.kernel_type.value = KernelFunctionType.from_string(value)
@@ -148,10 +154,11 @@ def parse_model_header(
                 f"Unrecognized header entry '{raw}'! Maybe SV is missing?"
             )
 
-    if not svm_type_set:
+    if svm_type is None:
         raise InvalidFileFormatError("Missing svm_type!")
     if not kernel_type_set:
         raise InvalidFileFormatError("Missing kernel_type!")
+    regression = svm_type != "c_svc"
 
     # reject explicitly-set parameters the kernel does not use
     # (reference: libsvm_model_parsing.hpp:201-224)
@@ -204,12 +211,32 @@ def parse_model_header(
                 f"not used in the {name} kernel!"
             )
 
-    if nr_class is None:
-        raise InvalidFileFormatError("Missing number of different classes nr_class!")
     if num_support_vectors is None:
         raise InvalidFileFormatError("Missing total number of support vectors total_sv!")
     if rho is None:
         raise InvalidFileFormatError("Missing rho value!")
+    if regression:
+        # LIBSVM SVR headers carry neither label nor nr_sv (and write a
+        # vestigial "nr_class 2"); a single rho value is required
+        if rho.size != 1:
+            raise InvalidFileFormatError(
+                f"Expected 1 rho value for a regression model, but "
+                f"{rho.size} were given!"
+            )
+        prob: Optional[tuple] = None
+        if (prob_a is None) != (prob_b is None):
+            raise InvalidFileFormatError(
+                "probA and probB must both be given (or neither)!"
+            )
+        if prob_a is not None:
+            prob = (prob_a, prob_b)
+        if not found_sv or header_line + 1 >= len(lines):
+            raise InvalidFileFormatError(
+                "Can't parse file: no support vectors are given or SV is missing!"
+            )
+        return params, rho, None, header_line + 1, prob
+    if nr_class is None:
+        raise InvalidFileFormatError("Missing number of different classes nr_class!")
     if labels is None:
         raise InvalidFileFormatError("Missing class label specification!")
     if nr_class != len(labels):
@@ -399,10 +426,12 @@ def parse_model_file(
         if params is not None:
             from ..native import parse_model_svs_native
 
-            nr_class = len(set(labels))
-            if nr_class == 2:
-                n_lead = 1
+            if labels is None:  # regression (epsilon_svr layout)
+                nr_class, n_lead = 2, 1
+            elif len(set(labels)) == 2:
+                nr_class, n_lead = 2, 1
             else:
+                nr_class = len(set(labels))
                 first = _peek_first_sv_line(filename, sv_offset)
                 if first is None:
                     raise InvalidFileFormatError(
@@ -413,18 +442,20 @@ def parse_model_file(
             native = parse_model_svs_native(filename, sv_offset, n_lead, dtype)
             if native is not None:
                 coeffs, data = native
-                if len(labels) != data.shape[0]:
+                if labels is not None and len(labels) != data.shape[0]:
                     raise InvalidFileFormatError(
                         f"Found {data.shape[0]} support vectors, but expected "
                         f"{len(labels)}!"
                     )
-                alpha = coeffs[:, 0] if nr_class == 2 else coeffs
+                alpha = coeffs[:, 0] if n_lead == 1 else coeffs
                 return params, rho, data, alpha, labels, prob
 
     lines = read_lines(filename, comment="#")
     params, rho, labels, num_header_lines, prob = parse_model_header(lines)
     sv_lines = lines[num_header_lines:]
-    nr_class = len(set(labels))
+    # labels is None for regression (epsilon_svr) models — single alpha
+    # column, exactly the binary SV-row grammar
+    nr_class = 2 if labels is None else len(set(labels))
 
     if nr_class == 2:
         data, alpha_strings = libsvm.parse_libsvm_lines(sv_lines, dtype=dtype)
@@ -457,7 +488,7 @@ def parse_model_file(
         data, _ = libsvm.parse_libsvm_lines(feature_lines, dtype=dtype)
         alpha = np.asarray(alpha_rows, dtype=dtype)
 
-    if len(labels) != data.shape[0]:
+    if labels is not None and len(labels) != data.shape[0]:
         raise InvalidFileFormatError(
             f"Found {data.shape[0]} support vectors, but expected {len(labels)}!"
         )
@@ -470,10 +501,11 @@ def write_model_file(
     rho,
     alpha: np.ndarray,
     support_vectors: np.ndarray,
-    labels: np.ndarray,
-    different_labels: List[str],
+    labels: Optional[np.ndarray],
+    different_labels: Optional[List[str]],
     prob_a: Optional[np.ndarray] = None,
     prob_b: Optional[np.ndarray] = None,
+    regression: bool = False,
 ) -> None:
     """Write the model file, grouping SVs per class in ``different_labels`` order.
 
@@ -485,13 +517,14 @@ def write_model_file(
     (plssvm_tpu.probability) — absent by default, keeping the output
     byte-identical to the reference's.
     """
-    labels = np.asarray([str(lab) for lab in labels])
     alpha = np.asarray(alpha)
     rho_vals = np.atleast_1d(np.asarray(rho, dtype=np.float64))
     kt = params.kernel_type.value
 
     header = [f"# This model file has been created at {datetime.datetime.now().isoformat()}"]
-    header.append("svm_type c_svc")
+    # LS-SVR regression models use LIBSVM's epsilon_svr layout (identical
+    # prediction function; see parse_model_header)
+    header.append("svm_type epsilon_svr" if regression else "svm_type c_svc")
     header.append(f"kernel_type {kt}")
     if kt == KernelFunctionType.POLYNOMIAL:
         header.append(f"degree {params.degree.value}")
@@ -506,12 +539,20 @@ def write_model_file(
         KernelFunctionType.CHI_SQUARED,
     ):
         header.append(f"gamma {_fmt_g(params.gamma.value)}")
-    counts = [int(np.sum(labels == lab)) for lab in different_labels]
-    header.append(f"nr_class {len(different_labels)}")
-    header.append(f"label {' '.join(str(lab) for lab in different_labels)}")
-    header.append(f"total_sv {len(labels)}")
-    header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
-    header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
+    n_sv = alpha.shape[0]
+    if regression:
+        # LIBSVM SVR headers: vestigial nr_class 2, no label / nr_sv lines
+        header.append("nr_class 2")
+        header.append(f"total_sv {n_sv}")
+        header.append(f"rho {_fmt_g(rho_vals[0])}")
+    else:
+        labels = np.asarray([str(lab) for lab in labels])
+        counts = [int(np.sum(labels == lab)) for lab in different_labels]
+        header.append(f"nr_class {len(different_labels)}")
+        header.append(f"label {' '.join(str(lab) for lab in different_labels)}")
+        header.append(f"total_sv {len(labels)}")
+        header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
+        header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
     if prob_a is not None and prob_b is not None:
         header.append(
             f"probA {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_a))}"
@@ -522,11 +563,15 @@ def write_model_file(
     header.append("SV")
 
     sv = np.asarray(support_vectors)
-    # class-grouped row order (ascending within each class, classes in
-    # different_labels order — identical to the Python loop below)
-    order = np.concatenate(
-        [np.nonzero(labels == str(lab))[0] for lab in different_labels]
-    )
+    if regression:
+        # regression SVs keep the original row order (no class grouping)
+        order = np.arange(n_sv)
+    else:
+        # class-grouped row order (ascending within each class, classes in
+        # different_labels order — identical to the Python loop below)
+        order = np.concatenate(
+            [np.nonzero(labels == str(lab))[0] for lab in different_labels]
+        )
 
     # native fast path: threaded formatting, byte-identical output (the C
     # py_repr matches CPython's repr; features use the same "{:.10e}")

@@ -62,6 +62,10 @@ class Model:
         from .parameter import ClassificationType
 
         self.classification = ClassificationType.OAA
+        #: True for LS-SVR regression models (continuous targets; stored
+        #: in LIBSVM's epsilon_svr file layout) — an EXTENSION, neither the
+        #: reference nor upstream supports regression
+        self.is_regression = bool(getattr(data, "is_regression", False))
         #: the class order DEFINING the multiclass column/machine layout —
         #: alpha columns, rho entries and (for OAO) the pair enumeration all
         #: follow it.  None = the LabelMapper's sorted order (models trained
@@ -80,12 +84,19 @@ class Model:
         )
         from .data_set import _infer_label_array
 
-        labels = _infer_label_array(raw_labels, label_type)
-        data = DataSet(support_vectors, labels, dtype=dtype)
+        if raw_labels is None:
+            # epsilon_svr layout: a regression model (no label header; the
+            # continuous targets are not stored in LIBSVM model files)
+            data = DataSet(support_vectors, dtype=dtype)
+        else:
+            labels = _infer_label_array(raw_labels, label_type)
+            data = DataSet(support_vectors, labels, dtype=dtype)
         # rho arrives as a 1-element array for binary models, (C,) for
         # one-vs-all multiclass (io/model_file.py extension format)
         rho_val = float(rho[0]) if np.asarray(rho).size == 1 else rho
         model = cls(params, data, alpha=alpha, rho=rho_val)
+        if raw_labels is None:
+            model.is_regression = True
         # multiclass format detection: C-1 coefficient columns = the standard
         # LIBSVM one-vs-one layout; C columns = the one-vs-all extension
         C = data.num_different_labels
@@ -125,13 +136,15 @@ class Model:
             self.rho,
             np.asarray(self.alpha),
             self.data.data,
-            self.data.labels,
+            None if self.is_regression else self.data.labels,
             # class grouping follows the model's layout order so rho /
             # alpha-column association survives re-saving a loaded model
             # whose label header was not sorted
-            [str(lab) for lab in self.class_order()],
+            None if self.is_regression
+            else [str(lab) for lab in self.class_order()],
             prob_a=self.prob_a,
             prob_b=self.prob_b,
+            regression=self.is_regression,
         )
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         log(

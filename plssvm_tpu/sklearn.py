@@ -428,3 +428,201 @@ class SVC:
                 "probability=True)"
             )
         return np.asarray(self._model.prob_b)
+
+
+#: sklearn.svm.SVR constructor parameters that do not apply to LS-SVR
+#: (least-squares loss has no epsilon tube / nu fraction) or are
+#: libsvm-internal — passing one raises AttributeError
+_SVR_UNSUPPORTED = ("epsilon", "nu", "shrinking", "cache_size")
+
+_SVR_KNOWN = (
+    "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
+) + _SVR_UNSUPPORTED
+
+
+class SVR:
+    """Least-squares SVR with the sklearn.svm.SVR interface (EXTENSION).
+
+    Neither the bundled reference nor upstream PLSSVM supports regression;
+    LS-SVR is the natural one — the SAME linear system as the classifier
+    with continuous targets (Suykens' least-squares formulation), so every
+    solver path (Pallas kernels, cg_explicit, sharding, checkpointing)
+    applies unchanged.  Unlike sklearn.svm.SVR there is NO epsilon tube
+    (squared loss on every residual): passing ``epsilon`` raises.
+
+    Model files use LIBSVM's ``epsilon_svr`` layout — the prediction
+    function is identical, so saved models predict identically under
+    LIBSVM's own svm-predict.
+    """
+
+    _PARAM_DEFAULTS = {
+        "C": 1.0,
+        "kernel": "rbf",
+        "degree": 3,
+        "gamma": "auto",
+        "coef0": 0.0,
+        "tol": 1e-3,
+        "verbose": False,
+        "max_iter": -1,
+    }
+
+    def __init__(self, **kwargs):
+        self._svm = CSVM(dtype=kwargs.pop("dtype", np.float64))
+        self._svm.set_params(kernel_type="rbf")  # sklearn SVR default
+        self._epsilon_tol: Optional[float] = None
+        self._max_iter: Optional[int] = None
+        self._data: Optional[DataSet] = None
+        self._model: Optional[Model] = None
+        self._gamma_scale = False
+        self._user_params: dict = {}
+        self._parse_params(kwargs)
+
+    def _parse_params(self, kwargs: dict) -> None:
+        for key in kwargs:
+            if key not in _SVR_KNOWN:
+                raise AttributeError(
+                    f"Invalid parameter '{key}' for the 'SVR' constructor!"
+                )
+        for key in _SVR_UNSUPPORTED:
+            if key in kwargs:
+                raise AttributeError(
+                    f"The '{key}' parameter for a call to the 'SVR' "
+                    "constructor is not implemented yet!"
+                )
+        self._user_params.update(kwargs)
+        if "C" in kwargs:
+            self._svm.set_params(cost=float(kwargs["C"]))
+        if "kernel" in kwargs:
+            self._svm.set_params(kernel_type=kwargs["kernel"])
+        if "degree" in kwargs:
+            self._svm.set_params(degree=int(kwargs["degree"]))
+        if "gamma" in kwargs:
+            gamma = kwargs["gamma"]
+            if gamma == "auto":
+                self._gamma_scale = False
+            elif gamma == "scale":
+                self._gamma_scale = True
+            else:
+                self._gamma_scale = False
+                self._svm.set_params(gamma=float(gamma))
+        if "coef0" in kwargs:
+            self._svm.set_params(coef0=float(kwargs["coef0"]))
+        if "tol" in kwargs:
+            self._epsilon_tol = float(kwargs["tol"])
+        if "verbose" in kwargs:
+            set_verbosity(
+                VerbosityLevel.FULL if kwargs["verbose"] else VerbosityLevel.QUIET
+            )
+        if "max_iter" in kwargs:
+            mi = int(kwargs["max_iter"])
+            self._max_iter = None if mi == -1 else mi
+
+    def __sklearn_tags__(self):
+        from sklearn.base import BaseEstimator, RegressorMixin
+
+        class _TagDonor(RegressorMixin, BaseEstimator):
+            pass
+
+        return _TagDonor().__sklearn_tags__()
+
+    def get_params(self, deep: bool = True) -> dict:
+        out = dict(self._PARAM_DEFAULTS)
+        out.update(self._user_params)
+        return out
+
+    def set_params(self, **kwargs) -> "SVR":
+        self._parse_params(kwargs)
+        return self
+
+    def fit(self, X, y, sample_weight=None) -> "SVR":
+        if sample_weight is not None:
+            raise AttributeError(
+                "The 'sample_weight' parameter for a call to 'fit' is not "
+                "implemented yet!"
+            )
+        X = np.asarray(X, dtype=np.float64)
+        self._data = DataSet(
+            X, np.asarray(y, dtype=np.float64), regression=True
+        )
+        if self._gamma_scale:
+            var = float(X.var())
+            self._svm.set_params(
+                gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
+            )
+        kwargs = {}
+        if self._epsilon_tol is not None:
+            kwargs["epsilon"] = self._epsilon_tol
+        if self._max_iter is not None:
+            kwargs["max_iter"] = self._max_iter
+        self._model = self._svm.fit(self._data, **kwargs)
+        return self
+
+    def _check_fitted(self):
+        if self._model is None:
+            raise AttributeError(
+                "This SVR instance is not fitted yet. Call 'fit' with "
+                "appropriate arguments before using this estimator."
+            )
+
+    def predict(self, X) -> np.ndarray:
+        self._check_fitted()
+        return self._svm.predict(self._model, DataSet(np.asarray(X)))
+
+    def score(self, X, y, sample_weight=None) -> float:
+        """Coefficient of determination R^2 (the sklearn convention)."""
+        if sample_weight is not None:
+            raise AttributeError(
+                "The 'sample_weight' parameter for a call to 'fit' is not "
+                "implemented yet!"
+            )
+        self._check_fitted()
+        return self._svm.score(
+            self._model,
+            DataSet(
+                np.asarray(X), np.asarray(y, dtype=np.float64),
+                regression=True,
+            ),
+        )
+
+    # -- fitted attributes --------------------------------------------------
+    @property
+    def n_features_in_(self) -> int:
+        self._check_fitted()
+        return self._data.num_features
+
+    @property
+    def support_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.arange(self._model.num_support_vectors, dtype=np.int32)
+
+    @property
+    def support_vectors_(self) -> np.ndarray:
+        self._check_fitted()
+        return self._model.support_vectors
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.asarray(self._model.alpha)[None, :]
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        self._check_fitted()
+        return -np.atleast_1d(np.asarray(self._model.rho, dtype=np.float64))
+
+    @property
+    def coef_(self) -> np.ndarray:
+        self._check_fitted()
+        from .parameter import KernelFunctionType
+
+        if self._model.params.kernel_type.value != KernelFunctionType.LINEAR:
+            raise AttributeError(
+                "coef_ is only available when using a linear kernel"
+            )
+        sv = np.asarray(self._model.support_vectors)
+        return (sv.T @ np.asarray(self._model.alpha))[None, :]
+
+    @property
+    def n_iter_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.asarray([self._model.n_iter or 0], dtype=np.int32)
