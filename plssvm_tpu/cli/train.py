@@ -251,18 +251,12 @@ def main(argv=None) -> int:
             fit_kwargs["checkpoint_path"] = args.checkpoint
             fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
         if args.multihost:
-            if args.svm_type != "c_svc":
-                print(
-                    "--svm_type epsilon_svr is not supported together with "
-                    "--multihost yet!",
-                    file=sys.stderr,
-                )
-                return 1
             svm = CSVM(devices="all", **svm_kwargs)
 
             def run_fit():
                 return svm.fit_multihost(
                     args.input, label_type=resolve_label_type(args),
+                    regression=args.svm_type in ("epsilon_svr", "svr"),
                     **fit_kwargs,
                 )
         else:

@@ -687,6 +687,7 @@ class CSVM:
         checkpoint_path: Optional[str] = None,
         checkpoint_interval: int = 1000,
         classification: Union[str, ClassificationType] = ClassificationType.OAA,
+        regression: bool = False,
     ) -> Model:
         """Multi-host fit from a LIBSVM file on shared storage.
 
@@ -724,7 +725,7 @@ class CSVM:
         return _fit_multihost(
             self, filename, epsilon=epsilon, max_iter=max_iter,
             label_type=label_type, checkpoint_path=checkpoint_path,
-            checkpoint_interval=checkpoint_interval,
+            checkpoint_interval=checkpoint_interval, regression=regression,
         )
 
     def _device_ctx(self):

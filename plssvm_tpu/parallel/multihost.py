@@ -309,6 +309,7 @@ def fit_multihost(
     label_type=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 1000,
+    regression: bool = False,
 ):
     """End-to-end multi-host LS-SVM fit from a LIBSVM file on shared storage.
 
@@ -360,16 +361,26 @@ def fit_multihost(
         raise InvalidParameterError(
             "No labels given for training! Maybe the data is only usable for prediction?"
         )
-    labels = _infer_label_array(list(raw_labels), label_type)
-    mapper = LabelMapper(labels)
-    multiclass = mapper.num_mappings > 2
-    n_classes = mapper.num_mappings
-    if multiclass:
-        # one-vs-all target columns; the C systems share the implicit
-        # matrix and solve together as block CG (solver/cg.py)
-        y_all = mapper.oaa_targets(labels, dtype=dtype)  # (n, C)
+    if regression:
+        # LS-SVR (EXTENSION): continuous targets, no label mapping — the
+        # binary solve path consumes them verbatim
+        labels = np.asarray(
+            _infer_label_array(list(raw_labels), float), dtype=np.float64
+        )
+        multiclass = False
+        n_classes = 0
+        y_all = labels.astype(dtype)
     else:
-        y_all = mapper.map_labels(labels, dtype=dtype)
+        labels = _infer_label_array(list(raw_labels), label_type)
+        mapper = LabelMapper(labels)
+        multiclass = mapper.num_mappings > 2
+        n_classes = mapper.num_mappings
+        if multiclass:
+            # one-vs-all target columns; the C systems share the implicit
+            # matrix and solve together as block CG (solver/cg.py)
+            y_all = mapper.oaa_targets(labels, dtype=dtype)  # (n, C)
+        else:
+            y_all = mapper.map_labels(labels, dtype=dtype)
 
     if max_iter is None:
         max_iter = n_total
@@ -549,11 +560,14 @@ def fit_multihost(
         X_full = np.empty((n_total, d), dtype=dtype)
         X_full[:dept] = X_local[:dept, :d]
         X_full[dept] = x_last_row
-        data = DataSet(X_full, labels)
+        data = DataSet(X_full, labels, regression=regression)
     elif X_all is not None:
-        data = DataSet(X_all, labels)
+        data = DataSet(X_all, labels, regression=regression)
     else:
-        data = DataSet(filename, label_type=label_type, dtype=dtype)
+        data = DataSet(
+            filename, label_type=float if regression else label_type,
+            dtype=dtype, regression=regression,
+        )
     model = Model(params, data, alpha=alpha, rho=rho)
     model.n_iter = iterations
     return model

@@ -198,6 +198,43 @@ class TestRealLibsvmSVRInterop:
         np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
 
 
+def test_multihost_regression_matches_regular_fit(tmp_path):
+    """fit_multihost(regression=True) equals the plain LS-SVR fit at
+    process_count()==1 over the 8-device mesh."""
+    import jax
+
+    devs = jax.devices("cpu")[:8]
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X, y = _regression_data(n=140, d=4, seed=10)
+    ds = DataSet(X, y, regression=True)
+    f = str(tmp_path / "mh_svr.libsvm")
+    ds.save(f)
+
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    svm = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.5,
+        cost=50.0, devices=devs,
+    )
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs)
+    try:
+        model = svm.fit_multihost(f, epsilon=1e-9, regression=True)
+    finally:
+        mh.global_row_mesh = orig
+    assert model.is_regression
+    ref = CSVM(
+        backend="xla", target="cpu", dtype=np.float64, kernel_type="rbf",
+        gamma=0.5, cost=50.0,
+    ).fit(DataSet(f, regression=True, label_type=float), epsilon=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(model.alpha), np.asarray(ref.alpha), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(model.rho, ref.rho, rtol=1e-6)
+
+
 class TestSVRCli:
     def test_train_predict_cli(self, tmp_path):
         X, y = _regression_data(n=60, d=3, seed=9)
