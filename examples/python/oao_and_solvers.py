@@ -67,6 +67,16 @@ def main():
         print(f"{solver}: laplacian fit, {model.n_iter} CG iterations, "
               f"accuracy {svm.score(model):.3f}")
 
+    # ---- least-squares regression (LS-SVR) --------------------------------
+    rng = np.random.default_rng(1)
+    Xr = rng.normal(size=(150, 4))
+    yr = np.sin(Xr[:, 0]) + 0.5 * Xr[:, 1] + 0.05 * rng.normal(size=150)
+    reg = p.SVR(kernel="rbf", gamma=0.5, C=100.0, tol=1e-8)
+    reg.fit(Xr, yr)
+    print(f"LS-SVR: R^2 = {reg.score(Xr, yr):.4f} "
+          f"({reg.n_iter_[0]} CG iterations; model files use LIBSVM's "
+          "epsilon_svr layout)")
+
 
 if __name__ == "__main__":
     main()

@@ -272,6 +272,13 @@ def main(argv=None) -> int:
             def run_fit():
                 return svm.fit(data, **fit_kwargs)
 
+        if args.probability and args.svm_type != "c_svc":
+            print(
+                "--probability is not supported for regression training "
+                "(-s epsilon_svr) — Platt scaling calibrates classifiers!",
+                file=sys.stderr,
+            )
+            return 1
         if args.probability and args.multihost:
             print(
                 "--probability is not supported together with --multihost "

@@ -1798,7 +1798,10 @@ class CSVM:
             )
             ss_res = float(np.sum((targets - values) ** 2))
             ss_tot = float(np.sum((targets - targets.mean()) ** 2))
-            return 1.0 - ss_res / (ss_tot if ss_tot > 0.0 else 1.0)
+            if ss_tot == 0.0:
+                # sklearn's r2_score convention for constant targets
+                return 1.0 if ss_res == 0.0 else 0.0
+            return 1.0 - ss_res / ss_tot
         predicted = self.predict(model, data)
         correct = int(np.sum(predicted == np.asarray(data.labels)))
         return correct / len(predicted)

@@ -217,19 +217,21 @@ def parse_model_header(
         raise InvalidFileFormatError("Missing rho value!")
     if regression:
         # LIBSVM SVR headers carry neither label nor nr_sv (and write a
-        # vestigial "nr_class 2"); a single rho value is required
+        # vestigial "nr_class 2"); a single rho value is required.  libsvm's
+        # -b 1 SVR models write a LONE probA line (the Laplace noise scale;
+        # 'regression has probA only' in svm.cpp) — accept it without probB
         if rho.size != 1:
             raise InvalidFileFormatError(
                 f"Expected 1 rho value for a regression model, but "
                 f"{rho.size} were given!"
             )
         prob: Optional[tuple] = None
-        if (prob_a is None) != (prob_b is None):
-            raise InvalidFileFormatError(
-                "probA and probB must both be given (or neither)!"
-            )
         if prob_a is not None:
             prob = (prob_a, prob_b)
+        elif prob_b is not None:
+            raise InvalidFileFormatError(
+                "probB without probA is not a valid model header!"
+            )
         if not found_sv or header_line + 1 >= len(lines):
             raise InvalidFileFormatError(
                 "Can't parse file: no support vectors are given or SV is missing!"
@@ -316,6 +318,20 @@ def _to_int(value: str, name: str) -> int:
         raise InvalidFileFormatError(
             f"Can't convert '{value}' to a value of type int ({name})!"
         ) from None
+
+
+def _header_total_sv(lines) -> Optional[int]:
+    """The total_sv header value (for the regression SV-count check)."""
+    for raw in lines:
+        low = raw.strip().lower()
+        if low.startswith("total_sv"):
+            try:
+                return int(low.split(None, 1)[1])
+            except (IndexError, ValueError):
+                return None
+        if low == "sv":
+            break
+    return None
 
 
 def _count_leading_coeffs(line: str) -> int:
@@ -442,10 +458,14 @@ def parse_model_file(
             native = parse_model_svs_native(filename, sv_offset, n_lead, dtype)
             if native is not None:
                 coeffs, data = native
-                if labels is not None and len(labels) != data.shape[0]:
+                expected = (
+                    len(labels) if labels is not None
+                    else _header_total_sv(header_lines)
+                )
+                if expected is not None and expected != data.shape[0]:
                     raise InvalidFileFormatError(
                         f"Found {data.shape[0]} support vectors, but expected "
-                        f"{len(labels)}!"
+                        f"{expected}!"
                     )
                 alpha = coeffs[:, 0] if n_lead == 1 else coeffs
                 return params, rho, data, alpha, labels, prob
@@ -488,9 +508,12 @@ def parse_model_file(
         data, _ = libsvm.parse_libsvm_lines(feature_lines, dtype=dtype)
         alpha = np.asarray(alpha_rows, dtype=dtype)
 
-    if labels is not None and len(labels) != data.shape[0]:
+    expected = (
+        len(labels) if labels is not None else _header_total_sv(lines)
+    )
+    if expected is not None and expected != data.shape[0]:
         raise InvalidFileFormatError(
-            f"Found {data.shape[0]} support vectors, but expected {len(labels)}!"
+            f"Found {data.shape[0]} support vectors, but expected {expected}!"
         )
     return params, rho, data, alpha, labels, prob
 
@@ -553,13 +576,16 @@ def write_model_file(
         header.append(f"total_sv {len(labels)}")
         header.append(f"nr_sv {' '.join(str(c) for c in counts)}")
         header.append(f"rho {' '.join(_fmt_g(r) for r in rho_vals)}")
-    if prob_a is not None and prob_b is not None:
+    if prob_a is not None:
         header.append(
             f"probA {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_a))}"
         )
-        header.append(
-            f"probB {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_b))}"
-        )
+        # classification sigmoids always pair probB; libsvm SVR models
+        # carry probA (the Laplace noise scale) alone
+        if prob_b is not None:
+            header.append(
+                f"probB {' '.join(_fmt_g(v) for v in np.atleast_1d(prob_b))}"
+            )
     header.append("SV")
 
     sv = np.asarray(support_vectors)

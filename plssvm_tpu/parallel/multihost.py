@@ -462,7 +462,6 @@ def fit_multihost(
 
     from .sharded import (
         build_sharded_explicit_solver,
-        build_sharded_kernel_matrix_fn,
         build_sharded_multi_solver,
     )
 
@@ -483,9 +482,11 @@ def fit_multihost(
     # matmuls + an all_gather of the m-length direction)
     use_explicit = csvm._use_explicit_solver(dept, d, kind, n_dev)
     if use_explicit:
-        K = build_sharded_kernel_matrix_fn(
-            mesh, kind=kind, degree=degree, precision=csvm.gram_precision,
-        )(sharded[0], gamma_v, coef0_v)
+        # the CSVM helper adds build timing, the tracking entry, and (when
+        # a DataSet is available — not here) memoization
+        K = csvm._build_explicit_k_sharded(
+            mesh, None, sharded[0], gamma_v, coef0_v, kind, degree
+        )
         sharded = (K,) + tuple(sharded)
         add_tracking_entry("cg", "solver", "cg_explicit")
         build = _functools.partial(

@@ -25,7 +25,7 @@ import numpy as np
 from .csvm import CSVM
 from .data_set import DataSet
 from .model import Model
-from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
+from .utils.logger import VerbosityLevel, set_verbosity
 
 #: sklearn.svm.SVC constructor parameters the reference accepts but does not
 #: implement — passing one raises AttributeError (sklearn.cpp:74-110).

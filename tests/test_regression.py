@@ -117,6 +117,52 @@ class TestLSSVR:
             rtol=1e-8, atol=1e-9,
         )
 
+    def test_proba_only_svr_file_loads(self, tmp_path):
+        """libsvm -b 1 SVR models carry a LONE probA line (the Laplace
+        noise scale, 'regression has probA only' in svm.cpp) — it must
+        load, round-trip, and not require probB."""
+        path = str(tmp_path / "svr_prob.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type epsilon_svr\nkernel_type linear\nnr_class 2\n"
+                "total_sv 2\nrho 0.5\nprobA 0.25\nSV\n"
+                "1.0 1:1.0\n-1.0 1:2.0\n"
+            )
+        model = Model.load(path)
+        assert model.is_regression
+        np.testing.assert_allclose(model.prob_a, [0.25])
+        assert model.prob_b is None
+        path2 = str(tmp_path / "svr_prob2.model")
+        model.save(path2)
+        content = open(path2).read()
+        assert "probA 0.25" in content and "probB" not in content
+
+    def test_truncated_svr_file_rejected(self, tmp_path):
+        """total_sv must match the parsed SV row count for regression files
+        too (a truncated copy must not load silently)."""
+        path = str(tmp_path / "svr_trunc.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type epsilon_svr\nkernel_type linear\nnr_class 2\n"
+                "total_sv 5\nrho 0.5\nSV\n"
+                "1.0 1:1.0\n-1.0 1:2.0\n"
+            )
+        with pytest.raises(InvalidFileFormatError, match="expected 5"):
+            Model.load(path)
+
+    def test_constant_target_r2_convention(self):
+        """sklearn's r2_score convention: constant targets give 0.0 unless
+        the predictions are exact (then 1.0)."""
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(40, 3))
+        y = np.full(40, 2.5)
+        ds = DataSet(X, y, regression=True)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   gamma=0.5, cost=0.01)  # strong ridge -> imperfect fit
+        model = svm.fit(ds, epsilon=1e-10)
+        score = svm.score(model)
+        assert score in (0.0, 1.0)
+
     def test_svr_rho_count_validated(self, tmp_path):
         path = str(tmp_path / "bad_svr.model")
         with open(path, "w") as fh:
