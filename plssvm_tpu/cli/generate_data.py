@@ -31,6 +31,15 @@ def make_blobs_numpy(n: int, d: int, seed: int = 0, classes: int = 2):
     return X[perm], y[perm]
 
 
+def make_regression_numpy(n: int, d: int, seed: int = 0, noise: float = 0.1):
+    """Linear regression targets, the sklearn-free fallback."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=d)
+    y = X @ w + noise * rng.normal(size=n)
+    return X, y
+
+
 def generate(
     n: int, d: int, *, problem: str = "blobs", seed: int = 0, classes: int = 2
 ):
@@ -42,6 +51,11 @@ def generate(
     try:
         from sklearn import datasets  # type: ignore
 
+        if problem == "regression":
+            X, y = datasets.make_regression(
+                n_samples=n, n_features=d, noise=5.0, random_state=seed
+            )
+            return X, y
         if problem == "blobs":
             X, y = datasets.make_blobs(
                 n_samples=n, n_features=d, centers=classes, random_state=seed
@@ -67,6 +81,8 @@ def generate(
             y = np.where(y == 0, -1, 1)
         return X, y
     except ImportError:
+        if problem == "regression":
+            return make_regression_numpy(n, d, seed)
         return make_blobs_numpy(n, d, seed, classes)
 
 
@@ -79,7 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--format", "-f", default="libsvm",
                         choices=["libsvm", "arff"], help="output format")
     parser.add_argument("--problem", default="blobs",
-                        choices=["blobs", "planes", "gaussian"])
+                        choices=["blobs", "planes", "gaussian", "regression"],
+                        help="'regression' emits continuous targets for "
+                             "LS-SVR training (plssvm-train -s epsilon_svr)")
     parser.add_argument("--samples", "-n", type=int, required=True)
     parser.add_argument("--classes", "-c", type=int, default=2,
                         help="number of classes (> 2 uses the one-vs-all "
@@ -93,7 +111,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     X, y = generate(args.samples, args.features, problem=args.problem,
                     seed=args.seed, classes=args.classes)
-    ds = DataSet(X, y)
+    ds = DataSet(X, y, regression=(args.problem == "regression"))
     ds.save(args.output, file_format=args.format)
     return 0
 
