@@ -75,10 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--probability", action="store_true",
-        help="train a probability model: Platt-sigmoid calibration on "
-             "stratified-5-fold CV decision values is fitted after training "
-             "and stored as the LIBSVM probA/probB model-file header lines "
-             "(like svm-train -b 1; -b is taken by --backend here)",
+        help="train a probability model (like svm-train -b 1; -b is taken "
+             "by --backend here): Platt-sigmoid calibration on "
+             "stratified-5-fold CV decision values (classification, "
+             "probA/probB header lines) or the Laplace noise scale of the "
+             "CV residuals (regression, a lone probA line)",
     )
     parser.add_argument("--solver", default="automatic",
                         choices=["automatic", "cg_explicit", "cg_implicit"],
@@ -272,13 +273,6 @@ def main(argv=None) -> int:
             def run_fit():
                 return svm.fit(data, **fit_kwargs)
 
-        if args.probability and args.svm_type != "c_svc":
-            print(
-                "--probability is not supported for regression training "
-                "(-s epsilon_svr) — Platt scaling calibrates classifiers!",
-                file=sys.stderr,
-            )
-            return 1
         if args.probability and args.multihost:
             print(
                 "--probability is not supported together with --multihost "

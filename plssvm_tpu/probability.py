@@ -197,6 +197,15 @@ def calibrate_model(
     """
     from .parameter import ClassificationType
 
+    if getattr(model, "is_regression", False):
+        # LIBSVM's -b 1 for regression: the Laplace noise scale, stored as
+        # the lone probA header value (svm_svr_probability)
+        calibrate_svr_noise(
+            csvm, model, data,
+            n_folds=n_folds, random_state=random_state,
+            epsilon=epsilon, max_iter=max_iter,
+        )
+        return model.prob_a, model.prob_b
     if (
         model.classification == ClassificationType.OAO
         and np.ndim(model.alpha) == 2
@@ -313,6 +322,64 @@ def _calibrate_model_oao(
     model.prob_a = prob_a
     model.prob_b = prob_b
     return prob_a, prob_b
+
+
+def calibrate_svr_noise(
+    csvm,
+    model,
+    data,
+    *,
+    n_folds: int = 5,
+    random_state: Optional[int] = None,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+) -> float:
+    """LIBSVM's ``svr_probability``: the Laplace noise scale of a regression
+    model from cross-validated residuals.
+
+    Implements svm.cpp's ``svm_svr_probability``: 5-fold CV predictions,
+    ``mae = mean |y - f(x)|`` with outliers beyond ``5 * std`` of the
+    residual distribution removed and the count-corrected rescaling.  The
+    value is stored on ``model.prob_a`` (one entry) — exactly where libsvm
+    writes it in ``-b 1`` epsilon_svr model files — so it round-trips
+    through the probA header line.  Test-point targets are then modeled as
+    ``y ~ f(x) + Laplace(scale=sigma)``.
+    """
+    from .data_set import DataSet
+
+    X = np.asarray(data.data)
+    targets = np.asarray(data.labels, dtype=np.float64)
+    n = len(targets)
+    n_folds = max(2, min(n_folds, n))
+    rng = np.random.default_rng(0 if random_state is None else random_state)
+    fold_of = rng.permuted(np.arange(n) % n_folds)
+
+    predicted = np.zeros(n, dtype=np.float64)
+    for k in range(n_folds):
+        train_idx = np.flatnonzero(fold_of != k)
+        test_idx = np.flatnonzero(fold_of == k)
+        if len(test_idx) == 0 or len(train_idx) < 2:
+            continue
+        fold_data = DataSet(X[train_idx], targets[train_idx], regression=True)
+        kwargs = {} if max_iter is None else {"max_iter": max_iter}
+        fold_model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        predicted[test_idx] = csvm.predict_values(
+            fold_model, DataSet(X[test_idx])
+        )
+
+    residuals = targets - predicted
+    # libsvm: drop residuals beyond 5 sigma, rescale the mean by the
+    # retained fraction (svm.cpp svm_svr_probability)
+    mae = float(np.mean(np.abs(residuals)))
+    std = float(np.sqrt(2.0)) * mae  # Laplace: std = sqrt(2) * scale
+    keep = np.abs(residuals) <= 5.0 * std
+    count = int(np.sum(keep))
+    if 0 < count < n:
+        mae = float(np.sum(np.abs(residuals[keep]))) / count
+    sigma = mae
+    model.prob_a = np.asarray([sigma], dtype=np.float64)
+    model.prob_b = None
+    return sigma
 
 
 def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:

@@ -244,6 +244,35 @@ class TestRealLibsvmSVRInterop:
         np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
 
 
+def test_svr_laplace_noise_calibration(tmp_path):
+    """LIBSVM's svr_probability: the CV-residual Laplace scale, stored as
+    the lone probA header value and round-tripping the model file."""
+    from plssvm_tpu.probability import calibrate_model, calibrate_svr_noise
+
+    X, y = _regression_data(n=80, d=4, seed=12, noise=0.1)
+    ds = DataSet(X, y, regression=True)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+               gamma=0.5, cost=100.0)
+    model = svm.fit(ds, epsilon=1e-8)
+    sigma = calibrate_svr_noise(svm, model, ds, random_state=0)
+    # the Laplace scale of ~N(0, 0.1) noise is around 0.08 (mean |residual|)
+    assert 0.02 < sigma < 0.5
+    np.testing.assert_allclose(model.prob_a, [sigma])
+    assert model.prob_b is None
+
+    path = str(tmp_path / "svr_noise.model")
+    model.save(path)
+    assert "probA" in open(path).read()
+    loaded = Model.load(path)
+    np.testing.assert_allclose(loaded.prob_a, [sigma], rtol=1e-12)
+
+    # the generic calibrate_model entry point dispatches to the SVR path
+    model2 = svm.fit(DataSet(X, y, regression=True), epsilon=1e-8)
+    calibrate_model(svm, model2, DataSet(X, y, regression=True),
+                    random_state=0)
+    np.testing.assert_allclose(model2.prob_a, [sigma], rtol=1e-9)
+
+
 def test_multihost_regression_matches_regular_fit(tmp_path):
     """fit_multihost(regression=True) equals the plain LS-SVR fit at
     process_count()==1 over the 8-device mesh."""
