@@ -20,6 +20,12 @@ def _parse_scalar(text: str) -> Any:
     t = text.strip()
     if t.startswith('"') and t.endswith('"'):
         return t[1:-1]
+    if t.startswith("[") and t.endswith("]"):
+        # flow-style lists (e.g. cg.iterations_per_machine: [3, 4, 5])
+        inner = t[1:-1].strip()
+        return (
+            [_parse_scalar(tok) for tok in inner.split(",")] if inner else []
+        )
     for cast in (int, float):
         try:
             return cast(t)
