@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 from ..csvm import CSVM
 from ..data_set import DataSet
 from ..exceptions import PLSSVMError
@@ -104,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
+    parser.add_argument(
+        "--weight", metavar="LABEL=W", action="append", default=None,
+        help="per-class regularization weight (repeatable; LIBSVM's -wi): "
+             "class LABEL's diagonal regularizer becomes 1/(C*W) — Suykens' "
+             "weighted LS-SVM for class imbalance",
+    )
     parser.add_argument("--warm_start", metavar="MODEL_FILE", default=None,
                         help="warm-start CG from an existing model file's "
                         "alpha (same data set; binary/one-vs-all only) — "
@@ -234,6 +242,25 @@ def main(argv=None) -> int:
             epsilon=args.epsilon, max_iter=args.max_iter,
             classification=args.classification,
         )
+        per_class_weights = None
+        if args.weight:
+            if args.multihost or args.svm_type != "c_svc":
+                print(
+                    "--weight is only supported for single-host "
+                    "classification training!",
+                    file=sys.stderr,
+                )
+                return 1
+            per_class_weights = {}
+            for spec in args.weight:
+                if "=" not in spec:
+                    print(
+                        f"--weight expects LABEL=W, got '{spec}'!",
+                        file=sys.stderr,
+                    )
+                    return 1
+                lab, w = spec.split("=", 1)
+                per_class_weights[lab.strip()] = float(w)
         if args.warm_start is not None:
             if args.multihost:
                 print(
@@ -269,6 +296,15 @@ def main(argv=None) -> int:
                 regression=regression,
             )
             svm = CSVM(**svm_kwargs)
+            if per_class_weights is not None:
+                labels_arr = np.asarray(data.labels)
+                fit_kwargs["sample_weight"] = np.asarray(
+                    [
+                        per_class_weights.get(str(lab), 1.0)
+                        for lab in labels_arr
+                    ],
+                    dtype=np.float64,
+                )
 
             def run_fit():
                 return svm.fit(data, **fit_kwargs)

@@ -280,6 +280,7 @@ class CSVM:
         checkpoint_interval: int = 1000,
         classification: Union[str, ClassificationType] = ClassificationType.OAA,
         initial_model: Optional[Model] = None,
+        sample_weight=None,
     ) -> Model:
         """Solve the LS-SVM dual with CG and return the model.
 
@@ -309,6 +310,13 @@ class CSVM:
         does require the model's alpha rows to align with ``data``'s row
         order — note that model FILES store support vectors class-grouped,
         not in original training order.
+
+        ``sample_weight`` (EXTENSION — Suykens' weighted LS-SVM) scales each
+        point's regularizer to ``1/(C * s_i)``: larger weights mean smaller
+        slack penalties are tolerated less (the point is fitted more
+        tightly), the standard recipe for class imbalance (LIBSVM's -wi) and
+        robust fits.  Single-device fits only; not combinable with
+        CG-state checkpointing.
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
@@ -347,6 +355,28 @@ class CSVM:
         n_classes = data.num_different_labels
         multiclass = n_classes > 2
         classification = ClassificationType.from_string(classification)
+        if sample_weight is not None:
+            sample_weight = np.asarray(sample_weight, dtype=np.float64)
+            if sample_weight.shape != (data.num_data_points,):
+                raise InvalidParameterError(
+                    f"sample_weight must have one entry per data point "
+                    f"({data.num_data_points}), but has shape "
+                    f"{sample_weight.shape}!"
+                )
+            if not np.all(sample_weight > 0.0):
+                raise InvalidParameterError(
+                    "sample_weight entries must all be positive!"
+                )
+            if checkpoint_path is not None:
+                raise InvalidParameterError(
+                    "sample_weight cannot be combined with CG-state "
+                    "checkpointing yet!"
+                )
+            if self.devices is not None:
+                raise InvalidParameterError(
+                    "sample_weight fits are single-device — use "
+                    "devices=None!"
+                )
         if initial_model is not None:
             if checkpoint_path is not None:
                 raise InvalidParameterError(
@@ -383,6 +413,7 @@ class CSVM:
                 data, epsilon=epsilon, max_iter=max_iter,
                 checkpoint_path=checkpoint_path,
                 checkpoint_interval=checkpoint_interval,
+                sample_weight=sample_weight,
             )
 
         X = np.asarray(data.data, dtype=self.dtype)
@@ -475,6 +506,13 @@ class CSVM:
             "transform", "time", (time.perf_counter() - transform_start) * 1000.0
         )
 
+        weights_pad = None
+        weight_last = None
+        if sample_weight is not None:
+            weights_pad = np.ones((m_pad,), dtype=self.dtype)
+            weights_pad[:dept] = sample_weight[:dept]
+            weight_last = float(sample_weight[-1])
+
         x_init = None
         if initial_model is not None:
             if n_dev > 1:
@@ -492,7 +530,7 @@ class CSVM:
             result = self._run_solve(
                 Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
                 kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
-                use_explicit, data, x_init,
+                use_explicit, data, x_init, weights_pad, weight_last,
             )
         x_sol = np.asarray(jax.device_get(result.x))[:dept]
         if multiclass:
@@ -601,6 +639,7 @@ class CSVM:
         max_iter: Optional[int],
         checkpoint_path: Optional[str],
         checkpoint_interval: int,
+        sample_weight=None,
     ) -> Model:
         """One-vs-one multiclass fit: C(C-1)/2 pairwise LS-SVM machines.
 
@@ -650,6 +689,9 @@ class CSVM:
                 sub, epsilon=epsilon, max_iter=max_iter,
                 checkpoint_path=ckpt,
                 checkpoint_interval=checkpoint_interval,
+                sample_weight=(
+                    None if sample_weight is None else sample_weight[rows]
+                ),
             )
             oao.scatter_pair_alphas(
                 sv_coef, rows, is_first,
@@ -897,7 +939,8 @@ class CSVM:
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
-        use_explicit=False, data=None, x_init=None,
+        use_explicit=False, data=None, x_init=None, weights=None,
+        weight_last=None,
     ):
         gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
         coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
@@ -910,7 +953,7 @@ class CSVM:
                 Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
                 max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
                 checkpoint_interval, epsilon, max_iter, use_explicit, data,
-                x_init,
+                x_init, weights, weight_last,
             )
 
         if use_explicit and n_dev > 1:
@@ -966,6 +1009,11 @@ class CSVM:
             if checkpoint_path is None:
                 if x_init is not None:
                     solve_kwargs["x_init"] = jnp.asarray(x_init)
+                if weights is not None:
+                    solve_kwargs["weights"] = jnp.asarray(weights)
+                    solve_kwargs["weight_last"] = jnp.asarray(
+                        weight_last, dtype=self.dtype
+                    )
                 return solve_ls_svm_explicit(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1025,6 +1073,11 @@ class CSVM:
             if checkpoint_path is None:
                 if x_init is not None:
                     solve_kwargs["x_init"] = jnp.asarray(x_init)
+                if weights is not None:
+                    solve_kwargs["weights"] = jnp.asarray(weights)
+                    solve_kwargs["weight_last"] = jnp.asarray(
+                        weight_last, dtype=self.dtype
+                    )
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
             else:
                 result = self._fit_with_checkpointing(
@@ -1037,7 +1090,7 @@ class CSVM:
         self, Xp, x_last, yp, y, mask, gamma_v, coef0_v, cost_v, eps_v,
         max_iter_v, kind, degree, n_dev, m_pad, checkpoint_path,
         checkpoint_interval, epsilon, max_iter, use_explicit=False, data=None,
-        x_init=None,
+        x_init=None, weights=None, weight_last=None,
     ):
         """One-vs-all block-CG solve (C classes, shared Gram per iteration).
 
@@ -1099,6 +1152,11 @@ class CSVM:
             if checkpoint_path is None:
                 if x_init is not None:
                     solve_kwargs["x_init"] = jnp.asarray(x_init)
+                if weights is not None:
+                    solve_kwargs["weights"] = jnp.asarray(weights)
+                    solve_kwargs["weight_last"] = jnp.asarray(
+                        weight_last, dtype=self.dtype
+                    )
                 return solve_ls_svm_explicit_multi(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1156,6 +1214,11 @@ class CSVM:
         if checkpoint_path is None:
             if x_init is not None:
                 solve_kwargs["x_init"] = jnp.asarray(x_init)
+            if weights is not None:
+                solve_kwargs["weights"] = jnp.asarray(weights)
+                solve_kwargs["weight_last"] = jnp.asarray(
+                    weight_last, dtype=self.dtype
+                )
             return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
         return self._fit_with_checkpointing_multi(
             solve_args, solve_kwargs, Xp, yp, epsilon,

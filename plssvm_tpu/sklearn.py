@@ -35,14 +35,13 @@ from .utils.logger import VerbosityLevel, set_verbosity
 _UNSUPPORTED_PARAMS = (
     "shrinking",
     "cache_size",
-    "class_weight",
     "break_ties",
 )
 
 _KNOWN_PARAMS = (
     "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
     "probability", "random_state", "decision_function_shape",
-    "classification",
+    "classification", "class_weight",
 ) + _UNSUPPORTED_PARAMS
 
 
@@ -78,6 +77,9 @@ class SVC:
         #: decision_function output for OAO models: "ovr" (sklearn default,
         #: vote-based transform) or "ovo" (raw pair columns)
         self._decision_function_shape = "ovr"
+        #: per-class regularization multipliers (Suykens' weighted LS-SVM;
+        #: LIBSVM's -wi): None, 'balanced', or {label: weight}
+        self._class_weight = None
         #: raw user-provided parameters, returned VERBATIM by get_params —
         #: sklearn's clone() contract compares them by identity
         self._user_params: dict = {}
@@ -147,6 +149,14 @@ class SVC:
                     f"got {shape!r}."
                 )
             self._decision_function_shape = shape
+        if "class_weight" in kwargs:
+            cw = kwargs["class_weight"]
+            if cw is not None and cw != "balanced" and not isinstance(cw, dict):
+                raise AttributeError(
+                    "class_weight must be None, 'balanced', or a dict "
+                    f"mapping labels to weights, got {cw!r}."
+                )
+            self._class_weight = cw
 
     def __sklearn_tags__(self):
         """Estimator tags for sklearn >= 1.6 model-selection machinery.
@@ -175,6 +185,7 @@ class SVC:
         "random_state": None,
         "decision_function_shape": "ovr",
         "classification": "oaa",
+        "class_weight": None,
     }
 
     def get_params(self, deep: bool = True) -> dict:
@@ -194,13 +205,40 @@ class SVC:
         return self
 
     # -- estimator API -----------------------------------------------------
-    def fit(self, X, y, sample_weight=None) -> "SVC":
-        """Fit the LS-SVM on (X, y) (sklearn.cpp:147-162)."""
-        if sample_weight is not None:
-            raise AttributeError(
-                "The 'sample_weight' parameter for a call to 'fit' is not "
-                "implemented yet!"
+    def _effective_sample_weight(self, y, sample_weight):
+        """Combined per-sample weights from class_weight and sample_weight.
+
+        sklearn semantics: effective_i = class_weight[y_i] * sample_weight_i;
+        'balanced' uses n / (C * count_c).  Returns None when neither is set.
+        """
+        y = np.asarray(y)
+        weights = None
+        if self._class_weight is not None:
+            classes, counts = np.unique(y.astype(str), return_counts=True)
+            if self._class_weight == "balanced":
+                per_class = {
+                    c: len(y) / (len(classes) * n) for c, n in
+                    zip(classes, counts)
+                }
+            else:
+                per_class = {
+                    str(k): float(v) for k, v in self._class_weight.items()
+                }
+            weights = np.asarray(
+                [per_class.get(str(lab), 1.0) for lab in y], dtype=np.float64
             )
+        if sample_weight is not None:
+            sw = np.asarray(sample_weight, dtype=np.float64)
+            weights = sw if weights is None else weights * sw
+        return weights
+
+    def fit(self, X, y, sample_weight=None) -> "SVC":
+        """Fit the LS-SVM on (X, y) (sklearn.cpp:147-162).
+
+        ``sample_weight`` and the ``class_weight`` constructor parameter are
+        IMPLEMENTED (Suykens' weighted LS-SVM — per-point regularizers
+        1/(C s_i); the reference raises for both).
+        """
         X = np.asarray(X)
         self._data = DataSet(X, np.asarray(y))
         if self._gamma_scale:
@@ -214,6 +252,9 @@ class SVC:
             kwargs["epsilon"] = self._epsilon
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
+        eff = self._effective_sample_weight(y, sample_weight)
+        if eff is not None:
+            kwargs["sample_weight"] = eff
         self._model = self._svm.fit(self._data, **kwargs)
         if self._probability:
             # Platt scaling on stratified-5-fold CV decision values — the
@@ -375,11 +416,27 @@ class SVC:
         self._check_fitted()
         return (self._data.num_data_points, self._data.num_features)
 
-    # unimplemented sklearn attributes, mirrored (sklearn.cpp:304-318,414+)
     @property
-    def class_weight_(self):
-        raise AttributeError(
-            "'SVC' object has no attribute 'class_weight_' (not implemented)"
+    def class_weight_(self) -> np.ndarray:
+        """Per-class regularization multipliers in classes_ order
+        (implemented; the reference raises)."""
+        self._check_fitted()
+        classes = self.classes_
+        if self._class_weight is None:
+            return np.ones(len(classes))
+        y = np.asarray(self._data.labels)
+        if self._class_weight == "balanced":
+            counts = np.asarray(
+                [int(np.sum(y == c)) for c in classes], dtype=np.float64
+            )
+            return len(y) / (len(classes) * counts)
+        return np.asarray(
+            [
+                float(dict(
+                    (str(k), v) for k, v in self._class_weight.items()
+                ).get(str(c), 1.0))
+                for c in classes
+            ]
         )
 
     @property
@@ -535,11 +592,8 @@ class SVR:
         return self
 
     def fit(self, X, y, sample_weight=None) -> "SVR":
-        if sample_weight is not None:
-            raise AttributeError(
-                "The 'sample_weight' parameter for a call to 'fit' is not "
-                "implemented yet!"
-            )
+        """``sample_weight`` is implemented: Suykens' weighted LS-SVM (the
+        standard robust-regression reweighting uses exactly this hook)."""
         X = np.asarray(X, dtype=np.float64)
         self._data = DataSet(
             X, np.asarray(y, dtype=np.float64), regression=True
@@ -554,6 +608,10 @@ class SVR:
             kwargs["epsilon"] = self._epsilon_tol
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
+        if sample_weight is not None:
+            kwargs["sample_weight"] = np.asarray(
+                sample_weight, dtype=np.float64
+            )
         self._model = self._svm.fit(self._data, **kwargs)
         return self
 

@@ -198,6 +198,9 @@ def cg_ls_svm_core(
     preconditioner: str = "none",  # "none" (exact reference semantics) | "jacobi"
     kernel_mv_exact: Callable = None,  # full-precision K @ v for the exact residual
     x_init=None,           # optional warm-start solution (replaces x0 = 1)
+    weights=None,          # optional (m_local,) per-sample weights s_i and
+    weight_last=None,      # the folded-out last row's weight — Suykens'
+                           # weighted LS-SVM: the regularizer is 1/(C s_i)
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -226,25 +229,34 @@ def cg_ls_svm_core(
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
+    # per-row diagonal regularizer: 1/C (reference) or 1/(C s_i) for
+    # Suykens-style weighted LS-SVM (sample/class weights — EXTENSION)
+    if weights is None:
+        civ = cost_inv
+        civ_last = cost_inv
+    else:
+        civ = (cost_inv / weights) * mask
+        civ_last = cost_inv / weight_last
     sq_norms = jnp.sum(X * X, axis=-1)
 
     # q[i] = k(x_i, x_last)  (reference: gpu_csvm.hpp:505, q_kernel.cu:16-49)
     q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
-    # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508)
+    # QA_cost = k(x_last, x_last) + 1/C  (gpu_csvm.hpp:508) — the 1/C term
+    # is the folded-out LAST row's regularizer, hence weight_last
     xl_sq = jnp.dot(x_last, x_last)
     qa = kernel_self_diag(xl_sq, kind, gamma, coef0, degree)
-    QA_cost = qa + cost_inv
+    QA_cost = qa + civ_last
 
     # rhs: b = y[:dept] - y_last  (gpu_csvm.hpp:511-513)
     b = (y - y_last) * mask
 
     def _matvec_with(kmv, v):
-        # A_hat @ v = K@v + (QA_cost - q)*sum(v) - (q.v)*1 + (1/C)*v; the
+        # A_hat @ v = K@v + (QA_cost - q)*sum(v) - (q.v)*1 + diag/C * v; the
         # rank-1 epilogue needs the GLOBAL sum(v) and q.v
         s = vsum(v)
         qv = dot(q, v)
         out = kmv(X, sq_norms, v, gamma, coef0)
-        out = out + (QA_cost - q) * s - qv + cost_inv * v
+        out = out + (QA_cost - q) * s - qv + civ * v
         return out * mask
 
     def matvec(v):
@@ -254,9 +266,9 @@ def cg_ls_svm_core(
         return _matvec_with(kernel_mv_exact or kernel_mv, v)
 
     if preconditioner == "jacobi":
-        # diag(A_hat) = k(x_i, x_i) + QA_cost - 2 q_i + 1/C
+        # diag(A_hat) = k(x_i, x_i) + QA_cost - 2 q_i + 1/(C s_i)
         k_diag = kernel_self_diag(sq_norms, kind, gamma, coef0, degree)
-        diag = k_diag + QA_cost - 2.0 * q + cost_inv
+        diag = k_diag + QA_cost - 2.0 * q + civ
         minv = mask / diag
 
         def precond(r):
@@ -384,6 +396,8 @@ def cg_ls_svm_multi_core(
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
     kernel_mm_exact: Callable = None,  # full-precision K @ V (see cg_ls_svm_core)
     x_init=None,           # optional (m, C) warm-start block (replaces x0 = 1)
+    weights=None,          # optional per-sample weights (see cg_ls_svm_core)
+    weight_last=None,
 ) -> MultiCGResult:
     """One-vs-all multiclass LS-SVM: C binary systems solved as ONE block CG.
 
@@ -405,6 +419,14 @@ def cg_ls_svm_multi_core(
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
+    if weights is None:
+        civ = cost_inv
+        civ_col = cost_inv
+        civ_last = cost_inv
+    else:
+        civ = (cost_inv / weights) * mask
+        civ_col = civ[:, None]
+        civ_last = cost_inv / weight_last
     sq_norms = jnp.sum(X * X, axis=-1)
     if colsum is None:
         def colsum(M):
@@ -413,7 +435,7 @@ def cg_ls_svm_multi_core(
     q = kernel_against_point(X, x_last, kind, gamma, coef0, degree) * mask
     xl_sq = jnp.dot(x_last, x_last)
     qa = kernel_self_diag(xl_sq, kind, gamma, coef0, degree)
-    QA_cost = qa + cost_inv
+    QA_cost = qa + civ_last
 
     B = (Y - y_last[None, :]) * mask[:, None]
 
@@ -427,7 +449,7 @@ def cg_ls_svm_multi_core(
             out
             + (QA_cost - q)[:, None] * s[None, :]
             - qv[None, :]
-            + cost_inv * V
+            + civ_col * V
         )
         return out * mask[:, None]
 
@@ -439,7 +461,7 @@ def cg_ls_svm_multi_core(
 
     if preconditioner == "jacobi":
         k_diag = kernel_self_diag(sq_norms, kind, gamma, coef0, degree)
-        diag = k_diag + QA_cost - 2.0 * q + cost_inv
+        diag = k_diag + QA_cost - 2.0 * q + civ
         minv = mask / diag
 
         def precond(R):
@@ -618,6 +640,8 @@ def solve_ls_svm_multi(
     scalars: str = "plain",
     gram_precision: str = "f32",
     x_init=None,
+    weights=None,
+    weight_last=None,
 ) -> MultiCGResult:
     """Single-device one-vs-all multiclass LS-SVM block-CG solve.
 
@@ -636,6 +660,7 @@ def solve_ls_svm_multi(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
         preconditioner=preconditioner, x_init=x_init,
+        weights=weights, weight_last=weight_last,
     )
 
 
@@ -715,6 +740,8 @@ def solve_ls_svm(
     scalars: str = "plain",
     gram_precision: str = "f32",
     x_init=None,
+    weights=None,
+    weight_last=None,
 ) -> CGResult:
     """Run the full LS-SVM CG solve on a single device.
 
@@ -743,6 +770,7 @@ def solve_ls_svm(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         preconditioner=preconditioner, x_init=x_init,
+        weights=weights, weight_last=weight_last,
     )
 
 

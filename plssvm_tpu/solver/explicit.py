@@ -175,6 +175,8 @@ def solve_ls_svm_explicit(
     scalars: str = "plain",
     precision: str = "f32",
     x_init=None,
+    weights=None,
+    weight_last=None,
 ) -> CGResult:
     """Single-device binary LS-SVM CG against the explicit kernel matrix.
 
@@ -188,6 +190,7 @@ def solve_ls_svm_explicit(
         kind=kind, degree=degree,
         kernel_mv=_explicit_matvec(K, X.dtype, precision),
         dot=dot, vsum=vsum, preconditioner=preconditioner, x_init=x_init,
+        weights=weights, weight_last=weight_last,
     )
 
 
@@ -254,6 +257,8 @@ def solve_ls_svm_explicit_multi(
     scalars: str = "plain",
     precision: str = "f32",
     x_init=None,
+    weights=None,
+    weight_last=None,
 ) -> MultiCGResult:
     """One-vs-all block CG against the explicit matrix: K is read from HBM
     once per iteration for ALL C right-hand sides (K @ V).  ``x_init``
@@ -266,6 +271,7 @@ def solve_ls_svm_explicit_multi(
         kind=kind, degree=degree,
         kernel_mm=_explicit_matvec(K, X.dtype, precision),
         colsum=colsum, preconditioner=preconditioner, x_init=x_init,
+        weights=weights, weight_last=weight_last,
     )
 
 

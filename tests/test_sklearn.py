@@ -56,7 +56,7 @@ def test_set_params_returns_self():
 
 @pytest.mark.parametrize(
     "param",
-    ["shrinking", "cache_size", "class_weight", "break_ties"],
+    ["shrinking", "cache_size", "break_ties"],
 )
 def test_unimplemented_constructor_params_raise(param):
     # reference raises AttributeError for these (sklearn.cpp:74-110);
@@ -76,10 +76,38 @@ def test_unknown_param_raises():
         SVC(foobar=1)
 
 
-def test_sample_weight_raises(blobs):
+def test_sample_weight_implemented(blobs):
+    """sample_weight IS implemented (weighted LS-SVM — the reference
+    raises): all-ones weights are a no-op, heavier weights tilt the fit."""
     X, y = blobs
-    with pytest.raises(AttributeError, match="sample_weight"):
-        SVC().fit(X, y, sample_weight=np.ones(len(y)))
+    base = SVC(kernel="rbf", tol=1e-8).fit(X, y)
+    ones = SVC(kernel="rbf", tol=1e-8).fit(X, y, sample_weight=np.ones(len(y)))
+    np.testing.assert_allclose(
+        ones.dual_coef_, base.dual_coef_, rtol=1e-9
+    )
+    weighted = SVC(kernel="rbf", tol=1e-8).fit(
+        X, y, sample_weight=np.linspace(0.5, 2.0, len(y))
+    )
+    assert not np.allclose(weighted.dual_coef_, base.dual_coef_)
+
+
+def test_class_weight_balanced(blobs):
+    X, y = blobs
+    # imbalance the data: drop most of one class
+    keep = np.concatenate(
+        [np.flatnonzero(y == -1)[:20], np.flatnonzero(y == 1)]
+    )
+    Xi, yi = X[keep], y[keep]
+    clf = SVC(kernel="rbf", class_weight="balanced", tol=1e-8).fit(Xi, yi)
+    counts = np.asarray([np.sum(yi == c) for c in clf.classes_])
+    np.testing.assert_allclose(
+        clf.class_weight_, len(yi) / (2 * counts)
+    )
+    assert clf.score(Xi, yi) >= 0.9
+    # dict weights round-trip through class_weight_
+    clf2 = SVC(kernel="rbf", class_weight={-1: 4.0, 1: 1.0}, tol=1e-8)
+    clf2.fit(Xi, yi)
+    np.testing.assert_allclose(clf2.class_weight_, [4.0, 1.0])
 
 
 def test_not_fitted_raises(blobs):
@@ -124,9 +152,11 @@ def test_probability_methods_raise_without_probability(blobs):
         clf.predict_proba(X)
     with pytest.raises(AttributeError, match="probability"):
         clf.predict_log_proba(X)
-    for attr in ("class_weight_", "probA_", "probB_"):
+    for attr in ("probA_", "probB_"):
         with pytest.raises(AttributeError):
             getattr(clf, attr)
+    # class_weight_ is implemented now (weighted LS-SVM); defaults to ones
+    np.testing.assert_array_equal(clf.class_weight_, [1.0, 1.0])
     # coef_ is implemented for linear kernels (capability exceeded — the
     # reference raises); non-linear kernels raise sklearn's own message
     with pytest.raises(AttributeError, match="linear"):
