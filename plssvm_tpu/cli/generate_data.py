@@ -47,15 +47,14 @@ def generate(
 
     ``classes > 2`` feeds the one-vs-all multiclass extension (the reference
     generator is binary-only, utility_scripts/generate_data.py).
+    ``problem="regression"`` always uses the built-in NumPy generator so the
+    same seed emits identical data with or without sklearn installed.
     """
+    if problem == "regression":
+        return make_regression_numpy(n, d, seed)
     try:
         from sklearn import datasets  # type: ignore
 
-        if problem == "regression":
-            X, y = datasets.make_regression(
-                n_samples=n, n_features=d, noise=5.0, random_state=seed
-            )
-            return X, y
         if problem == "blobs":
             X, y = datasets.make_blobs(
                 n_samples=n, n_features=d, centers=classes, random_state=seed
@@ -81,8 +80,6 @@ def generate(
             y = np.where(y == 0, -1, 1)
         return X, y
     except ImportError:
-        if problem == "regression":
-            return make_regression_numpy(n, d, seed)
         return make_blobs_numpy(n, d, seed, classes)
 
 

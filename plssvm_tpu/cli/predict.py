@@ -96,7 +96,25 @@ def main(argv=None) -> int:
             dtype=resolve_dtype(args),
         )
         probabilities = None
-        if args.probability:
+        if args.probability and model.is_regression:
+            # libsvm's svm-predict -b 1 on SVR models: plain predicted
+            # values, plus the Laplace noise model line
+            if getattr(model, "prob_a", None) is None:
+                print(
+                    "Model does not support probability estimates — train "
+                    "with plssvm-train --probability!",
+                    file=sys.stderr,
+                )
+                return 1
+            log(
+                VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+                "Prob. model for test data: target value = predicted value "
+                "+ z,\nz: Laplace distribution e^(-|z|/sigma)/(2sigma), "
+                "sigma={}\n",
+                float(model.prob_a[0]),
+            )
+            predicted = svm.predict(model, data)
+        elif args.probability:
             if getattr(model, "prob_a", None) is None:
                 print(
                     "Model does not support probability estimates — train "

@@ -298,6 +298,16 @@ def main(argv=None) -> int:
             svm = CSVM(**svm_kwargs)
             if per_class_weights is not None:
                 labels_arr = np.asarray(data.labels)
+                present = {str(lab) for lab in labels_arr}
+                for lab in per_class_weights:
+                    if lab not in present:
+                        # LIBSVM prints the same warning for a -wi label
+                        # that matches no training class
+                        print(
+                            f"WARNING: class label {lab} specified in "
+                            "weight is not found",
+                            file=sys.stderr,
+                        )
                 fit_kwargs["sample_weight"] = np.asarray(
                     [
                         per_class_weights.get(str(lab), 1.0)

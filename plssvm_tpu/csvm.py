@@ -936,6 +936,18 @@ class CSVM:
             data._k_cache = (key, K)
         return K
 
+    def _extend_solve_kwargs(self, solve_kwargs, x_init, weights, weight_last):
+        """Attach the optional warm-start / sample-weight solver arguments
+        (one implementation for all four single-device solve branches)."""
+        if x_init is not None:
+            solve_kwargs["x_init"] = jnp.asarray(x_init)
+        if weights is not None:
+            solve_kwargs["weights"] = jnp.asarray(weights)
+            solve_kwargs["weight_last"] = jnp.asarray(
+                weight_last, dtype=self.dtype
+            )
+        return solve_kwargs
+
     def _run_solve(
         self, Xp, x_last, yp, y, mask, params, d, epsilon, max_iter,
         kind, degree, n_dev, m_pad, checkpoint_path, checkpoint_interval,
@@ -1007,13 +1019,9 @@ class CSVM:
                 precision=self.gram_precision,
             )
             if checkpoint_path is None:
-                if x_init is not None:
-                    solve_kwargs["x_init"] = jnp.asarray(x_init)
-                if weights is not None:
-                    solve_kwargs["weights"] = jnp.asarray(weights)
-                    solve_kwargs["weight_last"] = jnp.asarray(
-                        weight_last, dtype=self.dtype
-                    )
+                self._extend_solve_kwargs(
+                    solve_kwargs, x_init, weights, weight_last
+                )
                 return solve_ls_svm_explicit(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1071,13 +1079,9 @@ class CSVM:
                 gram_precision=self.gram_precision,
             )
             if checkpoint_path is None:
-                if x_init is not None:
-                    solve_kwargs["x_init"] = jnp.asarray(x_init)
-                if weights is not None:
-                    solve_kwargs["weights"] = jnp.asarray(weights)
-                    solve_kwargs["weight_last"] = jnp.asarray(
-                        weight_last, dtype=self.dtype
-                    )
+                self._extend_solve_kwargs(
+                    solve_kwargs, x_init, weights, weight_last
+                )
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
             else:
                 result = self._fit_with_checkpointing(
@@ -1150,13 +1154,9 @@ class CSVM:
                 precision=self.gram_precision,
             )
             if checkpoint_path is None:
-                if x_init is not None:
-                    solve_kwargs["x_init"] = jnp.asarray(x_init)
-                if weights is not None:
-                    solve_kwargs["weights"] = jnp.asarray(weights)
-                    solve_kwargs["weight_last"] = jnp.asarray(
-                        weight_last, dtype=self.dtype
-                    )
+                self._extend_solve_kwargs(
+                    solve_kwargs, x_init, weights, weight_last
+                )
                 return solve_ls_svm_explicit_multi(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1212,13 +1212,9 @@ class CSVM:
             gram_precision=self.gram_precision,
         )
         if checkpoint_path is None:
-            if x_init is not None:
-                solve_kwargs["x_init"] = jnp.asarray(x_init)
-            if weights is not None:
-                solve_kwargs["weights"] = jnp.asarray(weights)
-                solve_kwargs["weight_last"] = jnp.asarray(
-                    weight_last, dtype=self.dtype
-                )
+            self._extend_solve_kwargs(
+                solve_kwargs, x_init, weights, weight_last
+            )
             return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
         return self._fit_with_checkpointing_multi(
             solve_args, solve_kwargs, Xp, yp, epsilon,

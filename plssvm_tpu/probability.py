@@ -141,6 +141,7 @@ def cross_validated_decision_values(
     random_state: Optional[int] = None,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
 ) -> np.ndarray:
     """Out-of-fold decision values for every training point.
 
@@ -168,6 +169,10 @@ def cross_validated_decision_values(
             continue
         fold_data = DataSet(X[train_idx], labels[train_idx])
         kwargs = {} if max_iter is None else {"max_iter": max_iter}
+        if sample_weight is not None:
+            # keep the -wi / sample weights in the CV subproblems, as
+            # LIBSVM's svm_binary_svc_probability does
+            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
         model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         vals = csvm.predict_values(model, DataSet(X[test_idx]))
         if out is None:
@@ -185,6 +190,7 @@ def calibrate_model(
     random_state: Optional[int] = None,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit Platt sigmoid(s) for ``model`` and store them on it.
 
@@ -204,6 +210,7 @@ def calibrate_model(
             csvm, model, data,
             n_folds=n_folds, random_state=random_state,
             epsilon=epsilon, max_iter=max_iter,
+            sample_weight=sample_weight,
         )
         return model.prob_a, model.prob_b
     if (
@@ -214,6 +221,7 @@ def calibrate_model(
             csvm, model, data,
             n_folds=n_folds, random_state=random_state,
             epsilon=epsilon, max_iter=max_iter,
+            sample_weight=sample_weight,
         )
     labels = np.asarray(data.labels)
     _, class_counts = np.unique(labels.astype(str), return_counts=True)
@@ -237,6 +245,7 @@ def calibrate_model(
             csvm, data,
             n_folds=n_folds, random_state=random_state,
             epsilon=epsilon, max_iter=max_iter,
+            sample_weight=sample_weight,
         )
     different = list(data.different_labels)
     if decisions.ndim == 1:
@@ -266,6 +275,7 @@ def _calibrate_model_oao(
     random_state: Optional[int] = None,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-pair-machine Platt calibration of a one-vs-one model.
 
@@ -307,6 +317,10 @@ def _calibrate_model_oao(
                 csvm, pair_data,
                 n_folds=n_folds, random_state=random_state,
                 epsilon=epsilon, max_iter=max_iter,
+                sample_weight=(
+                    None if sample_weight is None
+                    else np.asarray(sample_weight)[rows]
+                ),
             )
         prob_a[m], prob_b[m] = fit_sigmoid(vals, is_first)
     if biased_pairs:
@@ -333,6 +347,7 @@ def calibrate_svr_noise(
     random_state: Optional[int] = None,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
 ) -> float:
     """LIBSVM's ``svr_probability``: the Laplace noise scale of a regression
     model from cross-validated residuals.
@@ -355,6 +370,7 @@ def calibrate_svr_noise(
     fold_of = rng.permuted(np.arange(n) % n_folds)
 
     predicted = np.zeros(n, dtype=np.float64)
+    covered = np.zeros(n, dtype=bool)
     for k in range(n_folds):
         train_idx = np.flatnonzero(fold_of != k)
         test_idx = np.flatnonzero(fold_of == k)
@@ -362,19 +378,29 @@ def calibrate_svr_noise(
             continue
         fold_data = DataSet(X[train_idx], targets[train_idx], regression=True)
         kwargs = {} if max_iter is None else {"max_iter": max_iter}
+        if sample_weight is not None:
+            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
         fold_model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         predicted[test_idx] = csvm.predict_values(
             fold_model, DataSet(X[test_idx])
         )
+        covered[test_idx] = True
 
-    residuals = targets - predicted
+    if not covered.any():
+        raise ValueError(
+            "Too few points to cross-validate the SVR noise scale "
+            f"(n = {n}) — need at least one fold with 2+ training points!"
+        )
+    # points whose fold was skipped have no out-of-fold prediction; a raw
+    # target is NOT a residual, so they are excluded from the estimate
+    residuals = (targets - predicted)[covered]
     # libsvm: drop residuals beyond 5 sigma, rescale the mean by the
     # retained fraction (svm.cpp svm_svr_probability)
     mae = float(np.mean(np.abs(residuals)))
     std = float(np.sqrt(2.0)) * mae  # Laplace: std = sqrt(2) * scale
     keep = np.abs(residuals) <= 5.0 * std
     count = int(np.sum(keep))
-    if 0 < count < n:
+    if 0 < count < residuals.size:
         mae = float(np.sum(np.abs(residuals[keep]))) / count
     sigma = mae
     model.prob_a = np.asarray([sigma], dtype=np.float64)
@@ -396,6 +422,12 @@ def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
             "The model has no probability calibration — fit with "
             "probability enabled (SVC(probability=True)) or call "
             "probability.calibrate_model first!"
+        )
+    if getattr(model, "is_regression", False):
+        raise ValueError(
+            "Regression models have no class probabilities — their probA "
+            "value is the Laplace noise scale (y ~ f(x) + Laplace(sigma); "
+            "probability.calibrate_svr_noise)."
         )
     values = np.asarray(decision_values)
     if values.ndim == 1:

@@ -80,6 +80,9 @@ class SVC:
         #: per-class regularization multipliers (Suykens' weighted LS-SVM;
         #: LIBSVM's -wi): None, 'balanced', or {label: weight}
         self._class_weight = None
+        #: the effective per-sample weights of the last fit (None if
+        #: unweighted) — reused by the probability calibration CV
+        self._fit_weights = None
         #: raw user-provided parameters, returned VERBATIM by get_params —
         #: sklearn's clone() contract compares them by identity
         self._user_params: dict = {}
@@ -205,6 +208,18 @@ class SVC:
         return self
 
     # -- estimator API -----------------------------------------------------
+    def _per_class_weight_map(self, y) -> dict:
+        """{str(label): weight} from the class_weight parameter — the ONE
+        implementation behind fit-time weighting and ``class_weight_``."""
+        y = np.asarray(y)
+        classes, counts = np.unique(y.astype(str), return_counts=True)
+        if self._class_weight == "balanced":
+            return {
+                c: len(y) / (len(classes) * n)
+                for c, n in zip(classes, counts)
+            }
+        return {str(k): float(v) for k, v in self._class_weight.items()}
+
     def _effective_sample_weight(self, y, sample_weight):
         """Combined per-sample weights from class_weight and sample_weight.
 
@@ -214,16 +229,7 @@ class SVC:
         y = np.asarray(y)
         weights = None
         if self._class_weight is not None:
-            classes, counts = np.unique(y.astype(str), return_counts=True)
-            if self._class_weight == "balanced":
-                per_class = {
-                    c: len(y) / (len(classes) * n) for c, n in
-                    zip(classes, counts)
-                }
-            else:
-                per_class = {
-                    str(k): float(v) for k, v in self._class_weight.items()
-                }
+            per_class = self._per_class_weight_map(y)
             weights = np.asarray(
                 [per_class.get(str(lab), 1.0) for lab in y], dtype=np.float64
             )
@@ -240,7 +246,18 @@ class SVC:
         1/(C s_i); the reference raises for both).
         """
         X = np.asarray(X)
-        self._data = DataSet(X, np.asarray(y))
+        y = np.asarray(y)
+        eff = self._effective_sample_weight(y, sample_weight)
+        if eff is not None and np.any(eff == 0.0):
+            # sklearn semantics: zero-weight samples are EXCLUDED (the
+            # 1/(C s_i) regularizer cannot express s_i = 0)
+            keep = eff > 0.0
+            if not keep.any():
+                raise ValueError(
+                    "All samples have zero weight — nothing to fit!"
+                )
+            X, y, eff = X[keep], y[keep], eff[keep]
+        self._data = DataSet(X, y)
         if self._gamma_scale:
             # sklearn semantics: gamma = 1 / (n_features * X.var())
             var = float(X.var())
@@ -252,10 +269,10 @@ class SVC:
             kwargs["epsilon"] = self._epsilon
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
-        eff = self._effective_sample_weight(y, sample_weight)
         if eff is not None:
             kwargs["sample_weight"] = eff
         self._model = self._svm.fit(self._data, **kwargs)
+        self._fit_weights = eff
         if self._probability:
             # Platt scaling on stratified-5-fold CV decision values — the
             # LIBSVM pipeline (plssvm_tpu.probability); the reference's
@@ -267,6 +284,9 @@ class SVC:
                 random_state=self._random_state,
                 epsilon=self._epsilon if self._epsilon is not None else 0.001,
                 max_iter=self._max_iter,
+                # keep the class/sample weights in the CV subproblems
+                # (LIBSVM's svm_binary_svc_probability does the same for -wi)
+                sample_weight=self._fit_weights,
             )
         return self
 
@@ -310,13 +330,18 @@ class SVC:
         return values
 
     def score(self, X, y, sample_weight=None) -> float:
-        if sample_weight is not None:
-            raise AttributeError(
-                "The 'sample_weight' parameter for a call to 'fit' is not "
-                "implemented yet!"
-            )
+        """Accuracy; ``sample_weight`` gives the weighted accuracy (sklearn
+        semantics — implemented; the reference raises)."""
         self._check_fitted()
-        return self._svm.score(self._model, DataSet(np.asarray(X), np.asarray(y)))
+        if sample_weight is None:
+            return self._svm.score(
+                self._model, DataSet(np.asarray(X), np.asarray(y))
+            )
+        sw = np.asarray(sample_weight, dtype=np.float64)
+        correct = (
+            self.predict(np.asarray(X)) == np.asarray(y)
+        ).astype(np.float64)
+        return float(np.average(correct, weights=sw))
 
     def predict_proba(self, X) -> np.ndarray:
         """(n, n_classes) class probabilities in ``classes_`` order.
@@ -424,19 +449,9 @@ class SVC:
         classes = self.classes_
         if self._class_weight is None:
             return np.ones(len(classes))
-        y = np.asarray(self._data.labels)
-        if self._class_weight == "balanced":
-            counts = np.asarray(
-                [int(np.sum(y == c)) for c in classes], dtype=np.float64
-            )
-            return len(y) / (len(classes) * counts)
+        per_class = self._per_class_weight_map(np.asarray(self._data.labels))
         return np.asarray(
-            [
-                float(dict(
-                    (str(k), v) for k, v in self._class_weight.items()
-                ).get(str(c), 1.0))
-                for c in classes
-            ]
+            [per_class.get(str(c), 1.0) for c in classes], dtype=np.float64
         )
 
     @property
@@ -627,20 +642,26 @@ class SVR:
         return self._svm.predict(self._model, DataSet(np.asarray(X)))
 
     def score(self, X, y, sample_weight=None) -> float:
-        """Coefficient of determination R^2 (the sklearn convention)."""
-        if sample_weight is not None:
-            raise AttributeError(
-                "The 'sample_weight' parameter for a call to 'fit' is not "
-                "implemented yet!"
-            )
+        """Coefficient of determination R^2 (the sklearn convention);
+        ``sample_weight`` gives the weighted R^2."""
         self._check_fitted()
-        return self._svm.score(
-            self._model,
-            DataSet(
-                np.asarray(X), np.asarray(y, dtype=np.float64),
-                regression=True,
-            ),
-        )
+        if sample_weight is None:
+            return self._svm.score(
+                self._model,
+                DataSet(
+                    np.asarray(X), np.asarray(y, dtype=np.float64),
+                    regression=True,
+                ),
+            )
+        sw = np.asarray(sample_weight, dtype=np.float64)
+        targets = np.asarray(y, dtype=np.float64)
+        values = np.asarray(self.predict(np.asarray(X)), dtype=np.float64)
+        ss_res = float(np.sum(sw * (targets - values) ** 2))
+        mean = float(np.average(targets, weights=sw))
+        ss_tot = float(np.sum(sw * (targets - mean) ** 2))
+        if ss_tot == 0.0:
+            return 1.0 if ss_res == 0.0 else 0.0
+        return 1.0 - ss_res / ss_tot
 
     # -- fitted attributes --------------------------------------------------
     @property

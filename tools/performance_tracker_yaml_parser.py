@@ -21,11 +21,24 @@ def _parse_scalar(text: str) -> Any:
     if t.startswith('"') and t.endswith('"'):
         return t[1:-1]
     if t.startswith("[") and t.endswith("]"):
-        # flow-style lists (e.g. cg.iterations_per_machine: [3, 4, 5])
+        # flow-style lists (e.g. cg.iterations_per_machine: [3, 4, 5]);
+        # split on commas OUTSIDE quotes — the writer quotes strings that
+        # contain commas/colons
         inner = t[1:-1].strip()
-        return (
-            [_parse_scalar(tok) for tok in inner.split(",")] if inner else []
-        )
+        if not inner:
+            return []
+        toks, buf, quoted = [], [], False
+        for ch in inner:
+            if ch == '"':
+                quoted = not quoted
+                buf.append(ch)
+            elif ch == "," and not quoted:
+                toks.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        toks.append("".join(buf))
+        return [_parse_scalar(tok) for tok in toks]
     for cast in (int, float):
         try:
             return cast(t)
