@@ -67,7 +67,12 @@ from .csvm import (
     make_csvm,
 )
 from .kernel_functions import kernel_function
-from .probability import calibrate_model, predict_probabilities
+from .probability import (
+    calibrate_model,
+    calibrate_svr_noise,
+    predict_probabilities,
+)
+from .robust import reweighted_fit
 from .sklearn import SVC, SVR
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
@@ -98,6 +103,8 @@ __all__ = [
     "make_csvm",
     "kernel_function",
     "calibrate_model",
+    "calibrate_svr_noise",
+    "reweighted_fit",
     "predict_probabilities",
     "csvm_backend_exists",
     "list_available_backends",

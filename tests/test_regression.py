@@ -244,6 +244,56 @@ class TestRealLibsvmSVRInterop:
         np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
 
 
+class TestRobustFit:
+    def test_outliers_are_downweighted(self):
+        """Suykens' iteratively reweighted LS-SVR: gross outliers barely
+        move the robust fit, while the plain fit chases them."""
+        rng = np.random.default_rng(13)
+        n = 120
+        X = np.sort(rng.uniform(-3, 3, size=(n, 1)), axis=0)
+        y_clean = np.sin(X[:, 0])
+        y = y_clean + 0.05 * rng.normal(size=n)
+        out_idx = rng.choice(n, size=8, replace=False)
+        y[out_idx] += rng.choice([-6.0, 6.0], size=8)  # gross outliers
+
+        from plssvm_tpu.robust import reweighted_fit
+
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=2.0,
+            cost=50.0,
+        )
+        ds = DataSet(X, y, regression=True)
+        plain = svm.fit(ds, epsilon=1e-8)
+        robust = reweighted_fit(svm, ds, iterations=2, epsilon=1e-8)
+        clean_pts = DataSet(X)
+        err_plain = np.mean(
+            (np.asarray(svm.predict(plain, clean_pts)) - y_clean) ** 2
+        )
+        err_robust = np.mean(
+            (np.asarray(svm.predict(robust, clean_pts)) - y_clean) ** 2
+        )
+        assert err_robust < 0.5 * err_plain
+
+    def test_hampel_weights_shape(self):
+        from plssvm_tpu.robust import hampel_weights
+
+        e = np.asarray([0.0, 0.1, -0.1, 5.0, -8.0, 0.05, -0.02, 0.03])
+        w = hampel_weights(e)
+        assert w.shape == e.shape
+        assert np.all((w > 0) & (w <= 1))
+        assert w[3] < 0.01 and w[4] < 0.01  # outliers floored
+        assert w[0] == 1.0
+
+    def test_requires_regression_dataset(self):
+        from plssvm_tpu.exceptions import InvalidParameterError
+        from plssvm_tpu.robust import reweighted_fit
+
+        X, y = _regression_data(n=40, seed=14)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        with pytest.raises(InvalidParameterError, match="regression"):
+            reweighted_fit(svm, DataSet(X, (y > 0).astype(int)))
+
+
 def test_svr_laplace_noise_calibration(tmp_path):
     """LIBSVM's svr_probability: the CV-residual Laplace scale, stored as
     the lone probA header value and round-tripping the model file."""
