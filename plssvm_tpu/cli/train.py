@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
     parser.add_argument(
+        "--cross_validation", metavar="N", type=int, default=None,
+        help="N-fold cross-validation mode (svm-train's -v n; -v is taken "
+             "by --version here): prints the CV accuracy (classification) "
+             "or MSE + squared correlation coefficient (regression) and "
+             "exits WITHOUT writing a model file",
+    )
+    parser.add_argument(
         "--weight", metavar="LABEL=W", action="append", default=None,
         help="per-class regularization weight (repeatable; LIBSVM's -wi): "
              "class LABEL's diagonal regularizer becomes 1/(C*W) — Suykens' "
@@ -326,6 +333,46 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+
+        if args.cross_validation is not None:
+            # svm-train -v mode: report CV metrics, write no model
+            if args.multihost:
+                print(
+                    "--cross_validation is not supported together with "
+                    "--multihost!",
+                    file=sys.stderr,
+                )
+                return 1
+            if args.cross_validation < 2:
+                print(
+                    f"n-fold cross validation: n must >= 2, but is "
+                    f"{args.cross_validation}!",
+                    file=sys.stderr,
+                )
+                return 1
+            from ..probability import cross_validate
+
+            result = cross_validate(
+                svm, data,
+                n_folds=args.cross_validation,
+                epsilon=args.epsilon, max_iter=args.max_iter,
+                classification=args.classification,
+                sample_weight=fit_kwargs.get("sample_weight"),
+            )
+            if "accuracy" in result:
+                log(
+                    VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+                    "Cross Validation Accuracy = {}%\n",
+                    result["accuracy"] * 100.0,
+                )
+            else:
+                log(
+                    VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+                    "Cross Validation Mean squared error = {}\n"
+                    "Cross Validation Squared correlation coefficient = {}\n",
+                    result["mse"], result["scc"],
+                )
+            return 0
 
         if args.profile is not None:
             import jax

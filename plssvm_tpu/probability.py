@@ -181,6 +181,70 @@ def cross_validated_decision_values(
     return out
 
 
+def cross_validate(
+    csvm,
+    data,
+    *,
+    n_folds: int = 5,
+    random_state: Optional[int] = None,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+    classification: str = "oaa",
+    sample_weight=None,
+) -> dict:
+    """N-fold cross-validation (svm-train's ``-v n`` mode — EXTENSION; the
+    reference has no CV support).
+
+    Classification: stratified folds, out-of-fold label predictions,
+    returns ``{"accuracy": float, "predictions": (n,) labels}``.
+    Regression data (``DataSet(..., regression=True)``): plain folds,
+    returns ``{"mse": float, "scc": float, "predictions": (n,) values}``
+    (LIBSVM's mean squared error / squared correlation coefficient).
+    """
+    from .data_set import DataSet
+
+    X = np.asarray(data.data)
+    targets = np.asarray(data.labels)
+    n = len(targets)
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be at least 2, but is {n_folds}!")
+    n_folds = min(n_folds, n)
+    rng = np.random.default_rng(0 if random_state is None else random_state)
+    regression = bool(getattr(data, "is_regression", False))
+    if regression:
+        fold_of = rng.permuted(np.arange(n) % n_folds)
+    else:
+        fold_of = stratified_folds(targets, n_folds, rng)
+
+    predictions = np.empty(n, dtype=targets.dtype)
+    for k in range(n_folds):
+        train_idx = np.flatnonzero(fold_of != k)
+        test_idx = np.flatnonzero(fold_of == k)
+        if len(test_idx) == 0:
+            continue
+        fold_data = DataSet(
+            X[train_idx], targets[train_idx], regression=regression
+        )
+        kwargs = {} if max_iter is None else {"max_iter": max_iter}
+        if sample_weight is not None:
+            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
+        if not regression:
+            kwargs["classification"] = classification
+        model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        predictions[test_idx] = csvm.predict(model, DataSet(X[test_idx]))
+
+    if regression:
+        t = targets.astype(np.float64)
+        v = predictions.astype(np.float64)
+        mse = float(np.mean((v - t) ** 2))
+        vt, vv = t - t.mean(), v - v.mean()
+        denom = float(np.sum(vt * vt) * np.sum(vv * vv))
+        scc = float(np.sum(vt * vv)) ** 2 / denom if denom > 0 else 0.0
+        return {"mse": mse, "scc": scc, "predictions": predictions}
+    accuracy = float(np.mean(predictions == targets))
+    return {"accuracy": accuracy, "predictions": predictions}
+
+
 def calibrate_model(
     csvm,
     model,

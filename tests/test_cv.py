@@ -1,0 +1,87 @@
+"""N-fold cross-validation (svm-train's -v mode) — EXTENSION tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from plssvm_tpu import CSVM, DataSet
+from plssvm_tpu.probability import cross_validate
+
+
+def _binary(n=90, d=4, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    y = np.where(rng.random(n) > 0.5, 1, -1)
+    X[y > 0] += 1.5
+    return X, y
+
+
+def test_classification_cv():
+    X, y = _binary(seed=1)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    result = cross_validate(svm, DataSet(X, y), n_folds=5, random_state=0)
+    assert 0.8 <= result["accuracy"] <= 1.0
+    assert result["predictions"].shape == (90,)
+    # out-of-fold predictions, not training predictions: accuracy below
+    # a training-set fit on this noisy overlap is expected but not 0
+    assert set(np.unique(result["predictions"])) <= {-1, 1}
+
+
+def test_multiclass_cv_oao():
+    from test_multiclass import make_multiclass_blobs
+
+    X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=2)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    result = cross_validate(
+        svm, DataSet(X, y), n_folds=3, classification="oao", random_state=0
+    )
+    assert result["accuracy"] >= 0.9
+
+
+def test_regression_cv_metrics():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(80, 3))
+    y = X @ [1.0, -1.0, 0.5] + 0.05 * rng.normal(size=80)
+    svm = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="linear", cost=1e4
+    )
+    result = cross_validate(
+        svm, DataSet(X, y, regression=True), n_folds=4, random_state=0,
+        epsilon=1e-8,
+    )
+    assert result["mse"] < 0.05
+    assert result["scc"] > 0.95
+
+
+def test_invalid_folds():
+    X, y = _binary(n=30, seed=4)
+    svm = CSVM(backend="xla", dtype=np.float64)
+    with pytest.raises(ValueError, match="at least 2"):
+        cross_validate(svm, DataSet(X, y), n_folds=1)
+
+
+def test_cli_cv_mode(tmp_path):
+    X, y = _binary(n=60, d=3, seed=5)
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    f = str(tmp_path / "cv.libsvm")
+    write_libsvm_file(f, X, y)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "plssvm_tpu.cli.train", "-t", "2",
+         "--cross_validation", "3", "-p", "cpu",
+         "--use_double_as_real_type", f],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "Cross Validation Accuracy = " in out.stdout + out.stderr
+    # svm-train -v writes no model file
+    assert not os.path.exists(str(tmp_path / "cv.libsvm.model"))
