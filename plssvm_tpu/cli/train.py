@@ -336,13 +336,20 @@ def main(argv=None) -> int:
 
         if args.cross_validation is not None:
             # svm-train -v mode: report CV metrics, write no model
-            if args.multihost:
-                print(
-                    "--cross_validation is not supported together with "
-                    "--multihost!",
-                    file=sys.stderr,
-                )
-                return 1
+            for flag, name in (
+                (args.multihost, "--multihost"),
+                (args.probability, "--probability"),
+                (args.warm_start, "--warm_start"),
+                (args.checkpoint, "--checkpoint"),
+                (args.profile, "--profile"),
+            ):
+                if flag:
+                    print(
+                        f"--cross_validation is not supported together "
+                        f"with {name}!",
+                        file=sys.stderr,
+                    )
+                    return 1
             if args.cross_validation < 2:
                 print(
                     f"n-fold cross validation: n must >= 2, but is "
@@ -372,6 +379,11 @@ def main(argv=None) -> int:
                     "Cross Validation Squared correlation coefficient = {}\n",
                     result["mse"], result["scc"],
                 )
+            if args.performance_tracking is not None:
+                add_tracking_entry(
+                    "", "total_time", (time.perf_counter() - start) * 1000.0
+                )
+                global_tracker.save(args.performance_tracking)
             return 0
 
         if args.profile is not None:

@@ -155,11 +155,9 @@ def cross_validated_decision_values(
     X = np.asarray(data.data)
     labels = np.asarray(data.labels)
     n = len(labels)
-    if n_folds < 2:
-        raise ValueError(f"n_folds must be at least 2, but is {n_folds}!")
-    n_folds = min(n_folds, n)
-    rng = np.random.default_rng(0 if random_state is None else random_state)
-    fold_of = stratified_folds(labels, n_folds, rng)
+    fold_of, n_folds = _fold_assignments(
+        labels, n_folds, random_state, stratified=True
+    )
 
     out: Optional[np.ndarray] = None
     for k in range(n_folds):
@@ -179,6 +177,19 @@ def cross_validated_decision_values(
             out = np.zeros((n,) + vals.shape[1:], dtype=np.float64)
         out[test_idx] = vals
     return out
+
+
+def _fold_assignments(targets, n_folds, random_state, *, stratified):
+    """Per-point fold indices; the ONE implementation behind every CV loop
+    in this module (calibration, SVR noise, -v mode)."""
+    n = len(targets)
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be at least 2, but is {n_folds}!")
+    n_folds = min(n_folds, n)
+    rng = np.random.default_rng(0 if random_state is None else random_state)
+    if stratified:
+        return stratified_folds(targets, n_folds, rng), n_folds
+    return rng.permuted(np.arange(n) % n_folds), n_folds
 
 
 def cross_validate(
@@ -206,25 +217,35 @@ def cross_validate(
     X = np.asarray(data.data)
     targets = np.asarray(data.labels)
     n = len(targets)
-    if n_folds < 2:
-        raise ValueError(f"n_folds must be at least 2, but is {n_folds}!")
-    n_folds = min(n_folds, n)
-    rng = np.random.default_rng(0 if random_state is None else random_state)
     regression = bool(getattr(data, "is_regression", False))
-    if regression:
-        fold_of = rng.permuted(np.arange(n) % n_folds)
-    else:
-        fold_of = stratified_folds(targets, n_folds, rng)
+    fold_of, n_folds = _fold_assignments(
+        targets, n_folds, random_state, stratified=not regression
+    )
 
     predictions = np.empty(n, dtype=targets.dtype)
+    degenerate = []
     for k in range(n_folds):
         train_idx = np.flatnonzero(fold_of != k)
         test_idx = np.flatnonzero(fold_of == k)
         if len(test_idx) == 0:
             continue
-        fold_data = DataSet(
-            X[train_idx], targets[train_idx], regression=regression
-        )
+        train_targets = targets[train_idx]
+        if not regression and len(set(map(str, train_targets.tolist()))) < 2:
+            # degenerate fold (a singleton class landed entirely in the
+            # test split): the best trainable model is the constant
+            # majority-class predictor — predict it rather than crashing
+            vals, counts = np.unique(
+                train_targets.astype(str), return_counts=True
+            )
+            maj = train_targets[
+                np.flatnonzero(
+                    train_targets.astype(str) == vals[np.argmax(counts)]
+                )[0]
+            ]
+            predictions[test_idx] = maj
+            degenerate.append(k)
+            continue
+        fold_data = DataSet(X[train_idx], train_targets, regression=regression)
         kwargs = {} if max_iter is None else {"max_iter": max_iter}
         if sample_weight is not None:
             kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
@@ -232,6 +253,15 @@ def cross_validate(
             kwargs["classification"] = classification
         model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         predictions[test_idx] = csvm.predict(model, DataSet(X[test_idx]))
+    if degenerate:
+        import warnings
+
+        warnings.warn(
+            f"cross_validate: fold(s) {degenerate} had fewer than two "
+            "classes in their training split (singleton class) — their "
+            "test points were scored by the constant majority predictor.",
+            stacklevel=2,
+        )
 
     if regression:
         t = targets.astype(np.float64)
@@ -429,9 +459,9 @@ def calibrate_svr_noise(
     X = np.asarray(data.data)
     targets = np.asarray(data.labels, dtype=np.float64)
     n = len(targets)
-    n_folds = max(2, min(n_folds, n))
-    rng = np.random.default_rng(0 if random_state is None else random_state)
-    fold_of = rng.permuted(np.arange(n) % n_folds)
+    fold_of, n_folds = _fold_assignments(
+        targets, max(2, n_folds), random_state, stratified=False
+    )
 
     predicted = np.zeros(n, dtype=np.float64)
     covered = np.zeros(n, dtype=bool)

@@ -37,7 +37,14 @@ def hampel_weights(
     q75, q25 = np.percentile(e, [75.0, 25.0])
     s_hat = (q75 - q25) / 1.349
     if s_hat <= 0.0:
-        return np.ones_like(e)
+        # a zero IQR (an exactly-interpolated majority) must not disable
+        # robustness — fall back to the MAD scale, then to mean |e|
+        med = np.median(e)
+        s_hat = 1.4826 * float(np.median(np.abs(e - med)))
+    if s_hat <= 0.0:
+        s_hat = float(np.mean(np.abs(e)))
+    if s_hat <= 0.0:
+        return np.ones_like(e)  # all residuals are exactly zero
     z = np.abs(e / s_hat)
     w = np.ones_like(e)
     mid = (z > c1) & (z <= c2)
@@ -78,12 +85,11 @@ def reweighted_fit(
     kwargs = {} if max_iter is None else {"max_iter": max_iter}
     model = csvm.fit(data, epsilon=epsilon, **kwargs)
     targets = np.asarray(data.labels, dtype=np.float64)
-    from .data_set import DataSet
-
-    points = DataSet(np.asarray(data.data))
     for _ in range(iterations):
+        # predict_values ignores labels — the training DataSet serves as
+        # the prediction points without copying the matrix
         residuals = targets - np.asarray(
-            csvm.predict_values(model, points), dtype=np.float64
+            csvm.predict_values(model, data), dtype=np.float64
         )
         weights = hampel_weights(residuals, c1=c1, c2=c2)
         model = csvm.fit(
