@@ -22,6 +22,12 @@ sklearn = pytest.importorskip("sklearn")
 
 from sklearn import svm as sk_svm
 
+# sklearn 1.9 deprecates SVC(probability=True)/probA_/probB_ — this suite
+# uses them deliberately to extract libsvm's raw model arrays
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:.*deprecated.*:FutureWarning"
+)
+
 from plssvm_tpu import CSVM, ClassificationType, DataSet, Model
 from plssvm_tpu.probability import predict_probabilities
 
