@@ -384,6 +384,11 @@ class CSVM:
                     "checkpointing (the checkpoint already carries the "
                     "solver state)!"
                 )
+            if self.devices is not None:
+                raise InvalidParameterError(
+                    "initial_model warm starts are single-device — use "
+                    "devices=None!"
+                )
             if multiclass and classification == ClassificationType.OAO:
                 raise InvalidParameterError(
                     "initial_model warm starts are not supported for "
@@ -515,11 +520,6 @@ class CSVM:
 
         x_init = None
         if initial_model is not None:
-            if n_dev > 1:
-                raise InvalidParameterError(
-                    "initial_model warm starts are single-device — use "
-                    "devices=None!"
-                )
             alpha0 = self._warm_start_alpha(initial_model, data)
             x_init = np.zeros(
                 (m_pad,) + alpha0.shape[1:], dtype=self.dtype

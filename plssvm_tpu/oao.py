@@ -98,21 +98,25 @@ def weight_matrix(
     return W
 
 
-def model_class_indices(model) -> np.ndarray:
-    """(n_sv,) class indices of a model's SV rows in its LAYOUT order.
+def model_class_indices(model, labels=None) -> np.ndarray:
+    """Class indices of label rows in the model's LAYOUT order.
 
     The layout order is ``model.class_order()`` — the file's label-header
     order for loaded models (LIBSVM writes it in appearance order, not
     sorted), the mapper's sorted order otherwise.  Machine enumeration,
     sv_coef columns and rho entries are all defined against it.
+    ``labels`` defaults to the model's own SV labels; pass another label
+    array (e.g. a calibration set's) to index it in the same layout.
     """
     order = model.class_order()
-    labels = np.asarray(model.data.labels)
+    labels = np.asarray(
+        model.data.labels if labels is None else labels
+    )
     idx = np.full(len(labels), -1, dtype=np.int64)
     for c, lab in enumerate(order):
         idx[labels == lab] = c
     if (idx < 0).any():
-        raise ValueError("model labels outside its class order")
+        raise ValueError("labels outside the model's class order")
     return idx
 
 

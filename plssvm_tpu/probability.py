@@ -379,15 +379,12 @@ def _calibrate_model_oao(
     machine order — byte-compatible with LIBSVM's ``-b 1`` model header.
     """
     from .data_set import DataSet
-    from .oao import class_pairs
+    from .oao import class_pairs, model_class_indices
 
     labels = np.asarray(data.labels)
     # machine enumeration follows the MODEL's layout class order (loaded
     # LIBSVM files may carry an unsorted label header)
-    order = model.class_order()
-    idx = np.full(len(labels), -1, dtype=np.int64)
-    for c, lab in enumerate(order):
-        idx[labels == lab] = c
+    idx = model_class_indices(model, labels=labels)
     X = np.asarray(data.data)
     C = data.num_different_labels
     pairs = class_pairs(C)
