@@ -56,6 +56,17 @@ def test_regression_cv_metrics():
     assert result["scc"] > 0.95
 
 
+def test_string_label_cv():
+    rng = np.random.default_rng(6)
+    X = np.concatenate([rng.normal(3 * c, 0.6, (20, 3)) for c in range(2)])
+    y = np.asarray(["neg"] * 20 + ["pos"] * 20, dtype=object)
+    X[20:] += 0.5
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    result = cross_validate(svm, DataSet(X, y), n_folds=4, random_state=0)
+    assert result["accuracy"] >= 0.9
+    assert set(result["predictions"]) <= {"neg", "pos"}
+
+
 def test_invalid_folds():
     X, y = _binary(n=30, seed=4)
     svm = CSVM(backend="xla", dtype=np.float64)

@@ -157,6 +157,18 @@ class TestOAOFit:
         )
         np.testing.assert_allclose(got, np.asarray(binary.alpha), rtol=1e-9)
 
+    def test_float32_oao(self):
+        """OAO rides the f32 path (the TPU default dtype) too."""
+        X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=13)
+        ds = DataSet(X.astype(np.float32), y)
+        svm = CSVM(
+            backend="xla", dtype=np.float32, target="cpu",
+            kernel_type="rbf", gamma=0.3,
+        )
+        model = svm.fit(ds, classification="oao", epsilon=1e-5)
+        assert np.asarray(model.alpha).dtype == np.float32
+        assert svm.score(model) == 1.0
+
     def test_distance_kernel_oao(self):
         """OAO pair machines ride the distance-kernel (VPU) paths too."""
         X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=12)
