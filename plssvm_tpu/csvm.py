@@ -315,8 +315,9 @@ class CSVM:
         point's regularizer to ``1/(C * s_i)``: larger weights mean smaller
         slack penalties are tolerated less (the point is fitted more
         tightly), the standard recipe for class imbalance (LIBSVM's -wi) and
-        robust fits.  Single-device fits only; not combinable with
-        CG-state checkpointing.
+        robust fits.  Single-device fits only; composes with CG-state
+        checkpointing (the weights digest enters the checkpoint
+        fingerprint, so differently-weighted runs never resume each other).
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
@@ -366,11 +367,6 @@ class CSVM:
             if not np.all(sample_weight > 0.0):
                 raise InvalidParameterError(
                     "sample_weight entries must all be positive!"
-                )
-            if checkpoint_path is not None:
-                raise InvalidParameterError(
-                    "sample_weight cannot be combined with CG-state "
-                    "checkpointing yet!"
                 )
             if self.devices is not None:
                 raise InvalidParameterError(
@@ -936,6 +932,21 @@ class CSVM:
             data._k_cache = (key, K)
         return K
 
+    def _params_repr_for_fingerprint(self, solve_kwargs) -> str:
+        """Parameter string for the checkpoint fingerprint, extended with a
+        digest of the sample weights when present — a checkpoint written by
+        an unweighted (or differently weighted) run solves a DIFFERENT
+        system and must never resume a weighted one."""
+        rep = repr(self._params)
+        w = solve_kwargs.get("weights")
+        if w is not None:
+            import hashlib
+
+            rep += "|weights:" + hashlib.sha256(
+                np.ascontiguousarray(np.asarray(w, np.float64)).tobytes()
+            ).hexdigest()
+        return rep
+
     def _extend_solve_kwargs(self, solve_kwargs, x_init, weights, weight_last):
         """Attach the optional warm-start / sample-weight solver arguments
         (one implementation for all four single-device solve branches)."""
@@ -1018,10 +1029,10 @@ class CSVM:
                 scalars=self.scalar_precision,
                 precision=self.gram_precision,
             )
+            self._extend_solve_kwargs(
+                solve_kwargs, x_init, weights, weight_last
+            )
             if checkpoint_path is None:
-                self._extend_solve_kwargs(
-                    solve_kwargs, x_init, weights, weight_last
-                )
                 return solve_ls_svm_explicit(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1078,10 +1089,10 @@ class CSVM:
                 scalars=self.scalar_precision,
                 gram_precision=self.gram_precision,
             )
+            self._extend_solve_kwargs(
+                solve_kwargs, x_init, weights, weight_last
+            )
             if checkpoint_path is None:
-                self._extend_solve_kwargs(
-                    solve_kwargs, x_init, weights, weight_last
-                )
                 result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
             else:
                 result = self._fit_with_checkpointing(
@@ -1153,10 +1164,10 @@ class CSVM:
                 scalars=self.scalar_precision,
                 precision=self.gram_precision,
             )
+            self._extend_solve_kwargs(
+                solve_kwargs, x_init, weights, weight_last
+            )
             if checkpoint_path is None:
-                self._extend_solve_kwargs(
-                    solve_kwargs, x_init, weights, weight_last
-                )
                 return solve_ls_svm_explicit_multi(
                     *solve_args, max_iter_v, **solve_kwargs
                 )
@@ -1211,10 +1222,10 @@ class CSVM:
             scalars=self.scalar_precision,
             gram_precision=self.gram_precision,
         )
+        self._extend_solve_kwargs(
+            solve_kwargs, x_init, weights, weight_last
+        )
         if checkpoint_path is None:
-            self._extend_solve_kwargs(
-                solve_kwargs, x_init, weights, weight_last
-            )
             return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
         return self._fit_with_checkpointing_multi(
             solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -1245,7 +1256,9 @@ class CSVM:
             save_multi_checkpoint,
         )
 
-        fingerprint = problem_fingerprint(Xp, Yp, repr(self._params), epsilon)
+        fingerprint = problem_fingerprint(
+            Xp, Yp, self._params_repr_for_fingerprint(solve_kwargs), epsilon
+        )
         ckpt = load_multi_checkpoint(checkpoint_path, fingerprint)
         if ckpt is not None:
             log(
@@ -1331,7 +1344,7 @@ class CSVM:
         )
 
         fingerprint = problem_fingerprint(
-            Xp, yp, repr(self._params), epsilon
+            Xp, yp, self._params_repr_for_fingerprint(solve_kwargs), epsilon
         )
         ckpt = load_checkpoint(checkpoint_path, fingerprint)
         if ckpt is not None:

@@ -697,6 +697,8 @@ def solve_ls_svm_multi_resume(
     preconditioner: str = "none",
     scalars: str = "plain",
     gram_precision: str = "f32",
+    weights=None,
+    weight_last=None,
 ) -> MultiCGResult:
     """Continue a checkpointed one-vs-all block-CG solve."""
     kernel_mm = _make_kernel_matmat(
@@ -710,6 +712,7 @@ def solve_ls_svm_multi_resume(
         kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
         preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0, itpc0),
+        weights=weights, weight_last=weight_last,
     )
 
 
@@ -806,6 +809,8 @@ def solve_ls_svm_resume(
     preconditioner: str = "none",
     scalars: str = "plain",
     gram_precision: str = "f32",
+    weights=None,
+    weight_last=None,
 ) -> CGResult:
     """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
     kernel_mv = _make_kernel_matvec(
@@ -817,4 +822,5 @@ def solve_ls_svm_resume(
         kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         init_state=(x0, r0, d0, delta, delta0, it0),
         preconditioner=preconditioner,
+        weights=weights, weight_last=weight_last,
     )

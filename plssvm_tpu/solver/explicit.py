@@ -222,6 +222,8 @@ def solve_ls_svm_explicit_resume(
     preconditioner: str = "none",
     scalars: str = "plain",
     precision: str = "f32",
+    weights=None,
+    weight_last=None,
 ) -> CGResult:
     """Continue a checkpointed explicit-matrix solve."""
     dot, vsum = _scalar_reductions(scalars)
@@ -231,6 +233,7 @@ def solve_ls_svm_explicit_resume(
         kernel_mv=_explicit_matvec(K, X.dtype, precision),
         dot=dot, vsum=vsum, preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0),
+        weights=weights, weight_last=weight_last,
     )
 
 
@@ -304,6 +307,8 @@ def solve_ls_svm_explicit_multi_resume(
     preconditioner: str = "none",
     scalars: str = "plain",
     precision: str = "f32",
+    weights=None,
+    weight_last=None,
 ) -> MultiCGResult:
     """Continue a checkpointed explicit-matrix block solve."""
     colsum = compensated_sum if scalars == "compensated" else (
@@ -315,4 +320,5 @@ def solve_ls_svm_explicit_multi_resume(
         kernel_mm=_explicit_matvec(K, X.dtype, precision),
         colsum=colsum, preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0, itpc0),
+        weights=weights, weight_last=weight_last,
     )

@@ -115,8 +115,44 @@ def test_validation_errors():
         bad = s.copy()
         bad[3] = 0.0
         svm.fit(DataSet(X, y), sample_weight=bad)
-    with pytest.raises(InvalidParameterError, match="checkpoint"):
-        svm.fit(DataSet(X, y), sample_weight=s, checkpoint_path="/tmp/nope")
+
+
+def test_weighted_checkpointed_fit(tmp_path):
+    """Weighted fits compose with CG-state checkpointing: segments are
+    bit-identical to the unsegmented solve, and a checkpoint written
+    UNWEIGHTED must not resume a weighted run (fingerprint differs)."""
+    X, y, s = _data(n=140, seed=8)
+    ds = DataSet(X, y)
+    svm = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+        cost=50.0,
+    )
+    m1 = svm.fit(ds, epsilon=1e-10, sample_weight=s)
+    path = str(tmp_path / "wck")
+    m2 = svm.fit(
+        ds, epsilon=1e-10, sample_weight=s,
+        checkpoint_path=path, checkpoint_interval=4,
+    )
+    np.testing.assert_array_equal(np.asarray(m1.alpha), np.asarray(m2.alpha))
+    assert m1.rho == m2.rho
+
+    # interrupted-unweighted checkpoint must not poison a weighted fit:
+    # run an unweighted segmented fit far from convergence, keep its file
+    svm_un = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.1,
+        cost=50.0,
+    )
+    path2 = str(tmp_path / "wck2")
+    svm_un.fit(ds, epsilon=1e-30, max_iter=4,
+               checkpoint_path=path2, checkpoint_interval=2)
+    # max_iter reached -> checkpoint remains; now fit WEIGHTED with the
+    # same file: the fingerprint differs, so it starts fresh and matches
+    # the clean weighted solve
+    m3 = svm.fit(
+        DataSet(X, y), epsilon=1e-10, sample_weight=s,
+        checkpoint_path=path2, checkpoint_interval=1000,
+    )
+    np.testing.assert_allclose(m3.rho, m1.rho, rtol=1e-10)
 
 
 def test_cli_weight_flag(tmp_path):
