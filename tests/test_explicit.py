@@ -192,6 +192,12 @@ class TestSolverSelection:
         assert svm._use_explicit_solver(1000, 10, lap, 1) is True
         # multi-device: the per-chip budget applies (row-sharded K)
         assert svm._use_explicit_solver(1000, 600, rbf, 4) is True
+        # bf16-stored K halves the crossover width (2x faster iterations)
+        svm_bf16 = CSVM(
+            backend="xla", dtype=np.float64, gram_precision="bf16"
+        )
+        assert svm_bf16._use_explicit_solver(1000, 300, rbf, 1) is True
+        assert svm._use_explicit_solver(1000, 300, rbf, 1) is False
 
     def test_sharded_explicit_matches_single_device(self):
         devs = jax.devices("cpu")[:4]
