@@ -315,7 +315,8 @@ class CSVM:
         point's regularizer to ``1/(C * s_i)``: larger weights mean smaller
         slack penalties are tolerated less (the point is fitted more
         tightly), the standard recipe for class imbalance (LIBSVM's -wi) and
-        robust fits.  Single-device fits only; composes with CG-state
+        robust fits.  Works on every solver path — the weights row-shard
+        like the mask on multi-device meshes — and composes with CG-state
         checkpointing (the weights digest enters the checkpoint
         fingerprint, so differently-weighted runs never resume each other).
         """
@@ -367,11 +368,6 @@ class CSVM:
             if not np.all(sample_weight > 0.0):
                 raise InvalidParameterError(
                     "sample_weight entries must all be positive!"
-                )
-            if self.devices is not None:
-                raise InvalidParameterError(
-                    "sample_weight fits are single-device — use "
-                    "devices=None!"
                 )
         if initial_model is not None:
             if checkpoint_path is not None:
@@ -982,6 +978,7 @@ class CSVM:
         if use_explicit and n_dev > 1:
             from .parallel.sharded import (
                 build_sharded_explicit_solver, make_row_mesh, shard_arrays,
+                shard_weights,
             )
 
             mesh = make_row_mesh(self.devices)
@@ -993,19 +990,24 @@ class CSVM:
                 mesh, data, sharded[0], gamma_v, coef0_v, kind, degree
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            weighted = weights is not None
+            wargs = (
+                shard_weights(mesh, weights, weight_last, self.dtype)
+                if weighted else ()
+            )
             if checkpoint_path is None:
                 solver = build_sharded_explicit_solver(
                     mesh, kind=kind, degree=degree,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
-                    precision=self.gram_precision,
+                    precision=self.gram_precision, weighted=weighted,
                 )
-                return solver(K, *sharded, *scalar_args, max_iter_v)
+                return solver(K, *sharded, *scalar_args, max_iter_v, *wargs)
             return self._fit_with_checkpointing_sharded(
                 mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),
                 kind=kind, degree=degree, impl="xla", multi=False,
-                explicit=True,
+                explicit=True, weight_args=wargs, weights_host=weights,
             )
 
         if use_explicit:
@@ -1046,6 +1048,7 @@ class CSVM:
         if n_dev > 1:
             from .parallel.sharded import (
                 build_sharded_solver, make_row_mesh, shard_arrays,
+                shard_weights,
             )
 
             mesh = make_row_mesh(self.devices)
@@ -1055,19 +1058,25 @@ class CSVM:
                 mask, self.dtype,
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            weighted = weights is not None
+            wargs = (
+                shard_weights(mesh, weights, weight_last, self.dtype)
+                if weighted else ()
+            )
             if checkpoint_path is None:
                 solver = build_sharded_solver(
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
-                    gram_precision=self.gram_precision,
+                    gram_precision=self.gram_precision, weighted=weighted,
                 )
-                result = solver(*sharded, *scalar_args, max_iter_v)
+                result = solver(*sharded, *scalar_args, max_iter_v, *wargs)
             else:
                 result = self._fit_with_checkpointing_sharded(
                     mesh, sharded, scalar_args, Xp, yp, epsilon,
                     int(max_iter), checkpoint_path, int(checkpoint_interval),
                     kind=kind, degree=degree, impl=shard_impl, multi=False,
+                    weight_args=wargs, weights_host=weights,
                 )
         else:
             impl = "pallas" if self.backend == BackendType.PALLAS else "xla"
@@ -1115,9 +1124,11 @@ class CSVM:
         class-major MXU contractions); elsewhere the XLA shared-Gram scan.
         """
         y_last = jnp.asarray(y[-1], dtype=self.dtype)  # (C,)
+        weighted = weights is not None
         if use_explicit and n_dev > 1:
             from .parallel.sharded import (
                 build_sharded_explicit_solver, make_row_mesh, shard_arrays,
+                shard_weights,
             )
 
             mesh = make_row_mesh(self.devices)
@@ -1128,19 +1139,24 @@ class CSVM:
                 mesh, data, sharded[0], gamma_v, coef0_v, kind, degree
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            wargs = (
+                shard_weights(mesh, weights, weight_last, self.dtype)
+                if weighted else ()
+            )
             if checkpoint_path is None:
                 solver = build_sharded_explicit_solver(
                     mesh, kind=kind, degree=degree,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     precision=self.gram_precision, multi=True,
+                    weighted=weighted,
                 )
-                return solver(K, *sharded, *scalar_args, max_iter_v)
+                return solver(K, *sharded, *scalar_args, max_iter_v, *wargs)
             return self._fit_with_checkpointing_sharded(
                 mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),
                 kind=kind, degree=degree, impl="xla", multi=True,
-                explicit=True,
+                explicit=True, weight_args=wargs, weights_host=weights,
             )
         if use_explicit:
             from .solver.explicit import (
@@ -1180,6 +1196,7 @@ class CSVM:
         if n_dev > 1:
             from .parallel.sharded import (
                 build_sharded_multi_solver, make_row_mesh, shard_arrays,
+                shard_weights,
             )
 
             mesh = make_row_mesh(self.devices)
@@ -1190,18 +1207,23 @@ class CSVM:
                 mesh, Xp, x_last, yp, y_last, mask, self.dtype
             )
             scalar_args = (gamma_v, coef0_v, cost_v, eps_v)
+            wargs = (
+                shard_weights(mesh, weights, weight_last, self.dtype)
+                if weighted else ()
+            )
             if checkpoint_path is None:
                 solver = build_sharded_multi_solver(
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
-                    gram_precision=self.gram_precision,
+                    gram_precision=self.gram_precision, weighted=weighted,
                 )
-                return solver(*sharded, *scalar_args, max_iter_v)
+                return solver(*sharded, *scalar_args, max_iter_v, *wargs)
             return self._fit_with_checkpointing_sharded(
                 mesh, sharded, scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),
                 kind=kind, degree=degree, impl=shard_impl, multi=True,
+                weight_args=wargs, weights_host=weights,
             )
 
         from .solver.cg import solve_ls_svm_multi
@@ -1408,6 +1430,7 @@ class CSVM:
         self, mesh, sharded_args, scalar_args, Xp, Yp, epsilon,
         max_iter: int, checkpoint_path: str, checkpoint_interval: int,
         *, kind, degree, impl, multi: bool, explicit: bool = False,
+        weight_args=(), weights_host=None,
     ):
         """Segmented sharded CG (binary or one-vs-all block) with state
         persistence — CG-state checkpointing works on the multi-device
@@ -1430,6 +1453,7 @@ class CSVM:
             save_multi_checkpoint,
         )
 
+        weighted = len(weight_args) > 0
         if explicit:
             # explicit-matrix sharded solve: K leads sharded_args; one
             # builder handles binary and multiclass (parallel.sharded)
@@ -1440,6 +1464,7 @@ class CSVM:
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
                 precision=self.gram_precision, multi=multi,
+                weighted=weighted,
             )
             solver = build_sharded_explicit_solver(mesh, **common)
             solver_resume = build_sharded_explicit_solver(
@@ -1453,7 +1478,7 @@ class CSVM:
                 kind=kind, degree=degree, impl=impl,
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
-                gram_precision=self.gram_precision,
+                gram_precision=self.gram_precision, weighted=weighted,
             )
             solver = build(mesh, **common)
             solver_resume = build(mesh, resume=True, **common)
@@ -1463,7 +1488,11 @@ class CSVM:
         )
         rep = NamedSharding(mesh, P())
 
-        fingerprint = problem_fingerprint(Xp, Yp, repr(self._params), epsilon)
+        fingerprint = problem_fingerprint(
+            Xp, Yp,
+            self._params_repr_for_fingerprint({"weights": weights_host}),
+            epsilon,
+        )
         load = load_multi_checkpoint if multi else load_checkpoint
         ckpt = load(checkpoint_path, fingerprint)
         if ckpt is not None:
@@ -1479,7 +1508,7 @@ class CSVM:
                 segment_end = min(checkpoint_interval, max_iter)
                 result = solver(
                     *sharded_args, *scalar_args,
-                    jnp.asarray(segment_end, jnp.int32),
+                    jnp.asarray(segment_end, jnp.int32), *weight_args,
                 )
             else:
                 segment_end = min(
@@ -1507,7 +1536,7 @@ class CSVM:
                     )
                 result = solver_resume(
                     *sharded_args, *scalar_args,
-                    jnp.asarray(segment_end, jnp.int32), *state,
+                    jnp.asarray(segment_end, jnp.int32), *weight_args, *state,
                 )
             iterations = int(result.iterations)
             delta = np.asarray(jax.device_get(result.delta))

@@ -284,6 +284,7 @@ def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     preconditioner: str = "none", scalars: str = "plain",
     resume: bool = False, gram_precision: str = "f32",
+    weighted: bool = False,
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -294,6 +295,13 @@ def build_sharded_solver(
     runs the per-chip partial reductions with double-float accumulation
     before the psum (solver.cg.compensated_dot).
 
+    ``weighted=True`` takes two extra arguments after ``max_iter`` —
+    ``(weights, weight_last)``, the row-sharded per-sample weights (1.0 on
+    padding) and the replicated folded-out last row's weight — Suykens'
+    weighted LS-SVM: each point's regularizer becomes 1/(C s_i).  The
+    weights row-shard exactly like the mask, so weighted fits compose with
+    every mesh/ring/explicit configuration.
+
     ``resume=True`` returns a variant taking six extra trailing arguments
     ``(x0, r0, d0, delta, delta0, it0)`` — x0/r0/d0 row-sharded, the rest
     replicated — continuing a checkpointed solve mid-CG (solver.checkpoint),
@@ -301,7 +309,7 @@ def build_sharded_solver(
     """
     key = (
         mesh, kind, degree, impl, preconditioner, scalars, resume,
-        gram_precision,
+        gram_precision, weighted,
     )
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
@@ -311,8 +319,13 @@ def build_sharded_solver(
 
     def local_solve(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
-        *init_state,
+        *rest,
     ):
+        if weighted:
+            weights, weight_last, *init_state = rest
+        else:
+            weights = weight_last = None
+            init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -344,13 +357,16 @@ def build_sharded_solver(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
-            init_state=init_state if resume else None,
+            init_state=tuple(init_state) if resume else None,
+            weights=weights, weight_last=weight_last,
         )
 
     row = P(ROW_AXIS)
     rep = P()
     in_specs = (P(ROW_AXIS, None), rep, row, rep, row,
                 rep, rep, rep, rep, rep)
+    if weighted:
+        in_specs = in_specs + (row, rep)
     if resume:
         in_specs = in_specs + (row, row, row, rep, rep, rep)
     solve = jax.jit(
@@ -381,6 +397,7 @@ def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     impl: str = "xla", resume: bool = False, gram_precision: str = "f32",
+    weighted: bool = False,
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -390,6 +407,10 @@ def build_sharded_multi_solver(
     Gram saving of the block solve composes with the ring's O(n d / P)
     per-chip memory.  Per-class CG scalars are (C,) psums.
 
+    ``weighted=True`` takes ``(weights, weight_last)`` after ``max_iter``
+    (see :func:`build_sharded_solver`) — the same row-sharded per-sample
+    weights apply to every one-vs-all column.
+
     ``resume=True`` takes seven extra trailing arguments
     ``(x0, r0, d0, delta, delta0, it0, itpc0)`` — x0/r0/d0 row-sharded,
     the per-class scalars replicated — continuing a checkpointed block
@@ -397,7 +418,7 @@ def build_sharded_multi_solver(
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, impl, resume,
-        gram_precision,
+        gram_precision, weighted,
     )
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -407,8 +428,13 @@ def build_sharded_multi_solver(
 
     def local_solve(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
-        *init_state,
+        *rest,
     ):
+        if weighted:
+            weights, weight_last, *init_state = rest
+        else:
+            weights = weight_last = None
+            init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_sum
 
@@ -434,13 +460,16 @@ def build_sharded_multi_solver(
             X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
             preconditioner=preconditioner,
-            init_state=init_state if resume else None,
+            init_state=tuple(init_state) if resume else None,
+            weights=weights, weight_last=weight_last,
         )
 
     row2 = P(ROW_AXIS, None)
     rep = P()
     in_specs = (row2, rep, row2, rep, P(ROW_AXIS),
                 rep, rep, rep, rep, rep)
+    if weighted:
+        in_specs = in_specs + (P(ROW_AXIS), rep)
     if resume:
         in_specs = in_specs + (row2, row2, row2, rep, rep, rep, rep)
     solve = jax.jit(
@@ -512,6 +541,7 @@ def build_sharded_explicit_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     precision: str = "f32", multi: bool = False, resume: bool = False,
+    weighted: bool = False,
 ):
     """A jitted, shard_map'ped CG solve against a ROW-SHARDED explicit K.
 
@@ -525,11 +555,13 @@ def build_sharded_explicit_solver(
 
     Argument order matches the implicit builders with K prepended:
     ``(K, X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter)``
-    (+ the checkpoint state when ``resume=True``).  ``multi=True`` solves the
-    one-vs-all (m, C) block — K is read once per iteration for all C columns.
+    (+ ``(weights, weight_last)`` when ``weighted=True``, + the checkpoint
+    state when ``resume=True``).  ``multi=True`` solves the one-vs-all
+    (m, C) block — K is read once per iteration for all C columns.
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, precision, multi, resume,
+        weighted,
     )
     cached = _EXPLICIT_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -539,8 +571,13 @@ def build_sharded_explicit_solver(
 
     def local_solve(
         K, X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
-        *init_state,
+        *rest,
     ):
+        if weighted:
+            weights, weight_last, *init_state = rest
+        else:
+            weights = weight_last = None
+            init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -576,13 +613,15 @@ def build_sharded_explicit_solver(
                 X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
                 kind=kind, degree=degree, kernel_mm=kernel_mv, colsum=colsum,
                 preconditioner=preconditioner,
-                init_state=init_state if resume else None,
+                init_state=tuple(init_state) if resume else None,
+                weights=weights, weight_last=weight_last,
             )
         return cg_ls_svm_core(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
-            init_state=init_state if resume else None,
+            init_state=tuple(init_state) if resume else None,
+            weights=weights, weight_last=weight_last,
         )
 
     row = P(ROW_AXIS)
@@ -591,6 +630,8 @@ def build_sharded_explicit_solver(
     state = row2 if multi else row
     in_specs = (row2, row2, rep, state, rep, row,
                 rep, rep, rep, rep, rep)
+    if weighted:
+        in_specs = in_specs + (row, rep)
     if resume:
         extra = (state, state, state, rep, rep, rep)
         if multi:
@@ -681,6 +722,18 @@ def shard_predict_arrays(mesh: Mesh, sv, alpha, points, dtype):
         # (n_sv,) binary alpha or (n_sv, C) one-vs-all columns
         jax.device_put(alpha, row2 if alpha.ndim == 2 else row1),
         jax.device_put(jnp.asarray(points, dtype), rep),
+    )
+
+
+def shard_weights(mesh: Mesh, weights, weight_last, dtype):
+    """Place the per-sample weights for a weighted sharded fit: the (m,)
+    weight vector row-sharded like the mask (1.0 on padding), the folded-out
+    last row's weight replicated."""
+    row1 = NamedSharding(mesh, P(ROW_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(weights, dtype), row1),
+        jax.device_put(jnp.asarray(weight_last, dtype), rep),
     )
 
 
