@@ -722,6 +722,7 @@ class CSVM:
         checkpoint_interval: int = 1000,
         classification: Union[str, ClassificationType] = ClassificationType.OAA,
         regression: bool = False,
+        sample_weight=None,
     ) -> Model:
         """Multi-host fit from a LIBSVM file on shared storage.
 
@@ -729,6 +730,10 @@ class CSVM:
         and the CG solve runs row-sharded over the GLOBAL device mesh —
         see plssvm_tpu.parallel.multihost.fit_multihost.  At
         process_count()==1 this equals ``fit(DataSet(filename))``.
+
+        ``sample_weight`` (one entry per file row) applies Suykens' weighted
+        LS-SVM regularizers 1/(C s_i); each host slices its row window of
+        the weight vector so the weights shard with the data.
 
         ``checkpoint_path`` (on shared storage) enables CG-state
         checkpointing, as in :meth:`fit`: process 0 persists the gathered
@@ -760,6 +765,7 @@ class CSVM:
             self, filename, epsilon=epsilon, max_iter=max_iter,
             label_type=label_type, checkpoint_path=checkpoint_path,
             checkpoint_interval=checkpoint_interval, regression=regression,
+            sample_weight=sample_weight,
         )
 
     def _device_ctx(self):

@@ -185,7 +185,7 @@ def _gather_global(arr) -> np.ndarray:
 def _run_segments_multihost(
     build, sharded, scalar_args, mesh, dtype, *,
     n_total, d, params_repr, epsilon, x_last, y_all, m_pad, max_iter,
-    checkpoint_path, checkpoint_interval, multi,
+    checkpoint_path, checkpoint_interval, multi, weight_args=(),
 ):
     """Segmented multi-host CG with CG-state checkpointing.
 
@@ -249,13 +249,14 @@ def _run_segments_multihost(
         if ckpt is None:
             seg_end = min(checkpoint_interval, max_iter)
             result = solver(
-                *sharded, *scalar_args, jnp.asarray(seg_end, jnp.int32)
+                *sharded, *scalar_args, jnp.asarray(seg_end, jnp.int32),
+                *weight_args,
             )
         else:
             seg_end = min(ckpt.iteration + checkpoint_interval, max_iter)
             result = solver_resume(
                 *sharded, *scalar_args, jnp.asarray(seg_end, jnp.int32),
-                *place_state(ckpt),
+                *weight_args, *place_state(ckpt),
             )
         iterations = int(result.iterations)
         delta = np.asarray(jax.device_get(result.delta))
@@ -310,8 +311,14 @@ def fit_multihost(
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 1000,
     regression: bool = False,
+    sample_weight=None,
 ):
     """End-to-end multi-host LS-SVM fit from a LIBSVM file on shared storage.
+
+    ``sample_weight`` (EXTENSION — Suykens' weighted LS-SVM, one entry per
+    file row in file order) scales each point's regularizer to 1/(C s_i);
+    every host slices its row window of the global weight vector, so the
+    weights row-shard over the global mesh exactly like the mask.
 
     Each host materializes ONLY its row window of the training data
     (windowed native parse, O(n d / #hosts) data memory), the global mesh
@@ -386,6 +393,18 @@ def fit_multihost(
         max_iter = n_total
     dept = n_total - 1
 
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n_total,):
+            raise InvalidParameterError(
+                f"sample_weight must have one entry per data point "
+                f"({n_total}), but has shape {sample_weight.shape}!"
+            )
+        if not np.all(sample_weight > 0.0):
+            raise InvalidParameterError(
+                "sample_weight entries must all be positive!"
+            )
+
     params = csvm.params.copy()
     if params.gamma.is_default():
         params.gamma.value = 1.0 / d
@@ -414,6 +433,9 @@ def fit_multihost(
     X_local = np.zeros((rows_local, d_pad), dtype=dtype)
     y_local = np.zeros((rows_local,) + y_all.shape[1:], dtype=dtype)
     mask_local = np.zeros((rows_local,), dtype=dtype)
+    weights_local = None
+    if sample_weight is not None:
+        weights_local = np.ones((rows_local,), dtype=dtype)
     if real_end > begin:
         if X_all is not None:
             Xw = X_all[begin:real_end]
@@ -424,6 +446,8 @@ def fit_multihost(
         X_local[: real_end - begin, :d] = Xw
         y_local[: real_end - begin] = y_all[begin:real_end]
         mask_local[: real_end - begin] = 1.0
+        if weights_local is not None:
+            weights_local[: real_end - begin] = sample_weight[begin:real_end]
 
     # the folded-out last data point, replicated on every host
     if X_all is not None:
@@ -469,6 +493,27 @@ def fit_multihost(
         mesh, X_local, x_last, y_local, np.asarray(y_all[dept], dtype=dtype),
         mask_local, dtype,
     )
+    weighted = sample_weight is not None
+    wargs = ()
+    params_repr = repr(params)
+    if weighted:
+        row1 = NamedSharding(mesh, P(ROW_AXIS))
+        rep = NamedSharding(mesh, P())
+        wargs = (
+            jax.make_array_from_process_local_data(
+                row1, np.asarray(weights_local, dtype), global_shape=(m_pad,)
+            ),
+            jax.device_put(
+                jnp.asarray(sample_weight[dept], dtype=dtype), rep
+            ),
+        )
+        # differently-weighted runs must never resume each other's
+        # checkpoints (same digest rule as CSVM._params_repr_for_fingerprint)
+        import hashlib
+
+        params_repr += "|weights:" + hashlib.sha256(
+            np.ascontiguousarray(sample_weight).tobytes()
+        ).hexdigest()
     gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dtype)
     coef0_v = jnp.asarray(params.coef0.value, dtype=dtype)
     cost_v = jnp.asarray(params.cost.value, dtype=dtype)
@@ -495,6 +540,7 @@ def fit_multihost(
             preconditioner=csvm.preconditioner,
             scalars=csvm.scalar_precision,
             precision=csvm.gram_precision, multi=multiclass,
+            weighted=weighted,
         )
     else:
         add_tracking_entry("cg", "solver", "cg_implicit")
@@ -504,21 +550,21 @@ def fit_multihost(
             mesh, kind=kind, degree=degree, impl=impl,
             preconditioner=csvm.preconditioner,
             scalars=csvm.scalar_precision,
-            gram_precision=csvm.gram_precision,
+            gram_precision=csvm.gram_precision, weighted=weighted,
         )
     if checkpoint_path is None:
         result = build()(
-            *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32)
+            *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32), *wargs
         )
     else:
         result = _run_segments_multihost(
             build, sharded, scalar_args, mesh, dtype,
-            n_total=n_total, d=d, params_repr=repr(params),
+            n_total=n_total, d=d, params_repr=params_repr,
             epsilon=epsilon, x_last=x_last, y_all=y_all, m_pad=m_pad,
             max_iter=int(max_iter),
             checkpoint_path=checkpoint_path,
             checkpoint_interval=int(checkpoint_interval),
-            multi=multiclass,
+            multi=multiclass, weight_args=wargs,
         )
 
     if result.x.is_fully_addressable:

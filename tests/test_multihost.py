@@ -242,3 +242,50 @@ def test_fit_multihost_multiclass_checkpointed(tmp_path):
         assert not os.path.exists(path)
     finally:
         mh.global_row_mesh = orig
+
+
+def test_fit_multihost_weighted(tmp_path):
+    """fit_multihost(sample_weight=) slices each host's window of the global
+    weight vector and must match the single-device weighted fit (round-3
+    extension: weights now ride every solver path incl. multi-host)."""
+    import plssvm_tpu
+    from plssvm_tpu.exceptions import InvalidParameterError
+
+    rng = np.random.default_rng(41)
+    n, d = 180, 5
+    X = rng.normal(size=(n, d))
+    y = np.where(rng.random(n) > 0.5, 1, -1)
+    X[y > 0] += 1.0
+    s = rng.uniform(0.5, 3.0, size=n)
+    ds = plssvm_tpu.DataSet(X, y)
+    f = str(tmp_path / "mhw.libsvm")
+    ds.save(f)
+
+    svm = plssvm_tpu.CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf",
+        devices=jax.devices("cpu")[:8],
+    )
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        # weights are keyed to FILE row order — DataSet.save preserves it
+        model = svm.fit_multihost(f, epsilon=1e-10, sample_weight=s)
+        with pytest.raises(InvalidParameterError, match="one entry per"):
+            svm.fit_multihost(f, sample_weight=s[:10])
+        with pytest.raises(InvalidParameterError, match="positive"):
+            bad = s.copy()
+            bad[0] = -1.0
+            svm.fit_multihost(f, sample_weight=bad)
+    finally:
+        mh.global_row_mesh = orig
+
+    ref = plssvm_tpu.CSVM(backend="xla", target="cpu", dtype=np.float64,
+                          kernel_type="rbf")
+    ref_model = ref.fit(plssvm_tpu.DataSet(f), epsilon=1e-10, sample_weight=s)
+    np.testing.assert_allclose(
+        model.alpha, ref_model.alpha, rtol=1e-5, atol=1e-7
+    )
+    assert model.rho == pytest.approx(ref_model.rho, rel=1e-6)
