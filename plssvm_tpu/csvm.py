@@ -305,7 +305,8 @@ class CSVM:
         re-fitting after a small C change, skips most iterations.  Combined
         with solver='cg_explicit' (whose kernel matrix is cached on the
         DataSet independently of C) a grid search over C is nearly free.
-        Single-device binary/OAA fits only.  Correctness never depends on
+        Binary/OAA fits on any device layout (the warm start row-shards
+        with the CG state on meshes).  Correctness never depends on
         the warm start (it only sets CG's starting point), but the benefit
         does require the model's alpha rows to align with ``data``'s row
         order — note that model FILES store support vectors class-grouped,
@@ -375,11 +376,6 @@ class CSVM:
                     "initial_model cannot be combined with CG-state "
                     "checkpointing (the checkpoint already carries the "
                     "solver state)!"
-                )
-            if self.devices is not None:
-                raise InvalidParameterError(
-                    "initial_model warm starts are single-device — use "
-                    "devices=None!"
                 )
             if multiclass and classification == ClassificationType.OAO:
                 raise InvalidParameterError(
@@ -1001,14 +997,24 @@ class CSVM:
                 shard_weights(mesh, weights, weight_last, self.dtype)
                 if weighted else ()
             )
+            warm = x_init is not None
             if checkpoint_path is None:
+                from .parallel.sharded import shard_warm_start
+
                 solver = build_sharded_explicit_solver(
                     mesh, kind=kind, degree=degree,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     precision=self.gram_precision, weighted=weighted,
+                    warm=warm,
                 )
-                return solver(K, *sharded, *scalar_args, max_iter_v, *wargs)
+                warm_args = (
+                    (shard_warm_start(mesh, x_init, self.dtype),)
+                    if warm else ()
+                )
+                return solver(
+                    K, *sharded, *scalar_args, max_iter_v, *wargs, *warm_args
+                )
             return self._fit_with_checkpointing_sharded(
                 mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),
@@ -1069,14 +1075,24 @@ class CSVM:
                 shard_weights(mesh, weights, weight_last, self.dtype)
                 if weighted else ()
             )
+            warm = x_init is not None
             if checkpoint_path is None:
+                from .parallel.sharded import shard_warm_start
+
                 solver = build_sharded_solver(
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     gram_precision=self.gram_precision, weighted=weighted,
+                    warm=warm,
                 )
-                result = solver(*sharded, *scalar_args, max_iter_v, *wargs)
+                warm_args = (
+                    (shard_warm_start(mesh, x_init, self.dtype),)
+                    if warm else ()
+                )
+                result = solver(
+                    *sharded, *scalar_args, max_iter_v, *wargs, *warm_args
+                )
             else:
                 result = self._fit_with_checkpointing_sharded(
                     mesh, sharded, scalar_args, Xp, yp, epsilon,
@@ -1149,15 +1165,24 @@ class CSVM:
                 shard_weights(mesh, weights, weight_last, self.dtype)
                 if weighted else ()
             )
+            warm = x_init is not None
             if checkpoint_path is None:
+                from .parallel.sharded import shard_warm_start
+
                 solver = build_sharded_explicit_solver(
                     mesh, kind=kind, degree=degree,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     precision=self.gram_precision, multi=True,
-                    weighted=weighted,
+                    weighted=weighted, warm=warm,
                 )
-                return solver(K, *sharded, *scalar_args, max_iter_v, *wargs)
+                warm_args = (
+                    (shard_warm_start(mesh, x_init, self.dtype),)
+                    if warm else ()
+                )
+                return solver(
+                    K, *sharded, *scalar_args, max_iter_v, *wargs, *warm_args
+                )
             return self._fit_with_checkpointing_sharded(
                 mesh, (K,) + tuple(sharded), scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),
@@ -1217,14 +1242,24 @@ class CSVM:
                 shard_weights(mesh, weights, weight_last, self.dtype)
                 if weighted else ()
             )
+            warm = x_init is not None
             if checkpoint_path is None:
+                from .parallel.sharded import shard_warm_start
+
                 solver = build_sharded_multi_solver(
                     mesh, kind=kind, degree=degree, impl=shard_impl,
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     gram_precision=self.gram_precision, weighted=weighted,
+                    warm=warm,
                 )
-                return solver(*sharded, *scalar_args, max_iter_v, *wargs)
+                warm_args = (
+                    (shard_warm_start(mesh, x_init, self.dtype),)
+                    if warm else ()
+                )
+                return solver(
+                    *sharded, *scalar_args, max_iter_v, *wargs, *warm_args
+                )
             return self._fit_with_checkpointing_sharded(
                 mesh, sharded, scalar_args, Xp, yp, epsilon,
                 int(max_iter), checkpoint_path, int(checkpoint_interval),

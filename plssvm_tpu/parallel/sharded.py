@@ -284,7 +284,7 @@ def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     preconditioner: str = "none", scalars: str = "plain",
     resume: bool = False, gram_precision: str = "f32",
-    weighted: bool = False,
+    weighted: bool = False, warm: bool = False,
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -302,14 +302,23 @@ def build_sharded_solver(
     weights row-shard exactly like the mask, so weighted fits compose with
     every mesh/ring/explicit configuration.
 
+    ``warm=True`` takes one more argument — the row-sharded warm-start
+    ``x_init`` (a previous fit's alpha over the padded dept axis) replacing
+    CG's x0 = 1; the stop target stays anchored to the cold start (the
+    core computes one extra matvec for it), so warm sharded fits stop at
+    exactly cold-fit accuracy.
+
     ``resume=True`` returns a variant taking six extra trailing arguments
     ``(x0, r0, d0, delta, delta0, it0)`` — x0/r0/d0 row-sharded, the rest
     replicated — continuing a checkpointed solve mid-CG (solver.checkpoint),
     the sharded analog of `solve_ls_svm_resume`.
+
+    Trailing-argument order after ``max_iter``: ``(weights, weight_last)``
+    if weighted, then ``x_init`` if warm, then the resume state.
     """
     key = (
         mesh, kind, degree, impl, preconditioner, scalars, resume,
-        gram_precision, weighted,
+        gram_precision, weighted, warm,
     )
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
@@ -321,11 +330,15 @@ def build_sharded_solver(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
+        rest = list(rest)
+        weights = weight_last = x_init = None
         if weighted:
-            weights, weight_last, *init_state = rest
-        else:
-            weights = weight_last = None
-            init_state = rest
+            weights, weight_last = rest[0], rest[1]
+            rest = rest[2:]
+        if warm:
+            x_init = rest[0]
+            rest = rest[1:]
+        init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -358,7 +371,7 @@ def build_sharded_solver(
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
             init_state=tuple(init_state) if resume else None,
-            weights=weights, weight_last=weight_last,
+            weights=weights, weight_last=weight_last, x_init=x_init,
         )
 
     row = P(ROW_AXIS)
@@ -367,6 +380,8 @@ def build_sharded_solver(
                 rep, rep, rep, rep, rep)
     if weighted:
         in_specs = in_specs + (row, rep)
+    if warm:
+        in_specs = in_specs + (row,)
     if resume:
         in_specs = in_specs + (row, row, row, rep, rep, rep)
     solve = jax.jit(
@@ -397,7 +412,7 @@ def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     impl: str = "xla", resume: bool = False, gram_precision: str = "f32",
-    weighted: bool = False,
+    weighted: bool = False, warm: bool = False,
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -409,7 +424,8 @@ def build_sharded_multi_solver(
 
     ``weighted=True`` takes ``(weights, weight_last)`` after ``max_iter``
     (see :func:`build_sharded_solver`) — the same row-sharded per-sample
-    weights apply to every one-vs-all column.
+    weights apply to every one-vs-all column.  ``warm=True`` takes the
+    row-sharded (m, C) warm-start block ``x_init`` next.
 
     ``resume=True`` takes seven extra trailing arguments
     ``(x0, r0, d0, delta, delta0, it0, itpc0)`` — x0/r0/d0 row-sharded,
@@ -418,7 +434,7 @@ def build_sharded_multi_solver(
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, impl, resume,
-        gram_precision, weighted,
+        gram_precision, weighted, warm,
     )
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -430,11 +446,15 @@ def build_sharded_multi_solver(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
+        rest = list(rest)
+        weights = weight_last = x_init = None
         if weighted:
-            weights, weight_last, *init_state = rest
-        else:
-            weights = weight_last = None
-            init_state = rest
+            weights, weight_last = rest[0], rest[1]
+            rest = rest[2:]
+        if warm:
+            x_init = rest[0]
+            rest = rest[1:]
+        init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_sum
 
@@ -461,7 +481,7 @@ def build_sharded_multi_solver(
             kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
             preconditioner=preconditioner,
             init_state=tuple(init_state) if resume else None,
-            weights=weights, weight_last=weight_last,
+            weights=weights, weight_last=weight_last, x_init=x_init,
         )
 
     row2 = P(ROW_AXIS, None)
@@ -470,6 +490,8 @@ def build_sharded_multi_solver(
                 rep, rep, rep, rep, rep)
     if weighted:
         in_specs = in_specs + (P(ROW_AXIS), rep)
+    if warm:
+        in_specs = in_specs + (row2,)
     if resume:
         in_specs = in_specs + (row2, row2, row2, rep, rep, rep, rep)
     solve = jax.jit(
@@ -541,7 +563,7 @@ def build_sharded_explicit_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     precision: str = "f32", multi: bool = False, resume: bool = False,
-    weighted: bool = False,
+    weighted: bool = False, warm: bool = False,
 ):
     """A jitted, shard_map'ped CG solve against a ROW-SHARDED explicit K.
 
@@ -555,13 +577,14 @@ def build_sharded_explicit_solver(
 
     Argument order matches the implicit builders with K prepended:
     ``(K, X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter)``
-    (+ ``(weights, weight_last)`` when ``weighted=True``, + the checkpoint
-    state when ``resume=True``).  ``multi=True`` solves the one-vs-all
-    (m, C) block — K is read once per iteration for all C columns.
+    (+ ``(weights, weight_last)`` when ``weighted=True``, + the warm-start
+    ``x_init`` when ``warm=True``, + the checkpoint state when
+    ``resume=True``).  ``multi=True`` solves the one-vs-all (m, C) block —
+    K is read once per iteration for all C columns.
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, precision, multi, resume,
-        weighted,
+        weighted, warm,
     )
     cached = _EXPLICIT_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -573,11 +596,15 @@ def build_sharded_explicit_solver(
         K, X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
+        rest = list(rest)
+        weights = weight_last = x_init = None
         if weighted:
-            weights, weight_last, *init_state = rest
-        else:
-            weights = weight_last = None
-            init_state = rest
+            weights, weight_last = rest[0], rest[1]
+            rest = rest[2:]
+        if warm:
+            x_init = rest[0]
+            rest = rest[1:]
+        init_state = rest
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -614,14 +641,14 @@ def build_sharded_explicit_solver(
                 kind=kind, degree=degree, kernel_mm=kernel_mv, colsum=colsum,
                 preconditioner=preconditioner,
                 init_state=tuple(init_state) if resume else None,
-                weights=weights, weight_last=weight_last,
+                weights=weights, weight_last=weight_last, x_init=x_init,
             )
         return cg_ls_svm_core(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
             init_state=tuple(init_state) if resume else None,
-            weights=weights, weight_last=weight_last,
+            weights=weights, weight_last=weight_last, x_init=x_init,
         )
 
     row = P(ROW_AXIS)
@@ -632,6 +659,8 @@ def build_sharded_explicit_solver(
                 rep, rep, rep, rep, rep)
     if weighted:
         in_specs = in_specs + (row, rep)
+    if warm:
+        in_specs = in_specs + (state,)
     if resume:
         extra = (state, state, state, rep, rep, rep)
         if multi:
@@ -723,6 +752,14 @@ def shard_predict_arrays(mesh: Mesh, sv, alpha, points, dtype):
         jax.device_put(alpha, row2 if alpha.ndim == 2 else row1),
         jax.device_put(jnp.asarray(points, dtype), rep),
     )
+
+
+def shard_warm_start(mesh: Mesh, x_init, dtype):
+    """Place a warm-start alpha for a sharded fit: row-sharded like the CG
+    state it seeds — (m,) binary or (m, C) one-vs-all block."""
+    x_init = jnp.asarray(x_init, dtype)
+    spec = P(ROW_AXIS, None) if x_init.ndim == 2 else P(ROW_AXIS)
+    return jax.device_put(x_init, NamedSharding(mesh, spec))
 
 
 def shard_weights(mesh: Mesh, weights, weight_last, dtype):

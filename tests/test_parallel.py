@@ -543,3 +543,40 @@ def test_sharded_weighted_checkpointed_fit(mesh, tmp_path):
         checkpoint_path=path2, checkpoint_interval=1000,
     )
     np.testing.assert_allclose(m3.rho, m1.rho, rtol=1e-10)
+
+
+@pytest.mark.parametrize("solver", ["cg_implicit", "cg_explicit"])
+def test_sharded_warm_start_zero_iterations(mesh, solver):
+    """Warm-starting a sharded fit from its own converged model takes 0
+    iterations (the stop target is cold-anchored, as on one device)."""
+    X, y = make_blobs(260, 5, seed=35)
+    ds = plssvm_tpu.DataSet(X, y)
+    svm = plssvm_tpu.CSVM(
+        kernel_type="rbf", dtype=np.float64, solver=solver,
+        devices=jax.devices("cpu")[:NDEV],
+    )
+    cold = svm.fit(ds, epsilon=1e-8)
+    warm = svm.fit(ds, epsilon=1e-8, initial_model=cold)
+    assert warm.n_iter == 0
+    np.testing.assert_allclose(
+        np.asarray(warm.alpha), np.asarray(cold.alpha), rtol=1e-12
+    )
+
+
+def test_sharded_warm_start_multiclass(mesh):
+    """Warm-started one-vs-all block CG on the mesh: 0 iterations from the
+    converged (m, C) alpha block."""
+    rng = np.random.default_rng(36)
+    X = np.concatenate([rng.normal(3 * c, 0.6, (70, 5)) for c in range(3)])
+    y = np.repeat([0, 1, 2], 70)
+    ds = plssvm_tpu.DataSet(X, y)
+    svm = plssvm_tpu.CSVM(
+        kernel_type="rbf", dtype=np.float64,
+        devices=jax.devices("cpu")[:NDEV],
+    )
+    cold = svm.fit(ds, epsilon=1e-8)
+    warm = svm.fit(ds, epsilon=1e-8, initial_model=cold)
+    assert warm.n_iter == 0
+    np.testing.assert_allclose(
+        np.asarray(warm.alpha), np.asarray(cold.alpha), rtol=1e-12
+    )
