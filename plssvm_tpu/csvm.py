@@ -456,6 +456,20 @@ class CSVM:
             m_pad = _round_up(dept, self.row_block)
             d_pad = d
 
+        # device-resident row-subset staging (the OAO pair-machine fast
+        # path): when the DataSet carries `_device_rows = (X_aug, rows)` —
+        # a once-staged (n_parent+1, d_aug) device array whose LAST row is
+        # zeros, plus this subproblem's parent-row indices — the padded
+        # operand is GATHERED on device instead of re-transferring
+        # O(n_sub * d) bytes from the host per fit.  d_aug already carries
+        # the backend's feature padding (zero columns are exact no-ops for
+        # every Gram kernel), so it overrides this fit's d_pad.
+        device_rows = (
+            getattr(data, "_device_rows", None) if n_dev == 1 else None
+        )
+        if device_rows is not None and device_rows[0].shape[1] >= d:
+            d_pad = device_rows[0].shape[1]
+
         # memoize padded arrays on the DataSet: repeated fits (hyperparameter
         # sweeps, warm-up runs) skip re-padding AND re-transfer — significant
         # when the host->device link is slow relative to HBM
@@ -470,23 +484,34 @@ class CSVM:
         if cache is not None and cache[0] == cache_key:
             Xp, x_last, yp, mask = cache[1]
         else:
-            Xp = np.zeros((m_pad, d_pad), dtype=self.dtype)
-            Xp[:dept, :d] = X[:dept]
-            x_last = np.zeros((d_pad,), dtype=self.dtype)
-            x_last[:d] = X[-1]
             # binary: (m,) ±1 targets; multiclass: (m, C) one-vs-all columns
             yp = np.zeros((m_pad,) + y.shape[1:], dtype=self.dtype)
             yp[:dept] = y[:dept]
             mask = np.zeros((m_pad,), dtype=self.dtype)
             mask[:dept] = 1.0
-            if n_dev == 1:
-                # device-resident versions so the next fit reuses them;
-                # jnp.asarray on an already-on-device array is a no-op
+            if device_rows is not None:
+                X_aug, rows_idx = device_rows
+                zero_row = X_aug.shape[0] - 1
+                idx = np.full((m_pad,), zero_row, dtype=np.int32)
+                idx[:dept] = np.asarray(rows_idx[:dept], dtype=np.int32)
                 with self._device_ctx():
-                    Xp = jnp.asarray(Xp)
-                    x_last = jnp.asarray(x_last)
+                    Xp = jnp.take(X_aug, jnp.asarray(idx), axis=0)
+                    x_last = X_aug[int(rows_idx[-1])]
                     yp = jnp.asarray(yp)
                     mask = jnp.asarray(mask)
+            else:
+                Xp = np.zeros((m_pad, d_pad), dtype=self.dtype)
+                Xp[:dept, :d] = X[:dept]
+                x_last = np.zeros((d_pad,), dtype=self.dtype)
+                x_last[:d] = X[-1]
+                if n_dev == 1:
+                    # device-resident versions so the next fit reuses them;
+                    # jnp.asarray on an already-on-device array is a no-op
+                    with self._device_ctx():
+                        Xp = jnp.asarray(Xp)
+                        x_last = jnp.asarray(x_last)
+                        yp = jnp.asarray(yp)
+                        mask = jnp.asarray(mask)
             data._padded_cache = (cache_key, (Xp, x_last, yp, mask))
 
         # the pad-and-place step is this framework's layout transform — the
@@ -662,12 +687,36 @@ class CSVM:
         rho = np.zeros(len(pairs), dtype=np.float64)
         total_iters = 0
         iters_per_machine = []
+
+        # stage the training data on device ONCE (plus a trailing zero row
+        # for padding): each pair machine then GATHERS its padded row subset
+        # on device instead of re-staging O(n_pair d) bytes through the host
+        # per machine — on a tunneled runtime that staging dominated OAO
+        # training (~1.1 s/machine).  d is pre-padded to the backend's
+        # feature multiple so the gather result needs no second copy.
+        X_aug = None
+        if self.devices is None:
+            kind = params.kernel_type.value
+            d = X.shape[1]
+            d_aug = (
+                _round_up(d, 128)
+                if self.backend == BackendType.PALLAS
+                and _uses_pallas_kernels(kind)
+                else d
+            )
+            X_aug_h = np.zeros((n + 1, d_aug), dtype=self.dtype)
+            X_aug_h[:n, :d] = X
+            with self._device_ctx():
+                X_aug = jnp.asarray(X_aug_h)
+
         for m, (i, j) in enumerate(pairs):
             rows = np.flatnonzero((idx == i) | (idx == j))
             is_first = idx[rows] == i
             # class i is the +1 side: machine (i, j) votes i when f > 0
             y_pair = np.where(is_first, 1.0, -1.0)
             sub = DataSet(X[rows], y_pair)
+            if X_aug is not None:
+                sub._device_rows = (X_aug, rows)
             ckpt = (
                 None
                 if checkpoint_path is None

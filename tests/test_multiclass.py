@@ -375,3 +375,65 @@ class TestMulticlassPallasPredict:
             np.asarray(got), want, rtol=5e-4, atol=5e-4
         )
         assert np.asarray(got).shape == (640, 3)
+
+
+class TestOAODeviceStaging:
+    """The OAO device-resident pair gather (csvm._fit_oao stages the parent
+    data once; each pair machine gathers its padded row subset ON DEVICE)
+    must be bit-identical to the host-staged padding it replaces."""
+
+    def test_gather_matches_host_staging_exactly(self):
+        rng = np.random.default_rng(44)
+        X = np.concatenate(
+            [rng.normal(2.0 * c, 0.8, (40, 7)) for c in range(3)]
+        )
+        y = np.repeat([0, 1, 2], 40)
+        ds = DataSet(X, y)
+        svm = CSVM(backend="xla", target="cpu", dtype=np.float64,
+                   kernel_type="rbf")
+        m_gather = svm.fit(ds, epsilon=1e-10, classification="oao")
+
+        # strip the device staging each pair fit would use -> host path
+        orig_fit = CSVM.fit
+
+        def fit_no_gather(self, data, **kw):
+            if hasattr(data, "_device_rows"):
+                del data._device_rows
+            return orig_fit(self, data, **kw)
+
+        CSVM.fit = fit_no_gather
+        try:
+            m_host = svm.fit(DataSet(X, y), epsilon=1e-10,
+                             classification="oao")
+        finally:
+            CSVM.fit = orig_fit
+
+        np.testing.assert_array_equal(
+            np.asarray(m_gather.alpha), np.asarray(m_host.alpha)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_gather.rho), np.asarray(m_host.rho)
+        )
+
+    def test_gather_with_explicit_solver_and_weights(self):
+        """The gather composes with solver='cg_explicit' and sample_weight
+        (both flow through the same fit front end per pair machine)."""
+        rng = np.random.default_rng(45)
+        X = np.concatenate(
+            [rng.normal(2.0 * c, 0.8, (30, 5)) for c in range(3)]
+        )
+        y = np.repeat([0, 1, 2], 30)
+        s = rng.uniform(0.5, 2.0, size=90)
+        svm = CSVM(backend="xla", target="cpu", dtype=np.float64,
+                   kernel_type="rbf", solver="cg_explicit")
+        model = svm.fit(DataSet(X, y), epsilon=1e-10,
+                        classification="oao", sample_weight=s)
+        ref = CSVM(backend="xla", target="cpu", dtype=np.float64,
+                   kernel_type="rbf", solver="cg_implicit")
+        m_ref = ref.fit(DataSet(X, y), epsilon=1e-10,
+                        classification="oao", sample_weight=s)
+        np.testing.assert_allclose(
+            np.asarray(model.alpha), np.asarray(m_ref.alpha),
+            rtol=1e-6, atol=1e-8,
+        )
+        assert svm.score(model) == 1.0
