@@ -305,8 +305,11 @@ class CSVM:
         re-fitting after a small C change, skips most iterations.  Combined
         with solver='cg_explicit' (whose kernel matrix is cached on the
         DataSet independently of C) a grid search over C is nearly free.
-        Binary/OAA fits on any device layout (the warm start row-shards
-        with the CG state on meshes).  Correctness never depends on
+        Works for binary, one-vs-all AND one-vs-one fits on any device
+        layout (the warm start row-shards with the CG state on meshes;
+        OAO models warm-start each pair machine from its sv_coef columns,
+        sign-corrected for the model's layout class order).  Correctness
+        never depends on
         the warm start (it only sets CG's starting point), but the benefit
         does require the model's alpha rows to align with ``data``'s row
         order — note that model FILES store support vectors class-grouped,
@@ -377,12 +380,6 @@ class CSVM:
                     "checkpointing (the checkpoint already carries the "
                     "solver state)!"
                 )
-            if multiclass and classification == ClassificationType.OAO:
-                raise InvalidParameterError(
-                    "initial_model warm starts are not supported for "
-                    "classification='oao' (warm-start the pair machines "
-                    "via 'oaa' or binary fits)!"
-                )
             if initial_model.num_support_vectors != data.num_data_points:
                 raise InvalidParameterError(
                     f"initial_model has {initial_model.num_support_vectors} "
@@ -390,14 +387,24 @@ class CSVM:
                     f"{data.num_data_points} points!"
                 )
             alpha0 = np.asarray(initial_model.alpha)
-            if multiclass and (
+            if multiclass and classification == ClassificationType.OAO:
+                if (
+                    initial_model.classification != ClassificationType.OAO
+                    or alpha0.ndim != 2
+                    or alpha0.shape[1] != n_classes - 1
+                ):
+                    raise InvalidParameterError(
+                        "initial_model is not a one-vs-one model of "
+                        f"{n_classes} classes!"
+                    )
+            elif multiclass and (
                 alpha0.ndim != 2 or alpha0.shape[1] != n_classes
             ):
                 raise InvalidParameterError(
                     "initial_model is not a one-vs-all model of "
                     f"{n_classes} classes!"
                 )
-            if not multiclass and alpha0.ndim != 1:
+            elif not multiclass and alpha0.ndim != 1:
                 raise InvalidParameterError(
                     "initial_model is not a binary model!"
                 )
@@ -407,6 +414,7 @@ class CSVM:
                 checkpoint_path=checkpoint_path,
                 checkpoint_interval=checkpoint_interval,
                 sample_weight=sample_weight,
+                initial_model=initial_model,
             )
 
         X = np.asarray(data.data, dtype=self.dtype)
@@ -644,6 +652,62 @@ class CSVM:
                 alpha0 = alpha0[:, perm]
         return alpha0
 
+    def _oao_warm_pair_alpha(
+        self, initial_model: Model, data: DataSet, rows, is_first, i, j
+    ):
+        """The (i, j) pair machine's warm-start alpha from an OAO model.
+
+        Inverts the sv_coef scatter (oao.scatter_pair_alphas): a data row of
+        class c holds its coefficient for the machine against class c' in
+        column coef_column(c, c') — indexed in the MODEL's layout class
+        order, which for loaded files is the label-header order.  When the
+        model stores the pair with the opposite +1 side (its layout orders
+        j before i), the whole LS-SVM solution is negated (negating y
+        negates the linear system's solution), so the extracted alpha flips
+        sign.  Alignment never affects correctness — a wrong guess only
+        costs iterations (the warm start is just CG's x0).
+        """
+        from . import oao
+
+        aligned = getattr(initial_model, "_oao_warm_aligned", None)
+        if aligned is None or aligned[0] is not data:
+            sv_coef = np.asarray(initial_model.alpha, dtype=np.float64)
+            m_labels = np.asarray(initial_model.data.labels)
+            d_labels = np.asarray(data.labels)
+            if not (
+                m_labels.shape == d_labels.shape
+                and bool(np.all(m_labels == d_labels))
+            ):
+                if sorted(map(str, m_labels.tolist())) != sorted(
+                    map(str, d_labels.tolist())
+                ):
+                    raise InvalidParameterError(
+                        "initial_model labels do not match the data set's "
+                        "labels (same points required for a warm start)!"
+                    )
+                # model FILES store SVs class-grouped: the k-th occurrence
+                # of class c in data order is the k-th row of the model's
+                # class-c block (same rule as _warm_start_alpha)
+                realigned = np.zeros_like(sv_coef)
+                for lab in data.different_labels:
+                    realigned[np.flatnonzero(d_labels == lab)] = sv_coef[
+                        np.flatnonzero(m_labels == lab)
+                    ]
+                sv_coef = realigned
+            aligned = (data, sv_coef, initial_model.class_order())
+            initial_model._oao_warm_aligned = aligned
+        _, sv_coef, order = aligned
+
+        labels_sorted = list(data.different_labels)
+        mi = order.index(labels_sorted[i])
+        mj = order.index(labels_sorted[j])
+        alpha0 = np.empty(len(rows), dtype=np.float64)
+        alpha0[is_first] = sv_coef[rows[is_first], oao.coef_column(mi, mj)]
+        alpha0[~is_first] = sv_coef[rows[~is_first], oao.coef_column(mj, mi)]
+        if mi > mj:
+            alpha0 = -alpha0
+        return alpha0
+
     def _fit_oao(
         self,
         data: DataSet,
@@ -653,6 +717,7 @@ class CSVM:
         checkpoint_path: Optional[str],
         checkpoint_interval: int,
         sample_weight=None,
+        initial_model: Optional[Model] = None,
     ) -> Model:
         """One-vs-one multiclass fit: C(C-1)/2 pairwise LS-SVM machines.
 
@@ -722,6 +787,14 @@ class CSVM:
                 if checkpoint_path is None
                 else f"{checkpoint_path}.pair{i}-{j}"
             )
+            warm_sub = None
+            if initial_model is not None:
+                alpha0 = self._oao_warm_pair_alpha(
+                    initial_model, data, rows, is_first, i, j
+                )
+                warm_sub = Model(
+                    params, sub, alpha=alpha0.astype(self.dtype), rho=0.0
+                )
             sub_model = self.fit(
                 sub, epsilon=epsilon, max_iter=max_iter,
                 checkpoint_path=ckpt,
@@ -729,6 +802,7 @@ class CSVM:
                 sample_weight=(
                     None if sample_weight is None else sample_weight[rows]
                 ),
+                initial_model=warm_sub,
             )
             oao.scatter_pair_alphas(
                 sv_coef, rows, is_first,

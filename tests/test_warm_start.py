@@ -128,11 +128,11 @@ def test_warm_start_errors():
     X2, y2 = _binary(n=60, seed=6)
     with pytest.raises(InvalidParameterError, match="support vectors"):
         svm.fit(DataSet(X2, y2), initial_model=model)
-    # OAO rejects warm starts
+    # OAO warm starts need an OAO model (an OAA one has the wrong layout)
     Xm, ym = make_multiclass_blobs(45, 4, n_classes=3, seed=7)
     dsm = DataSet(Xm, ym)
     mc = svm.fit(dsm, epsilon=1e-8)
-    with pytest.raises(InvalidParameterError, match="oao"):
+    with pytest.raises(InvalidParameterError, match="one-vs-one"):
         svm.fit(dsm, classification="oao", initial_model=mc)
     # binary fit with a multiclass initial model
     with pytest.raises(InvalidParameterError, match="binary"):
