@@ -75,6 +75,65 @@ def test_warm_start_multiclass_oaa():
     )
 
 
+def test_warm_start_oao_converges_immediately():
+    X, y = make_multiclass_blobs(90, 6, n_classes=3, seed=12)
+    ds = DataSet(X, y)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    m1 = svm.fit(ds, classification="oao", epsilon=1e-10)
+    assert m1.n_iter > 0
+    m2 = svm.fit(ds, classification="oao", epsilon=1e-10, initial_model=m1)
+    assert m2.n_iter == 0  # every pair machine restarts converged
+    np.testing.assert_allclose(
+        np.asarray(m2.rho), np.asarray(m1.rho), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.alpha), np.asarray(m1.alpha), rtol=1e-9
+    )
+
+
+def test_warm_start_oao_from_model_file(tmp_path):
+    """A file-loaded OAO model (class-grouped SVs, header label order) must
+    warm-start the pair machines to 0 iterations — exercises the sv_coef
+    inversion, row realignment, and the layout-order sign rule."""
+    X, y = make_multiclass_blobs(60, 5, n_classes=3, seed=13)
+    ds = DataSet(X, y)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    m1 = svm.fit(ds, classification="oao", epsilon=1e-10)
+    path = str(tmp_path / "oao_warm.model")
+    m1.save(path)
+    from plssvm_tpu import Model
+
+    loaded = Model.load(path, label_type=int)
+    assert not np.array_equal(
+        np.asarray(loaded.data.labels), np.asarray(ds.labels)
+    )  # the file IS class-grouped — realignment is actually exercised
+    m2 = svm.fit(ds, classification="oao", epsilon=1e-10, initial_model=loaded)
+    assert m2.n_iter == 0
+    np.testing.assert_allclose(
+        np.asarray(m2.rho), np.asarray(m1.rho), rtol=1e-8
+    )
+
+
+def test_warm_start_oao_after_cost_change_matches_cold():
+    X, y = make_multiclass_blobs(75, 6, n_classes=3, seed=14)
+    base = CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf", cost=1.0,
+    ).fit(DataSet(X, y), classification="oao", epsilon=1e-10)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf", cost=5.0)
+    warm = svm.fit(
+        DataSet(X, y), classification="oao", epsilon=1e-10,
+        initial_model=base,
+    )
+    cold = svm.fit(DataSet(X, y), classification="oao", epsilon=1e-10)
+    assert warm.n_iter <= cold.n_iter
+    np.testing.assert_allclose(
+        np.asarray(warm.rho), np.asarray(cold.rho), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(warm.alpha), np.asarray(cold.alpha), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_warm_start_tighter_epsilon_refines():
     X, y = _binary(seed=4)
     ds = DataSet(X, y)
