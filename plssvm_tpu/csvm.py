@@ -9,6 +9,7 @@ backend factory therefore only selects the matvec implementation.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Union
 
@@ -127,6 +128,7 @@ class CSVM:
         scalar_precision: str = "auto",
         gram_precision: str = "f32",
         solver: str = "automatic",
+        oao_batch: str = "auto",
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -206,6 +208,18 @@ class CSVM:
                 "'cg_explicit' or 'cg_implicit')!"
             )
         self.solver = solver
+        # one-vs-one training strategy: "batched" solves ALL C(C-1)/2 pair
+        # machines as ONE batched CG (solver/cg.py::solve_ls_svm_pairs —
+        # batched MXU Gram matmuls, one dispatch chain instead of one per
+        # machine); "sequential" loops machine-by-machine through the full
+        # binary fit path (any backend/mesh/checkpointing per machine);
+        # "auto" batches exactly where it wins AND fits (_use_oao_batched).
+        if oao_batch not in ("auto", "batched", "sequential"):
+            raise InvalidParameterError(
+                f"Unrecognized oao_batch '{oao_batch}' (must be 'auto', "
+                "'batched' or 'sequential')!"
+            )
+        self.oao_batch = oao_batch
 
         # multi-chip: row-shard the CG solve over a 1-D device mesh
         # (plssvm_tpu.parallel.sharded).  devices="all" → every local device;
@@ -750,6 +764,18 @@ class CSVM:
         sv_coef = np.zeros((n, C - 1), dtype=self.dtype)
         pairs = oao.class_pairs(C)
         rho = np.zeros(len(pairs), dtype=np.float64)
+
+        rows_list = [
+            np.flatnonzero((idx == i) | (idx == j)) for (i, j) in pairs
+        ]
+        if self._use_oao_batched(pairs, rows_list, X, checkpoint_path):
+            return self._fit_oao_batched(
+                data, params, pairs, rows_list, idx, X,
+                epsilon=epsilon, max_iter=max_iter,
+                sample_weight=sample_weight, initial_model=initial_model,
+                start=start,
+            )
+
         total_iters = 0
         iters_per_machine = []
 
@@ -774,8 +800,7 @@ class CSVM:
             with self._device_ctx():
                 X_aug = jnp.asarray(X_aug_h)
 
-        for m, (i, j) in enumerate(pairs):
-            rows = np.flatnonzero((idx == i) | (idx == j))
+        for m, ((i, j), rows) in enumerate(zip(pairs, rows_list)):
             is_first = idx[rows] == i
             # class i is the +1 side: machine (i, j) votes i when f > 0
             y_pair = np.where(is_first, 1.0, -1.0)
@@ -827,6 +852,192 @@ class CSVM:
         model.n_iter = total_iters
         #: per-pair-machine CG iteration counts (LIBSVM machine order) —
         #: sklearn's multiclass n_iter_ shape
+        model.n_iter_per_machine = iters_per_machine
+        return model
+
+    def _use_oao_batched(self, pairs, rows_list, X, checkpoint_path) -> bool:
+        """Whether this OAO fit runs the batched pair-machine solve.
+
+        ``oao_batch="batched"`` forces it (and rejects configurations the
+        batched core cannot honor); "auto" batches when the (P, m_pad, d)
+        operand stack fits the device budget — the many-small-machines
+        regime where per-machine dispatch chains dominate.  Per-machine
+        checkpointing and multi-device meshes always run sequentially (each
+        machine gets the full binary fit path there).
+        """
+        P = len(pairs)
+        unbatchable = (
+            self.devices is not None
+            or checkpoint_path is not None
+            or P < 2
+        )
+        if self.oao_batch == "sequential":
+            return False
+        if self.oao_batch == "batched":
+            if self.devices is not None:
+                raise InvalidParameterError(
+                    "oao_batch='batched' requires a single device (the "
+                    "batched pair solve does not row-shard; use "
+                    "oao_batch='sequential' on meshes)!"
+                )
+            if checkpoint_path is not None:
+                raise InvalidParameterError(
+                    "oao_batch='batched' cannot checkpoint per machine — "
+                    "use oao_batch='sequential' with checkpoint_path!"
+                )
+            return True
+        if unbatchable:
+            return False
+        dmax = max(len(r) - 1 for r in rows_list)
+        m_pad = max(_round_up(dmax, 256 if dmax > 256 else 8), 8)
+        budget = int(
+            float(os.environ.get("PLSSVM_OAO_BATCH_BUDGET_GB", "2.0"))
+            * (1 << 30)
+        )
+        stack_bytes = P * m_pad * X.shape[1] * self.dtype.itemsize
+        return stack_bytes <= budget
+
+    def _fit_oao_batched(
+        self, data, params, pairs, rows_list, idx, X, *,
+        epsilon, max_iter, sample_weight, initial_model, start,
+    ) -> Model:
+        """All C(C-1)/2 pair machines as ONE batched CG solve.
+
+        TPU-native OAO (solver/cg.py::solve_ls_svm_pairs): each machine's
+        padded row subset is gathered ON DEVICE from a once-staged parent
+        operand into a (P, m_pad, d) stack, and a single jitted while_loop
+        iterates all machines with per-machine convergence freezing.  The
+        per-machine Gram blocks become batched MXU matmuls — the regime
+        where P sequential fits would under-utilize the MXU AND pay P
+        dispatch/compile chains.  Results match the sequential path to
+        floating-point tolerance (same algorithm per machine).
+        """
+        from . import oao
+        from .solver.cg import solve_ls_svm_pairs
+
+        C = data.num_different_labels
+        n, d = X.shape
+        P = len(pairs)
+        depts = np.asarray([len(r) - 1 for r in rows_list])
+        dmax = int(depts.max())
+        # large machines align to the 256-row scan block; tiny ones only to
+        # the VPU sublane (8) — padding a 30-row pair to 256 wastes 8x work
+        m_pad = max(_round_up(dmax, 256 if dmax > 256 else 8), 8)
+
+        zero_row = n
+        idx_b = np.full((P, m_pad), zero_row, dtype=np.int32)
+        yb = np.zeros((P, m_pad), dtype=self.dtype)
+        maskb = np.zeros((P, m_pad), dtype=self.dtype)
+        y_last_b = np.zeros((P,), dtype=self.dtype)
+        last_idx = np.zeros((P,), dtype=np.int32)
+        weights_b = weight_last_b = None
+        if sample_weight is not None:
+            weights_b = np.ones((P, m_pad), dtype=self.dtype)
+            weight_last_b = np.zeros((P,), dtype=self.dtype)
+        x_init_b = None
+        if initial_model is not None:
+            x_init_b = np.zeros((P, m_pad), dtype=self.dtype)
+        is_first_list = []
+        for p, ((i, j), rows) in enumerate(zip(pairs, rows_list)):
+            dept = len(rows) - 1
+            is_first = idx[rows] == i
+            is_first_list.append(is_first)
+            # class i is the +1 side: machine (i, j) votes i when f > 0
+            y_pair = np.where(is_first, 1.0, -1.0)
+            idx_b[p, :dept] = rows[:dept]
+            yb[p, :dept] = y_pair[:dept]
+            maskb[p, :dept] = 1.0
+            y_last_b[p] = y_pair[dept]
+            last_idx[p] = rows[dept]
+            if sample_weight is not None:
+                weights_b[p, :dept] = sample_weight[rows[:dept]]
+                weight_last_b[p] = sample_weight[rows[dept]]
+            if initial_model is not None:
+                alpha0 = self._oao_warm_pair_alpha(
+                    initial_model, data, rows, is_first, i, j
+                )
+                x_init_b[p, :dept] = alpha0[:dept]
+        # per-machine iteration caps — the binary fit's default is its own
+        # point count (csvm.hpp:268-269), so each machine stops exactly
+        # where its sequential fit would
+        max_iter_b = (
+            depts + 1 if max_iter is None
+            else np.full((P,), int(max_iter), dtype=np.int64)
+        ).astype(np.int32)
+
+        kind = params.kernel_type.value
+        degree = params.degree.value
+        X_aug_h = np.zeros((n + 1, d), dtype=self.dtype)
+        X_aug_h[:n] = X
+        gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=self.dtype)
+        coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
+        cost_v = jnp.asarray(params.cost.value, dtype=self.dtype)
+        eps_v = jnp.asarray(epsilon, dtype=self.dtype)
+        # row block bounded so the scan's (P, rb, m_pad) kernel slab stays
+        # under ~1 GiB on top of the operand stack
+        rb = min(self.row_block, m_pad)
+        while rb > 8 and P * rb * m_pad * self.dtype.itemsize > (1 << 30):
+            rb //= 2
+
+        with self._device_ctx():
+            X_aug = jnp.asarray(X_aug_h)
+            Xb = jnp.take(X_aug, jnp.asarray(idx_b), axis=0)
+            x_last_b = jnp.take(X_aug, jnp.asarray(last_idx), axis=0)
+            result = solve_ls_svm_pairs(
+                Xb, x_last_b, jnp.asarray(yb), jnp.asarray(y_last_b),
+                jnp.asarray(maskb), gamma_v, coef0_v, cost_v, eps_v,
+                jnp.asarray(max_iter_b),
+                kind=kind, degree=degree, row_block=rb,
+                preconditioner=self.preconditioner,
+                scalars=self.scalar_precision,
+                x_init=(
+                    None if x_init_b is None else jnp.asarray(x_init_b)
+                ),
+                weights=(
+                    None if weights_b is None else jnp.asarray(weights_b)
+                ),
+                weight_last=(
+                    None if weight_last_b is None
+                    else jnp.asarray(weight_last_b)
+                ),
+            )
+        x_sol = np.asarray(jax.device_get(result.x))
+        rho_b = np.asarray(jax.device_get(result.rho), dtype=np.float64)
+        alpha_last = np.asarray(jax.device_get(result.alpha_last))
+        itpp = np.asarray(jax.device_get(result.iterations_per_pair))
+
+        sv_coef = np.zeros((n, C - 1), dtype=self.dtype)
+        rho = np.zeros(P, dtype=np.float64)
+        for p, ((i, j), rows) in enumerate(zip(pairs, rows_list)):
+            dept = int(depts[p])
+            alpha_p = np.concatenate(
+                [x_sol[p, :dept], [alpha_last[p]]]
+            ).astype(self.dtype)
+            oao.scatter_pair_alphas(
+                sv_coef, rows, is_first_list[p], alpha_p, i, j
+            )
+            rho[p] = float(rho_b[p])
+        iters_per_machine = [int(v) for v in itpp]
+        total_iters = int(itpp.sum())
+
+        total_ms = (time.perf_counter() - start) * 1000.0
+        log(
+            VerbosityLevel.LIBSVM,
+            "optimization finished, #iter = {}\n", total_iters,
+        )
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Solved {} one-vs-one machines ({} classes) in {:.2f}ms "
+            "({} CG iterations in total, batched block CG).\n\n",
+            P, C, total_ms, total_iters,
+        )
+        add_tracking_entry("cg", "classification", "oao")
+        add_tracking_entry("cg", "oao_strategy", "batched")
+        add_tracking_entry("cg", "iterations_per_machine", iters_per_machine)
+        add_tracking_entry("cg", "total_runtime", total_ms)
+        model = Model(params, data, alpha=sv_coef, rho=rho)
+        model.classification = ClassificationType.OAO
+        model.n_iter = total_iters
         model.n_iter_per_machine = iters_per_machine
         return model
 

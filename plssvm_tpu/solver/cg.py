@@ -598,6 +598,248 @@ def _make_kernel_matmat(
     return kmm
 
 
+class PairsCGResult(NamedTuple):
+    """Batched pair-machine CG solve outputs (still padded per machine)."""
+
+    x: jnp.ndarray          # (P, m) solutions over the padded dept axes
+    rho: jnp.ndarray        # (P,) -bias per machine
+    alpha_last: jnp.ndarray  # (P,) folded-out last alpha per machine
+    iterations: jnp.ndarray  # scalar: block iterations run (= max over pairs)
+    iterations_per_pair: jnp.ndarray  # (P,) iterations each machine was active
+    delta: jnp.ndarray      # (P,) final squared residual norms
+    delta0: jnp.ndarray     # (P,) initial squared residual norms
+
+
+def cg_ls_svm_pairs_core(
+    Xb: jnp.ndarray,        # (P, m, d) per-machine rows (zero-padded)
+    x_last_b: jnp.ndarray,  # (P, d) each machine's folded-out last point
+    Yb: jnp.ndarray,        # (P, m) ±1 targets, 0 on padding
+    y_last_b: jnp.ndarray,  # (P,) targets of the folded-out last points
+    maskb: jnp.ndarray,     # (P, m) 1.0 on real rows, 0.0 on padding
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter_b: jnp.ndarray,  # (P,) per-machine iteration caps
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    kernel_bmv: Callable,   # (Xb, sq_b, Vb, gamma, coef0) -> batched K_p @ v_p
+    bdot: Callable = None,  # per-machine dot: (P, m) x (P, m) -> (P,)
+    bsum: Callable = None,  # per-machine sum: (P, m) -> (P,)
+    preconditioner: str = "none",
+    x_init=None,            # optional (P, m) warm-start block
+    weights=None,           # optional (P, m) per-sample weights and
+    weight_last=None,       # (P,) folded-out last weights (Suykens)
+) -> PairsCGResult:
+    """All C(C-1)/2 one-vs-one machines solved as ONE batched CG.
+
+    EXTENSION (TPU-native OAO design) — each pair machine is an independent
+    LS-SVM system over its OWN row subset, so unlike the one-vs-all block CG
+    (shared matrix, many right-hand sides, :func:`cg_ls_svm_multi_core`)
+    every quantity here carries a leading machine axis: data (P, m, d),
+    kernel matvec a batched ``K_p @ v_p`` (Gram tiles become batched MXU
+    matmuls), and the CG scalars (alpha_cd, beta, delta) are (P,) vectors.
+    A sequential per-machine loop pays one dispatch + compilation + kernel
+    launch chain per machine; this core runs them all in a single jitted
+    ``lax.while_loop`` — the dominant win for the many-small-machines
+    regime OAO produces (P grows quadratically in C while each machine
+    shrinks as 2n/C).
+
+    Per-machine semantics are EXACTLY the binary core's: converged machines
+    are frozen (their alpha/beta forced to 0) the moment they meet the
+    reference stop rule ``delta_p <= eps^2 * delta0_p``, and each machine
+    additionally stops at its own ``max_iter_b[p]`` cap (= its dept, the
+    reference default), so results match the sequential path to floating-
+    point tolerance.  The 50-iteration exact-residual recomputation applies
+    to the whole block (reference: gpu_csvm.hpp:595).
+    """
+    dtype = Xb.dtype
+    cost_inv = 1.0 / cost
+    if weights is None:
+        civ = cost_inv
+        civ_last = cost_inv
+    else:
+        civ = (cost_inv / weights) * maskb
+        civ_last = cost_inv / weight_last
+    sq_b = jnp.sum(Xb * Xb, axis=-1)  # (P, m)
+    if bdot is None:
+        def bdot(A, V):
+            return jnp.sum(A * V, axis=1)
+    if bsum is None:
+        def bsum(V):
+            return jnp.sum(V, axis=1)
+
+    # per-machine q / QA_cost (the vmapped "q kernel", q_kernel.cu:16-49)
+    q = jax.vmap(
+        lambda X, xl: kernel_against_point(X, xl, kind, gamma, coef0, degree)
+    )(Xb, x_last_b) * maskb
+    xl_sq = jnp.sum(x_last_b * x_last_b, axis=-1)
+    qa = kernel_self_diag(xl_sq, kind, gamma, coef0, degree)
+    QA_cost = qa + civ_last  # (P,)
+
+    B = (Yb - y_last_b[:, None]) * maskb
+
+    def matvec(V):
+        s = bsum(V)
+        qv = bdot(q, V)
+        out = kernel_bmv(Xb, sq_b, V, gamma, coef0)
+        out = (
+            out
+            + (QA_cost[:, None] - q) * s[:, None]
+            - qv[:, None]
+            + civ * V
+        )
+        return out * maskb
+
+    if preconditioner == "jacobi":
+        k_diag = kernel_self_diag(sq_b, kind, gamma, coef0, degree)
+        diag = k_diag + QA_cost[:, None] - 2.0 * q + civ
+        minv = maskb / diag
+
+        def precond(R):
+            return minv * R
+    else:
+        def precond(R):
+            return R
+
+    use_pcg = preconditioner == "jacobi"
+    P = Yb.shape[0]
+
+    if x_init is None:
+        x0 = maskb.astype(dtype)
+        r0 = B - matvec(x0)
+        delta_init = bdot(r0, r0)
+        delta0 = delta_init
+    else:
+        x0 = x_init.astype(dtype) * maskb
+        r0 = B - matvec(x0)
+        delta_init = bdot(r0, r0)
+        # anchor the relative stop target to the cold start (see the binary
+        # core): warm fits stop at cold-fit accuracy
+        r_cold = B - matvec(maskb.astype(dtype))
+        delta0 = bdot(r_cold, r_cold)
+    d_init = precond(r0)
+    target = eps * eps * delta0
+
+    class State(NamedTuple):
+        it: jnp.ndarray
+        itpp: jnp.ndarray     # (P,) per-machine active-iteration counts
+        x: jnp.ndarray
+        r: jnp.ndarray
+        d: jnp.ndarray
+        delta: jnp.ndarray    # (P,) r.r per machine
+        rz: jnp.ndarray       # (P,) r.z per machine
+
+    def active_of(s: State):
+        return jnp.logical_and(s.delta > target, s.itpp < max_iter_b)
+
+    def cond(s: State):
+        return jnp.any(active_of(s))
+
+    def body(s: State) -> State:
+        active = active_of(s)
+        Ad = matvec(s.d)
+        dAd = bdot(s.d, Ad)
+        alpha_cd = jnp.where(active, s.rz / jnp.where(active, dAd, 1.0), 0.0)
+        x = s.x + alpha_cd[:, None] * s.d
+        r = jax.lax.cond(
+            (s.it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
+            lambda: B - matvec(x),
+            lambda: s.r - alpha_cd[:, None] * Ad,
+        )
+        delta = bdot(r, r)
+        if use_pcg:
+            z = precond(r)
+            rz = bdot(r, z)
+        else:
+            z = r
+            rz = delta
+        beta = jnp.where(active, rz / s.rz, 0.0)
+        d = jnp.where(active[:, None], beta[:, None] * s.d + z, s.d)
+        return State(
+            s.it + 1, s.itpp + active.astype(jnp.int32), x, r, d, delta, rz
+        )
+
+    rz_init = bdot(r0, precond(r0)) if use_pcg else delta_init
+    init = State(
+        jnp.asarray(0, jnp.int32), jnp.zeros((P,), jnp.int32),
+        x0, r0, d_init, delta_init, rz_init,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    alpha_sum = bsum(final.x)  # (P,)
+    bias = y_last_b + QA_cost * alpha_sum - bdot(q, final.x)
+    return PairsCGResult(
+        x=final.x,
+        rho=-bias,
+        alpha_last=-alpha_sum,
+        iterations=final.it,
+        iterations_per_pair=final.itpp,
+        delta=final.delta,
+        delta0=delta0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "degree", "row_block", "preconditioner", "scalars",
+    ),
+)
+def solve_ls_svm_pairs(
+    Xb: jnp.ndarray,        # (P, m, d) per-machine zero-padded rows
+    x_last_b: jnp.ndarray,  # (P, d)
+    Yb: jnp.ndarray,        # (P, m) ±1 targets, 0 on padding
+    y_last_b: jnp.ndarray,  # (P,)
+    maskb: jnp.ndarray,     # (P, m)
+    gamma: jnp.ndarray,
+    coef0: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iter_b: jnp.ndarray,  # (P,)
+    *,
+    kind: KernelFunctionType,
+    degree: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    preconditioner: str = "none",
+    scalars: str = "plain",
+    x_init=None,
+    weights=None,
+    weight_last=None,
+) -> PairsCGResult:
+    """Single-device batched one-vs-one LS-SVM CG solve.
+
+    The batched kernel matvec is the vmapped XLA block path — per-machine
+    Gram blocks become one batched ``dot_general`` per scan step, which XLA
+    tiles onto the MXU across the machine axis (exactly where small
+    per-machine matmuls would under-utilize it).  The Pallas kernels are
+    deliberately not used here: they pay off on LARGE single Gram operands,
+    the opposite of the many-small-machines regime this solve targets (a
+    large pair machine falls back to the sequential per-machine path,
+    csvm._fit_oao's gate).
+    """
+    kv = _make_kernel_matvec(kind, degree, "xla", row_block)
+    kernel_bmv = jax.vmap(kv, in_axes=(0, 0, 0, None, None))
+    if scalars == "compensated":
+        # compensated_sum reduces axis 0 with one compensated fold per
+        # column — transpose the (P, m) machine-major blocks into it
+        def bdot(A, V):
+            return compensated_sum((A * V).T)
+
+        def bsum(V):
+            return compensated_sum(V.T)
+    else:
+        bdot = None
+        bsum = None
+    return cg_ls_svm_pairs_core(
+        Xb, x_last_b, Yb, y_last_b, maskb, gamma, coef0, cost, eps,
+        max_iter_b, kind=kind, degree=degree, kernel_bmv=kernel_bmv,
+        bdot=bdot, bsum=bsum, preconditioner=preconditioner, x_init=x_init,
+        weights=weights, weight_last=weight_last,
+    )
+
+
 # NOTE on precision consistency: the every-50th exact-residual recompute MUST
 # use the SAME Gram precision as the per-iteration matvec.  It exists to fight
 # floating-point *drift* in the cheap residual recurrence, not operator error:

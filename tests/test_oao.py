@@ -132,9 +132,18 @@ class TestOAOFit:
                 vals[:, m], K @ coef - rho[m], rtol=1e-8, atol=1e-10
             )
 
-    def test_pair_machine_equals_standalone_binary_fit(self):
-        # machine (i, j) must be EXACTLY the binary LS-SVM on classes i, j
-        svm, model, X, y = self._fit(C=3, n=45, d=4)
+    @pytest.mark.parametrize("strategy", ["sequential", "batched"])
+    def test_pair_machine_equals_standalone_binary_fit(self, strategy):
+        # machine (i, j) must be the binary LS-SVM on classes i, j — exact
+        # for the sequential loop (the same solve call); the batched block
+        # CG reorders the Gram contractions, so fp tolerance there
+        X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=1)
+        ds = DataSet(X, y)
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.3,
+            oao_batch=strategy,
+        )
+        model = svm.fit(ds, classification="oao", epsilon=1e-10)
         idx = model.data.mapper.map_labels(
             np.asarray(model.data.labels), dtype=np.int64
         )
@@ -146,8 +155,9 @@ class TestOAOFit:
             np.where(idx[rows] == i, 1.0, -1.0),
         )
         binary = svm.fit(sub, epsilon=1e-10)
+        rtol = 1e-9 if strategy == "sequential" else 1e-6
         np.testing.assert_allclose(
-            float(binary.rho), np.asarray(model.rho)[m], rtol=1e-9
+            float(binary.rho), np.asarray(model.rho)[m], rtol=rtol
         )
         svc = np.asarray(model.alpha)
         got = np.where(
@@ -155,7 +165,9 @@ class TestOAOFit:
             svc[rows, oao.coef_column(i, j)],
             svc[rows, oao.coef_column(j, i)],
         )
-        np.testing.assert_allclose(got, np.asarray(binary.alpha), rtol=1e-9)
+        np.testing.assert_allclose(
+            got, np.asarray(binary.alpha), rtol=rtol, atol=1e-10
+        )
 
     def test_float32_oao(self):
         """OAO rides the f32 path (the TPU default dtype) too."""
@@ -533,3 +545,157 @@ class TestOAOCli:
         )
         assert out.returncode == 0, out.stderr
         assert "Accuracy = 100" in out.stdout + out.stderr
+
+
+class TestOAOBatched:
+    """The batched pair-machine block CG (solver/cg.py::solve_ls_svm_pairs).
+
+    EXTENSION — a TPU-native OAO training strategy: all C(C-1)/2 machines
+    solved in ONE jitted while_loop with per-machine convergence freezing
+    and per-machine iteration caps, instead of a sequential per-machine
+    dispatch chain.  Results must match the sequential path to fp tolerance
+    for every composition (kernels, weights, caps, unbalanced classes).
+    """
+
+    def _parity(self, X, y, kernel="rbf", gamma=0.3, sample_weight=None,
+                max_iter=None, rtol=1e-6):
+        kwargs = dict(backend="xla", dtype=np.float64, kernel_type=kernel)
+        if gamma is not None and kernel != "linear":
+            kwargs["gamma"] = gamma
+        seq = CSVM(oao_batch="sequential", **kwargs)
+        bat = CSVM(oao_batch="batched", **kwargs)
+        m1 = seq.fit(
+            DataSet(X, y), classification="oao", epsilon=1e-10,
+            sample_weight=sample_weight, max_iter=max_iter,
+        )
+        m2 = bat.fit(
+            DataSet(X, y), classification="oao", epsilon=1e-10,
+            sample_weight=sample_weight, max_iter=max_iter,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.rho), np.asarray(m1.rho), rtol=rtol, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.alpha), np.asarray(m1.alpha), rtol=rtol, atol=1e-8
+        )
+        return m1, m2
+
+    def test_parity_rbf(self):
+        X, y = make_multiclass_blobs(100, 6, n_classes=4, seed=21)
+        m1, m2 = self._parity(X, y)
+        assert m2.n_iter_per_machine == m1.n_iter_per_machine
+
+    def test_parity_linear(self):
+        X, y = make_multiclass_blobs(80, 5, n_classes=3, seed=22)
+        self._parity(X, y, kernel="linear", gamma=None)
+
+    def test_parity_distance_kernel(self):
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=23)
+        self._parity(np.abs(X), y, kernel="laplacian", gamma=0.2)
+
+    def test_parity_unbalanced_classes(self):
+        # machine sizes 10+40, 10+110, 40+110: the padded block must not
+        # perturb small machines, and each stops at its own cap
+        rng = np.random.default_rng(24)
+        sizes = (10, 40, 110)
+        X = np.vstack([
+            rng.normal(loc=3.0 * c, size=(s, 5))
+            for c, s in enumerate(sizes)
+        ])
+        y = np.concatenate([np.full(s, c) for c, s in enumerate(sizes)])
+        m1, m2 = self._parity(X, y)
+        assert m2.n_iter_per_machine == m1.n_iter_per_machine
+
+    def test_parity_weighted(self):
+        X, y = make_multiclass_blobs(75, 5, n_classes=3, seed=25)
+        sw = np.random.default_rng(25).uniform(0.5, 2.0, size=len(y))
+        self._parity(X, y, sample_weight=sw)
+
+    def test_per_machine_iteration_caps(self):
+        # each machine's cap is its own point count (the binary default) —
+        # with an explicit max_iter both strategies stop at the same place
+        X, y = make_multiclass_blobs(90, 6, n_classes=3, seed=26)
+        m1, m2 = self._parity(X, y, max_iter=3, rtol=1e-6)
+        assert all(v <= 3 for v in m2.n_iter_per_machine)
+        assert m2.n_iter_per_machine == m1.n_iter_per_machine
+
+    def test_auto_picks_batched_and_tracks(self):
+        from plssvm_tpu.utils.tracker import global_tracker
+
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=27)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        assert svm.oao_batch == "auto"
+        global_tracker.clear()
+        svm.fit(DataSet(X, y), classification="oao", epsilon=1e-8)
+        cg = dict(global_tracker.entries().get("cg", []))
+        assert cg.get("oao_strategy") == "batched"
+
+    def test_auto_respects_budget_env(self, monkeypatch):
+        from plssvm_tpu.utils.tracker import global_tracker
+
+        monkeypatch.setenv("PLSSVM_OAO_BATCH_BUDGET_GB", "0")
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=28)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        global_tracker.clear()
+        svm.fit(DataSet(X, y), classification="oao", epsilon=1e-8)
+        cg = dict(global_tracker.entries().get("cg", []))
+        assert cg.get("oao_strategy") != "batched"
+
+    def test_forced_batched_rejects_checkpointing(self, tmp_path):
+        X, y = make_multiclass_blobs(45, 4, n_classes=3, seed=29)
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf",
+            oao_batch="batched",
+        )
+        with pytest.raises(InvalidParameterError, match="checkpoint"):
+            svm.fit(
+                DataSet(X, y), classification="oao",
+                checkpoint_path=str(tmp_path / "ck"),
+            )
+
+    def test_invalid_strategy_rejected(self):
+        with pytest.raises(InvalidParameterError, match="oao_batch"):
+            CSVM(backend="xla", oao_batch="nope")
+
+    def test_batched_f32_compensated(self):
+        # the f32 default turns on compensated scalar reductions — the
+        # batched transposed compensated folds must converge to a working
+        # model
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=30)
+        svm = CSVM(
+            backend="xla", dtype=np.float32, target="cpu",
+            kernel_type="rbf", gamma=0.3, oao_batch="batched",
+        )
+        assert svm.scalar_precision == "compensated"
+        model = svm.fit(DataSet(X.astype(np.float32), y),
+                        classification="oao", epsilon=1e-5)
+        assert svm.score(model) == 1.0
+
+    def test_batched_warm_start_zero_iters(self):
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=31)
+        svm = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf",
+            oao_batch="batched",
+        )
+        m1 = svm.fit(DataSet(X, y), classification="oao", epsilon=1e-10)
+        m2 = svm.fit(
+            DataSet(X, y), classification="oao", epsilon=1e-10,
+            initial_model=m1,
+        )
+        assert m2.n_iter == 0
+
+    def test_batched_jacobi_preconditioner(self):
+        X, y = make_multiclass_blobs(60, 4, n_classes=3, seed=32)
+        plain = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf",
+            oao_batch="batched",
+        )
+        pcg = CSVM(
+            backend="xla", dtype=np.float64, kernel_type="rbf",
+            oao_batch="batched", preconditioner="jacobi",
+        )
+        m1 = plain.fit(DataSet(X, y), classification="oao", epsilon=1e-10)
+        m2 = pcg.fit(DataSet(X, y), classification="oao", epsilon=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(m2.rho), np.asarray(m1.rho), rtol=1e-6, atol=1e-8
+        )
