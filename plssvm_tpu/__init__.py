@@ -74,6 +74,7 @@ from .probability import (
 )
 from .robust import reweighted_fit
 from .sklearn import SVC, SVR
+from .sparse import nystroem_fit, pruned_fit
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
 
@@ -105,6 +106,8 @@ __all__ = [
     "calibrate_model",
     "calibrate_svr_noise",
     "reweighted_fit",
+    "pruned_fit",
+    "nystroem_fit",
     "predict_probabilities",
     "csvm_backend_exists",
     "list_available_backends",

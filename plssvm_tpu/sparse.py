@@ -1,0 +1,441 @@
+"""Compact LS-SVM models: Suykens pruning and fixed-size (Nystroem) fits.
+
+EXTENSION — the reference stores *every* training point as a support vector
+(include/plssvm/model.hpp:49: "in LS-SVM all training points are support
+vectors"), so its models are O(n) to store and O(n d) to evaluate.  This
+module implements the two standard LS-SVM answers to that:
+
+1. **Pruning** (`pruned_fit`) — Suykens, De Brabanter, Lukas & Vandewalle,
+   "Weighted least squares support vector machines: robustness and sparse
+   approximation" (Neurocomputing 48, 2002), §4: in LS-SVM the dual weight
+   |alpha_i| is proportional to the point's error contribution, so the
+   smallest-|alpha| points can be removed and the machine refit on the
+   remainder with little accuracy loss.  Each refit here warm-starts from
+   the surviving alpha (`fit(initial_model=)`), and with
+   ``solver='cg_explicit'`` only the first round builds a kernel matrix
+   from scratch, so the whole schedule costs a fraction of a cold fit per
+   round.
+
+2. **Fixed-size LS-SVM** (`nystroem_fit`) — Suykens et al., "Least Squares
+   Support Vector Machines" (2002), ch. 6: pick m << n landmark points,
+   build the Nystroem finite-dimensional feature map
+   ``phi(x) = K_mm^{-1/2} k(Z, x)`` and solve the PRIMAL ridge system in
+   that basis.  Training touches each data row once (O(n m) kernel
+   evaluations, O(m^2) memory — the n x m feature block is streamed in row
+   blocks and reduced into the (m+1) x (m+1) normal equations on device),
+   so n is unbounded by device memory; the result is re-expressed as a
+   standard m-support-vector model (``alpha = K_mm^{-1/2} w``), so
+   prediction, model files and LIBSVM interop are the ordinary paths.
+
+Both return ordinary :class:`~plssvm_tpu.model.Model` objects: score them
+with ``csvm.score``, save them as LIBSVM model files, warm-start from them.
+TPU-first shape: the Nystroem reduction is one ``lax.scan`` of fused
+MXU kernel-block + feature-projection matmuls; no per-point host work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data_set import DataSet
+from .exceptions import InvalidParameterError
+from .kernel_functions import is_gram_kernel, kernel_block
+from .model import Model
+from .parameter import ClassificationType
+
+
+# ---------------------------------------------------------------------------
+# Pruning (Suykens 2002 sparse approximation)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_magnitude(alpha: np.ndarray) -> np.ndarray:
+    """Per-point pruning score: |alpha| (binary) or row L2 norm (OAA)."""
+    a = np.asarray(alpha, dtype=np.float64)
+    if a.ndim == 1:
+        return np.abs(a)
+    return np.sqrt(np.sum(a * a, axis=1))
+
+
+def _keep_with_class_floor(
+    magnitude: np.ndarray, k: int, class_idx: Optional[np.ndarray]
+) -> np.ndarray:
+    """Indices of the k largest-magnitude points, each class kept non-empty.
+
+    Plain top-k can silently drop an entire (small or well-separated) class,
+    which would change the label mapping of the surviving DataSet; when that
+    happens the class's single best point is swapped in for the worst kept
+    point of an over-represented class.
+    """
+    order = np.argsort(-magnitude, kind="stable")
+    keep = order[:k]
+    if class_idx is None:
+        return np.sort(keep)
+    kept_classes = set(class_idx[keep].tolist())
+    missing = [c for c in np.unique(class_idx) if c not in kept_classes]
+    if missing:
+        keep = list(keep)
+        for c in missing:
+            members = np.nonzero(class_idx == c)[0]
+            best = members[np.argmax(magnitude[members])]
+            # evict the worst kept point whose class retains >= 2 members
+            counts = {}
+            for i in keep:
+                counts[class_idx[i]] = counts.get(class_idx[i], 0) + 1
+            for pos in range(len(keep) - 1, -1, -1):
+                if counts[class_idx[keep[pos]]] >= 2:
+                    counts[class_idx[keep[pos]]] -= 1
+                    keep.pop(pos)
+                    break
+            keep.append(best)
+        keep = np.asarray(keep)
+    return np.sort(keep)
+
+
+def pruned_fit(
+    csvm,
+    data: DataSet,
+    *,
+    n_sv: int,
+    prune_rate: float = 0.25,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+    sample_weight=None,
+    return_indices: bool = False,
+):
+    """Sparse LS-SVM by iterative smallest-|alpha| pruning (Suykens 2002).
+
+    Fits on the full ``data``, then repeatedly drops the ``prune_rate``
+    fraction of points with the smallest dual weights and refits on the
+    survivors (warm-started from their previous alpha) until at most
+    ``n_sv`` support vectors remain.  Works for binary and one-vs-all
+    multiclass classification and LS-SVR regression, with optional
+    ``sample_weight`` (the weights are pruned alongside their rows).
+
+    Returns the compact Model — or ``(model, indices)`` into ``data``'s
+    rows when ``return_indices`` is true.
+    """
+    n = data.num_data_points
+    if not 1 <= n_sv < n:
+        raise InvalidParameterError(
+            f"n_sv must be in [1, {n - 1}] to prune a {n}-point data set, "
+            f"but is {n_sv}!"
+        )
+    if not 0.0 < prune_rate < 1.0:
+        raise InvalidParameterError(
+            f"prune_rate must be in (0, 1), but is {prune_rate}!"
+        )
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+
+    model = csvm.fit(
+        data, epsilon=epsilon, max_iter=max_iter, sample_weight=sample_weight
+    )
+    if model.classification == ClassificationType.OAO:
+        raise InvalidParameterError(
+            "pruned_fit supports binary/one-vs-all models only — prune the "
+            "one-vs-one pair machines individually instead!"
+        )
+
+    X = np.asarray(data.data)
+    labels = np.asarray(data.labels)
+    if data.is_regression:
+        class_idx = None
+    else:
+        # prune within the *label* partition so no class disappears
+        _, class_idx = np.unique(labels, return_inverse=True)
+    indices = np.arange(n)
+
+    while indices.shape[0] > n_sv:
+        current = indices.shape[0]
+        target = max(n_sv, int(np.ceil(current * (1.0 - prune_rate))))
+        if target >= current:  # prune_rate too small to shrink further
+            target = current - 1
+        magnitude = _alpha_magnitude(model.alpha)
+        ci = class_idx[indices] if class_idx is not None else None
+        local_keep = _keep_with_class_floor(magnitude, target, ci)
+        indices = indices[local_keep]
+
+        sub = DataSet(
+            X[indices],
+            labels[indices],
+            dtype=X.dtype,
+            regression=data.is_regression,
+        )
+        warm = Model(
+            model.params.copy(),
+            sub,
+            alpha=np.asarray(model.alpha)[local_keep],
+            rho=model.rho,
+        )
+        warm.classification = model.classification
+        warm.is_regression = model.is_regression
+        sw = sample_weight[indices] if sample_weight is not None else None
+        model = csvm.fit(
+            sub,
+            epsilon=epsilon,
+            max_iter=max_iter,
+            initial_model=warm,
+            sample_weight=sw,
+        )
+    if return_indices:
+        return model, indices
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size LS-SVM (Nystroem primal ridge)
+# ---------------------------------------------------------------------------
+
+
+def _select_landmarks(
+    data: DataSet, m: int, random_state
+) -> np.ndarray:
+    """m landmark row indices — class-stratified for classification."""
+    n = data.num_data_points
+    rng = np.random.default_rng(random_state)
+    if data.is_regression or not data.has_labels():
+        return np.sort(rng.choice(n, size=m, replace=False))
+    labels = np.asarray(data.labels)
+    classes, class_idx = np.unique(labels, return_inverse=True)
+    if m < classes.shape[0]:
+        raise InvalidParameterError(
+            f"n_landmarks ({m}) must be at least the number of classes "
+            f"({classes.shape[0]})!"
+        )
+    # proportional allocation with one landmark guaranteed per class
+    counts = np.bincount(class_idx, minlength=classes.shape[0])
+    alloc = np.maximum(1, np.floor(m * counts / n).astype(int))
+    alloc = np.minimum(alloc, counts)
+    # distribute the remainder to the largest classes that still have room
+    while alloc.sum() < m:
+        room = counts - alloc
+        grow = int(np.argmax(np.where(room > 0, counts, -1)))
+        if room[grow] <= 0:
+            break
+        alloc[grow] += 1
+    picked = []
+    for c in range(classes.shape[0]):
+        members = np.nonzero(class_idx == c)[0]
+        picked.append(rng.choice(members, size=alloc[c], replace=False))
+    return np.sort(np.concatenate(picked))
+
+
+def _kmm_inv_sqrt(K_mm: np.ndarray, rcond: float) -> np.ndarray:
+    """Symmetric K_mm^{-1/2} in f64 with eigenvalue clipping at rcond*max."""
+    K = np.asarray(K_mm, dtype=np.float64)
+    K = 0.5 * (K + K.T)
+    w, V = np.linalg.eigh(K)
+    cutoff = rcond * float(w[-1]) if w[-1] > 0 else 0.0
+    inv_sqrt = np.where(w > cutoff, 1.0 / np.sqrt(np.maximum(w, cutoff)), 0.0)
+    return (V * inv_sqrt[None, :]) @ V.T
+
+
+def _nystroem_reduce(
+    Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block
+):
+    """Stream row blocks; reduce the primal normal equations on device.
+
+    Returns (A, c, u, s1, sy) with
+    ``A = Phi' S Phi`` (m, m), ``c = Phi' S Y`` (m, C), ``u = Phi' S 1``
+    (m,), ``s1 = sum(s)``, ``sy = 1' S Y`` (C,) — everything the
+    (m+1) x (m+1) bordered ridge system needs.  Padded rows carry s = 0 and
+    contribute nothing.  One fused kernel-block + two MXU matmuls per step.
+    """
+    n_pad, d = Xp.shape
+    m = Z.shape[0]
+    C = Yp.shape[1]
+    steps = n_pad // block
+    sqZ = jnp.sum(Z * Z, axis=1)
+
+    Xb = Xp.reshape(steps, block, d)
+    sb = s.reshape(steps, block)
+    Yb = Yp.reshape(steps, block, C)
+
+    def body(carry, inp):
+        A, c, u = carry
+        Xblk, sblk, Yblk = inp
+        sq = jnp.sum(Xblk * Xblk, axis=1)
+        Kbm = kernel_block(Xblk, Z, sq, sqZ, kind, gamma, coef0, degree)
+        Phi = Kbm @ inv_sqrt                      # (block, m) MXU
+        Phi_s = Phi * sblk[:, None]
+        A = A + jax.lax.dot_general(
+            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype,
+        )
+        c = c + jax.lax.dot_general(
+            Phi_s, Yblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=c.dtype,
+        )
+        u = u + Phi_s.sum(axis=0)
+        return (A, c, u), None
+
+    dt = Xp.dtype
+    init = (
+        jnp.zeros((m, m), dt), jnp.zeros((m, C), dt), jnp.zeros((m,), dt)
+    )
+    (A, c, u), _ = jax.lax.scan(body, init, (Xb, sb, Yb))
+    s1 = s.sum()
+    sy = (s[:, None] * Yp).sum(axis=0)
+    return A, c, u, s1, sy
+
+
+def nystroem_fit(
+    csvm,
+    data: DataSet,
+    *,
+    n_landmarks: Optional[int] = None,
+    landmarks: Optional[Union[Sequence[int], np.ndarray]] = None,
+    random_state=0,
+    sample_weight=None,
+    rcond: float = 1e-10,
+    row_block: int = 4096,
+):
+    """Fixed-size LS-SVM: Nystroem primal ridge fit with m landmark SVs.
+
+    Solves ``min 1/2 |w|^2 + 1/2 sum_i C s_i (y_i - w.phi(x_i) - b)^2`` in
+    the m-dimensional Nystroem basis ``phi(x) = K_mm^{-1/2} k(Z, x)`` and
+    returns a standard Model whose support vectors are the m landmarks
+    (``alpha = K_mm^{-1/2} w``, ``rho = -b``) — so the model is O(m),
+    predicts through the ordinary paths and saves as an ordinary LIBSVM
+    model file.  Training streams the data once in ``row_block`` rows
+    (O(m^2) device memory), so n is unbounded by the kernel-matrix budget
+    that limits exact fits.
+
+    ``landmarks`` gives explicit row indices into ``data``; otherwise
+    ``n_landmarks`` rows are sampled (class-stratified, seeded by
+    ``random_state``).  Binary / one-vs-all multiclass / regression;
+    ``sample_weight`` follows the weighted LS-SVM convention (per-point
+    penalty ``C * s_i``).
+    """
+    n = data.num_data_points
+    d = data.num_features
+    if landmarks is not None:
+        idx = np.unique(np.asarray(landmarks, dtype=np.int64))
+        if idx.size == 0 or idx[0] < 0 or idx[-1] >= n:
+            raise InvalidParameterError(
+                f"landmark indices must be unique and within [0, {n - 1}]!"
+            )
+    else:
+        if n_landmarks is None:
+            raise InvalidParameterError(
+                "nystroem_fit needs n_landmarks or explicit landmarks!"
+            )
+        if not 1 <= n_landmarks <= n:
+            raise InvalidParameterError(
+                f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
+            )
+        idx = _select_landmarks(data, int(n_landmarks), random_state)
+    m = idx.shape[0]
+    if not data.is_regression and data.has_labels():
+        if (np.unique(np.asarray(data.labels)[idx]).shape[0]
+                != data.num_different_labels):
+            raise InvalidParameterError(
+                "the landmark sample lost a class — pass class-covering "
+                "landmarks or a larger n_landmarks!"
+            )
+
+    if data.is_regression:
+        Y = np.asarray(data.labels, dtype=np.float64)[:, None]
+    elif data.num_different_labels == 2:
+        Y = np.asarray(data.y, dtype=np.float64)[:, None]
+    else:
+        Y = data.mapper.oaa_targets(np.asarray(data.labels), dtype=np.float64)
+    C_classes = Y.shape[1]
+
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n,):
+            raise InvalidParameterError(
+                f"sample_weight must have one entry per data point ({n}), "
+                f"but has shape {sample_weight.shape}!"
+            )
+        if not np.all(sample_weight > 0.0):
+            raise InvalidParameterError(
+                "sample_weight entries must all be positive!"
+            )
+        s = sample_weight
+    else:
+        s = np.ones(n, dtype=np.float64)
+
+    from .csvm import _ensure_x64_if_needed
+
+    _ensure_x64_if_needed(csvm.dtype)
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    kind = params.kernel_type.value
+    gamma_v = params.resolved_gamma(d)
+    coef0_v = params.coef0.value
+    degree_v = params.degree.value
+    cost = params.cost.value
+
+    dt = csvm.dtype
+    X = np.asarray(data.data, dtype=dt)
+    Z = X[idx]
+
+    block = int(min(row_block, max(8, n)))
+    n_pad = int(-(-n // block) * block)
+    Xp = np.zeros((n_pad, d), dtype=dt)
+    Xp[:n] = X
+    sp = np.zeros(n_pad, dtype=dt)
+    sp[:n] = s
+    Yp = np.zeros((n_pad, C_classes), dtype=dt)
+    Yp[:n] = Y
+
+    with csvm._device_ctx():
+        Zd = jnp.asarray(Z)
+        sqZ = jnp.sum(Zd * Zd, axis=1)
+        K_mm = np.asarray(
+            jax.device_get(
+                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
+                             dt.type(coef0_v), degree_v)
+            ),
+            dtype=np.float64,
+        )
+        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
+        A, c, u, s1, sy = jax.jit(
+            _nystroem_reduce, static_argnames=("kind", "degree", "block")
+        )(
+            jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
+            jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
+            gamma=dt.type(gamma_v), coef0=dt.type(coef0_v), degree=degree_v,
+            block=block,
+        )
+
+    # bordered (m+1) x (m+1) normal equations, solved on host in f64:
+    #   [A + I/C   u ] [w]   [c ]
+    #   [u'        s1] [b] = [sy]
+    A = np.asarray(jax.device_get(A), dtype=np.float64)
+    c = np.asarray(jax.device_get(c), dtype=np.float64)
+    u = np.asarray(jax.device_get(u), dtype=np.float64)
+    s1 = float(jax.device_get(s1))
+    sy = np.asarray(jax.device_get(sy), dtype=np.float64)
+    H = np.empty((m + 1, m + 1), dtype=np.float64)
+    H[:m, :m] = A + np.eye(m) / cost
+    H[:m, m] = u
+    H[m, :m] = u
+    H[m, m] = s1
+    rhs = np.concatenate([c, sy[None, :]], axis=0)
+    sol = np.linalg.solve(H, rhs)
+    w = sol[:m]                       # (m, C) basis weights
+    b = sol[m]                        # (C,) biases
+    alpha = inv_sqrt @ w              # (m, C) landmark dual weights
+
+    if data.is_regression:
+        sub = DataSet(Z, dtype=dt)
+        model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
+        model.is_regression = True
+    else:
+        sub = DataSet(Z, np.asarray(data.labels)[idx], dtype=dt)
+        if C_classes == 1:
+            model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
+        else:
+            model = Model(params, sub, alpha=alpha, rho=-b)
+            model.classification = ClassificationType.OAA
+    model.n_iter = 0  # direct (non-iterative) solve
+    return model

@@ -1,0 +1,264 @@
+"""Compact-model fits: Suykens pruning and fixed-size (Nystroem) LS-SVM.
+
+EXTENSION coverage (plssvm_tpu/sparse.py) — the reference keeps every
+training point as a support vector (model.hpp:49); these tests validate the
+two sparsification procedures against the exact dual solve and the ordinary
+predict/model-file paths.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import golden
+from plssvm_tpu import CSVM, DataSet, Model, nystroem_fit, pruned_fit
+from plssvm_tpu.exceptions import InvalidParameterError
+from plssvm_tpu.sparse import _keep_with_class_floor
+
+
+def _binary_problem(n=120, d=6, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=d)
+    y = np.where(X @ w + 0.2 * rng.normal(size=n) > 0, 1, -1)
+    return X, y
+
+
+def _svm(**kw):
+    kw.setdefault("backend", "xla")
+    kw.setdefault("dtype", np.float64)
+    return CSVM(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Nystroem golden: with ALL rows as landmarks the primal ridge in the
+# Nystroem basis is the exact LS-SVM problem, so the decision function must
+# match the dense dual solve.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["linear", "rbf"])
+def test_nystroem_full_landmarks_matches_dense_dual(kind):
+    X, y = _binary_problem(n=60, d=5, seed=1)
+    gamma = 0.25
+    svm = _svm(kernel_type=kind, cost=4.0, gamma=gamma)
+    ds = DataSet(X, y, dtype=np.float64)
+
+    model = nystroem_fit(svm, ds, landmarks=np.arange(60), rcond=1e-12)
+    got = svm.predict_values(model, ds)
+
+    alpha, rho = golden.solve_dense(X, y.astype(np.float64), cost=4.0,
+                                    kind=kind, gamma=gamma)
+    want = golden.predict_values(X, alpha, rho, X, kind, gamma=gamma)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+
+
+def test_nystroem_weighted_full_landmarks_matches_dense_weighted():
+    X, y = _binary_problem(n=50, d=4, seed=2)
+    gamma = 0.5
+    cost = 2.0
+    s = np.random.default_rng(3).uniform(0.5, 2.0, size=50)
+    svm = _svm(kernel_type="rbf", cost=cost, gamma=gamma)
+    ds = DataSet(X, y, dtype=np.float64)
+
+    model = nystroem_fit(svm, ds, landmarks=np.arange(50), rcond=1e-12,
+                         sample_weight=s)
+    got = svm.predict_values(model, ds)
+
+    # dense weighted LS-SVM with bias: bordered KKT system
+    # [[0, 1'], [1, K + diag(1/(C s))]] [b; a] = [0; y]
+    K = golden.kernel_matrix(X, "rbf", gamma=gamma)
+    n = X.shape[0]
+    H = np.zeros((n + 1, n + 1))
+    H[0, 1:] = 1.0
+    H[1:, 0] = 1.0
+    H[1:, 1:] = K + np.diag(1.0 / (cost * s))
+    rhs = np.concatenate([[0.0], y.astype(np.float64)])
+    sol = np.linalg.solve(H, rhs)
+    b, a = sol[0], sol[1:]
+    want = K @ a + b
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_nystroem_regression_full_landmarks_matches_dense():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(40, 3))
+    y = np.sin(X[:, 0]) + 0.1 * X[:, 1]
+    svm = _svm(kernel_type="rbf", cost=10.0, gamma=1.0)
+    ds = DataSet(X, y, dtype=np.float64, regression=True)
+
+    model = nystroem_fit(svm, ds, landmarks=np.arange(40), rcond=1e-12)
+    assert model.is_regression
+    got = svm.predict_values(model, ds)
+
+    K = golden.kernel_matrix(X, "rbf", gamma=1.0)
+    n = X.shape[0]
+    H = np.zeros((n + 1, n + 1))
+    H[0, 1:] = 1.0
+    H[1:, 0] = 1.0
+    H[1:, 1:] = K + np.eye(n) / 10.0
+    sol = np.linalg.solve(H, np.concatenate([[0.0], y]))
+    want = K @ sol[1:] + sol[0]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Nystroem subsampled: behavior, stratification, model-file round trip
+# ---------------------------------------------------------------------------
+
+
+def test_nystroem_subsampled_accuracy_and_size():
+    X, y = _binary_problem(n=300, d=8, seed=5)
+    svm = _svm(kernel_type="rbf", cost=2.0)
+    ds = DataSet(X, y, dtype=np.float64)
+    model = nystroem_fit(svm, ds, n_landmarks=64, random_state=0)
+    assert model.num_support_vectors == 64
+    assert model.n_iter == 0
+    assert svm.score(model, ds) >= 0.9
+
+
+def test_nystroem_multiclass_oaa_layout_and_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(3, 5)) * 4
+    yc = rng.integers(0, 3, size=200)
+    X = centers[yc] + rng.normal(size=(200, 5))
+    svm = _svm(kernel_type="rbf", cost=2.0)
+    ds = DataSet(X, yc, dtype=np.float64)
+    model = nystroem_fit(svm, ds, n_landmarks=45, random_state=1)
+    assert model.alpha.shape == (45, 3)
+    assert np.asarray(model.rho).shape == (3,)
+    # every class contributes landmarks (stratified sampling)
+    assert model.data.num_different_labels == 3
+    acc = svm.score(model, ds)
+    assert acc >= 0.9
+
+    path = os.fspath(tmp_path / "nystroem.model")
+    model.save(path)
+    loaded = Model.load(path, label_type=int)
+    reloaded = svm.predict(loaded, ds)
+    np.testing.assert_array_equal(reloaded, svm.predict(model, ds))
+
+
+def test_nystroem_binary_model_file_roundtrip(tmp_path):
+    X, y = _binary_problem(n=100, d=4, seed=7)
+    svm = _svm(kernel_type="polynomial", degree=2, cost=1.0, gamma=0.3,
+               coef0=1.0)
+    ds = DataSet(X, y, dtype=np.float64)
+    model = nystroem_fit(svm, ds, n_landmarks=32, random_state=2)
+    path = os.fspath(tmp_path / "ny_binary.model")
+    model.save(path)
+    loaded = Model.load(path, label_type=int)
+    np.testing.assert_allclose(
+        svm.predict_values(loaded, ds), svm.predict_values(model, ds),
+        rtol=1e-10, atol=1e-10,
+    )
+
+
+def test_nystroem_validation_errors():
+    X, y = _binary_problem(n=30, d=3)
+    svm = _svm()
+    ds = DataSet(X, y, dtype=np.float64)
+    with pytest.raises(InvalidParameterError, match="n_landmarks or explicit"):
+        nystroem_fit(svm, ds)
+    with pytest.raises(InvalidParameterError, match="must be in"):
+        nystroem_fit(svm, ds, n_landmarks=0)
+    with pytest.raises(InvalidParameterError, match="within"):
+        nystroem_fit(svm, ds, landmarks=[0, 99])
+    with pytest.raises(InvalidParameterError, match="must all be positive"):
+        nystroem_fit(svm, ds, n_landmarks=8,
+                     sample_weight=np.zeros(30))
+    # single-class landmark set loses a class -> explicit error
+    one_class = np.nonzero(y == y[0])[0][:5]
+    with pytest.raises(InvalidParameterError, match="lost a class"):
+        nystroem_fit(svm, ds, landmarks=one_class)
+
+
+# ---------------------------------------------------------------------------
+# Pruning
+# ---------------------------------------------------------------------------
+
+
+def test_pruned_fit_binary_reaches_target_and_stays_accurate():
+    X, y = _binary_problem(n=240, d=6, seed=8)
+    svm = _svm(kernel_type="rbf", cost=2.0)
+    ds = DataSet(X, y, dtype=np.float64)
+    full = svm.fit(ds)
+    full_acc = svm.score(full, ds)
+    model, idx = pruned_fit(svm, ds, n_sv=80, return_indices=True)
+    assert model.num_support_vectors == 80
+    assert idx.shape == (80,)
+    # the surviving SVs are actual rows of the data set
+    np.testing.assert_allclose(model.data.data, X[idx])
+    assert svm.score(model, ds) >= full_acc - 0.05
+
+
+def test_pruned_fit_regression(tmp_path):
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(150, 4))
+    y = np.cos(X[:, 0]) + 0.05 * rng.normal(size=150)
+    svm = _svm(kernel_type="rbf", cost=10.0, gamma=0.5)
+    ds = DataSet(X, y, dtype=np.float64, regression=True)
+    model = pruned_fit(svm, ds, n_sv=60)
+    assert model.is_regression
+    assert model.num_support_vectors == 60
+    assert svm.score(model, ds) >= 0.8
+    path = os.fspath(tmp_path / "pruned.model")
+    model.save(path)
+    loaded = Model.load(path)
+    np.testing.assert_allclose(
+        svm.predict_values(loaded, ds), svm.predict_values(model, ds),
+        rtol=1e-10, atol=1e-10,
+    )
+
+
+def test_pruned_fit_multiclass_oaa():
+    rng = np.random.default_rng(10)
+    centers = rng.normal(size=(4, 6)) * 4
+    yc = rng.integers(0, 4, size=260)
+    X = centers[yc] + rng.normal(size=(260, 6))
+    svm = _svm(kernel_type="rbf", cost=2.0)
+    ds = DataSet(X, yc, dtype=np.float64)
+    model = pruned_fit(svm, ds, n_sv=90)
+    assert model.num_support_vectors == 90
+    assert model.alpha.shape == (90, 4)
+    # no class may be pruned away entirely
+    assert model.data.num_different_labels == 4
+    assert svm.score(model, ds) >= 0.9
+
+
+def test_pruned_fit_weighted_prunes_weights_alongside():
+    X, y = _binary_problem(n=100, d=4, seed=11)
+    s = np.random.default_rng(12).uniform(0.5, 2.0, size=100)
+    svm = _svm(kernel_type="rbf", cost=2.0)
+    ds = DataSet(X, y, dtype=np.float64)
+    model = pruned_fit(svm, ds, n_sv=40, sample_weight=s)
+    assert model.num_support_vectors == 40
+    assert svm.score(model, ds) >= 0.8
+
+
+def test_pruned_fit_validation_errors():
+    X, y = _binary_problem(n=30, d=3)
+    svm = _svm()
+    ds = DataSet(X, y, dtype=np.float64)
+    with pytest.raises(InvalidParameterError, match="n_sv must be in"):
+        pruned_fit(svm, ds, n_sv=0)
+    with pytest.raises(InvalidParameterError, match="n_sv must be in"):
+        pruned_fit(svm, ds, n_sv=30)
+    with pytest.raises(InvalidParameterError, match="prune_rate"):
+        pruned_fit(svm, ds, n_sv=10, prune_rate=1.5)
+
+
+def test_keep_with_class_floor_rescues_dropped_class():
+    # class 1 has uniformly tiny magnitudes -> plain top-k would drop it
+    magnitude = np.array([9.0, 8.0, 7.0, 6.0, 0.01, 0.02])
+    class_idx = np.array([0, 0, 0, 0, 1, 1])
+    keep = _keep_with_class_floor(magnitude, 3, class_idx)
+    assert keep.shape == (3,)
+    kept_classes = set(class_idx[keep].tolist())
+    assert kept_classes == {0, 1}
+    # the rescued point is class 1's best (index 5, magnitude 0.02)
+    assert 5 in keep
+    # without classes it is a plain top-k
+    keep_plain = _keep_with_class_floor(magnitude, 3, None)
+    np.testing.assert_array_equal(keep_plain, [0, 1, 2])
