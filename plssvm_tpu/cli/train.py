@@ -124,6 +124,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "alpha (same data set; binary/one-vs-all only) — "
                         "refine a converged model at a tighter -e or after "
                         "a -c change without solving from scratch")
+    parser.add_argument(
+        "--max_sv", metavar="N", type=int, default=None,
+        help="sparse model (Suykens' pruning): after training, iteratively "
+             "drop the smallest-|alpha| support vectors and refit "
+             "(warm-started) until at most N remain — the model file "
+             "stores only the N survivors",
+    )
+    parser.add_argument(
+        "--nystroem", metavar="M", type=int, default=None,
+        help="fixed-size LS-SVM: direct primal fit in an M-landmark "
+             "Nystroem basis — the model stores only the M landmarks and "
+             "training streams the data once in row blocks (O(M^2) device "
+             "memory, any n)",
+    )
     parser.add_argument("--checkpoint", metavar="FILE", default=None,
                         help="CG-state checkpoint file: training state is saved "
                         "every --checkpoint_interval iterations and an "
@@ -268,6 +282,40 @@ def main(argv=None) -> int:
                     return 1
                 lab, w = spec.split("=", 1)
                 per_class_weights[lab.strip()] = float(w)
+        if args.max_sv is not None or args.nystroem is not None:
+            which = "--max_sv" if args.max_sv is not None else "--nystroem"
+            if args.max_sv is not None and args.nystroem is not None:
+                print(
+                    "--max_sv and --nystroem are mutually exclusive!",
+                    file=sys.stderr,
+                )
+                return 1
+            for flag, name in (
+                (args.multihost, "--multihost"),
+                (args.warm_start, "--warm_start"),
+                (args.checkpoint, "--checkpoint"),
+                (args.cross_validation, "--cross_validation"),
+            ):
+                if flag:
+                    print(
+                        f"{which} is not supported together with {name}!",
+                        file=sys.stderr,
+                    )
+                    return 1
+            if str(args.classification).lower() == "oao":
+                print(
+                    f"{which} supports binary/one-vs-all training only "
+                    "(--classification oaa)!",
+                    file=sys.stderr,
+                )
+                return 1
+            value = args.max_sv if args.max_sv is not None else args.nystroem
+            if value < 1:
+                print(
+                    f"{which} must be at least 1!",
+                    file=sys.stderr,
+                )
+                return 1
         if args.warm_start is not None:
             if args.multihost:
                 print(
@@ -324,6 +372,21 @@ def main(argv=None) -> int:
                 )
 
             def run_fit():
+                if args.nystroem is not None:
+                    from ..sparse import nystroem_fit
+
+                    return nystroem_fit(
+                        svm, data, n_landmarks=args.nystroem,
+                        sample_weight=fit_kwargs.get("sample_weight"),
+                    )
+                if args.max_sv is not None:
+                    from ..sparse import pruned_fit
+
+                    return pruned_fit(
+                        svm, data, n_sv=args.max_sv,
+                        epsilon=args.epsilon, max_iter=args.max_iter,
+                        sample_weight=fit_kwargs.get("sample_weight"),
+                    )
                 return svm.fit(data, **fit_kwargs)
 
         if args.probability and args.multihost:

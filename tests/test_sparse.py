@@ -262,3 +262,79 @@ def test_keep_with_class_floor_rescues_dropped_class():
     # without classes it is a plain top-k
     keep_plain = _keep_with_class_floor(magnitude, 3, None)
     np.testing.assert_array_equal(keep_plain, [0, 1, 2])
+
+
+# ---------------------------------------------------------------------------
+# CLI integration: plssvm-train --max_sv / --nystroem
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def cli_train_file(tmp_path):
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X, y = _binary_problem(n=60, d=5, seed=20)
+    path = os.fspath(tmp_path / "train.libsvm")
+    write_libsvm_file(path, X, y)
+    return path
+
+
+def _model_total_sv(path):
+    with open(path) as f:
+        for line in f:
+            if line.startswith("total_sv"):
+                return int(line.split()[1])
+    raise AssertionError("no total_sv header line")
+
+
+def test_cli_train_max_sv(cli_train_file, tmp_path):
+    from plssvm_tpu.cli import train as cli_train
+
+    model_file = os.fspath(tmp_path / "pruned.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "--max_sv", "20",
+         cli_train_file, model_file]
+    )
+    assert rc == 0
+    assert _model_total_sv(model_file) == 20
+
+
+def test_cli_train_nystroem(cli_train_file, tmp_path):
+    from plssvm_tpu.cli import train as cli_train
+
+    model_file = os.fspath(tmp_path / "ny.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "--nystroem", "16",
+         cli_train_file, model_file]
+    )
+    assert rc == 0
+    assert _model_total_sv(model_file) == 16
+
+
+def test_cli_train_sparse_flag_conflicts(cli_train_file, tmp_path, capsys):
+    from plssvm_tpu.cli import train as cli_train
+
+    model_file = os.fspath(tmp_path / "x.model")
+    rc = cli_train.main(
+        ["-q", "--max_sv", "8", "--nystroem", "8", cli_train_file, model_file]
+    )
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().err
+    rc = cli_train.main(
+        ["-q", "--max_sv", "8", "--classification", "oao",
+         cli_train_file, model_file]
+    )
+    assert rc == 1
+    assert "one-vs-all" in capsys.readouterr().err
+    rc = cli_train.main(
+        ["-q", "--nystroem", "0", cli_train_file, model_file]
+    )
+    assert rc == 1
+    assert "at least 1" in capsys.readouterr().err
+    rc = cli_train.main(
+        ["-q", "--max_sv", "8", "--checkpoint", os.fspath(tmp_path / "c"),
+         cli_train_file, model_file]
+    )
+    assert rc == 1
+    assert "--checkpoint" in capsys.readouterr().err
+    assert not os.path.exists(model_file)
