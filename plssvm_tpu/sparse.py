@@ -236,14 +236,14 @@ def _kmm_inv_sqrt(K_mm: np.ndarray, rcond: float) -> np.ndarray:
 
 
 def _nystroem_reduce(
-    Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block
+    Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block,
+    vary_axis=None,
 ):
     """Stream row blocks; reduce the primal normal equations on device.
 
-    Returns (A, c, u, s1, sy) with
-    ``A = Phi' S Phi`` (m, m), ``c = Phi' S Y`` (m, C), ``u = Phi' S 1``
-    (m,), ``s1 = sum(s)``, ``sy = 1' S Y`` (C,) — everything the
-    (m+1) x (m+1) bordered ridge system needs.  Padded rows carry s = 0 and
+    Returns (A, c, u) with ``A = Phi' S Phi`` (m, m), ``c = Phi' S Y``
+    (m, C) and ``u = Phi' S 1`` (m,) — the data-dependent parts of the
+    (m+1) x (m+1) bordered ridge system.  Padded rows carry s = 0 and
     contribute nothing.  One fused kernel-block + two MXU matmuls per step.
     """
     n_pad, d = Xp.shape
@@ -278,10 +278,57 @@ def _nystroem_reduce(
     init = (
         jnp.zeros((m, m), dt), jnp.zeros((m, C), dt), jnp.zeros((m,), dt)
     )
+    if vary_axis is not None:
+        # under shard_map the carry output varies over the mesh axis (it
+        # depends on the sharded rows); the zero init must be cast to match
+        init = jax.tree.map(
+            lambda z: jax.lax.pcast(z, vary_axis, to="varying"), init
+        )
     (A, c, u), _ = jax.lax.scan(body, init, (Xb, sb, Yb))
-    s1 = s.sum()
-    sy = (s[:, None] * Yp).sum(axis=0)
-    return A, c, u, s1, sy
+    return A, c, u
+
+
+def _nystroem_reduce_sharded(
+    mesh, Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block
+):
+    """Row-sharded Nystroem reduction over a 1-D device mesh.
+
+    Each device streams its own row shard through :func:`_nystroem_reduce`
+    and the (m, m)/(m, C)/(m,) partial normal equations are ``psum``-reduced
+    over ICI — the multi-chip analog of SURVEY.md §2.4 P3, with O(m^2)
+    traffic total (independent of n).  Row counts must divide evenly:
+    callers pad to a multiple of ``block * num_devices``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.sharded import ROW_AXIS
+
+    row, rep = P(ROW_AXIS), P()
+
+    def local(Xl, sl, Yl, Zr, ivr):
+        A, c, u = _nystroem_reduce(
+            Xl, sl, Yl, Zr, ivr, kind, gamma, coef0, degree, block,
+            vary_axis=ROW_AXIS,
+        )
+        return (
+            jax.lax.psum(A, ROW_AXIS),
+            jax.lax.psum(c, ROW_AXIS),
+            jax.lax.psum(u, ROW_AXIS),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(row, row, row, rep, rep),
+            out_specs=(rep, rep, rep),
+        )
+    )
+    Xp = jax.device_put(Xp, NamedSharding(mesh, row))
+    s = jax.device_put(s, NamedSharding(mesh, row))
+    Yp = jax.device_put(Yp, NamedSharding(mesh, row))
+    Z = jax.device_put(Z, NamedSharding(mesh, rep))
+    inv_sqrt = jax.device_put(inv_sqrt, NamedSharding(mesh, rep))
+    return fn(Xp, s, Yp, Z, inv_sqrt)
 
 
 def nystroem_fit(
@@ -378,8 +425,10 @@ def nystroem_fit(
     X = np.asarray(data.data, dtype=dt)
     Z = X[idx]
 
-    block = int(min(row_block, max(8, n)))
-    n_pad = int(-(-n // block) * block)
+    devices = getattr(csvm, "devices", None)
+    n_dev = len(devices) if devices else 1
+    block = int(min(row_block, max(8, -(-n // n_dev))))
+    n_pad = int(-(-n // (block * n_dev)) * block * n_dev)
     Xp = np.zeros((n_pad, d), dtype=dt)
     Xp[:n] = X
     sp = np.zeros(n_pad, dtype=dt)
@@ -398,14 +447,23 @@ def nystroem_fit(
             dtype=np.float64,
         )
         inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
-        A, c, u, s1, sy = jax.jit(
-            _nystroem_reduce, static_argnames=("kind", "degree", "block")
-        )(
-            jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
-            jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
-            gamma=dt.type(gamma_v), coef0=dt.type(coef0_v), degree=degree_v,
-            block=block,
-        )
+        if n_dev > 1:
+            from .parallel.sharded import make_row_mesh
+
+            A, c, u = _nystroem_reduce_sharded(
+                make_row_mesh(devices), jnp.asarray(Xp), jnp.asarray(sp),
+                jnp.asarray(Yp), Zd, jnp.asarray(inv_sqrt, dtype=dt),
+                kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block,
+            )
+        else:
+            A, c, u = jax.jit(
+                _nystroem_reduce, static_argnames=("kind", "degree", "block")
+            )(
+                jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
+                jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
+                gamma=dt.type(gamma_v), coef0=dt.type(coef0_v),
+                degree=degree_v, block=block,
+            )
 
     # bordered (m+1) x (m+1) normal equations, solved on host in f64:
     #   [A + I/C   u ] [w]   [c ]
@@ -413,8 +471,8 @@ def nystroem_fit(
     A = np.asarray(jax.device_get(A), dtype=np.float64)
     c = np.asarray(jax.device_get(c), dtype=np.float64)
     u = np.asarray(jax.device_get(u), dtype=np.float64)
-    s1 = float(jax.device_get(s1))
-    sy = np.asarray(jax.device_get(sy), dtype=np.float64)
+    s1 = float(np.sum(s))
+    sy = (s[:, None] * Y).sum(axis=0)
     H = np.empty((m + 1, m + 1), dtype=np.float64)
     H[:m, :m] = A + np.eye(m) / cost
     H[:m, m] = u

@@ -338,3 +338,64 @@ def test_cli_train_sparse_flag_conflicts(cli_train_file, tmp_path, capsys):
     assert rc == 1
     assert "--checkpoint" in capsys.readouterr().err
     assert not os.path.exists(model_file)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device (8-virtual-CPU mesh) Nystroem reduction
+# ---------------------------------------------------------------------------
+
+
+def test_nystroem_sharded_matches_single_device():
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X, y = _binary_problem(n=200, d=7, seed=30)
+    ds = DataSet(X, y, dtype=np.float64)
+    idx = np.sort(np.random.default_rng(31).choice(200, 48, replace=False))
+
+    single = _svm(kernel_type="rbf", cost=2.0)
+    m1 = nystroem_fit(single, ds, landmarks=idx, row_block=16)
+
+    sharded = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   cost=2.0, devices=devs[:8])
+    m8 = nystroem_fit(sharded, ds, landmarks=idx, row_block=16)
+
+    np.testing.assert_allclose(np.asarray(m8.alpha), np.asarray(m1.alpha),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(m8.rho, m1.rho, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        single.predict_values(m8, ds), single.predict_values(m1, ds),
+        rtol=1e-8, atol=1e-8,
+    )
+
+
+def test_nystroem_sharded_weighted_multiclass():
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs virtual CPU devices")
+    rng = np.random.default_rng(32)
+    centers = rng.normal(size=(3, 5)) * 4
+    yc = rng.integers(0, 3, size=150)
+    X = centers[yc] + rng.normal(size=(150, 5))
+    s = rng.uniform(0.5, 2.0, size=150)
+    ds = DataSet(X, yc, dtype=np.float64)
+    idx = np.sort(rng.choice(150, 36, replace=False))
+    while np.unique(yc[idx]).shape[0] < 3:  # keep all classes represented
+        idx = np.sort(rng.choice(150, 36, replace=False))
+
+    single = _svm(kernel_type="polynomial", degree=2, gamma=0.3, coef0=1.0)
+    m1 = nystroem_fit(single, ds, landmarks=idx, sample_weight=s,
+                      row_block=16)
+    sharded = CSVM(backend="xla", dtype=np.float64,
+                   kernel_type="polynomial", degree=2, gamma=0.3, coef0=1.0,
+                   devices=devs[:4])
+    m4 = nystroem_fit(sharded, ds, landmarks=idx, sample_weight=s,
+                      row_block=16)
+    np.testing.assert_allclose(np.asarray(m4.alpha), np.asarray(m1.alpha),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(m4.rho), np.asarray(m1.rho),
+                               rtol=1e-8, atol=1e-10)
