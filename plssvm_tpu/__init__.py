@@ -72,6 +72,7 @@ from .probability import (
     calibrate_svr_noise,
     predict_probabilities,
 )
+from .one_class import fit_one_class
 from .robust import reweighted_fit
 from .sklearn import SVC, SVR
 from .sparse import nystroem_fit, pruned_fit
@@ -106,6 +107,7 @@ __all__ = [
     "calibrate_model",
     "calibrate_svr_noise",
     "reweighted_fit",
+    "fit_one_class",
     "pruned_fit",
     "nystroem_fit",
     "predict_probabilities",

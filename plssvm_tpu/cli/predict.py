@@ -80,15 +80,19 @@ def main(argv=None) -> int:
 
     start = time.perf_counter()
     try:
-        data = DataSet(
-            args.test,
-            label_type=resolve_label_type(args),
-            dtype=resolve_dtype(args),
-        )
         model = Model.load(
             args.model,
             label_type=resolve_label_type(args),
             dtype=resolve_dtype(args),
+        )
+        data = DataSet(
+            args.test,
+            label_type=resolve_label_type(args),
+            dtype=resolve_dtype(args),
+            # a one-class test file may carry a single label class (+1) or
+            # none at all — bypass the >=2-classes label mapping; labels
+            # are only compared against the +-1 predictions for accuracy
+            regression=getattr(model, "is_one_class", False),
         )
         svm = CSVM(
             backend=args.backend,

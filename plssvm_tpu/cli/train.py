@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="choose the target platform: automatic|cpu|tpu")
     parser.add_argument(
         "-s", "--svm_type", default="c_svc",
-        choices=["c_svc", "epsilon_svr", "svr"],
+        choices=["c_svc", "epsilon_svr", "svr", "one_class"],
         help="c_svc = classification (default); epsilon_svr/svr = "
              "least-squares REGRESSION on continuous targets (LS-SVR, an "
              "extension — same linear system, squared loss; the model file "
@@ -124,6 +124,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "alpha (same data set; binary/one-vs-all only) — "
                         "refine a converged model at a tighter -e or after "
                         "a -c change without solving from scratch")
+    parser.add_argument(
+        "-n", "--nu", type=float, default=0.5,
+        help="one-class training outlier fraction (svm-train's -n for "
+             "-s one_class): rho is the nu-quantile of the training "
+             "scores, so ~nu of the training points land outside",
+    )
     parser.add_argument(
         "--max_sv", metavar="N", type=int, default=None,
         help="sparse model (Suykens' pruning): after training, iteratively "
@@ -316,6 +322,30 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 return 1
+        if args.svm_type == "one_class":
+            if not 0.0 < args.nu < 1.0:
+                print(
+                    f"nu must be in (0, 1), but is {args.nu}!",
+                    file=sys.stderr,
+                )
+                return 1
+            for flag, name in (
+                (args.multihost, "--multihost"),
+                (args.warm_start, "--warm_start"),
+                (args.checkpoint, "--checkpoint"),
+                (args.cross_validation, "--cross_validation"),
+                (args.probability, "--probability"),
+                (args.weight, "--weight"),
+                (args.max_sv, "--max_sv"),
+                (args.nystroem, "--nystroem"),
+            ):
+                if flag:
+                    print(
+                        f"-s one_class is not supported together with "
+                        f"{name}!",
+                        file=sys.stderr,
+                    )
+                    return 1
         if args.warm_start is not None:
             if args.multihost:
                 print(
@@ -344,11 +374,17 @@ def main(argv=None) -> int:
                 )
         else:
             regression = args.svm_type in ("epsilon_svr", "svr")
+            one_class = args.svm_type == "one_class"
             data = DataSet(
                 args.input,
-                label_type=float if regression else resolve_label_type(args),
+                # one-class files may carry a single label class (or none);
+                # load label-mapping-free — the labels are ignored anyway
+                label_type=(
+                    float if (regression or one_class)
+                    else resolve_label_type(args)
+                ),
                 dtype=resolve_dtype(args),
-                regression=regression,
+                regression=regression or one_class,
             )
             svm = CSVM(**svm_kwargs)
             if per_class_weights is not None:
@@ -372,6 +408,13 @@ def main(argv=None) -> int:
                 )
 
             def run_fit():
+                if one_class:
+                    from ..one_class import fit_one_class
+
+                    return fit_one_class(
+                        svm, data, nu=args.nu,
+                        epsilon=args.epsilon, max_iter=args.max_iter,
+                    )
                 if args.nystroem is not None:
                     from ..sparse import nystroem_fit
 

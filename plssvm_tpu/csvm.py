@@ -2238,6 +2238,10 @@ class CSVM:
         if model.is_regression:
             # LS-SVR: the decision value IS the prediction (no sign/vote)
             return values
+        if getattr(model, "is_one_class", False):
+            # one-class (EXTENSION): +1 inlier / -1 outlier, LIBSVM's
+            # svm_predict convention for -s 2 models (f > 0 -> +1)
+            return np.where(values > 0.0, 1, -1).astype(np.int64)
         if values.ndim == 2:
             # multiclass columns/machines follow the model's LAYOUT class
             # order — the file's label-header order for loaded models

@@ -77,7 +77,11 @@ def parse_model_header(
             # is identical, so the files interoperate with LIBSVM tools,
             # even though the TRAINING loss differs: least-squares here vs
             # epsilon-insensitive there)
-            if value not in ("c_svc", "epsilon_svr", "nu_svr"):
+            # one_class (EXTENSION): LIBSVM's one-class layout — same
+            # no-label header/SV grammar as the SVR types; the decision
+            # function sum_i alpha_i k(x_i, x) - rho is identical, so
+            # svm-train -s 2 models load unchanged
+            if value not in ("c_svc", "epsilon_svr", "nu_svr", "one_class"):
                 raise InvalidFileFormatError(
                     f"Can only use c_svc as svm_type, but '{value}' was given!"
                 )
@@ -222,7 +226,7 @@ def parse_model_header(
         # 'regression has probA only' in svm.cpp) — accept it without probB
         if rho.size != 1:
             raise InvalidFileFormatError(
-                f"Expected 1 rho value for a regression model, but "
+                f"Expected 1 rho value for a {svm_type} model, but "
                 f"{rho.size} were given!"
             )
         prob: Optional[tuple] = None
@@ -236,7 +240,7 @@ def parse_model_header(
             raise InvalidFileFormatError(
                 "Can't parse file: no support vectors are given or SV is missing!"
             )
-        return params, rho, None, header_line + 1, prob
+        return params, rho, None, header_line + 1, prob, svm_type
     if nr_class is None:
         raise InvalidFileFormatError("Missing number of different classes nr_class!")
     if labels is None:
@@ -299,7 +303,7 @@ def parse_model_header(
             )
         prob = (prob_a, prob_b)
 
-    return params, rho, per_point_labels, header_line + 1, prob
+    return params, rho, per_point_labels, header_line + 1, prob, svm_type
 
 
 def _to_float(value: str, name: str) -> float:
@@ -434,7 +438,7 @@ def parse_model_file(
         try:
             # the placeholder row only satisfies the header parser's
             # "rows exist after SV" check; it is never parsed
-            params, rho, labels, _, prob = parse_model_header(
+            params, rho, labels, _, prob, svm_type = parse_model_header(
                 header_lines + ["<sv-row>"]
             )
         except InvalidFileFormatError:
@@ -468,10 +472,10 @@ def parse_model_file(
                         f"{expected}!"
                     )
                 alpha = coeffs[:, 0] if n_lead == 1 else coeffs
-                return params, rho, data, alpha, labels, prob
+                return params, rho, data, alpha, labels, prob, svm_type
 
     lines = read_lines(filename, comment="#")
-    params, rho, labels, num_header_lines, prob = parse_model_header(lines)
+    params, rho, labels, num_header_lines, prob, svm_type = parse_model_header(lines)
     sv_lines = lines[num_header_lines:]
     # labels is None for regression (epsilon_svr) models — single alpha
     # column, exactly the binary SV-row grammar
@@ -515,7 +519,7 @@ def parse_model_file(
         raise InvalidFileFormatError(
             f"Found {data.shape[0]} support vectors, but expected {expected}!"
         )
-    return params, rho, data, alpha, labels, prob
+    return params, rho, data, alpha, labels, prob, svm_type
 
 
 def write_model_file(
@@ -529,6 +533,7 @@ def write_model_file(
     prob_a: Optional[np.ndarray] = None,
     prob_b: Optional[np.ndarray] = None,
     regression: bool = False,
+    one_class: bool = False,
 ) -> None:
     """Write the model file, grouping SVs per class in ``different_labels`` order.
 
@@ -545,9 +550,14 @@ def write_model_file(
     kt = params.kernel_type.value
 
     header = [f"# This model file has been created at {datetime.datetime.now().isoformat()}"]
-    # LS-SVR regression models use LIBSVM's epsilon_svr layout (identical
-    # prediction function; see parse_model_header)
-    header.append("svm_type epsilon_svr" if regression else "svm_type c_svc")
+    # LS-SVR regression models use LIBSVM's epsilon_svr layout; one-class
+    # models use LIBSVM's one_class layout — both share the no-label SV
+    # grammar (identical prediction function; see parse_model_header)
+    if one_class:
+        header.append("svm_type one_class")
+        regression = True  # reuse the no-label layout below
+    else:
+        header.append("svm_type epsilon_svr" if regression else "svm_type c_svc")
     header.append(f"kernel_type {kt}")
     if kt == KernelFunctionType.POLYNOMIAL:
         header.append(f"degree {params.degree.value}")

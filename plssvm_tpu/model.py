@@ -66,6 +66,10 @@ class Model:
         #: in LIBSVM's epsilon_svr file layout) — an EXTENSION, neither the
         #: reference nor upstream supports regression
         self.is_regression = bool(getattr(data, "is_regression", False))
+        #: True for one-class (novelty-detection) models: prediction is
+        #: sign(f) as +1 inlier / -1 outlier, LIBSVM's one_class file
+        #: layout (EXTENSION — plssvm_tpu.one_class)
+        self.is_one_class = False
         #: the class order DEFINING the multiclass column/machine layout —
         #: alpha columns, rho entries and (for OAO) the pair enumeration all
         #: follow it.  None = the LabelMapper's sorted order (models trained
@@ -79,9 +83,8 @@ class Model:
     def load(cls, filename: str, label_type=None, dtype=np.float64) -> "Model":
         """Read a LIBSVM model file (reference: model.hpp:169-201)."""
         start = time.perf_counter()
-        params, rho, support_vectors, alpha, raw_labels, prob = parse_model_file(
-            filename, dtype=dtype
-        )
+        (params, rho, support_vectors, alpha, raw_labels, prob,
+         svm_type) = parse_model_file(filename, dtype=dtype)
         from .data_set import _infer_label_array
 
         if raw_labels is None:
@@ -96,7 +99,12 @@ class Model:
         rho_val = float(rho[0]) if np.asarray(rho).size == 1 else rho
         model = cls(params, data, alpha=alpha, rho=rho_val)
         if raw_labels is None:
-            model.is_regression = True
+            # no-label layouts: LIBSVM's one_class vs the SVR types
+            if svm_type == "one_class":
+                model.is_regression = False
+                model.is_one_class = True
+            else:
+                model.is_regression = True
         # multiclass format detection: C-1 coefficient columns = the standard
         # LIBSVM one-vs-one layout; C columns = the one-vs-all extension
         C = data.num_different_labels
@@ -130,21 +138,23 @@ class Model:
         if self.alpha is None:
             raise ValueError("Cannot save a model that has not been fit!")
         start = time.perf_counter()
+        no_labels = self.is_regression or self.is_one_class
         write_model_file(
             filename,
             self.params,
             self.rho,
             np.asarray(self.alpha),
             self.data.data,
-            None if self.is_regression else self.data.labels,
+            None if no_labels else self.data.labels,
             # class grouping follows the model's layout order so rho /
             # alpha-column association survives re-saving a loaded model
             # whose label header was not sorted
-            None if self.is_regression
+            None if no_labels
             else [str(lab) for lab in self.class_order()],
             prob_a=self.prob_a,
             prob_b=self.prob_b,
             regression=self.is_regression,
+            one_class=self.is_one_class,
         )
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         log(

@@ -177,7 +177,7 @@ class TestArffParser:
 
 class TestModelParser:
     def test_valid(self, data_dir):
-        params, rho, sv, alpha, labels, prob = parse_model_file(
+        params, rho, sv, alpha, labels, prob, svm_type = parse_model_file(
             os.path.join(data_dir, "model", "6x3_linear.libsvm.model")
         )
         assert prob is None
@@ -194,7 +194,7 @@ class TestModelParser:
             parse_model_file(path)
 
     def test_reference_model_parity(self, reference_data_dir):
-        params, rho, sv, alpha, labels, prob = parse_model_file(
+        params, rho, sv, alpha, labels, prob, svm_type = parse_model_file(
             os.path.join(reference_data_dir, "model", "5x4_rbf.libsvm.model")
         )
         assert prob is None
@@ -283,7 +283,7 @@ class TestModelHeaderOrdering:
             "svm_type c_svc", "kernel_type rbf", "gamma 0.25", "nr_class 2",
             "total_sv 3", "rho 1.5", "label a b", "nr_sv 1 2", "SV", "dummy",
         ]
-        params, rho, labels, n, prob = parse_model_header(lines)
+        params, rho, labels, n, prob, svm_type = parse_model_header(lines)
         assert rho == 1.5
         assert labels == ["a", "b", "b"]
         assert n == 9

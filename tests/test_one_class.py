@@ -1,0 +1,196 @@
+"""One-class LS-SVM (novelty detection) — plssvm_tpu/one_class.py.
+
+EXTENSION coverage: golden ridge-system validation, nu-quantile threshold
+semantics, LIBSVM one_class model-file interop (models written by the REAL
+libsvm load and reproduce its decision function), and the CLI path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import golden
+from plssvm_tpu import CSVM, DataSet, Model, fit_one_class
+from plssvm_tpu.exceptions import InvalidParameterError
+
+
+def _cloud(n=150, d=4, seed=0, outliers=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    if outliers:
+        X = np.vstack([X, rng.normal(size=(outliers, d)) * 8.0])
+    return X
+
+
+def _svm(**kw):
+    kw.setdefault("backend", "xla")
+    kw.setdefault("dtype", np.float64)
+    return CSVM(**kw)
+
+
+@pytest.mark.parametrize("kind", ["linear", "rbf"])
+def test_one_class_alpha_solves_ridge_system(kind):
+    X = _cloud(n=60, d=3, seed=1)
+    gamma, cost = 0.4, 5.0
+    svm = _svm(kernel_type=kind, gamma=gamma, cost=cost)
+    ds = DataSet(X, dtype=np.float64)
+    model = fit_one_class(svm, ds, nu=0.1, epsilon=1e-10)
+
+    K = golden.kernel_matrix(X, kind, gamma=gamma)
+    want_alpha = np.linalg.solve(K + np.eye(60) / cost, np.ones(60))
+    np.testing.assert_allclose(model.alpha, want_alpha, rtol=1e-6, atol=1e-8)
+    # rho = nu-quantile of the training scores g = K @ alpha
+    g = K @ want_alpha
+    assert model.rho == pytest.approx(float(np.quantile(g, 0.1)), rel=1e-6)
+    # decision values through the ordinary predict path
+    got = svm.predict_values(model, ds)
+    np.testing.assert_allclose(got, g - model.rho, rtol=1e-6, atol=1e-8)
+
+
+def test_one_class_nu_fraction_and_outlier_detection():
+    X = _cloud(n=200, d=5, seed=2, outliers=20)
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    ds = DataSet(X, dtype=np.float64)
+    model = fit_one_class(svm, ds, nu=0.1)
+    assert model.is_one_class and not model.is_regression
+    pred = svm.predict(model, ds)
+    assert set(np.unique(pred)) <= {-1, 1}
+    # ~nu of the training points are flagged outliers ...
+    assert abs(float(np.mean(pred == -1)) - 0.1) < 0.03
+    # ... and they are overwhelmingly the gross appended outliers
+    assert float(np.mean(pred[-20:] == -1)) >= 0.9
+
+
+def test_one_class_model_file_roundtrip(tmp_path):
+    X = _cloud(n=80, d=4, seed=3)
+    svm = _svm(kernel_type="rbf", gamma=0.5, cost=2.0)
+    ds = DataSet(X, dtype=np.float64)
+    model = fit_one_class(svm, ds, nu=0.25)
+    path = os.fspath(tmp_path / "oc.model")
+    model.save(path)
+    with open(path) as fh:
+        content = fh.read()
+    assert "svm_type one_class" in content
+    assert "label" not in content.split("SV")[0]
+    loaded = Model.load(path)
+    assert loaded.is_one_class and not loaded.is_regression
+    np.testing.assert_allclose(
+        svm.predict_values(loaded, ds), svm.predict_values(model, ds),
+        rtol=1e-10, atol=1e-10,
+    )
+    np.testing.assert_array_equal(svm.predict(loaded, ds),
+                                  svm.predict(model, ds))
+
+
+def test_real_libsvm_one_class_model_interop(tmp_path):
+    """A model trained by the REAL libsvm (sklearn.svm.OneClassSVM) written
+    in LIBSVM's one_class layout must reproduce libsvm's decision function
+    and predictions exactly."""
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.svm import OneClassSVM
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(60, 3))
+    gamma = 0.5
+    clf = OneClassSVM(kernel="rbf", gamma=gamma, nu=0.2).fit(X)
+
+    # serialize exactly like libsvm's svm_save_model for -s 2
+    path = os.fspath(tmp_path / "libsvm_oc.model")
+    lines = [
+        "svm_type one_class",
+        "kernel_type rbf",
+        f"gamma {gamma}",
+        "nr_class 2",
+        f"total_sv {clf.support_vectors_.shape[0]}",
+        f"rho {float(clf.offset_[0]):.17g}",
+        "SV",
+    ]
+    for coef, sv in zip(clf.dual_coef_[0], clf.support_vectors_):
+        feats = " ".join(
+            f"{j + 1}:{v:.17g}" for j, v in enumerate(sv)
+        )
+        lines.append(f"{coef:.17g} {feats}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    model = Model.load(path)
+    assert model.is_one_class
+    svm = _svm(kernel_type="rbf", gamma=gamma)
+    ds = DataSet(X, dtype=np.float64)
+    np.testing.assert_allclose(
+        svm.predict_values(model, ds), clf.decision_function(X),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_array_equal(svm.predict(model, ds), clf.predict(X))
+
+
+def test_one_class_validation_errors():
+    X = _cloud(n=30, d=3)
+    svm = _svm()
+    ds = DataSet(X, dtype=np.float64)
+    with pytest.raises(InvalidParameterError, match="nu must be in"):
+        fit_one_class(svm, ds, nu=0.0)
+    with pytest.raises(InvalidParameterError, match="nu must be in"):
+        fit_one_class(svm, ds, nu=1.0)
+    with pytest.raises(InvalidParameterError, match="epsilon"):
+        fit_one_class(svm, ds, epsilon=0.0)
+    with pytest.raises(InvalidParameterError, match="max_iter"):
+        fit_one_class(svm, ds, max_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# CLI: plssvm-train -s one_class / plssvm-predict on the model
+# ---------------------------------------------------------------------------
+
+
+def test_cli_one_class_train_and_predict(tmp_path):
+    from plssvm_tpu.cli import predict as cli_predict
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=60, d=4, seed=5)
+    train_path = os.fspath(tmp_path / "oc.libsvm")
+    # one-class training files conventionally carry a single +1 label class
+    write_libsvm_file(train_path, X, np.ones(60, dtype=np.int64))
+    model_path = os.fspath(tmp_path / "oc.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "-s", "one_class",
+         "-n", "0.2", "-t", "2", "-g", "0.3", train_path, model_path]
+    )
+    assert rc == 0
+    with open(model_path) as fh:
+        assert "svm_type one_class" in fh.read()
+
+    out_path = os.fspath(tmp_path / "oc.predict")
+    rc = cli_predict.main(
+        ["-q", "--use_double_as_real_type", train_path, model_path, out_path]
+    )
+    assert rc == 0
+    pred = np.loadtxt(out_path, dtype=np.int64)
+    assert set(np.unique(pred)) <= {-1, 1}
+    assert abs(float(np.mean(pred == -1)) - 0.2) < 0.05
+
+
+def test_cli_one_class_flag_conflicts(tmp_path, capsys):
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=20, d=3, seed=6)
+    train_path = os.fspath(tmp_path / "oc.libsvm")
+    write_libsvm_file(train_path, X, np.ones(20, dtype=np.int64))
+    rc = cli_train.main(
+        ["-q", "-s", "one_class", "-n", "1.5", train_path]
+    )
+    assert rc == 1
+    assert "nu must be in" in capsys.readouterr().err
+    rc = cli_train.main(
+        ["-q", "-s", "one_class", "--weight", "1=2.0", train_path]
+    )
+    assert rc == 1
+    assert "--weight" in capsys.readouterr().err
+    rc = cli_train.main(
+        ["-q", "-s", "one_class", "--max_sv", "5", train_path]
+    )
+    assert rc == 1
+    assert "--max_sv" in capsys.readouterr().err
