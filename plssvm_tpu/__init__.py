@@ -74,7 +74,7 @@ from .probability import (
 )
 from .one_class import fit_one_class
 from .robust import reweighted_fit
-from .sklearn import SVC, SVR
+from .sklearn import SVC, SVR, OneClassSVM
 from .sparse import nystroem_fit, pruned_fit
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
@@ -102,6 +102,7 @@ __all__ = [
     "CSVM",
     "SVC",
     "SVR",
+    "OneClassSVM",
     "make_csvm",
     "kernel_function",
     "calibrate_model",

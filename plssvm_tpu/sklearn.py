@@ -705,3 +705,192 @@ class SVR:
     def n_iter_(self) -> np.ndarray:
         self._check_fitted()
         return np.asarray([self._model.n_iter or 0], dtype=np.int32)
+
+
+#: sklearn.svm.OneClassSVM parameters that are libsvm-internal knobs with no
+#: LS equivalent — passing one raises AttributeError
+_OC_UNSUPPORTED = ("shrinking", "cache_size")
+
+_OC_KNOWN = (
+    "kernel", "degree", "gamma", "coef0", "tol", "nu", "verbose", "max_iter",
+    "C",
+) + _OC_UNSUPPORTED
+
+
+class OneClassSVM:
+    """Least-squares one-class SVM with the sklearn.svm.OneClassSVM
+    interface (EXTENSION — novelty detection; plssvm_tpu.one_class).
+
+    ``nu`` keeps its sklearn/libsvm meaning of the training outlier
+    fraction (realized here as the nu-quantile decision threshold rather
+    than the nu-SVM margin program).  ``C`` (non-sklearn extension kwarg,
+    default 1.0) is the ridge regularization of the underlying
+    ``(K + I/C) alpha = 1`` solve — sklearn's OneClassSVM folds that role
+    into nu, the least-squares formulation keeps them separate.
+    """
+
+    _PARAM_DEFAULTS = {
+        "kernel": "rbf",
+        "degree": 3,
+        "gamma": "scale",
+        "coef0": 0.0,
+        "tol": 1e-3,
+        "nu": 0.5,
+        "verbose": False,
+        "max_iter": -1,
+        "C": 1.0,
+    }
+
+    def __init__(self, **kwargs):
+        self._svm = CSVM(dtype=kwargs.pop("dtype", np.float64))
+        self._svm.set_params(kernel_type="rbf")
+        self._nu = 0.5
+        self._epsilon_tol: Optional[float] = None
+        self._max_iter: Optional[int] = None
+        self._data: Optional[DataSet] = None
+        self._model: Optional[Model] = None
+        self._gamma_scale = True  # sklearn's OneClassSVM default
+        self._user_params: dict = {}
+        self._parse_params(kwargs)
+
+    def _parse_params(self, kwargs: dict) -> None:
+        for key in kwargs:
+            if key not in _OC_KNOWN:
+                raise AttributeError(
+                    f"Invalid parameter '{key}' for the 'OneClassSVM' "
+                    "constructor!"
+                )
+        for key in _OC_UNSUPPORTED:
+            if key in kwargs:
+                raise AttributeError(
+                    f"The '{key}' parameter for a call to the 'OneClassSVM' "
+                    "constructor is not implemented yet!"
+                )
+        self._user_params.update(kwargs)
+        if "C" in kwargs:
+            self._svm.set_params(cost=float(kwargs["C"]))
+        if "kernel" in kwargs:
+            self._svm.set_params(kernel_type=kwargs["kernel"])
+        if "degree" in kwargs:
+            self._svm.set_params(degree=int(kwargs["degree"]))
+        if "gamma" in kwargs:
+            gamma = kwargs["gamma"]
+            if gamma == "scale":
+                self._gamma_scale = True
+            elif gamma == "auto":
+                self._gamma_scale = False
+            else:
+                self._gamma_scale = False
+                self._svm.set_params(gamma=float(gamma))
+        if "coef0" in kwargs:
+            self._svm.set_params(coef0=float(kwargs["coef0"]))
+        if "tol" in kwargs:
+            self._epsilon_tol = float(kwargs["tol"])
+        if "nu" in kwargs:
+            self._nu = float(kwargs["nu"])
+        if "verbose" in kwargs:
+            set_verbosity(
+                VerbosityLevel.FULL if kwargs["verbose"] else VerbosityLevel.QUIET
+            )
+        if "max_iter" in kwargs:
+            mi = int(kwargs["max_iter"])
+            self._max_iter = None if mi == -1 else mi
+
+    def __sklearn_tags__(self):
+        from sklearn.base import BaseEstimator, OutlierMixin
+
+        class _TagDonor(OutlierMixin, BaseEstimator):
+            pass
+
+        return _TagDonor().__sklearn_tags__()
+
+    def get_params(self, deep: bool = True) -> dict:
+        out = dict(self._PARAM_DEFAULTS)
+        out.update(self._user_params)
+        return out
+
+    def set_params(self, **kwargs) -> "OneClassSVM":
+        self._parse_params(kwargs)
+        return self
+
+    def fit(self, X, y=None, sample_weight=None) -> "OneClassSVM":
+        """``y`` is ignored (present for the sklearn pipeline contract)."""
+        if sample_weight is not None:
+            raise AttributeError(
+                "sample_weight is not implemented for OneClassSVM!"
+            )
+        from .one_class import fit_one_class
+
+        X = np.asarray(X, dtype=np.float64)
+        self._data = DataSet(X)
+        if self._gamma_scale:
+            var = float(X.var())
+            self._svm.set_params(
+                gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
+            )
+        kwargs = {"nu": self._nu}
+        if self._epsilon_tol is not None:
+            kwargs["epsilon"] = self._epsilon_tol
+        if self._max_iter is not None:
+            kwargs["max_iter"] = self._max_iter
+        self._model = fit_one_class(self._svm, self._data, **kwargs)
+        return self
+
+    def _check_fitted(self):
+        if self._model is None:
+            raise AttributeError(
+                "This OneClassSVM instance is not fitted yet. Call 'fit' "
+                "with appropriate arguments before using this estimator."
+            )
+
+    def predict(self, X) -> np.ndarray:
+        """+1 inlier / -1 outlier (the sklearn/libsvm convention)."""
+        self._check_fitted()
+        return self._svm.predict(self._model, DataSet(np.asarray(X)))
+
+    def fit_predict(self, X, y=None) -> np.ndarray:
+        return self.fit(X).predict(X)
+
+    def decision_function(self, X) -> np.ndarray:
+        self._check_fitted()
+        return self._svm.predict_values(self._model, DataSet(np.asarray(X)))
+
+    def score_samples(self, X) -> np.ndarray:
+        """Unshifted scores: ``decision_function(X) + offset_`` (sklearn)."""
+        return self.decision_function(X) + self.offset_
+
+    # -- fitted attributes --------------------------------------------------
+    @property
+    def offset_(self) -> float:
+        self._check_fitted()
+        return float(self._model.rho)
+
+    @property
+    def n_features_in_(self) -> int:
+        self._check_fitted()
+        return self._data.num_features
+
+    @property
+    def support_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.arange(self._model.num_support_vectors, dtype=np.int32)
+
+    @property
+    def support_vectors_(self) -> np.ndarray:
+        self._check_fitted()
+        return self._model.support_vectors
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        self._check_fitted()
+        return np.asarray(self._model.alpha)[None, :]
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        self._check_fitted()
+        return -np.atleast_1d(np.asarray(self._model.rho, dtype=np.float64))
+
+    @property
+    def n_iter_(self) -> int:
+        self._check_fitted()
+        return int(self._model.n_iter)

@@ -194,3 +194,43 @@ def test_cli_one_class_flag_conflicts(tmp_path, capsys):
     )
     assert rc == 1
     assert "--max_sv" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# sklearn facade: plssvm_tpu.OneClassSVM
+# ---------------------------------------------------------------------------
+
+
+def test_sklearn_one_class_facade_basics():
+    from plssvm_tpu import OneClassSVM
+
+    X = _cloud(n=120, d=4, seed=7, outliers=12)
+    clf = OneClassSVM(kernel="rbf", gamma=0.3, nu=0.1, C=10.0)
+    pred = clf.fit_predict(X)
+    assert set(np.unique(pred)) <= {-1, 1}
+    assert abs(float(np.mean(pred == -1)) - 0.1) < 0.05
+    # sklearn contract: decision_function = score_samples - offset_
+    df = clf.decision_function(X)
+    np.testing.assert_allclose(clf.score_samples(X) - clf.offset_, df,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.where(df > 0, 1, -1), pred)
+    assert clf.dual_coef_.shape == (1, 132)
+    assert clf.intercept_[0] == pytest.approx(-clf.offset_)
+    assert clf.n_features_in_ == 4
+    assert clf.n_iter_ >= 1
+
+
+def test_sklearn_one_class_facade_param_contract():
+    from plssvm_tpu import OneClassSVM
+
+    with pytest.raises(AttributeError, match="Invalid parameter"):
+        OneClassSVM(bogus=1)
+    with pytest.raises(AttributeError, match="not implemented"):
+        OneClassSVM(shrinking=True)
+    clf = OneClassSVM(nu=0.2)
+    params = clf.get_params()
+    assert params["nu"] == 0.2 and params["gamma"] == "scale"
+    clf.set_params(nu=0.3)
+    assert clf.get_params()["nu"] == 0.3
+    with pytest.raises(AttributeError, match="not fitted"):
+        OneClassSVM().predict(np.zeros((2, 2)))
