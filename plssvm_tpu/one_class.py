@@ -20,9 +20,12 @@ by ``svm-predict`` — the training objective differs (least-squares vs the
 nu-SVM margin program), the serving contract does not.
 
 TPU-first shape: the solve is one jitted ``lax.while_loop`` CG whose
-matvec is the same blocked fused kernel primitive as the classifier's
-(``ops/matvec.kernel_matvec_xla``), with the framework's 50-iteration
-exact-residual correction; no host round-trips per iteration.
+matvec comes from the classifier's implementation factory
+(``solver.cg._make_kernel_matvec`` — the ridge matrix is the classifier's
+implicit matrix with q = 0 and QA_cost = 0), so the fused Pallas
+dual-contraction walk, the factored linear path and the symmetric distance
+walk all serve one-class training too; 50-iteration exact-residual
+correction, no host round-trips per iteration.
 """
 
 from __future__ import annotations
@@ -38,13 +41,14 @@ from .data_set import DataSet
 from .exceptions import InvalidParameterError
 from .kernel_functions import KernelFunctionType
 from .model import Model
-from .ops.matvec import kernel_matvec_xla
+from .parameter import BackendType
+from .solver.cg import _make_kernel_matvec
 from .utils.logger import VerbosityLevel, log
 
 
-@partial(jax.jit, static_argnames=("kind", "degree"))
+@partial(jax.jit, static_argnames=("kind", "degree", "impl", "precision"))
 def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
-              kind, degree):
+              kind, degree, impl="xla", precision="f32"):
     """CG on ``(K + I/C) x = 1`` (masked rows), x0 = 0.
 
     Same convergence contract as the classifier's CG (solver/cg.py):
@@ -52,12 +56,13 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
     residual recomputation every 50 iterations (reference:
     gpu_csvm.hpp:595-619).
     """
-    dt = X.dtype
+    # the ridge matrix (K + I/C) is the classifier's implicit matrix with
+    # q = 0 and QA_cost = 0, so the SAME kernel matvec implementations
+    # apply — including the fused Pallas dual-contraction walk
+    kv_fn = _make_kernel_matvec(kind, degree, impl, 256, precision)
 
     def matvec(v):
-        kv = kernel_matvec_xla(
-            X, sq, v, kind=kind, gamma=gamma, coef0=coef0, degree=degree
-        )
+        kv = kv_fn(X, sq, v, gamma, coef0)
         return (kv + cost_inv * v) * mask
 
     b = mask
@@ -92,9 +97,7 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
         cond, body, (x, r, d, delta, jnp.asarray(0, jnp.int32))
     )
     # training scores g = K @ alpha (for the nu-quantile threshold)
-    g = kernel_matvec_xla(
-        X, sq, x, kind=kind, gamma=gamma, coef0=coef0, degree=degree
-    ) * mask
+    g = kv_fn(X, sq, x, gamma, coef0) * mask
     return x, g, delta, delta0, it
 
 
@@ -165,6 +168,8 @@ def fit_one_class(
             dt.type(1.0 / params.cost.value), dt.type(epsilon),
             jnp.asarray(max_iter, jnp.int32),
             kind, params.degree.value,
+            impl="pallas" if csvm.backend == BackendType.PALLAS else "xla",
+            precision=getattr(csvm, "gram_precision", "f32"),
         )
         alpha = np.asarray(jax.device_get(alpha_p))[:n]
         g = np.asarray(jax.device_get(g_p), dtype=np.float64)[:n]
