@@ -179,6 +179,13 @@ def fit_one_class(
         VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
         "optimization finished, #iter = {}\n", iterations,
     )
+    from .utils.tracker import add_tracking_entry
+
+    add_tracking_entry("cg", "iterations", iterations)
+    add_tracking_entry("cg", "max_iterations", int(max_iter))
+    add_tracking_entry("cg", "residuum", float(jax.device_get(delta)))
+    add_tracking_entry("cg", "epsilon", float(epsilon))
+    add_tracking_entry("parameter", "nu", float(nu))
     rho = float(np.quantile(g, nu))
     model = Model(params, DataSet(X, dtype=dt), alpha=alpha, rho=rho)
     model.is_one_class = True
