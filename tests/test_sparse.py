@@ -399,3 +399,23 @@ def test_nystroem_sharded_weighted_multiclass():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(m4.rho), np.asarray(m1.rho),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_cli_train_nystroem_regression(tmp_path):
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    rng = np.random.default_rng(40)
+    X = rng.normal(size=(80, 4))
+    y = np.sin(X[:, 0])
+    path = os.fspath(tmp_path / "reg.libsvm")
+    write_libsvm_file(path, X, y)
+    model_file = os.fspath(tmp_path / "reg_ny.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "-s", "epsilon_svr",
+         "--nystroem", "24", path, model_file]
+    )
+    assert rc == 0
+    assert _model_total_sv(model_file) == 24
+    with open(model_file) as fh:
+        assert "svm_type epsilon_svr" in fh.read()
