@@ -234,3 +234,14 @@ def test_sklearn_one_class_facade_param_contract():
     assert clf.get_params()["nu"] == 0.3
     with pytest.raises(AttributeError, match="not fitted"):
         OneClassSVM().predict(np.zeros((2, 2)))
+
+
+def test_one_class_score_against_labeled_data():
+    X = _cloud(n=100, d=4, seed=8, outliers=10)
+    svm = _svm(kernel_type="rbf", gamma=0.3, cost=10.0)
+    model = fit_one_class(svm, DataSet(X, dtype=np.float64), nu=0.1)
+    truth = np.concatenate([np.ones(100, np.int64), -np.ones(10, np.int64)])
+    acc = svm.score(model, DataSet(X, truth, dtype=np.float64))
+    assert acc >= 0.9
+    with pytest.raises(InvalidParameterError, match="must have labels"):
+        svm.score(model)  # the model's own data carries no labels
