@@ -407,6 +407,21 @@ def main(argv=None) -> int:
                     dtype=np.float64,
                 )
 
+            if (
+                args.max_sv is not None
+                and not regression
+                and data.has_labels()
+                and args.max_sv < data.num_different_labels
+            ):
+                # mirror sparse.pruned_fit's class-floor validation before
+                # any (expensive) initial fit happens
+                print(
+                    f"--max_sv ({args.max_sv}) must be at least the number "
+                    f"of classes ({data.num_different_labels})!",
+                    file=sys.stderr,
+                )
+                return 1
+
             def run_fit():
                 if one_class:
                     from ..one_class import fit_one_class

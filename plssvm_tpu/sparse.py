@@ -125,6 +125,15 @@ def pruned_fit(
             f"n_sv must be in [1, {n - 1}] to prune a {n}-point data set, "
             f"but is {n_sv}!"
         )
+    if not data.is_regression and data.has_labels():
+        n_classes = data.num_different_labels
+        if n_sv < n_classes:
+            # the class floor keeps one point per class, so the schedule can
+            # never shrink below num_classes — reject instead of looping
+            raise InvalidParameterError(
+                f"n_sv ({n_sv}) must be at least the number of classes "
+                f"({n_classes}) — pruning keeps every class non-empty!"
+            )
     if not 0.0 < prune_rate < 1.0:
         raise InvalidParameterError(
             f"prune_rate must be in (0, 1), but is {prune_rate}!"
@@ -211,6 +220,15 @@ def _select_landmarks(
     counts = np.bincount(class_idx, minlength=classes.shape[0])
     alloc = np.maximum(1, np.floor(m * counts / n).astype(int))
     alloc = np.minimum(alloc, counts)
+    # the max(1,...) floor can overshoot m on imbalanced data (e.g. counts
+    # [100,1,1,1] with m=4 floors to [4,1,1,1]); shrink the largest
+    # allocations back (keeping the one-per-class floor) so exactly m
+    # landmarks come back — the --nystroem M model-size contract
+    while alloc.sum() > m:
+        shrink = int(np.argmax(np.where(alloc > 1, alloc, -1)))
+        if alloc[shrink] <= 1:
+            break
+        alloc[shrink] -= 1
     # distribute the remainder to the largest classes that still have room
     while alloc.sum() < m:
         room = counts - alloc

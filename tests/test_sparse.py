@@ -249,6 +249,60 @@ def test_pruned_fit_validation_errors():
         pruned_fit(svm, ds, n_sv=10, prune_rate=1.5)
 
 
+def test_pruned_fit_n_sv_below_class_count_rejected():
+    # the class floor keeps every class non-empty, so n_sv < num_classes can
+    # never terminate — must be rejected up front (previously looped forever)
+    X, y = _binary_problem(n=30, d=3)
+    svm = _svm()
+    ds = DataSet(X, y, dtype=np.float64)
+    with pytest.raises(InvalidParameterError, match="number of classes"):
+        pruned_fit(svm, ds, n_sv=1)
+    rng = np.random.default_rng(7)
+    y3 = rng.integers(0, 3, size=30)
+    y3[:3] = [0, 1, 2]  # all three classes present
+    ds3 = DataSet(X, y3, dtype=np.float64)
+    with pytest.raises(InvalidParameterError, match="number of classes"):
+        pruned_fit(svm, ds3, n_sv=2)
+    # regression has no class floor: n_sv=1 is legal there
+    dsr = DataSet(X, (X @ np.ones(3)), dtype=np.float64, regression=True)
+    model = pruned_fit(svm, dsr, n_sv=1)
+    assert model.num_support_vectors == 1
+
+
+def test_select_landmarks_imbalanced_exact_count():
+    # the one-per-class floor used to over-allocate on imbalanced data
+    # (counts [100,1,1,1] with m=4 floored to [4,1,1,1] -> 7 landmarks);
+    # the --nystroem M contract requires exactly M
+    from plssvm_tpu.sparse import _select_landmarks
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(103, 4))
+    y = np.concatenate([np.zeros(100, int), [1, 2, 3]])
+    ds = DataSet(X, y, dtype=np.float64)
+    for m in (4, 5, 7):
+        idx = _select_landmarks(ds, m, random_state=0)
+        assert idx.shape == (m,), f"m={m} returned {idx.shape[0]} landmarks"
+        # every class still represented
+        assert set(np.unique(y[idx])) == {0, 1, 2, 3}
+    model = nystroem_fit(_svm(), ds, n_landmarks=5, random_state=0)
+    assert model.num_support_vectors == 5
+
+
+def test_cli_train_max_sv_below_class_count(tmp_path, capsys):
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X, y = _binary_problem(n=30, d=3, seed=4)
+    path = os.fspath(tmp_path / "bin.libsvm")
+    write_libsvm_file(path, X, y)
+    model_file = os.fspath(tmp_path / "x.model")
+    rc = cli_train.main(
+        ["-q", "--max_sv", "1", path, model_file]
+    )
+    assert rc == 1
+    assert "number of classes" in capsys.readouterr().err
+
+
 def test_keep_with_class_floor_rescues_dropped_class():
     # class 1 has uniformly tiny magnitudes -> plain top-k would drop it
     magnitude = np.array([9.0, 8.0, 7.0, 6.0, 0.01, 0.02])
