@@ -230,7 +230,18 @@ class DataSet:
             # always copy: the DataSet owns its matrix (scaling mutates it
             # in place) and must never alias the caller's array — matching
             # the reference's owning-container semantics (data_set.hpp:100-169)
-            X = np.array(source, dtype=dtype or DEFAULT_DTYPE, order="C", copy=True)
+            try:
+                X = np.array(
+                    source, dtype=dtype or DEFAULT_DTYPE, order="C", copy=True
+                )
+            except ValueError as exc:
+                if "inhomogeneous" in str(exc):
+                    # ragged nested sequences (reference wording:
+                    # generic_csvm_tests.hpp:285)
+                    raise DataSetError(
+                        "All data points must have the same number of features!"
+                    ) from exc
+                raise
             if X.ndim != 2:
                 raise DataSetError("The data must be a 2-D array of shape (n, d)!")
             if X.shape[0] == 0:

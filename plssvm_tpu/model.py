@@ -16,6 +16,7 @@ import numpy as np
 from .data_set import DataSet
 from .io.model_file import parse_model_file, write_model_file
 from .parameter import Parameter
+from .utils.assertions import plssvm_assert
 from .utils.logger import VerbosityLevel, log
 from .utils.tracker import add_tracking_entry
 
@@ -35,6 +36,15 @@ class Model:
     ):
         self.params = params
         self.data = data
+        if alpha is not None and np.shape(alpha)[0] != data.num_data_points:
+            # reference: gpu_csvm.hpp predict preconditions
+            # (generic_csvm_tests.hpp:337)
+            plssvm_assert(
+                False,
+                "The number of support vectors ({}) and number of weights "
+                "({}) must be the same!",
+                data.num_data_points, np.shape(alpha)[0],
+            )
         #: (n_sv,) weights for binary models; (n_sv, C) one-vs-all columns
         #: or (n_sv, C-1) LIBSVM-layout one-vs-one sv_coef for multiclass
         #: models (extension — the reference is binary-only)

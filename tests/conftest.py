@@ -11,7 +11,13 @@ CPU device explicitly.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# append (not setdefault): a pre-set XLA_FLAGS from the environment must not
+# silently drop the virtual-device flag — that skipped every >=4-device test
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
