@@ -41,7 +41,7 @@ _UNSUPPORTED_PARAMS = (
 _KNOWN_PARAMS = (
     "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
     "probability", "random_state", "decision_function_shape",
-    "classification", "class_weight",
+    "classification", "class_weight", "max_sv", "n_landmarks",
 ) + _UNSUPPORTED_PARAMS
 
 
@@ -83,6 +83,16 @@ class SVC:
         #: the effective per-sample weights of the last fit (None if
         #: unweighted) — reused by the probability calibration CV
         self._fit_weights = None
+        #: compact-model fits (EXTENSION, plssvm_tpu.sparse): ``max_sv``
+        #: trains via Suykens pruning to at most N support vectors;
+        #: ``n_landmarks`` via the fixed-size (Nystroem) primal ridge with
+        #: M landmark SVs.  Mutually exclusive; GridSearchCV can sweep them
+        #: like any other constructor parameter.
+        self._max_sv: Optional[int] = None
+        self._n_landmarks: Optional[int] = None
+        #: row indices of the SVs in the training data (compact fits only;
+        #: None = every training point is an SV, the exact-LS-SVM case)
+        self._support_indices: Optional[np.ndarray] = None
         #: raw user-provided parameters, returned VERBATIM by get_params —
         #: sklearn's clone() contract compares them by identity
         self._user_params: dict = {}
@@ -160,6 +170,12 @@ class SVC:
                     f"mapping labels to weights, got {cw!r}."
                 )
             self._class_weight = cw
+        if "max_sv" in kwargs:
+            v = kwargs["max_sv"]
+            self._max_sv = None if v is None else int(v)
+        if "n_landmarks" in kwargs:
+            v = kwargs["n_landmarks"]
+            self._n_landmarks = None if v is None else int(v)
 
     def __sklearn_tags__(self):
         """Estimator tags for sklearn >= 1.6 model-selection machinery.
@@ -189,6 +205,8 @@ class SVC:
         "decision_function_shape": "ovr",
         "classification": "oaa",
         "class_weight": None,
+        "max_sv": None,
+        "n_landmarks": None,
     }
 
     def get_params(self, deep: bool = True) -> dict:
@@ -264,6 +282,45 @@ class SVC:
             self._svm.set_params(
                 gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
             )
+        if self._max_sv is not None and self._n_landmarks is not None:
+            raise AttributeError(
+                "max_sv and n_landmarks are mutually exclusive!"
+            )
+        if (self._max_sv is not None or self._n_landmarks is not None) and (
+            self._probability or self._classification == "oao"
+        ):
+            raise AttributeError(
+                "compact-model fits (max_sv/n_landmarks) support "
+                "probability=False and one-vs-all classification only!"
+            )
+        self._support_indices = None
+        if self._n_landmarks is not None:
+            from .sparse import nystroem_fit
+
+            self._model, self._support_indices = nystroem_fit(
+                self._svm, self._data,
+                n_landmarks=self._n_landmarks,
+                random_state=self._random_state or 0,
+                sample_weight=eff,
+                return_indices=True,
+            )
+            self._fit_weights = eff
+            return self
+        if self._max_sv is not None:
+            from .sparse import pruned_fit
+
+            self._model, self._support_indices = pruned_fit(
+                self._svm, self._data,
+                n_sv=self._max_sv,
+                epsilon=(
+                    self._epsilon if self._epsilon is not None else 0.001
+                ),
+                max_iter=self._max_iter,
+                sample_weight=eff,
+                return_indices=True,
+            )
+            self._fit_weights = eff
+            return self
         kwargs = {"classification": self._classification}
         if self._epsilon is not None:
             kwargs["epsilon"] = self._epsilon
@@ -381,8 +438,15 @@ class SVC:
 
     @property
     def support_(self) -> np.ndarray:
-        """All data points are support vectors in LS-SVM."""
+        """Indices of the support vectors in the training data.
+
+        All data points are support vectors in an exact LS-SVM fit; compact
+        fits (max_sv/n_landmarks) report the indices of the surviving /
+        landmark rows.
+        """
         self._check_fitted()
+        if self._support_indices is not None:
+            return np.asarray(self._support_indices, dtype=np.int32)
         return np.arange(self._model.num_support_vectors, dtype=np.int32)
 
     @property
@@ -394,7 +458,9 @@ class SVC:
     def n_support_(self) -> np.ndarray:
         """Per-class count of SVs with non-zero weight (sklearn.cpp:381-412)."""
         self._check_fitted()
-        labels = self._data.labels
+        # count over the MODEL's own rows — compact fits (max_sv/n_landmarks)
+        # keep fewer SVs than training points
+        labels = self._model.data.labels
         weights = np.asarray(self._model.alpha)
         if weights.ndim == 2:  # multiclass: a point counts when any column != 0
             weights = np.any(weights != 0.0, axis=1)
@@ -509,6 +575,7 @@ _SVR_UNSUPPORTED = ("epsilon", "nu", "shrinking", "cache_size")
 
 _SVR_KNOWN = (
     "C", "kernel", "degree", "gamma", "coef0", "tol", "verbose", "max_iter",
+    "max_sv", "n_landmarks", "random_state",
 ) + _SVR_UNSUPPORTED
 
 
@@ -536,6 +603,9 @@ class SVR:
         "tol": 1e-3,
         "verbose": False,
         "max_iter": -1,
+        "max_sv": None,
+        "n_landmarks": None,
+        "random_state": None,
     }
 
     def __init__(self, **kwargs):
@@ -546,6 +616,11 @@ class SVR:
         self._data: Optional[DataSet] = None
         self._model: Optional[Model] = None
         self._gamma_scale = False
+        #: compact-model fits (plssvm_tpu.sparse) — see SVC
+        self._max_sv: Optional[int] = None
+        self._n_landmarks: Optional[int] = None
+        self._random_state: Optional[int] = None
+        self._support_indices: Optional[np.ndarray] = None
         self._user_params: dict = {}
         self._parse_params(kwargs)
 
@@ -588,6 +663,15 @@ class SVR:
         if "max_iter" in kwargs:
             mi = int(kwargs["max_iter"])
             self._max_iter = None if mi == -1 else mi
+        if "max_sv" in kwargs:
+            v = kwargs["max_sv"]
+            self._max_sv = None if v is None else int(v)
+        if "n_landmarks" in kwargs:
+            v = kwargs["n_landmarks"]
+            self._n_landmarks = None if v is None else int(v)
+        if "random_state" in kwargs:
+            rs = kwargs["random_state"]
+            self._random_state = None if rs is None else int(rs)
 
     def __sklearn_tags__(self):
         from sklearn.base import BaseEstimator, RegressorMixin
@@ -618,15 +702,47 @@ class SVR:
             self._svm.set_params(
                 gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
             )
+        sw = (
+            np.asarray(sample_weight, dtype=np.float64)
+            if sample_weight is not None
+            else None
+        )
+        if self._max_sv is not None and self._n_landmarks is not None:
+            raise AttributeError(
+                "max_sv and n_landmarks are mutually exclusive!"
+            )
+        self._support_indices = None
+        if self._n_landmarks is not None:
+            from .sparse import nystroem_fit
+
+            self._model, self._support_indices = nystroem_fit(
+                self._svm, self._data,
+                n_landmarks=self._n_landmarks,
+                random_state=self._random_state or 0,
+                sample_weight=sw, return_indices=True,
+            )
+            return self
+        if self._max_sv is not None:
+            from .sparse import pruned_fit
+
+            self._model, self._support_indices = pruned_fit(
+                self._svm, self._data,
+                n_sv=self._max_sv,
+                epsilon=(
+                    self._epsilon_tol
+                    if self._epsilon_tol is not None else 0.001
+                ),
+                max_iter=self._max_iter,
+                sample_weight=sw, return_indices=True,
+            )
+            return self
         kwargs = {}
         if self._epsilon_tol is not None:
             kwargs["epsilon"] = self._epsilon_tol
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
-        if sample_weight is not None:
-            kwargs["sample_weight"] = np.asarray(
-                sample_weight, dtype=np.float64
-            )
+        if sw is not None:
+            kwargs["sample_weight"] = sw
         self._model = self._svm.fit(self._data, **kwargs)
         return self
 
@@ -672,6 +788,8 @@ class SVR:
     @property
     def support_(self) -> np.ndarray:
         self._check_fitted()
+        if self._support_indices is not None:
+            return np.asarray(self._support_indices, dtype=np.int32)
         return np.arange(self._model.num_support_vectors, dtype=np.int32)
 
     @property

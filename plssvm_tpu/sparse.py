@@ -359,6 +359,7 @@ def nystroem_fit(
     sample_weight=None,
     rcond: float = 1e-10,
     row_block: int = 4096,
+    return_indices: bool = False,
 ):
     """Fixed-size LS-SVM: Nystroem primal ridge fit with m landmark SVs.
 
@@ -375,7 +376,8 @@ def nystroem_fit(
     ``n_landmarks`` rows are sampled (class-stratified, seeded by
     ``random_state``).  Binary / one-vs-all multiclass / regression;
     ``sample_weight`` follows the weighted LS-SVM convention (per-point
-    penalty ``C * s_i``).
+    penalty ``C * s_i``).  ``return_indices=True`` returns
+    ``(model, landmark_indices)``.
     """
     n = data.num_data_points
     d = data.num_features
@@ -514,4 +516,6 @@ def nystroem_fit(
             model = Model(params, sub, alpha=alpha, rho=-b)
             model.classification = ClassificationType.OAA
     model.n_iter = 0  # direct (non-iterative) solve
+    if return_indices:
+        return model, idx
     return model

@@ -196,3 +196,103 @@ def test_gamma_auto_still_default(blobs):
     X, y = blobs
     clf = SVC(kernel="rbf", gamma="auto", tol=1e-6).fit(X, y)
     assert clf.score(X, y) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# compact-model kwargs: max_sv / n_landmarks (EXTENSION — plssvm_tpu.sparse;
+# the reference's sklearn binding has no compact fits, sklearn.cpp:51-110)
+# ---------------------------------------------------------------------------
+
+
+def test_svc_max_sv_compact_fit(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf", C=2.0, max_sv=24, dtype=np.float64)
+    clf.fit(X, y)
+    assert clf.support_vectors_.shape[0] == 24
+    assert clf.support_.shape == (24,)
+    # support_ indexes the TRAINING rows of the surviving SVs
+    np.testing.assert_allclose(X[clf.support_], clf.support_vectors_)
+    assert clf.n_support_.sum() <= 24
+    assert clf.score(X, y) >= 0.9
+
+
+def test_svc_n_landmarks_compact_fit(blobs):
+    X, y = blobs
+    clf = SVC(kernel="rbf", C=2.0, n_landmarks=32, random_state=0,
+              dtype=np.float64)
+    clf.fit(X, y)
+    assert clf.support_vectors_.shape[0] == 32
+    np.testing.assert_allclose(X[clf.support_], clf.support_vectors_)
+    assert clf.score(X, y) >= 0.9
+    # direct solve: n_iter_ reports 0 CG iterations
+    np.testing.assert_array_equal(clf.n_iter_, [0])
+
+
+def test_svc_compact_kwargs_conflicts(blobs):
+    X, y = blobs
+    with pytest.raises(AttributeError, match="mutually exclusive"):
+        SVC(max_sv=8, n_landmarks=8).fit(X, y)
+    with pytest.raises(AttributeError, match="compact-model"):
+        SVC(max_sv=8, probability=True).fit(X, y)
+    with pytest.raises(AttributeError, match="compact-model"):
+        SVC(n_landmarks=8, classification="oao").fit(
+            X, np.where(y > 0, y, 2 + (np.arange(len(y)) % 2))
+        )
+
+
+def test_svc_compact_kwargs_clone_contract():
+    from sklearn.base import clone
+
+    clf = SVC(kernel="rbf", max_sv=16)
+    params = clf.get_params()
+    assert params["max_sv"] == 16
+    assert params["n_landmarks"] is None
+    cloned = clone(clf)
+    assert cloned.get_params()["max_sv"] == 16
+    clf2 = SVC(n_landmarks=12)
+    assert clone(clf2).get_params()["n_landmarks"] == 12
+
+
+def test_gridsearchcv_sweeps_compact_kwargs(blobs):
+    """GridSearchCV can sweep the compact-model sizes (VERDICT r3 item 5)."""
+    from sklearn.model_selection import GridSearchCV
+
+    X, y = blobs
+    gs = GridSearchCV(
+        SVC(kernel="rbf", C=2.0, dtype=np.float64, random_state=0),
+        {"n_landmarks": [8, 32]},
+        cv=2, n_jobs=1,
+    )
+    gs.fit(X, y)
+    assert gs.best_score_ >= 0.85
+    assert gs.best_params_["n_landmarks"] in (8, 32)
+
+    gs2 = GridSearchCV(
+        SVC(kernel="rbf", C=2.0, dtype=np.float64),
+        {"max_sv": [16, 48]},
+        cv=2, n_jobs=1,
+    )
+    gs2.fit(X, y)
+    assert gs2.best_score_ >= 0.85
+    assert gs2.best_params_["max_sv"] in (16, 48)
+
+
+def test_svr_compact_kwargs():
+    from plssvm_tpu import SVR
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(120, 4))
+    y = X @ rng.normal(size=4) + 0.05 * rng.normal(size=120)
+    reg = SVR(kernel="rbf", gamma=0.3, C=10.0, n_landmarks=24,
+              random_state=0)
+    reg.fit(X, y)
+    assert reg.support_vectors_.shape[0] == 24
+    np.testing.assert_allclose(X[reg.support_], reg.support_vectors_)
+    assert reg.score(X, y) >= 0.8
+
+    reg2 = SVR(kernel="rbf", gamma=0.3, C=10.0, max_sv=30)
+    reg2.fit(X, y)
+    assert reg2.support_vectors_.shape[0] == 30
+    assert reg2.score(X, y) >= 0.8
+    with pytest.raises(AttributeError, match="mutually exclusive"):
+        SVR(max_sv=8, n_landmarks=8).fit(X, y)
