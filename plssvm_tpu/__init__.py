@@ -72,10 +72,15 @@ from .probability import (
     calibrate_svr_noise,
     predict_probabilities,
 )
-from .one_class import fit_one_class
+from .one_class import fit_one_class, fit_one_class_multihost
 from .robust import reweighted_fit
 from .sklearn import SVC, SVR, OneClassSVM
-from .sparse import nystroem_fit, pruned_fit
+from .sparse import (
+    nystroem_fit,
+    nystroem_fit_one_class,
+    pruned_fit,
+    pruned_fit_one_class,
+)
 from .utils.logger import VerbosityLevel, get_verbosity, set_verbosity
 from .utils.tracker import global_tracker
 
@@ -109,8 +114,11 @@ __all__ = [
     "calibrate_svr_noise",
     "reweighted_fit",
     "fit_one_class",
+    "fit_one_class_multihost",
     "pruned_fit",
+    "pruned_fit_one_class",
     "nystroem_fit",
+    "nystroem_fit_one_class",
     "predict_probabilities",
     "csvm_backend_exists",
     "list_available_backends",

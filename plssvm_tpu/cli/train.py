@@ -329,15 +329,15 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 return 1
+            # one-class COMPOSES with --max_sv/--nystroem (compact novelty
+            # models, sparse.py) and --multihost (windowed per-host ingest,
+            # one_class.fit_one_class_multihost)
             for flag, name in (
-                (args.multihost, "--multihost"),
                 (args.warm_start, "--warm_start"),
                 (args.checkpoint, "--checkpoint"),
                 (args.cross_validation, "--cross_validation"),
                 (args.probability, "--probability"),
                 (args.weight, "--weight"),
-                (args.max_sv, "--max_sv"),
-                (args.nystroem, "--nystroem"),
             ):
                 if flag:
                     print(
@@ -346,6 +346,8 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     return 1
+            # (--multihost with --max_sv/--nystroem is already rejected by
+            # the generic compact-flag block above)
         if args.warm_start is not None:
             if args.multihost:
                 print(
@@ -366,12 +368,21 @@ def main(argv=None) -> int:
         if args.multihost:
             svm = CSVM(devices="all", **svm_kwargs)
 
-            def run_fit():
-                return svm.fit_multihost(
-                    args.input, label_type=resolve_label_type(args),
-                    regression=args.svm_type in ("epsilon_svr", "svr"),
-                    **fit_kwargs,
-                )
+            if args.svm_type == "one_class":
+                def run_fit():
+                    from ..one_class import fit_one_class_multihost
+
+                    return fit_one_class_multihost(
+                        svm, args.input, nu=args.nu,
+                        epsilon=args.epsilon, max_iter=args.max_iter,
+                    )
+            else:
+                def run_fit():
+                    return svm.fit_multihost(
+                        args.input, label_type=resolve_label_type(args),
+                        regression=args.svm_type in ("epsilon_svr", "svr"),
+                        **fit_kwargs,
+                    )
         else:
             regression = args.svm_type in ("epsilon_svr", "svr")
             one_class = args.svm_type == "one_class"
@@ -410,6 +421,7 @@ def main(argv=None) -> int:
             if (
                 args.max_sv is not None
                 and not regression
+                and not one_class
                 and data.has_labels()
                 and args.max_sv < data.num_different_labels
             ):
@@ -424,6 +436,19 @@ def main(argv=None) -> int:
 
             def run_fit():
                 if one_class:
+                    if args.nystroem is not None:
+                        from ..sparse import nystroem_fit_one_class
+
+                        return nystroem_fit_one_class(
+                            svm, data, n_landmarks=args.nystroem, nu=args.nu,
+                        )
+                    if args.max_sv is not None:
+                        from ..sparse import pruned_fit_one_class
+
+                        return pruned_fit_one_class(
+                            svm, data, n_sv=args.max_sv, nu=args.nu,
+                            epsilon=args.epsilon, max_iter=args.max_iter,
+                        )
                     from ..one_class import fit_one_class
 
                     return fit_one_class(

@@ -831,7 +831,7 @@ _OC_UNSUPPORTED = ("shrinking", "cache_size")
 
 _OC_KNOWN = (
     "kernel", "degree", "gamma", "coef0", "tol", "nu", "verbose", "max_iter",
-    "C",
+    "C", "max_sv", "n_landmarks", "random_state",
 ) + _OC_UNSUPPORTED
 
 
@@ -857,6 +857,9 @@ class OneClassSVM:
         "verbose": False,
         "max_iter": -1,
         "C": 1.0,
+        "max_sv": None,
+        "n_landmarks": None,
+        "random_state": None,
     }
 
     def __init__(self, **kwargs):
@@ -868,6 +871,11 @@ class OneClassSVM:
         self._data: Optional[DataSet] = None
         self._model: Optional[Model] = None
         self._gamma_scale = True  # sklearn's OneClassSVM default
+        #: compact novelty models (plssvm_tpu.sparse) — see SVC
+        self._max_sv: Optional[int] = None
+        self._n_landmarks: Optional[int] = None
+        self._random_state: Optional[int] = None
+        self._support_indices: Optional[np.ndarray] = None
         self._user_params: dict = {}
         self._parse_params(kwargs)
 
@@ -913,6 +921,15 @@ class OneClassSVM:
         if "max_iter" in kwargs:
             mi = int(kwargs["max_iter"])
             self._max_iter = None if mi == -1 else mi
+        if "max_sv" in kwargs:
+            v = kwargs["max_sv"]
+            self._max_sv = None if v is None else int(v)
+        if "n_landmarks" in kwargs:
+            v = kwargs["n_landmarks"]
+            self._n_landmarks = None if v is None else int(v)
+        if "random_state" in kwargs:
+            rs = kwargs["random_state"]
+            self._random_state = None if rs is None else int(rs)
 
     def __sklearn_tags__(self):
         from sklearn.base import BaseEstimator, OutlierMixin
@@ -946,6 +963,33 @@ class OneClassSVM:
             self._svm.set_params(
                 gamma=1.0 / (X.shape[1] * var) if var > 0 else 1.0
             )
+        if self._max_sv is not None and self._n_landmarks is not None:
+            raise AttributeError(
+                "max_sv and n_landmarks are mutually exclusive!"
+            )
+        self._support_indices = None
+        if self._n_landmarks is not None:
+            from .sparse import nystroem_fit_one_class
+
+            self._model, self._support_indices = nystroem_fit_one_class(
+                self._svm, self._data,
+                n_landmarks=self._n_landmarks, nu=self._nu,
+                random_state=self._random_state or 0, return_indices=True,
+            )
+            return self
+        if self._max_sv is not None:
+            from .sparse import pruned_fit_one_class
+
+            self._model, self._support_indices = pruned_fit_one_class(
+                self._svm, self._data,
+                n_sv=self._max_sv, nu=self._nu,
+                epsilon=(
+                    self._epsilon_tol
+                    if self._epsilon_tol is not None else 0.001
+                ),
+                max_iter=self._max_iter, return_indices=True,
+            )
+            return self
         kwargs = {"nu": self._nu}
         if self._epsilon_tol is not None:
             kwargs["epsilon"] = self._epsilon_tol
@@ -991,6 +1035,8 @@ class OneClassSVM:
     @property
     def support_(self) -> np.ndarray:
         self._check_fitted()
+        if self._support_indices is not None:
+            return np.asarray(self._support_indices, dtype=np.int32)
         return np.arange(self._model.num_support_vectors, dtype=np.int32)
 
     @property

@@ -355,6 +355,67 @@ def cg_ls_svm_core(
     )
 
 
+def ridge_cg_core(
+    b: jnp.ndarray,        # (m_local,) rhs — the one-class mask (1 on real rows)
+    matvec,                # v -> A @ v over the local rows (masked)
+    dot=jnp.dot,           # GLOBAL dot product (psum'd when sharded)
+    *,
+    eps,
+    max_iter,
+    x_init=None,           # optional warm start (pruning refits)
+):
+    """Plain ridge CG ``A x = b``, agnostic to single-chip vs sharded runs.
+
+    The one-class LS-SVM solve (one_class.py): ``A = K + I/C`` — the
+    classifier's implicit matrix with q = 0 and QA_cost = 0, so there is no
+    dimensionality reduction, no rank-1 epilogue and no bias recovery.  The
+    convergence contract is the classifier's (reference:
+    gpu_csvm.hpp:595-619): relative squared-residual stop
+    ``delta <= eps^2 * delta0`` with an exact residual recomputation every
+    50 iterations.  ``x_init`` warm-starts from a previous solve; the stop
+    target stays anchored to the cold start (x0 = 0, so delta0 = b.b — no
+    extra matvec needed, unlike the classifier's x0 = 1 anchor).
+
+    Returns ``(x, delta, delta0, iterations)``.
+    """
+    # cold anchor: x0 = 0 gives r = b, so delta0 = b.b always
+    delta0 = dot(b, b)
+    if x_init is None:
+        x = jnp.zeros_like(b)
+        r = b
+        delta = delta0
+    else:
+        x = x_init.astype(b.dtype)
+        r = b - matvec(x)
+        delta = dot(r, r)
+    d = r
+    target = eps * eps * delta0
+
+    def cond(state):
+        x, r, d, delta, it = state
+        return jnp.logical_and(it < max_iter, delta > target)
+
+    def body(state):
+        x, r, d, delta, it = state
+        Ad = matvec(d)
+        a = delta / dot(d, Ad)
+        x = x + a * d
+        r = jax.lax.cond(
+            (it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
+            lambda: b - matvec(x),
+            lambda: r - a * Ad,
+        )
+        delta_new = dot(r, r)
+        beta = delta_new / delta
+        d = r + beta * d
+        return x, r, d, delta_new, it + 1
+
+    x, r, d, delta, it = jax.lax.while_loop(
+        cond, body, (x, r, d, delta, jnp.asarray(0, jnp.int32))
+    )
+    return x, delta, delta0, it
+
+
 def _scalar_reductions(scalars: str):
     """(dot, vsum) pair for the requested scalar accumulation mode."""
     if scalars == "compensated":

@@ -519,3 +519,211 @@ def nystroem_fit(
     if return_indices:
         return model, idx
     return model
+
+
+# ---------------------------------------------------------------------------
+# Compact one-class models (novelty detection with m << n support vectors)
+# ---------------------------------------------------------------------------
+
+
+def _one_class_rho(csvm, model, data: DataSet, nu: float) -> float:
+    """The nu-quantile threshold of a compact one-class model, computed
+    from the FULL training data's scores under the compact expansion."""
+    saved = model.rho
+    model.rho = 0.0
+    try:
+        g = np.asarray(csvm.predict_values(model, data), dtype=np.float64)
+    finally:
+        model.rho = saved
+    return float(np.quantile(g, nu))
+
+
+def pruned_fit_one_class(
+    csvm,
+    data: DataSet,
+    *,
+    n_sv: int,
+    nu: float = 0.5,
+    prune_rate: float = 0.25,
+    epsilon: float = 0.001,
+    max_iter: Optional[int] = None,
+    return_indices: bool = False,
+):
+    """Compact one-class LS-SVM by iterative smallest-|alpha| pruning.
+
+    The one-class analog of :func:`pruned_fit` (Suykens 2002 applied to the
+    novelty-detection ridge system ``(K + I/C) a = 1``, one_class.py):
+    fit on all points, repeatedly drop the ``prune_rate`` fraction with the
+    smallest |alpha| and refit on the survivors (warm-started), until at
+    most ``n_sv`` support vectors remain.  The final ``rho`` is the
+    ``nu``-quantile of the FULL training data's scores under the compact
+    expansion, so ~``nu`` of the training cloud is still flagged as
+    outliers — the m-SV model keeps the n-point threshold semantics.
+    """
+    from .one_class import fit_one_class
+
+    n = data.num_data_points
+    if not 1 <= n_sv < n:
+        raise InvalidParameterError(
+            f"n_sv must be in [1, {n - 1}] to prune a {n}-point data set, "
+            f"but is {n_sv}!"
+        )
+    if not 0.0 < prune_rate < 1.0:
+        raise InvalidParameterError(
+            f"prune_rate must be in (0, 1), but is {prune_rate}!"
+        )
+
+    model = fit_one_class(
+        csvm, data, nu=nu, epsilon=epsilon, max_iter=max_iter
+    )
+    X = np.asarray(data.data)
+    indices = np.arange(n)
+    while indices.shape[0] > n_sv:
+        current = indices.shape[0]
+        target = max(n_sv, int(np.ceil(current * (1.0 - prune_rate))))
+        if target >= current:
+            target = current - 1
+        magnitude = _alpha_magnitude(model.alpha)
+        local_keep = _keep_with_class_floor(magnitude, target, None)
+        indices = indices[local_keep]
+
+        sub = DataSet(X[indices], dtype=X.dtype)
+        warm = Model(
+            model.params.copy(), sub,
+            alpha=np.asarray(model.alpha)[local_keep], rho=model.rho,
+        )
+        warm.is_one_class = True
+        model = fit_one_class(
+            csvm, sub, nu=nu, epsilon=epsilon, max_iter=max_iter,
+            initial_model=warm,
+        )
+    model.rho = _one_class_rho(csvm, model, data, nu)
+    if return_indices:
+        return model, indices
+    return model
+
+
+def nystroem_fit_one_class(
+    csvm,
+    data: DataSet,
+    *,
+    n_landmarks: Optional[int] = None,
+    landmarks: Optional[Union[Sequence[int], np.ndarray]] = None,
+    nu: float = 0.5,
+    random_state=0,
+    rcond: float = 1e-10,
+    row_block: int = 4096,
+    return_indices: bool = False,
+):
+    """Fixed-size one-class LS-SVM: Nystroem primal ridge with m landmarks.
+
+    The one-class analog of :func:`nystroem_fit`: solve the support-function
+    ridge ``min 1/2 |w|^2 + C/2 sum_i (1 - w.phi(x_i))^2`` in the
+    m-dimensional Nystroem basis (no bias term — LIBSVM's one-class
+    decision function carries the threshold in ``rho`` alone) and return a
+    standard m-SV one-class Model (``alpha = K_mm^{-1/2} w``).  Training
+    streams the data once in ``row_block`` rows, so n is unbounded by
+    device memory; ``rho`` is the ``nu``-quantile of the full training
+    scores under the compact expansion.  Row-shards over multi-device
+    CSVMs like :func:`nystroem_fit` (psum'd normal-equation partials).
+    """
+    from .kernel_functions import kernel_block as _kernel_block
+
+    n = data.num_data_points
+    d = data.num_features
+    if not 0.0 < nu < 1.0:
+        raise InvalidParameterError(
+            f"nu must be in (0, 1), but is {nu}!"
+        )
+    if landmarks is not None:
+        idx = np.unique(np.asarray(landmarks, dtype=np.int64))
+        if idx.size == 0 or idx[0] < 0 or idx[-1] >= n:
+            raise InvalidParameterError(
+                f"landmark indices must be unique and within [0, {n - 1}]!"
+            )
+    else:
+        if n_landmarks is None:
+            raise InvalidParameterError(
+                "nystroem_fit_one_class needs n_landmarks or explicit "
+                "landmarks!"
+            )
+        if not 1 <= n_landmarks <= n:
+            raise InvalidParameterError(
+                f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
+            )
+        rng = np.random.default_rng(random_state)
+        idx = np.sort(rng.choice(n, size=int(n_landmarks), replace=False))
+    m = idx.shape[0]
+
+    from .csvm import _ensure_x64_if_needed
+
+    _ensure_x64_if_needed(csvm.dtype)
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    kind = params.kernel_type.value
+    gamma_v = params.resolved_gamma(d)
+    coef0_v = params.coef0.value
+    degree_v = params.degree.value
+    cost = params.cost.value
+
+    dt = csvm.dtype
+    X = np.asarray(data.data, dtype=dt)
+    Z = X[idx]
+    # the support-function target is the constant 1 (one_class.py)
+    Y = np.ones((n, 1), dtype=np.float64)
+    s = np.ones(n, dtype=np.float64)
+
+    devices = getattr(csvm, "devices", None)
+    n_dev = len(devices) if devices else 1
+    block = int(min(row_block, max(8, -(-n // n_dev))))
+    n_pad = int(-(-n // (block * n_dev)) * block * n_dev)
+    Xp = np.zeros((n_pad, d), dtype=dt)
+    Xp[:n] = X
+    sp = np.zeros(n_pad, dtype=dt)
+    sp[:n] = s
+    Yp = np.zeros((n_pad, 1), dtype=dt)
+    Yp[:n] = Y
+
+    with csvm._device_ctx():
+        Zd = jnp.asarray(Z)
+        sqZ = jnp.sum(Zd * Zd, axis=1)
+        K_mm = np.asarray(
+            jax.device_get(
+                _kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
+                              dt.type(coef0_v), degree_v)
+            ),
+            dtype=np.float64,
+        )
+        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
+        if n_dev > 1:
+            from .parallel.sharded import make_row_mesh
+
+            A, c, _u = _nystroem_reduce_sharded(
+                make_row_mesh(devices), jnp.asarray(Xp), jnp.asarray(sp),
+                jnp.asarray(Yp), Zd, jnp.asarray(inv_sqrt, dtype=dt),
+                kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block,
+            )
+        else:
+            A, c, _u = jax.jit(
+                _nystroem_reduce, static_argnames=("kind", "degree", "block")
+            )(
+                jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
+                jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
+                gamma=dt.type(gamma_v), coef0=dt.type(coef0_v),
+                degree=degree_v, block=block,
+            )
+
+    # bias-free m x m ridge: (A + I/C) w = c  (c = Phi' 1)
+    A = np.asarray(jax.device_get(A), dtype=np.float64)
+    c = np.asarray(jax.device_get(c), dtype=np.float64)[:, 0]
+    w = np.linalg.solve(A + np.eye(m) / cost, c)
+    alpha = inv_sqrt @ w
+
+    model = Model(params, DataSet(Z, dtype=dt), alpha=alpha, rho=0.0)
+    model.is_one_class = True
+    model.n_iter = 0
+    model.rho = _one_class_rho(csvm, model, data, nu)
+    if return_indices:
+        return model, idx
+    return model

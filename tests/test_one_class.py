@@ -190,10 +190,18 @@ def test_cli_one_class_flag_conflicts(tmp_path, capsys):
     assert rc == 1
     assert "--weight" in capsys.readouterr().err
     rc = cli_train.main(
-        ["-q", "-s", "one_class", "--max_sv", "5", train_path]
+        ["-q", "-s", "one_class", "--probability", train_path]
     )
     assert rc == 1
-    assert "--max_sv" in capsys.readouterr().err
+    assert "--probability" in capsys.readouterr().err
+    # --max_sv and --nystroem now COMPOSE with one_class (compact novelty
+    # models) but remain mutually exclusive
+    rc = cli_train.main(
+        ["-q", "-s", "one_class", "--max_sv", "5", "--nystroem", "5",
+         train_path]
+    )
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().err
 
 
 # ---------------------------------------------------------------------------
@@ -245,3 +253,212 @@ def test_one_class_score_against_labeled_data():
     assert acc >= 0.9
     with pytest.raises(InvalidParameterError, match="must have labels"):
         svm.score(model)  # the model's own data carries no labels
+
+
+# ---------------------------------------------------------------------------
+# composition (round-4 verdict item 2): sharded / multihost / compact
+# one-class — the classifier had all of these, the novelty detector none
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def oc_problem():
+    X = _cloud(n=200, d=6, seed=10)
+    return X, DataSet(X, dtype=np.float64)
+
+
+@pytest.mark.parametrize("kind", ["linear", "rbf", "polynomial"])
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_one_class_sharded_matches_single_device(oc_problem, kind, n_dev):
+    import jax
+
+    X, ds = oc_problem
+    kw = dict(kernel_type=kind, gamma=0.2, cost=10.0, coef0=1.0)
+    single = _svm(**kw)
+    m1 = fit_one_class(single, ds, nu=0.2, epsilon=1e-10)
+    devs = jax.devices("cpu")[:n_dev]
+    sharded = _svm(devices=devs, **kw)
+    m2 = fit_one_class(sharded, ds, nu=0.2, epsilon=1e-10)
+    np.testing.assert_allclose(m2.alpha, m1.alpha, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(m2.rho, m1.rho, rtol=1e-7)
+    v1 = single.predict_values(m1, ds)
+    v2 = single.predict_values(m2, ds)
+    np.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-8)
+
+
+def test_one_class_multihost_single_process(oc_problem, tmp_path):
+    import jax
+
+    from plssvm_tpu import fit_one_class_multihost
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X, ds = oc_problem
+    fname = os.fspath(tmp_path / "oc_mh.libsvm")
+    write_libsvm_file(fname, X, np.ones(X.shape[0]))
+    single = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    m1 = fit_one_class(single, ds, nu=0.2, epsilon=1e-10)
+    devs = jax.devices("cpu")[:8]
+    sharded = _svm(kernel_type="rbf", gamma=0.2, cost=10.0, devices=devs)
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs)
+    try:
+        m2 = fit_one_class_multihost(sharded, fname, nu=0.2, epsilon=1e-10)
+    finally:
+        mh.global_row_mesh = orig
+    np.testing.assert_allclose(m2.alpha, m1.alpha, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(m2.rho, m1.rho, rtol=1e-7)
+    assert m2.is_one_class
+
+
+def test_one_class_warm_start_zero_iterations(oc_problem):
+    X, ds = oc_problem
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    m1 = fit_one_class(svm, ds, nu=0.2, epsilon=1e-10)
+    m2 = fit_one_class(svm, ds, nu=0.2, epsilon=1e-10, initial_model=m1)
+    assert m2.n_iter == 0
+    np.testing.assert_allclose(m2.alpha, m1.alpha, rtol=1e-9)
+    with pytest.raises(InvalidParameterError, match="initial_model"):
+        fit_one_class(
+            svm, DataSet(X[:50], dtype=np.float64), initial_model=m1
+        )
+
+
+def test_nystroem_one_class_full_landmarks_matches_exact(oc_problem):
+    import golden
+
+    from plssvm_tpu import nystroem_fit_one_class
+
+    X, ds = oc_problem
+    n = X.shape[0]
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=5.0)
+    exact = fit_one_class(svm, ds, nu=0.2, epsilon=1e-12)
+    compact = nystroem_fit_one_class(
+        svm, ds, landmarks=np.arange(n), nu=0.2, rcond=1e-12
+    )
+    np.testing.assert_allclose(
+        svm.predict_values(compact, ds), svm.predict_values(exact, ds),
+        rtol=1e-6, atol=1e-7,
+    )
+    assert compact.is_one_class and compact.n_iter == 0
+
+
+def test_nystroem_one_class_subsampled(oc_problem):
+    from plssvm_tpu import nystroem_fit_one_class
+
+    X, ds = oc_problem
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    model, idx = nystroem_fit_one_class(
+        svm, ds, n_landmarks=48, nu=0.2, random_state=0, return_indices=True
+    )
+    assert model.num_support_vectors == 48 and idx.shape == (48,)
+    pred = svm.predict(model, ds)
+    # the nu-quantile threshold is computed on the FULL data's scores
+    assert abs(float(np.mean(pred == -1)) - 0.2) < 0.03
+
+
+def test_nystroem_one_class_sharded_matches_single(oc_problem):
+    import jax
+
+    from plssvm_tpu import nystroem_fit_one_class
+
+    X, ds = oc_problem
+    kw = dict(kernel_type="rbf", gamma=0.2, cost=10.0)
+    m1 = nystroem_fit_one_class(
+        _svm(**kw), ds, n_landmarks=32, nu=0.2, random_state=1, row_block=32
+    )
+    devs = jax.devices("cpu")[:4]
+    m2 = nystroem_fit_one_class(
+        _svm(devices=devs, **kw), ds, n_landmarks=32, nu=0.2,
+        random_state=1, row_block=32,
+    )
+    np.testing.assert_allclose(m2.alpha, m1.alpha, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(m2.rho, m1.rho, rtol=1e-7)
+
+
+def test_pruned_one_class(oc_problem):
+    from plssvm_tpu import pruned_fit_one_class
+
+    X, ds = oc_problem
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    model, idx = pruned_fit_one_class(
+        svm, ds, n_sv=50, nu=0.2, epsilon=1e-8, return_indices=True
+    )
+    assert model.num_support_vectors == 50 and idx.shape == (50,)
+    np.testing.assert_allclose(X[idx], np.asarray(model.support_vectors))
+    pred = svm.predict(model, ds)
+    assert abs(float(np.mean(pred == -1)) - 0.2) < 0.05
+    with pytest.raises(InvalidParameterError, match="n_sv must be in"):
+        pruned_fit_one_class(svm, ds, n_sv=0)
+
+
+def test_one_class_model_file_roundtrip_compact(tmp_path, oc_problem):
+    from plssvm_tpu import nystroem_fit_one_class
+
+    X, ds = oc_problem
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    model = nystroem_fit_one_class(
+        svm, ds, n_landmarks=24, nu=0.3, random_state=0
+    )
+    path = os.fspath(tmp_path / "oc_compact.model")
+    model.save(path)
+    loaded = Model.load(path)
+    assert loaded.is_one_class
+    np.testing.assert_allclose(
+        svm.predict_values(loaded, ds), svm.predict_values(model, ds),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_cli_one_class_compact(tmp_path):
+    from plssvm_tpu.cli import predict as cli_predict
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=80, d=4, seed=12)
+    train_path = os.fspath(tmp_path / "occ.libsvm")
+    write_libsvm_file(train_path, X, np.ones(80, dtype=np.int64))
+    for flag, value in (("--nystroem", "16"), ("--max_sv", "16")):
+        model_path = os.fspath(tmp_path / f"occ{flag[2:4]}.model")
+        rc = cli_train.main(
+            ["-q", "--use_double_as_real_type", "-s", "one_class",
+             "-n", "0.2", "-t", "2", "-g", "0.3", flag, value,
+             train_path, model_path]
+        )
+        assert rc == 0, flag
+        with open(model_path) as fh:
+            content = fh.read()
+        assert "svm_type one_class" in content
+        assert "total_sv 16" in content
+        out_path = os.fspath(tmp_path / "occ.predict")
+        rc = cli_predict.main(
+            ["-q", "--use_double_as_real_type", train_path, model_path,
+             out_path]
+        )
+        assert rc == 0
+        pred = np.loadtxt(out_path, dtype=np.int64)
+        assert set(np.unique(pred)) <= {-1, 1}
+
+
+def test_sklearn_one_class_compact_kwargs(oc_problem):
+    from plssvm_tpu import OneClassSVM
+
+    X, _ = oc_problem
+    clf = OneClassSVM(kernel="rbf", gamma=0.2, nu=0.2, n_landmarks=32,
+                      random_state=0)
+    clf.fit(X)
+    assert clf.support_vectors_.shape[0] == 32
+    np.testing.assert_allclose(X[clf.support_], clf.support_vectors_)
+    pred = clf.predict(X)
+    assert abs(float(np.mean(pred == -1)) - 0.2) < 0.05
+
+    clf2 = OneClassSVM(kernel="rbf", gamma=0.2, nu=0.2, max_sv=40)
+    clf2.fit(X)
+    assert clf2.support_vectors_.shape[0] == 40
+    with pytest.raises(AttributeError, match="mutually exclusive"):
+        OneClassSVM(max_sv=8, n_landmarks=8).fit(X)
+    from sklearn.base import clone
+
+    assert clone(clf).get_params()["n_landmarks"] == 32
