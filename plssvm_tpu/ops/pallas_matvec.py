@@ -355,8 +355,22 @@ def _pick_dual_dk(d: int) -> int:
     raise ValueError(f"Pallas matvec needs features padded to a multiple of 128, got {d}")
 
 
+def _vma_set(vma):
+    """Normalize a varying-mesh-axes spec for pallas_call out_shapes.
+
+    Under ``jax.shard_map(..., check_vma=True)`` every pallas_call output
+    must DECLARE which mesh axes it varies over (the replication checker
+    has no rule for opaque kernels).  The ring callers pass their row-axis
+    name; ``None`` (the single-device case) keeps the default.
+    """
+    if vma is None:
+        return None
+    return frozenset({vma}) if isinstance(vma, str) else frozenset(vma)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
+    jax.jit,
+    static_argnames=("kind", "degree", "precision", "symmetric", "vma"),
 )
 def kernel_matvec_pallas_dual(
     X: jnp.ndarray,          # (mr, d) rows of the kernel block
@@ -372,6 +386,7 @@ def kernel_matvec_pallas_dual(
     degree: int,
     precision: str = "f32",
     symmetric: bool = False,
+    vma=None,
 ):
     """Dual contraction of one kernel block: ``(K @ v_y, K^T @ v_x)``.
 
@@ -379,7 +394,8 @@ def kernel_matvec_pallas_dual(
     the upper triangle; the full ``K @ v`` is then the SUM of the two
     outputs.  This is the TPU answer to the reference's triangular
     atomicAdd scatter (svm_kernel.cu:26,74,85): half the MXU work and HBM
-    traffic, no atomics, no HBM partials.
+    traffic, no atomics, no HBM partials.  ``vma`` declares the mesh axes
+    the outputs vary over when called inside a checked shard_map.
     """
     mr, d = X.shape
     mc = Y.shape[0]
@@ -441,8 +457,8 @@ def kernel_matvec_pallas_dual(
             pl.BlockSpec((nj, t), lambda i, j, k: _i32(0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, mr), jnp.float32),
-            jax.ShapeDtypeStruct((nj, t), jnp.float32),
+            jax.ShapeDtypeStruct((1, mr), jnp.float32, vma=_vma_set(vma)),
+            jax.ShapeDtypeStruct((nj, t), jnp.float32, vma=_vma_set(vma)),
         ),
         scratch_shapes=[pltpu.VMEM((t, t), jnp.float32)],
         cost_estimate=cost,
@@ -684,7 +700,8 @@ def ring_block_supported(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
+    jax.jit,
+    static_argnames=("kind", "degree", "precision", "symmetric", "vma"),
 )
 def kernel_matmat_pallas_dual(
     X: jnp.ndarray,          # (mr, d) rows of the kernel block
@@ -700,6 +717,7 @@ def kernel_matmat_pallas_dual(
     degree: int,
     precision: str = "f32",
     symmetric: bool = False,
+    vma=None,
 ):
     """Dual contraction of one kernel block against C class-major columns:
     ``(K @ Vy^T, K^T @ Vx^T)`` returned class-major as (cp, mr), (cp, mc).
@@ -707,7 +725,7 @@ def kernel_matmat_pallas_dual(
     The block-matmat analog of :func:`kernel_matvec_pallas_dual` — same
     upper-triangle walk, same residency, MXU contractions instead of VPU.
     ``cp`` (the leading axis of Vy/Vx) must be a multiple of 8 (f32 sublane
-    tile); pad unused class rows with zeros.
+    tile); pad unused class rows with zeros.  ``vma`` as in the matvec dual.
     """
     mr, d = X.shape
     mc = Y.shape[0]
@@ -770,8 +788,10 @@ def kernel_matmat_pallas_dual(
             pl.BlockSpec((nj * cp, t), lambda i, j, k: _i32(0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((cp, mr), jnp.float32),
-            jax.ShapeDtypeStruct((nj * cp, t), jnp.float32),
+            jax.ShapeDtypeStruct((cp, mr), jnp.float32, vma=_vma_set(vma)),
+            jax.ShapeDtypeStruct(
+                (nj * cp, t), jnp.float32, vma=_vma_set(vma)
+            ),
         ),
         scratch_shapes=[pltpu.VMEM((t, t), jnp.float32)],
         cost_estimate=cost,
@@ -879,7 +899,8 @@ def kernel_matvec_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "degree", "precision", "symmetric")
+    jax.jit,
+    static_argnames=("kind", "degree", "precision", "symmetric", "vma"),
 )
 def kernel_matvec_pallas_rect(
     X: jnp.ndarray,          # (mr, d) rows of the kernel block
@@ -894,6 +915,7 @@ def kernel_matvec_pallas_rect(
     degree: int,
     precision: str = "f32",
     symmetric: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """``K(X, Y) @ v`` with ``K[i,j] = k(x_i, y_j)`` — the rectangular form.
 
@@ -901,6 +923,7 @@ def kernel_matvec_pallas_rect(
     ``symmetric=True``) and per ring step by the sharded solve, where Y is
     the rotating column block.  ``symmetric`` must only be set when X and Y
     are the SAME array — it dispatches the upper-triangle-only kernel.
+    ``vma`` as in :func:`kernel_matvec_pallas_dual`.
     """
     mr, d = X.shape
     mc = Y.shape[0]
@@ -932,7 +955,7 @@ def kernel_matvec_pallas_rect(
         outr, outc = kernel_matvec_pallas_dual(
             X, X, sq_rows, sq_rows, v, v,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            precision=precision, symmetric=True,
+            precision=precision, symmetric=True, vma=vma,
         )
         return (outr + outc).astype(X.dtype)
 
@@ -979,7 +1002,9 @@ def kernel_matvec_pallas_rect(
                 pl.BlockSpec((1, tj), lambda i, j: _i32(0, j)),
             ],
             out_specs=pl.BlockSpec((1, ti), lambda i, j: _i32(0, i)),
-            out_shape=jax.ShapeDtypeStruct((1, mr), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (1, mr), jnp.float32, vma=_vma_set(vma)
+            ),
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT_BYTES
@@ -1006,7 +1031,9 @@ def kernel_matvec_pallas_rect(
                 pl.BlockSpec((1, tj), lambda i, j, k: _i32(0, j)),
             ],
             out_specs=pl.BlockSpec((1, ti), lambda i, j, k: _i32(0, i)),
-            out_shape=jax.ShapeDtypeStruct((1, mr), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (1, mr), jnp.float32, vma=_vma_set(vma)
+            ),
             scratch_shapes=[pltpu.VMEM((ti, tj), jnp.float32)],
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(

@@ -145,7 +145,7 @@ def ring_kernel_matvec(
             r, c = kernel_matvec_pallas_dual(
                 X_local, X_local, sq_local, sq_local, v_local, v_local,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=True, precision=precision,
+                symmetric=True, precision=precision, vma=axis_name,
             )
             return r + c
 
@@ -153,14 +153,14 @@ def ring_kernel_matvec(
             return kernel_matvec_pallas_dual(
                 X_local, Xc, sq_local, sqc, vc, v_local,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=False, precision=precision,
+                symmetric=False, precision=precision, vma=axis_name,
             )
 
         def cross_rows(Xc, sqc, vc):
             return kernel_matvec_pallas_rect(
                 X_local, Xc, sq_local, sqc, vc,
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-                symmetric=False, precision=precision,
+                symmetric=False, precision=precision, vma=axis_name,
             )
     else:
         def own():
@@ -234,7 +234,7 @@ def ring_kernel_matmat(
         r, c = kernel_matmat_pallas_dual(
             X_local, X_local, sq_local, sq_local, vt_local, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=True, precision=precision,
+            symmetric=True, precision=precision, vma=axis_name,
         )
         return r + c
 
@@ -242,7 +242,7 @@ def ring_kernel_matmat(
         return kernel_matmat_pallas_dual(
             X_local, Xc, sq_local, sqc, vtc, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=False, precision=precision,
+            symmetric=False, precision=precision, vma=axis_name,
         )
 
     def cross_rows(Xc, sqc, vtc):
@@ -251,7 +251,7 @@ def ring_kernel_matmat(
         r, _ = kernel_matmat_pallas_dual(
             X_local, Xc, sq_local, sqc, vtc, vt_local,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-            symmetric=False, precision=precision,
+            symmetric=False, precision=precision, vma=axis_name,
         )
         return r
 
@@ -394,11 +394,11 @@ def build_sharded_solver(
                 iterations=rep, delta=rep, delta0=rep,
                 r=row, d=row,
             ),
-            # pallas_call outputs carry no varying-mesh-axes metadata, which
-            # the replication checker requires; the psum'd scalars are
-            # replicated by construction.  The check stays ON for the xla
-            # impl so a mis-specced collective is still caught there.
-            check_vma=(impl != "pallas"),
+            # the replication checker runs on BOTH impls: pallas_call
+            # outputs declare their varying mesh axes via the out_shape vma
+            # (ops/pallas_matvec._vma_set), so a mis-specced collective in
+            # the hand-rolled ring is caught at trace time everywhere
+            check_vma=True,
         )
     )
     _SOLVER_CACHE[key] = solve
@@ -505,9 +505,9 @@ def build_sharded_multi_solver(
                 delta=rep, delta0=rep,
                 r=row2, d=row2,
             ),
-            # pallas_call outputs carry no varying-mesh-axes metadata (same
-            # scoping as build_sharded_solver: the check stays ON for xla)
-            check_vma=(impl != "pallas"),
+            # replication checker ON for both impls (see
+            # build_sharded_solver — pallas outputs declare vma)
+            check_vma=True,
         )
     )
     _MULTI_SOLVER_CACHE[key] = solve
@@ -589,9 +589,9 @@ def build_sharded_one_class_solver(
             mesh=mesh,
             in_specs=(P(ROW_AXIS, None), row, rep, rep, rep, rep, rep),
             out_specs=(row, row, rep, rep, rep),
-            # same scoping as build_sharded_solver: pallas_call outputs
-            # carry no varying-mesh-axes metadata
-            check_vma=(impl != "pallas"),
+            # replication checker ON for both impls (see
+            # build_sharded_solver — pallas outputs declare vma)
+            check_vma=True,
         )
     )
     _ONE_CLASS_CACHE[key] = solve

