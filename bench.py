@@ -13,9 +13,19 @@ repo publishes no absolute numbers to compare against (BASELINE.md).
 
 Extra detail (CG iterations/s on a 10k x 200 RBF problem, per BASELINE.json
 config #2) goes to stderr so the driver still sees exactly one JSON line.
+
+The FULL BASELINE config ladder (rungs 1-5, tools/baseline_ladder.py) also
+runs each round and appends its artifact to ``LADDER_r{N}.json`` with
+regression gating against ``tools/ladder_best.json`` (>15% below a
+recorded best prints a LOUD stderr line and lands in the artifact's
+``regressions`` list) — so a regression in the chunk-triangle composition,
+the scale pipeline or the checkpoint-segmented 1M-row path shows up in the
+per-round record, not only in hand runs.  Set ``PLSSVM_BENCH_LADDER=0`` to
+skip (e.g. when only the headline number is wanted).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -118,6 +128,54 @@ def _bench_cg(n=10240, d=200, dtype=np.float32):
     return (iters or 0) / elapsed, iters, acc, elapsed
 
 
+def _next_round_number() -> int:
+    """The BENCH_r{N}.json the driver will write after this run: count the
+    existing per-round artifacts."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+
+
+def _run_ladder_artifact(headline: dict) -> None:
+    """Run BASELINE ladder rungs 1-5 and write LADDER_r{N}.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    try:
+        import baseline_ladder
+    except Exception as exc:  # pragma: no cover — keep the headline alive
+        print(f"[bench] ladder unavailable: {exc}", file=sys.stderr)
+        return
+    t0 = time.perf_counter()
+    print("[bench] running the BASELINE config ladder (rungs 1-5)...",
+          file=sys.stderr, flush=True)
+    results = baseline_ladder.run_ladder(scale=1.0, wanted=(1, 2, 3, 4, 5))
+    regressions = baseline_ladder.gate_against_best(
+        results, os.path.join(here, "tools", "ladder_best.json")
+    )
+    artifact = {
+        "round": _next_round_number(),
+        "headline_matvec_tflops": {
+            k: round(v, 2) for k, v in headline.items()
+        },
+        "rungs": results,
+        "regressions": regressions,
+        "ladder_seconds": round(time.perf_counter() - t0, 1),
+    }
+    path = os.path.join(here, f"LADDER_r{artifact['round']:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+        fh.write("\n")
+    status = (
+        f"{len(regressions)} REGRESSION(S)" if regressions else "all clear"
+    )
+    print(
+        f"[bench] ladder done in {artifact['ladder_seconds']}s -> {path} "
+        f"({status})",
+        file=sys.stderr, flush=True,
+    )
+
+
 def main():
     # fail fast if the tunneled TPU runtime is down: axon client creation
     # can hang forever (observed: multi-hour outage), which would stall the
@@ -152,6 +210,10 @@ def main():
         f"train acc={acc:.3f}",
         file=sys.stderr,
     )
+
+    if os.environ.get("PLSSVM_BENCH_LADDER", "1") != "0":
+        _run_ladder_artifact(mv)
+
     best = max(mv["pallas"], mv["xla"])
     PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 matmul roofline
     print(json.dumps({

