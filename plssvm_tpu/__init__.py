@@ -77,6 +77,7 @@ from .robust import reweighted_fit
 from .sklearn import SVC, SVR, OneClassSVM
 from .sparse import (
     nystroem_fit,
+    nystroem_fit_from_file,
     nystroem_fit_one_class,
     pruned_fit,
     pruned_fit_one_class,
@@ -118,6 +119,7 @@ __all__ = [
     "pruned_fit",
     "pruned_fit_one_class",
     "nystroem_fit",
+    "nystroem_fit_from_file",
     "nystroem_fit_one_class",
     "predict_probabilities",
     "csvm_backend_exists",

@@ -144,6 +144,14 @@ def build_parser() -> argparse.ArgumentParser:
              "training streams the data once in row blocks (O(M^2) device "
              "memory, any n)",
     )
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="with --nystroem: train STRAIGHT FROM the file in two "
+             "windowed native-parse passes (landmark gather, then the "
+             "normal-equation reduction) — host memory stays "
+             "O(window * d + M * d + n) at any n, so files larger than "
+             "host RAM train",
+    )
     parser.add_argument("--checkpoint", metavar="FILE", default=None,
                         help="CG-state checkpoint file: training state is saved "
                         "every --checkpoint_interval iterations and an "
@@ -322,6 +330,21 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 return 1
+        if args.streaming:
+            if args.nystroem is None:
+                print("--streaming requires --nystroem!", file=sys.stderr)
+                return 1
+            for flag, name in (
+                (args.weight, "--weight"),
+                (args.svm_type == "one_class", "-s one_class"),
+            ):
+                if flag:
+                    print(
+                        f"--streaming is not supported together with "
+                        f"{name}!",
+                        file=sys.stderr,
+                    )
+                    return 1
         if args.svm_type == "one_class":
             if not 0.0 < args.nu < 1.0:
                 print(
@@ -386,7 +409,9 @@ def main(argv=None) -> int:
         else:
             regression = args.svm_type in ("epsilon_svr", "svr")
             one_class = args.svm_type == "one_class"
-            data = DataSet(
+            # --streaming never materializes the data set on the host —
+            # nystroem_fit_from_file parses windows straight off the file
+            data = None if args.streaming else DataSet(
                 args.input,
                 # one-class files may carry a single label class (or none);
                 # load label-mapping-free — the labels are ignored anyway
@@ -435,6 +460,14 @@ def main(argv=None) -> int:
                 return 1
 
             def run_fit():
+                if args.streaming:
+                    from ..sparse import nystroem_fit_from_file
+
+                    return nystroem_fit_from_file(
+                        svm, args.input, n_landmarks=args.nystroem,
+                        label_type=resolve_label_type(args),
+                        regression=regression,
+                    )
                 if one_class:
                     if args.nystroem is not None:
                         from ..sparse import nystroem_fit_one_class

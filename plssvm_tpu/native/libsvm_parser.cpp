@@ -1031,4 +1031,169 @@ int plssvm_write_model(const char* path, const char* header,
     return rc;
 }
 
+// Byte spans [begin, end) of every DATA line (comments/blank skipped), in
+// file order: 2*n int64 values written to a malloc'd buffer.  One cheap
+// memchr sweep — the index a streaming consumer (windowed Nystroem ingest,
+// sparse.py::nystroem_fit_from_file) builds ONCE so that every subsequent
+// plssvm_parse_libsvm_rows call is O(selected rows), not O(file).
+// returns 0 on success, 2 on IO error.  Free with plssvm_free_spans.
+int plssvm_libsvm_line_spans(const char* path, int64_t** spans_out,
+                             int64_t* n_out) {
+    *spans_out = nullptr;
+    *n_out = 0;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return 2;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return 2;
+    }
+    const size_t size = static_cast<size_t>(st.st_size);
+    const char* base = nullptr;
+    if (size > 0) {
+        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) {
+            close(fd);
+            return 2;
+        }
+        base = static_cast<const char*>(map);
+    }
+    std::vector<int64_t> spans;
+    spans.reserve(size / 32 + 2);
+    const char* p = base;
+    const char* file_end = base + size;
+    while (p < file_end) {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(file_end - p)));
+        const char* line_end = nl ? nl : file_end;
+        const char* b = p;
+        const char* e = line_end;
+        while (b < e && is_space(*b)) ++b;
+        while (e > b && is_space(*(e - 1))) --e;
+        if (b < e && *b != '#') {
+            spans.push_back(static_cast<int64_t>(b - base));
+            spans.push_back(static_cast<int64_t>(e - base));
+        }
+        p = nl ? nl + 1 : file_end;
+    }
+    if (base) munmap(const_cast<char*>(base), size);
+    close(fd);
+    int64_t* out = static_cast<int64_t*>(
+        malloc(std::max<size_t>(spans.size(), 1) * sizeof(int64_t)));
+    if (out == nullptr) return 2;
+    if (!spans.empty())
+        memcpy(out, spans.data(), spans.size() * sizeof(int64_t));
+    *spans_out = out;
+    *n_out = static_cast<int64_t>(spans.size() / 2);
+    return 0;
+}
+
+void plssvm_free_spans(int64_t* spans) { free(spans); }
+
+// Parse SELECTED data rows into a dense (nrows, known_d) matrix WITHOUT
+// re-validating the whole file: `spans` carries 2*nrows byte offsets
+// [begin, end) of the requested lines (subset of plssvm_libsvm_line_spans'
+// output for a file already validated by a metadata parse).  Labels are
+// skipped per line; per-token checks stay (malformed content errors
+// rather than corrupting), but no global properties are re-derived —
+// per-call cost is O(selected rows * d).
+// returns 0 ok, 1 content error (message in out->error), 2 IO error.
+int plssvm_parse_libsvm_rows(const char* path, const int64_t* spans,
+                             int64_t nrows, int64_t known_d,
+                             PlssvmParseResult* out) {
+    memset(out, 0, sizeof(*out));
+    if (nrows < 0 || known_d <= 0) {
+        set_error(out, "invalid nrows/known_d for selected-row parse!");
+        return 1;
+    }
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+        return 2;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        set_error(out, std::string("Couldn't stat file: '") + path + "'!");
+        return 2;
+    }
+    const size_t size = static_cast<size_t>(st.st_size);
+    const char* base = nullptr;
+    if (size > 0) {
+        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) {
+            close(fd);
+            set_error(out, std::string("Couldn't mmap file: '") + path + "'!");
+            return 2;
+        }
+        base = static_cast<const char*>(map);
+    }
+    auto cleanup = [&]() {
+        if (base) munmap(const_cast<char*>(base), size);
+        close(fd);
+    };
+
+    double* data = static_cast<double*>(
+        calloc(std::max<int64_t>(nrows, 1) * static_cast<size_t>(known_d),
+               sizeof(double)));
+    if (data == nullptr) {
+        cleanup();
+        set_error(out, "Out of memory allocating the data matrix!");
+        return 2;
+    }
+
+    ErrorSlot err;
+    parallel_for_lines(static_cast<size_t>(nrows), [&](size_t lo, size_t hi) {
+        for (size_t w = lo; w < hi; ++w) {
+            if (err.has_error()) return;
+            const int64_t b_off = spans[2 * w];
+            const int64_t e_off = spans[2 * w + 1];
+            if (b_off < 0 || e_off < b_off ||
+                static_cast<size_t>(e_off) > size) {
+                err.report(static_cast<long long>(w),
+                           "line span out of file bounds!");
+                return;
+            }
+            Line ln{base + b_off, base + e_off};
+            const char* q = ln.begin;
+            if (has_label(ln)) {
+                while (q < ln.end && !is_space(*q)) ++q;
+            }
+            double* row = data + w * static_cast<size_t>(known_d);
+            while (q < ln.end) {
+                while (q < ln.end && is_space(*q)) ++q;
+                if (q >= ln.end) break;
+                const char* tok_end = q;
+                while (tok_end < ln.end && !is_space(*tok_end)) ++tok_end;
+                const char* colon = static_cast<const char*>(
+                    memchr(q, ':', static_cast<size_t>(tok_end - q)));
+                long long index = 0;
+                double value = 0.0;
+                if (colon == nullptr || !parse_index(q, colon, &index) ||
+                    index < 1 || index > known_d ||
+                    !parse_value(colon + 1, tok_end, &value)) {
+                    err.report(static_cast<long long>(w),
+                               "Can't convert '" + std::string(q, tok_end) +
+                                   "' to a LIBSVM index:value pair!");
+                    return;
+                }
+                row[index - 1] = value;
+                q = tok_end;
+            }
+        }
+    });
+
+    cleanup();
+    if (err.has_error()) {
+        free(data);
+        set_error(out, err.message);
+        return 1;
+    }
+    out->data = data;
+    out->n = nrows;
+    out->n_total = nrows;
+    out->d = known_d;
+    return 0;
+}
+
 }  // extern "C"

@@ -145,6 +145,24 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
             ]
             lib.plssvm_write_model.restype = ctypes.c_int
+            lib.plssvm_libsvm_line_spans.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.plssvm_libsvm_line_spans.restype = ctypes.c_int
+            lib.plssvm_free_spans.argtypes = [
+                ctypes.POINTER(ctypes.c_int64)
+            ]
+            lib.plssvm_free_spans.restype = None
+            lib.plssvm_parse_libsvm_rows.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(_ParseResult),
+            ]
+            lib.plssvm_parse_libsvm_rows.restype = ctypes.c_int
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -224,6 +242,69 @@ def parse_libsvm_native_window(
             raw = ctypes.string_at(res.labels, int(res.labels_bytes))
             labels = raw.decode(errors="replace").split("\x00")[:n_total]
         return data, labels, n_total, d
+    finally:
+        lib.plssvm_free_result(ctypes.byref(res))
+
+
+def libsvm_line_spans(filename: str) -> Optional[np.ndarray]:
+    """Byte spans of every data line as an (n, 2) int64 array, or None.
+
+    One cheap memchr sweep over the mmap'd file — built ONCE by streaming
+    consumers so every :func:`parse_libsvm_native_rows` call afterwards is
+    O(selected rows), not O(file).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if not os.path.isfile(filename):
+        raise FileNotFoundError_(f"Couldn't find file: '{filename}'!")
+    spans_ptr = ctypes.POINTER(ctypes.c_int64)()
+    n = ctypes.c_int64()
+    rc = lib.plssvm_libsvm_line_spans(
+        filename.encode(), ctypes.byref(spans_ptr), ctypes.byref(n)
+    )
+    if rc != 0:
+        return None
+    try:
+        if n.value == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        return np.ctypeslib.as_array(
+            spans_ptr, shape=(int(n.value), 2)
+        ).copy()
+    finally:
+        lib.plssvm_free_spans(spans_ptr)
+
+
+def parse_libsvm_native_rows(
+    filename: str, spans: np.ndarray, d: int, dtype=np.float64
+) -> Optional[np.ndarray]:
+    """Parse the data lines at the given (k, 2) byte spans into (k, d).
+
+    No whole-file revalidation: the caller must have validated the file via
+    a prior metadata parse (``parse_libsvm_native_window(path, 0, 0)``) and
+    pass its global feature count ``d``.  None = native unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    spans = np.ascontiguousarray(spans, dtype=np.int64)
+    k = spans.shape[0]
+    res = _ParseResult()
+    rc = lib.plssvm_parse_libsvm_rows(
+        filename.encode(),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(k), int(d), ctypes.byref(res),
+    )
+    if rc == 2:
+        return None
+    if rc == 1:
+        raise InvalidFileFormatError(res.error.decode(errors="replace"))
+    try:
+        if k == 0:
+            return np.zeros((0, d), dtype=dtype)
+        return np.ctypeslib.as_array(res.data, shape=(k, d)).astype(
+            dtype, copy=True
+        )
     finally:
         lib.plssvm_free_result(ctypes.byref(res))
 

@@ -35,6 +35,7 @@ MXU kernel-block + feature-projection matmuls; no per-point host work.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax
@@ -208,39 +209,8 @@ def _select_landmarks(
     n = data.num_data_points
     rng = np.random.default_rng(random_state)
     if data.is_regression or not data.has_labels():
-        return np.sort(rng.choice(n, size=m, replace=False))
-    labels = np.asarray(data.labels)
-    classes, class_idx = np.unique(labels, return_inverse=True)
-    if m < classes.shape[0]:
-        raise InvalidParameterError(
-            f"n_landmarks ({m}) must be at least the number of classes "
-            f"({classes.shape[0]})!"
-        )
-    # proportional allocation with one landmark guaranteed per class
-    counts = np.bincount(class_idx, minlength=classes.shape[0])
-    alloc = np.maximum(1, np.floor(m * counts / n).astype(int))
-    alloc = np.minimum(alloc, counts)
-    # the max(1,...) floor can overshoot m on imbalanced data (e.g. counts
-    # [100,1,1,1] with m=4 floors to [4,1,1,1]); shrink the largest
-    # allocations back (keeping the one-per-class floor) so exactly m
-    # landmarks come back — the --nystroem M model-size contract
-    while alloc.sum() > m:
-        shrink = int(np.argmax(np.where(alloc > 1, alloc, -1)))
-        if alloc[shrink] <= 1:
-            break
-        alloc[shrink] -= 1
-    # distribute the remainder to the largest classes that still have room
-    while alloc.sum() < m:
-        room = counts - alloc
-        grow = int(np.argmax(np.where(room > 0, counts, -1)))
-        if room[grow] <= 0:
-            break
-        alloc[grow] += 1
-    picked = []
-    for c in range(classes.shape[0]):
-        members = np.nonzero(class_idx == c)[0]
-        picked.append(rng.choice(members, size=alloc[c], replace=False))
-    return np.sort(np.concatenate(picked))
+        return _stratified_landmarks(None, n, m, rng)
+    return _stratified_landmarks(np.asarray(data.labels), n, m, rng)
 
 
 def _kmm_inv_sqrt(K_mm: np.ndarray, rcond: float) -> np.ndarray:
@@ -516,6 +486,275 @@ def nystroem_fit(
             model = Model(params, sub, alpha=alpha, rho=-b)
             model.classification = ClassificationType.OAA
     model.n_iter = 0  # direct (non-iterative) solve
+    if return_indices:
+        return model, idx
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Windowed file ingest: fixed-size fits at n >> host RAM
+# ---------------------------------------------------------------------------
+
+
+def _stratified_landmarks(labels, n, m, rng) -> np.ndarray:
+    """Class-stratified landmark indices from a raw label array (the
+    array-level core of :func:`_select_landmarks` for streaming callers
+    that have no DataSet)."""
+    if labels is None:
+        return np.sort(rng.choice(n, size=m, replace=False))
+    classes, class_idx = np.unique(labels, return_inverse=True)
+    if m < classes.shape[0]:
+        raise InvalidParameterError(
+            f"n_landmarks ({m}) must be at least the number of classes "
+            f"({classes.shape[0]})!"
+        )
+    # proportional allocation with one landmark guaranteed per class; the
+    # max(1,...) floor can overshoot m on imbalanced data, so shrink the
+    # largest allocations back (keeping the floor) — exactly m landmarks
+    # always come back (the --nystroem M model-size contract)
+    counts = np.bincount(class_idx, minlength=classes.shape[0])
+    alloc = np.maximum(1, np.floor(m * counts / n).astype(int))
+    alloc = np.minimum(alloc, counts)
+    while alloc.sum() > m:
+        shrink = int(np.argmax(np.where(alloc > 1, alloc, -1)))
+        if alloc[shrink] <= 1:
+            break
+        alloc[shrink] -= 1
+    # distribute the remainder to the largest classes that still have room
+    while alloc.sum() < m:
+        room = counts - alloc
+        grow = int(np.argmax(np.where(room > 0, counts, -1)))
+        if room[grow] <= 0:
+            break
+        alloc[grow] += 1
+    picked = []
+    for ci in range(classes.shape[0]):
+        members = np.nonzero(class_idx == ci)[0]
+        picked.append(rng.choice(members, size=alloc[ci], replace=False))
+    return np.sort(np.concatenate(picked))
+
+
+def nystroem_fit_from_file(
+    csvm,
+    filename: str,
+    *,
+    n_landmarks: int,
+    label_type=None,
+    regression: bool = False,
+    random_state=0,
+    sample_weight=None,
+    rcond: float = 1e-10,
+    row_block: int = 65536,
+    return_indices: bool = False,
+):
+    """Fixed-size LS-SVM trained STRAIGHT FROM a LIBSVM file in two passes.
+
+    The in-memory :func:`nystroem_fit` needs host-resident X; this variant
+    bounds host memory at O(row_block * d + m * d + n) for ANY n:
+
+    1. **Landmark pass** — one metadata parse validates the file and yields
+       (n, d) plus the full label column (metadata-scale); ``n_landmarks``
+       class-stratified landmark rows are then gathered in ONE selected-row
+       native parse against a byte-span line index built with a single
+       memchr sweep (native/libsvm_parser.cpp::plssvm_libsvm_line_spans —
+       per-call cost O(selected), no whole-file revalidation).
+    2. **Reduce pass** — the file streams through ``row_block``-row windows
+       (same O(selected) selected-row parses); each window runs the fused
+       kernel-block + MXU projection update of the (m+1) x (m+1) normal
+       equations on device, donation keeping a single (m, m) accumulator.
+
+    The result is numerically IDENTICAL to ``nystroem_fit(csvm,
+    DataSet(filename), landmarks=<same>)`` — same landmarks, same reduction
+    order per block row.  Falls back to the in-memory path when the native
+    parser is unavailable.  Single-device (the streaming loop is a host
+    loop; use ``nystroem_fit`` on meshes or ``fit_multihost`` for exact
+    multi-host fits).
+    """
+    from .data_set import LabelMapper, _infer_label_array
+    from .kernel_functions import KernelFunctionType
+    from .native.loader import (
+        libsvm_line_spans,
+        parse_libsvm_native_rows,
+        parse_libsvm_native_window,
+    )
+
+    meta = parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    spans = libsvm_line_spans(filename) if meta is not None else None
+    if meta is None or spans is None:
+        # native parser unavailable: host-resident fallback
+        from .data_set import DataSet as _DS
+
+        data = _DS(
+            filename,
+            label_type=float if regression else label_type,
+            dtype=csvm.dtype, regression=regression,
+        )
+        return nystroem_fit(
+            csvm, data, n_landmarks=n_landmarks,
+            random_state=random_state, sample_weight=sample_weight,
+            rcond=rcond, return_indices=return_indices,
+        )
+
+    _, raw_labels, n, d = meta
+    if spans.shape[0] != n:
+        raise InvalidParameterError(
+            f"line index ({spans.shape[0]} rows) disagrees with the parse "
+            f"({n} rows) — file changed mid-read?"
+        )
+    if raw_labels is None:
+        raise InvalidParameterError(
+            "No labels given for training! Maybe the data is only usable "
+            "for prediction?"
+        )
+    if not 1 <= n_landmarks <= n:
+        raise InvalidParameterError(
+            f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
+        )
+    rng = np.random.default_rng(random_state)
+    if regression:
+        labels = np.asarray(
+            _infer_label_array(list(raw_labels), float), dtype=np.float64
+        )
+        Y = labels[:, None]
+        idx = _stratified_landmarks(None, n, int(n_landmarks), rng)
+    else:
+        labels = _infer_label_array(list(raw_labels), label_type)
+        mapper = LabelMapper(labels)
+        if mapper.num_mappings > 2:
+            Y = mapper.oaa_targets(labels, dtype=np.float64)
+        else:
+            Y = mapper.map_labels(labels, dtype=np.float64)[:, None]
+        idx = _stratified_landmarks(labels, n, int(n_landmarks), rng)
+    C_classes = Y.shape[1]
+    m = idx.shape[0]
+
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n,):
+            raise InvalidParameterError(
+                f"sample_weight must have one entry per data point ({n}), "
+                f"but has shape {sample_weight.shape}!"
+            )
+        if not np.all(sample_weight > 0.0):
+            raise InvalidParameterError(
+                "sample_weight entries must all be positive!"
+            )
+        s = sample_weight
+    else:
+        s = np.ones(n, dtype=np.float64)
+
+    from .csvm import _ensure_x64_if_needed
+
+    _ensure_x64_if_needed(csvm.dtype)
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    kind = params.kernel_type.value
+    gamma_v = params.resolved_gamma(d)
+    coef0_v = params.coef0.value
+    degree_v = params.degree.value
+    cost = params.cost.value
+    dt = csvm.dtype
+
+    # ---- pass 1: gather the landmark rows (one O(m d) selected parse) ----
+    Z = parse_libsvm_native_rows(filename, spans[idx], d, dtype=dt)
+    if kind == KernelFunctionType.CHI_SQUARED and np.any(Z < 0.0):
+        raise InvalidParameterError(
+            "chi-squared kernel requires non-negative data!"
+        )
+
+    block = int(min(row_block, max(8, n)))
+
+    @partial(
+        jax.jit, static_argnames=("kind", "degree"), donate_argnums=(0, 1, 2)
+    )
+    def block_update(A, c, u, Xblk, sblk, Yblk, Zd, sqZ, ivr,
+                     gamma, coef0, kind, degree):
+        sq = jnp.sum(Xblk * Xblk, axis=1)
+        Kbm = kernel_block(Xblk, Zd, sq, sqZ, kind, gamma, coef0, degree)
+        Phi = Kbm @ ivr
+        Phi_s = Phi * sblk[:, None]
+        A = A + jax.lax.dot_general(
+            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype,
+        )
+        c = c + jax.lax.dot_general(
+            Phi_s, Yblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=c.dtype,
+        )
+        u = u + Phi_s.sum(axis=0)
+        return A, c, u
+
+    with csvm._device_ctx():
+        Zd = jnp.asarray(Z)
+        sqZ = jnp.sum(Zd * Zd, axis=1)
+        K_mm = np.asarray(
+            jax.device_get(
+                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
+                             dt.type(coef0_v), degree_v)
+            ),
+            dtype=np.float64,
+        )
+        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
+        ivr = jnp.asarray(inv_sqrt, dtype=dt)
+        A = jnp.zeros((m, m), dt)
+        c = jnp.zeros((m, C_classes), dt)
+        u = jnp.zeros((m,), dt)
+        g = dt.type(gamma_v)
+        c0 = dt.type(coef0_v)
+        # ---- pass 2: stream fixed-shape windows (one compile) ----
+        for b in range(0, n, block):
+            e = min(b + block, n)
+            Xw = parse_libsvm_native_rows(filename, spans[b:e], d, dtype=dt)
+            if kind == KernelFunctionType.CHI_SQUARED and np.any(Xw < 0.0):
+                raise InvalidParameterError(
+                    "chi-squared kernel requires non-negative data!"
+                )
+            if e - b < block:  # pad the tail block; s = 0 rows are no-ops
+                Xp = np.zeros((block, d), dtype=dt)
+                Xp[: e - b] = Xw
+                sp = np.zeros(block, dtype=dt)
+                sp[: e - b] = s[b:e]
+                Yp = np.zeros((block, C_classes), dtype=dt)
+                Yp[: e - b] = Y[b:e]
+            else:
+                Xp, sp, Yp = Xw, s[b:e].astype(dt), Y[b:e].astype(dt)
+            A, c, u = block_update(
+                A, c, u, jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp),
+                Zd, sqZ, ivr, g, c0, kind=kind, degree=degree_v,
+            )
+        A = np.asarray(jax.device_get(A), dtype=np.float64)
+        c = np.asarray(jax.device_get(c), dtype=np.float64)
+        u = np.asarray(jax.device_get(u), dtype=np.float64)
+
+    # bordered (m+1) x (m+1) normal equations — identical to nystroem_fit
+    s1 = float(np.sum(s))
+    sy = (s[:, None] * Y).sum(axis=0)
+    H = np.empty((m + 1, m + 1), dtype=np.float64)
+    H[:m, :m] = A + np.eye(m) / cost
+    H[:m, m] = u
+    H[m, :m] = u
+    H[m, m] = s1
+    rhs = np.concatenate([c, sy[None, :]], axis=0)
+    sol = np.linalg.solve(H, rhs)
+    w = sol[:m]
+    b_sol = sol[m]
+    alpha = inv_sqrt @ w
+
+    if regression:
+        sub = DataSet(Z, dtype=dt)
+        model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b_sol[0]))
+        model.is_regression = True
+    else:
+        sub = DataSet(Z, labels[idx], dtype=dt)
+        if C_classes == 1:
+            model = Model(
+                params, sub, alpha=alpha[:, 0], rho=-float(b_sol[0])
+            )
+        else:
+            model = Model(params, sub, alpha=alpha, rho=-b_sol)
+            model.classification = ClassificationType.OAA
+    model.n_iter = 0
     if return_indices:
         return model, idx
     return model
