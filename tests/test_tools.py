@@ -90,3 +90,25 @@ def test_baseline_ladder_config1():
     )
     assert out.returncode == 0
     assert '"config": "tiny-linear"' in out.stdout
+
+
+def test_scaling_projection_collective_counts():
+    """The scaling projection's collective inventory comes from real
+    compiled HLO: the linear solve must show all-reduces only (factored
+    psum path), the rbf solve must add the ring's collective-permutes."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import scaling_projection as sp
+
+    rbf = sp.measure_collectives(4, 128, 64, "rbf")
+    lin = sp.measure_collectives(4, 128, 64, "linear")
+    assert rbf.get("collective-permute", {}).get("count", 0) > 0
+    assert rbf.get("all-reduce", {}).get("count", 0) > 0
+    assert "collective-permute" not in lin
+    assert lin.get("all-reduce", {}).get("count", 0) > 0
+
+    rows = [sp.ring_model(P, 1048576, 1024) for P in (2, 4, 8)]
+    for row in rows:
+        # the BASELINE north-star >= 80% bar, with margin, even serialized
+        assert row["scaling_efficiency_serialized"] >= 0.9
