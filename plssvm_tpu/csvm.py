@@ -463,9 +463,14 @@ class CSVM:
                 and _uses_pallas_kernels(kind)
                 else d
             )
-        elif self.backend == BackendType.PALLAS and _uses_pallas_kernels(kind):
+        elif self.backend == BackendType.PALLAS and (
+            _uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+        ):
             from .ops.pallas_matvec import preferred_row_multiple
 
+            # distance kernels use the fused VPU walk (ops/pallas_distance)
+            # — same 128-multiple row/feature alignment and chunking rules
+            # as the Gram dual kernels
             d_pad = _round_up(d, 128)
             # rows split evenly into well-tiled chunks when the operand
             # needs the chunked composition (>~1 GiB per pallas_call)

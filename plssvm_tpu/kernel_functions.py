@@ -44,7 +44,9 @@ GRAM_KERNELS = frozenset(
     }
 )
 
-#: kernels over a non-Euclidean pairwise distance — VPU-bound, XLA path only
+#: kernels over a non-Euclidean pairwise distance — VPU-bound; the pallas
+#: impl runs the fused VMEM-resident dual walk (ops/pallas_distance.py),
+#: the XLA blocked path stays as the portable oracle
 DISTANCE_KERNELS = frozenset(
     {KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED}
 )
@@ -56,12 +58,13 @@ def is_gram_kernel(kind: KernelFunctionType) -> bool:
 
 
 def uses_pallas_kernels(kind: KernelFunctionType) -> bool:
-    """Whether the fused Pallas matvec/matmat kernels apply to ``kind``.
+    """Whether the fused MXU Pallas matvec/matmat kernels apply to ``kind``.
 
     One rule for every dispatch site: a Gram kernel other than linear.
     The linear kernel always takes the factored ``X (X^T v)`` O(n d) path
-    (a fused walk over the full kernel matrix could never beat it), and
-    the distance kernels are VPU-bound XLA-path-only by design.
+    (a fused walk over the full kernel matrix could never beat it); the
+    distance kernels have their OWN fused VPU walk
+    (ops/pallas_distance.py) gated separately by the matvec factory.
     """
     return kind != KernelFunctionType.LINEAR and kind in GRAM_KERNELS
 

@@ -135,15 +135,18 @@ def _make_kernel_matvec(
 ):
     """Select the K@v implementation for the static configuration.
 
-    The Pallas kernels require a Gram-expressible kernel (the laplacian /
-    chi-squared distance reductions are VPU-bound and run the XLA path by
-    design — kernel_functions module docstring); the linear kernel always
-    uses the factored O(n d) path — a fused Pallas walk over the full
-    kernel matrix could never beat it.
+    The MXU Pallas kernels require a Gram-expressible kernel; the
+    laplacian / chi-squared distance reductions are inherently VPU work
+    but get their OWN fused Pallas walk (ops/pallas_distance.py — VMEM-
+    resident tiles, symmetric dual contraction, no broadcast temporaries)
+    on the pallas impl.  The linear kernel always uses the factored
+    O(n d) path — a fused Pallas walk over the full kernel matrix could
+    never beat it.
 
-    ``precision="bf16"`` (Pallas path only) casts the Gram contraction
-    inputs to bfloat16 with f32 accumulation — ~2x MXU rate and half the
-    HBM traffic; see ``solve_ls_svm``'s gram_precision contract.
+    ``precision="bf16"`` (Gram Pallas path only) casts the Gram
+    contraction inputs to bfloat16 with f32 accumulation — ~2x MXU rate
+    and half the HBM traffic; see ``solve_ls_svm``'s gram_precision
+    contract.
     """
     if impl == "pallas" and uses_pallas_kernels(kind):
         from ..ops.pallas_matvec import kernel_matvec_pallas_big
@@ -155,6 +158,30 @@ def _make_kernel_matvec(
             return kernel_matvec_pallas_big(
                 X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
                 degree=degree, precision=precision,
+            )
+
+        return kv
+
+    if impl == "pallas" and kind in DISTANCE_KERNELS:
+        from ..ops.pallas_distance import (
+            distance_matvec_pallas_big,
+            distance_supported,
+        )
+
+        def kv(X, sq_norms, v, gamma, coef0):
+            if distance_supported(X.shape[0], X.shape[1]):
+                return distance_matvec_pallas_big(
+                    X, v, kind=kind, gamma=gamma
+                )
+            # unpadded shapes (rows not a 128-multiple) keep the XLA walk
+            return distance_kernel_matvec_sym(
+                X, v, gamma, kind=kind,
+                row_block=min(row_block, X.shape[0]),
+            ) if X.shape[0] % min(row_block, X.shape[0]) == 0 else (
+                kernel_matvec_xla(
+                    X, sq_norms, v, kind=kind, gamma=gamma, coef0=coef0,
+                    degree=degree, row_block=row_block,
+                )
             )
 
         return kv

