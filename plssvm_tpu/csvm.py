@@ -460,7 +460,7 @@ class CSVM:
             d_pad = (
                 _round_up(d, 128)
                 if self.backend == BackendType.PALLAS
-                and _uses_pallas_kernels(kind)
+                and (_uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS)
                 else d
             )
         elif self.backend == BackendType.PALLAS and (
@@ -1176,16 +1176,30 @@ class CSVM:
         block (e.g. many classes x a tall shard), and the ring does not
         silently downgrade (that would falsify the builders' per-impl
         ``check_vma`` scoping)."""
-        if self.backend != BackendType.PALLAS or not _uses_pallas_kernels(kind):
+        is_distance = kind in DISTANCE_KERNELS
+        if self.backend != BackendType.PALLAS or not (
+            _uses_pallas_kernels(kind) or is_distance
+        ):
             return "xla"
-        if not all(
+        if not self.devices or not all(
             getattr(dev, "platform", "") in ("tpu", "axon")
             for dev in self.devices
         ):
             return "xla"
+        m_pad, d_pad = padded_shape
+        if is_distance:
+            # the fused distance walk serves the ring's matvec only — the
+            # multiclass matmat has no distance kernel (XLA blocks there)
+            if n_classes is not None:
+                return "xla"
+            from .ops.pallas_distance import distance_supported
+
+            return (
+                "pallas" if distance_supported(m_pad // n_dev, d_pad)
+                else "xla"
+            )
         from .ops.pallas_matvec import ring_block_supported
 
-        m_pad, d_pad = padded_shape
         if not ring_block_supported(m_pad // n_dev, d_pad, n_classes):
             return "xla"
         return "pallas"

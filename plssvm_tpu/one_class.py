@@ -126,7 +126,7 @@ def _fit_one_class_sharded(
     csvm, X, params, nu, epsilon, max_iter
 ) -> Model:
     """Row-sharded one-class ridge CG over the CSVM's device mesh."""
-    from .kernel_functions import uses_pallas_kernels
+    from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
     from .parallel.sharded import (
         ROW_AXIS,
         build_sharded_one_class_solver,
@@ -139,18 +139,15 @@ def _fit_one_class_sharded(
     kind = params.kernel_type.value
     devices = csvm.devices
     n_dev = len(devices)
-    pallas = csvm.backend == BackendType.PALLAS and uses_pallas_kernels(kind)
-    d_pad = ((d + 127) // 128) * 128 if pallas else d
+    pallas_candidate = csvm.backend == BackendType.PALLAS and (
+        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    )
+    d_pad = ((d + 127) // 128) * 128 if pallas_candidate else d
     chunk = n_dev * 128
     m_pad = max(-(-n // chunk) * chunk, chunk)
-    if pallas:
-        from .ops.pallas_matvec import ring_block_supported
-
-        pallas = ring_block_supported(m_pad // n_dev, d_pad, None)
-        if not pallas:
-            d_pad = d
-            m_pad = max(-(-n // chunk) * chunk, chunk)
-    impl = "pallas" if pallas else "xla"
+    # the CSVM's impl selection handles platform, shape-feasibility and
+    # the distance-kernel gating (fused VPU walk for the ring's matvec)
+    impl = csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
 
     Xp = np.zeros((m_pad, d_pad), dtype=dt)
     Xp[:n, :d] = X
@@ -344,17 +341,15 @@ def fit_one_class_multihost(
         params.gamma.value = 1.0 / d
     kind = params.kernel_type.value
 
-    pallas = csvm.backend == BackendType.PALLAS and uses_pallas_kernels(kind)
-    d_pad = ((d + 127) // 128) * 128 if pallas else d
+    from .kernel_functions import DISTANCE_KERNELS
+
+    pallas_candidate = csvm.backend == BackendType.PALLAS and (
+        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    )
+    d_pad = ((d + 127) // 128) * 128 if pallas_candidate else d
     chunk = n_dev * 128
     m_pad = max(-(-n_total // chunk) * chunk, chunk)
-    if pallas:
-        from .ops.pallas_matvec import ring_block_supported
-
-        pallas = ring_block_supported(m_pad // n_dev, d_pad, None)
-        if not pallas:
-            d_pad = d
-    impl = "pallas" if pallas else "xla"
+    impl = csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
 
     # this host's row window of the padded row axis
     begin, end = host_row_range(m_pad)

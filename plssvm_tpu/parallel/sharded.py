@@ -135,6 +135,40 @@ def ring_kernel_matvec(
             for a in state
         )
 
+    from ..kernel_functions import DISTANCE_KERNELS
+
+    if impl == "pallas" and kind in DISTANCE_KERNELS:
+        # distance kernels ride the SAME symmetric ring with their own
+        # fused VPU walk (ops/pallas_distance — no sq norms needed)
+        from ..ops.pallas_distance import distance_matvec_pallas_dual
+
+        def own():
+            r, c = distance_matvec_pallas_dual(
+                X_local, X_local, v_local, v_local,
+                kind=kind, gamma=gamma, symmetric=True, vma=axis_name,
+            )
+            return r + c
+
+        def cross_dual(Xc, sqc, vc):
+            return distance_matvec_pallas_dual(
+                X_local, Xc, vc, v_local,
+                kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
+            )
+
+        def cross_rows(Xc, sqc, vc):
+            # no rows-only distance kernel; the discarded column
+            # contraction costs ~1/d of the block — negligible
+            r, _ = distance_matvec_pallas_dual(
+                X_local, Xc, vc, v_local,
+                kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
+            )
+            return r
+
+        return _symmetric_ring(
+            own, cross_dual, cross_rows, rotate,
+            (X_local, sq_local, v_local), axis_name, num_devices,
+        )
+
     if impl == "pallas":
         from ..ops.pallas_matvec import (
             kernel_matvec_pallas_dual,

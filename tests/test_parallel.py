@@ -644,3 +644,68 @@ def test_sharded_solvers_trace_under_replication_checker(mesh, impl):
         jnp.asarray(1.0, dtype), scal[3], scal[4],
     )
     assert out_oc[0].shape == (m_pad,)
+
+
+@pytest.mark.parametrize(
+    "kind", [KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED]
+)
+def test_sharded_distance_pallas_traces_under_checker(mesh, kind):
+    """The fused distance kernels ride the ring too (round 6): the pallas
+    impl must trace under the replication checker for the binary and
+    one-class solvers (real-TPU execution parity is checked in the
+    verify-skill drive; CPU cannot run Mosaic)."""
+    from plssvm_tpu.parallel.sharded import build_sharded_one_class_solver
+
+    dtype = np.float32
+    m_pad, d = NDEV * 128, 128
+    X = np.zeros((m_pad, d), dtype)
+    y = np.ones(m_pad, dtype)
+    mask = np.ones(m_pad, dtype)
+    args = shard_arrays(mesh, X, X[0], y, 1.0, mask, dtype)
+    scal = (
+        jnp.asarray(0.05, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(1.0, dtype), jnp.asarray(1e-3, dtype),
+        jnp.asarray(2, jnp.int32),
+    )
+    solver = build_sharded_solver(mesh, kind=kind, degree=3, impl="pallas")
+    out = jax.eval_shape(solver, *args, *scal)
+    assert out.x.shape == (m_pad,)
+    oc = build_sharded_one_class_solver(
+        mesh, kind=kind, degree=3, impl="pallas"
+    )
+    out_oc = jax.eval_shape(
+        oc, args[0], args[4], scal[0], scal[1],
+        jnp.asarray(1.0, dtype), scal[3], scal[4],
+    )
+    assert out_oc[0].shape == (m_pad,)
+
+
+def test_sharded_impl_distance_gating():
+    """Distance kernels get the pallas ring on TPU meshes for the binary
+    matvec only; the multiclass matmat and non-TPU meshes stay XLA."""
+
+    class _FakeTPU:
+        platform = "tpu"
+
+    svm = plssvm_tpu.CSVM(kernel_type="laplacian", gamma=0.1)
+    svm.backend = plssvm_tpu.BackendType.PALLAS
+    svm.devices = [_FakeTPU(), _FakeTPU()]
+    assert svm._sharded_impl(
+        KernelFunctionType.LAPLACIAN, (256, 128), 2
+    ) == "pallas"
+    assert svm._sharded_impl(
+        KernelFunctionType.CHI_SQUARED, (256, 128), 2
+    ) == "pallas"
+    # multiclass matmat: no fused distance kernel -> XLA
+    assert svm._sharded_impl(
+        KernelFunctionType.LAPLACIAN, (256, 128), 2, n_classes=3
+    ) == "xla"
+    # unpadded per-chip rows -> XLA
+    assert svm._sharded_impl(
+        KernelFunctionType.LAPLACIAN, (250, 128), 2
+    ) == "xla"
+    # CPU mesh -> XLA
+    svm.devices = jax.devices("cpu")[:2]
+    assert svm._sharded_impl(
+        KernelFunctionType.LAPLACIAN, (256, 128), 2
+    ) == "xla"
