@@ -2042,7 +2042,12 @@ class CSVM:
                 )
             elif (
                 self.backend == BackendType.PALLAS
-                and _is_gram_kernel(kind)
+                and (
+                    _is_gram_kernel(kind)
+                    # distance kernels: the fused VPU rect walk serves the
+                    # binary case (no fused distance matmat for OAA models)
+                    or (kind in DISTANCE_KERNELS and np.ndim(model.alpha) == 1)
+                )
                 and points.shape[0] >= 512
                 and sv.shape[0] >= 512
             ):
@@ -2194,6 +2199,17 @@ class CSVM:
                         alpha_t[:, sj:sj + sv_chunk], vx_zero,
                         kind=kind, gamma=gamma, coef0=coef0, degree=degree,
                         precision=self.gram_precision,
+                    )
+                elif kind in DISTANCE_KERNELS:
+                    from .ops.pallas_distance import (
+                        distance_matvec_pallas_dual,
+                    )
+
+                    alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)
+                    blk, _ = distance_matvec_pallas_dual(
+                        pts_blk, sv_blk, alpha_blk,
+                        jnp.zeros((p_chunk,), dtype=points.dtype),
+                        kind=kind, gamma=gamma, symmetric=False,
                     )
                 else:
                     alpha_blk = _pad_rows(alpha[sj:se], sv_chunk)

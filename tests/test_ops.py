@@ -705,3 +705,36 @@ def test_distance_matvec_factory_routing():
     ):
         kv = _make_kernel_matvec(kind, 3, "pallas", 256, "f32")
         assert kv is not None
+
+
+def test_pallas_distance_predict_path_interpret():
+    """CSVM._predict_values_pallas serves distance kernels too (round 6):
+    binary decision values through the fused rect distance walk match the
+    dense oracle (interpret mode; real-TPU speed in BENCHMARKS.md)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plssvm_tpu import CSVM
+
+    rng = np.random.default_rng(21)
+    nsv, npred, d = 640, 512, 96
+    SV = np.abs(rng.normal(size=(nsv, d))).astype(np.float32)
+    alpha = rng.normal(size=nsv).astype(np.float32)
+    Q = np.abs(rng.normal(size=(npred, d))).astype(np.float32)
+    gamma = np.float32(0.05)
+    svm = CSVM(backend="xla", dtype=np.float32)
+    for kind in (
+        KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED
+    ):
+        want = _dense_distance_kernel(Q, SV, kind, gamma) @ alpha.astype(
+            np.float64
+        ) - 0.25
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                svm._predict_values_pallas(
+                    jnp.asarray(SV), jnp.asarray(alpha), jnp.asarray(Q),
+                    jnp.asarray(0.25, jnp.float32), gamma,
+                    jnp.asarray(0.0, jnp.float32), kind, 3,
+                )
+            )
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
