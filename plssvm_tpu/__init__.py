@@ -79,6 +79,7 @@ from .sparse import (
     nystroem_fit,
     nystroem_fit_from_file,
     nystroem_fit_one_class,
+    nystroem_fit_one_class_from_file,
     pruned_fit,
     pruned_fit_one_class,
 )
@@ -121,6 +122,7 @@ __all__ = [
     "nystroem_fit",
     "nystroem_fit_from_file",
     "nystroem_fit_one_class",
+    "nystroem_fit_one_class_from_file",
     "predict_probabilities",
     "csvm_backend_exists",
     "list_available_backends",

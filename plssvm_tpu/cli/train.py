@@ -334,17 +334,12 @@ def main(argv=None) -> int:
             if args.nystroem is None:
                 print("--streaming requires --nystroem!", file=sys.stderr)
                 return 1
-            for flag, name in (
-                (args.weight, "--weight"),
-                (args.svm_type == "one_class", "-s one_class"),
-            ):
-                if flag:
-                    print(
-                        f"--streaming is not supported together with "
-                        f"{name}!",
-                        file=sys.stderr,
-                    )
-                    return 1
+            if args.weight:
+                print(
+                    "--streaming is not supported together with --weight!",
+                    file=sys.stderr,
+                )
+                return 1
         if args.svm_type == "one_class":
             if not 0.0 < args.nu < 1.0:
                 print(
@@ -461,6 +456,15 @@ def main(argv=None) -> int:
 
             def run_fit():
                 if args.streaming:
+                    if one_class:
+                        from ..sparse import (
+                            nystroem_fit_one_class_from_file,
+                        )
+
+                        return nystroem_fit_one_class_from_file(
+                            svm, args.input,
+                            n_landmarks=args.nystroem, nu=args.nu,
+                        )
                     from ..sparse import nystroem_fit_from_file
 
                     return nystroem_fit_from_file(

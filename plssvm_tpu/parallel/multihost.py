@@ -411,20 +411,21 @@ def fit_multihost(
     kind = params.kernel_type.value
     degree = params.degree.value
 
-    from ..kernel_functions import uses_pallas_kernels
+    from ..kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
 
-    pallas = csvm.backend == BackendType.PALLAS and uses_pallas_kernels(kind)
-    d_pad = ((d + 127) // 128) * 128 if pallas else d
+    pallas_candidate = csvm.backend == BackendType.PALLAS and (
+        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    )
+    d_pad = ((d + 127) // 128) * 128 if pallas_candidate else d
     chunk = n_dev * 128
     m_pad = max(((dept + chunk - 1) // chunk) * chunk, chunk)
-    if pallas:
-        # per-chip ring blocks must fit one dual pallas_call (offset range
-        # + a VMEM-feasible tile); otherwise use the portable XLA ring
-        from ..ops.pallas_matvec import ring_block_supported
-
-        pallas = ring_block_supported(
-            m_pad // n_dev, d_pad, n_classes if multiclass else None
-        )
+    # the CSVM's impl selection handles platform, per-chip block
+    # feasibility and the distance-kernel gating (fused ring walk for the
+    # binary matvec; the multiclass matmat and infeasible blocks demote
+    # to the portable XLA ring)
+    pallas = csvm._sharded_impl(
+        kind, (m_pad, d_pad), n_dev, n_classes if multiclass else None
+    ) == "pallas"
 
     # ---- this host's row window: [begin, end) of the padded row axis ----
     begin, end = host_row_range(m_pad)

@@ -760,6 +760,172 @@ def nystroem_fit_from_file(
     return model
 
 
+def nystroem_fit_one_class_from_file(
+    csvm,
+    filename: str,
+    *,
+    n_landmarks: int,
+    nu: float = 0.5,
+    random_state=0,
+    rcond: float = 1e-10,
+    row_block: int = 65536,
+    return_indices: bool = False,
+):
+    """Fixed-size ONE-CLASS LS-SVM trained straight from a LIBSVM file.
+
+    The one-class analog of :func:`nystroem_fit_from_file` (same two
+    O(selected-rows) native passes over a memchr-built line index, host
+    memory O(row_block * d + M * d + n)) with a THIRD streaming pass for
+    the threshold: the support-function target is the constant 1 (no bias
+    row), and after the m x m ridge solve the training scores
+    ``g = k(x, Z) @ alpha`` stream through the same windows so the
+    nu-quantile ``rho`` is computed over the FULL data without ever
+    materializing it.  Labels in the file are ignored (one-class files
+    conventionally carry a single +1 class).  Falls back to the in-memory
+    :func:`nystroem_fit_one_class` when the native parser is unavailable.
+    """
+    from .kernel_functions import KernelFunctionType
+    from .native.loader import (
+        libsvm_line_spans,
+        parse_libsvm_native_rows,
+        parse_libsvm_native_window,
+    )
+
+    if not 0.0 < nu < 1.0:
+        raise InvalidParameterError(
+            f"nu must be in (0, 1), but is {nu}!"
+        )
+    meta = parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    spans = libsvm_line_spans(filename) if meta is not None else None
+    if meta is None or spans is None:
+        from .data_set import DataSet as _DS
+
+        data = _DS(filename, label_type=float, dtype=csvm.dtype,
+                   regression=True)
+        return nystroem_fit_one_class(
+            csvm, data, n_landmarks=n_landmarks, nu=nu,
+            random_state=random_state, rcond=rcond,
+            return_indices=return_indices,
+        )
+
+    _, _, n, d = meta
+    if not 1 <= n_landmarks <= n:
+        raise InvalidParameterError(
+            f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
+        )
+    rng = np.random.default_rng(random_state)
+    idx = np.sort(rng.choice(n, size=int(n_landmarks), replace=False))
+    m = idx.shape[0]
+
+    from .csvm import _ensure_x64_if_needed
+
+    _ensure_x64_if_needed(csvm.dtype)
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    kind = params.kernel_type.value
+    gamma_v = params.resolved_gamma(d)
+    coef0_v = params.coef0.value
+    degree_v = params.degree.value
+    cost = params.cost.value
+    dt = csvm.dtype
+
+    Z = parse_libsvm_native_rows(filename, spans[idx], d, dtype=dt)
+    if kind == KernelFunctionType.CHI_SQUARED and np.any(Z < 0.0):
+        raise InvalidParameterError(
+            "chi-squared kernel requires non-negative data!"
+        )
+    block = int(min(row_block, max(8, n)))
+
+    @partial(
+        jax.jit, static_argnames=("kind", "degree"), donate_argnums=(0, 1)
+    )
+    def block_update(A, c, Xblk, sblk, Zd, sqZ, ivr, gamma, coef0,
+                     kind, degree):
+        sq = jnp.sum(Xblk * Xblk, axis=1)
+        Kbm = kernel_block(Xblk, Zd, sq, sqZ, kind, gamma, coef0, degree)
+        Phi = Kbm @ ivr
+        Phi_s = Phi * sblk[:, None]
+        A = A + jax.lax.dot_general(
+            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype,
+        )
+        c = c + (Phi_s.sum(axis=0))
+        return A, c
+
+    @partial(jax.jit, static_argnames=("kind", "degree"))
+    def block_scores(Xblk, Zd, sqZ, alpha_d, gamma, coef0, kind, degree):
+        sq = jnp.sum(Xblk * Xblk, axis=1)
+        Kbm = kernel_block(Xblk, Zd, sq, sqZ, kind, gamma, coef0, degree)
+        return Kbm @ alpha_d
+
+    def windows():
+        for b in range(0, n, block):
+            e = min(b + block, n)
+            Xw = parse_libsvm_native_rows(filename, spans[b:e], d, dtype=dt)
+            if kind == KernelFunctionType.CHI_SQUARED and np.any(Xw < 0.0):
+                raise InvalidParameterError(
+                    "chi-squared kernel requires non-negative data!"
+                )
+            if e - b < block:
+                Xp = np.zeros((block, d), dtype=dt)
+                Xp[: e - b] = Xw
+                sp = np.zeros(block, dtype=dt)
+                sp[: e - b] = 1.0
+            else:
+                Xp, sp = Xw, np.ones(block, dtype=dt)
+            yield b, e, Xp, sp
+
+    with csvm._device_ctx():
+        Zd = jnp.asarray(Z)
+        sqZ = jnp.sum(Zd * Zd, axis=1)
+        K_mm = np.asarray(
+            jax.device_get(
+                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
+                             dt.type(coef0_v), degree_v)
+            ),
+            dtype=np.float64,
+        )
+        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
+        ivr = jnp.asarray(inv_sqrt, dtype=dt)
+        A = jnp.zeros((m, m), dt)
+        c = jnp.zeros((m,), dt)
+        g_ = dt.type(gamma_v)
+        c0 = dt.type(coef0_v)
+        for b, e, Xp, sp in windows():
+            A, c = block_update(
+                A, c, jnp.asarray(Xp), jnp.asarray(sp), Zd, sqZ, ivr,
+                g_, c0, kind=kind, degree=degree_v,
+            )
+        A = np.asarray(jax.device_get(A), dtype=np.float64)
+        c = np.asarray(jax.device_get(c), dtype=np.float64)
+
+        # bias-free m x m ridge: (A + I/C) w = c  (c = Phi' 1)
+        w = np.linalg.solve(A + np.eye(m) / cost, c)
+        alpha = inv_sqrt @ w
+
+        # threshold pass: stream the training scores g = k(x, Z) @ alpha
+        alpha_d = jnp.asarray(alpha, dtype=dt)
+        g_all = np.empty(n, dtype=np.float64)
+        for b, e, Xp, sp in windows():
+            gw = np.asarray(
+                jax.device_get(
+                    block_scores(jnp.asarray(Xp), Zd, sqZ, alpha_d,
+                                 g_, c0, kind=kind, degree=degree_v)
+                ),
+                dtype=np.float64,
+            )
+            g_all[b:e] = gw[: e - b]
+
+    model = Model(params, DataSet(Z, dtype=dt), alpha=alpha,
+                  rho=float(np.quantile(g_all, nu)))
+    model.is_one_class = True
+    model.n_iter = 0
+    if return_indices:
+        return model, idx
+    return model
+
+
 # ---------------------------------------------------------------------------
 # Compact one-class models (novelty detection with m << n support vectors)
 # ---------------------------------------------------------------------------

@@ -462,3 +462,46 @@ def test_sklearn_one_class_compact_kwargs(oc_problem):
     from sklearn.base import clone
 
     assert clone(clf).get_params()["n_landmarks"] == 32
+
+
+def test_nystroem_one_class_streaming(tmp_path):
+    """Streaming one-class fixed-size fit == in-memory on the same
+    landmarks; CLI -s one_class --nystroem --streaming."""
+    from plssvm_tpu import (
+        nystroem_fit_one_class,
+        nystroem_fit_one_class_from_file,
+    )
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=400, d=6, seed=40)
+    path = os.fspath(tmp_path / "oc_stream.libsvm")
+    write_libsvm_file(path, X, np.ones(400))
+    svm = _svm(kernel_type="rbf", gamma=0.2, cost=10.0)
+    model, idx = nystroem_fit_one_class_from_file(
+        svm, path, n_landmarks=48, nu=0.2, random_state=0,
+        row_block=128, return_indices=True,
+    )
+    ds = DataSet(X, dtype=np.float64)
+    ref = nystroem_fit_one_class(
+        svm, ds, landmarks=idx, nu=0.2
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.alpha), np.asarray(ref.alpha),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(model.rho, ref.rho, rtol=1e-8)
+    pred = svm.predict(model, ds)
+    assert abs(float(np.mean(pred == -1)) - 0.2) < 0.04
+
+    from plssvm_tpu.cli import train as cli_train
+
+    mf = os.fspath(tmp_path / "oc_stream.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "-s", "one_class", "-n", "0.2",
+         "-t", "2", "-g", "0.2", "--nystroem", "32", "--streaming",
+         path, mf]
+    )
+    assert rc == 0
+    with open(mf) as fh:
+        content = fh.read()
+    assert "svm_type one_class" in content and "total_sv 32" in content
