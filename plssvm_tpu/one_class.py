@@ -58,6 +58,31 @@ from .solver.cg import _make_kernel_matvec, ridge_cg_core
 from .utils.logger import VerbosityLevel, log
 
 
+@partial(jax.jit, static_argnames=("precision", "warm"))
+def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
+                       precision="f32", warm=False, x_init=None):
+    """CG on ``(K + I/C) x = 1`` against a MATERIALIZED kernel matrix.
+
+    The one-class analog of the classifier's cg_explicit solver type
+    (solver/explicit.py): K is built once and each iteration is one
+    HBM-bound matmul — the measured win for the VPU-bound distance
+    kernels while K fits in device memory (BENCHMARKS.md "Solver types").
+    """
+    from .solver.explicit import _explicit_matvec
+
+    kv_fn = _explicit_matvec(K, mask.dtype, precision)
+
+    def matvec(v):
+        return (kv_fn(None, None, v, None, None) + cost_inv * v) * mask
+
+    x, delta, delta0, it = ridge_cg_core(
+        mask, matvec, eps=eps, max_iter=max_iter,
+        x_init=x_init if warm else None,
+    )
+    g = kv_fn(None, None, x, None, None) * mask
+    return x, g, delta, delta0, it
+
+
 @partial(jax.jit, static_argnames=("kind", "degree", "impl", "precision",
                                    "warm"))
 def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
@@ -257,19 +282,48 @@ def fit_one_class(
     else:
         x0 = np.zeros(n_pad, dtype=dt)  # unused; keeps the jit signature
 
+    # solver type: the same rules as the classifier (CSVM.solver /
+    # automatic crossover) — cg_explicit materializes K once (memoized on
+    # the DataSet) and iterates HBM-bound matmuls, the measured win for
+    # the VPU-bound distance kernels while K fits in device memory
+    use_explicit = csvm._use_explicit_solver(n, d, kind, 1)
+    from .utils.tracker import add_tracking_entry
+
+    add_tracking_entry(
+        "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
+    )
+
     with csvm._device_ctx():
-        Xd = jnp.asarray(Xp)
-        sq = jnp.sum(Xd * Xd, axis=1)
-        alpha_p, g_p, delta, delta0, it = _ridge_cg(
-            Xd, sq, jnp.asarray(mask),
-            dt.type(params.resolved_gamma(d)), dt.type(params.coef0.value),
-            dt.type(1.0 / params.cost.value), dt.type(epsilon),
-            jnp.asarray(max_iter, jnp.int32),
-            kind, params.degree.value,
-            impl="pallas" if csvm.backend == BackendType.PALLAS else "xla",
-            precision=getattr(csvm, "gram_precision", "f32"),
-            warm=warm, x_init=jnp.asarray(x0),
-        )
+        if use_explicit:
+            gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dt)
+            coef0_v = jnp.asarray(params.coef0.value, dtype=dt)
+            K = csvm._build_explicit_k(
+                data, Xp, gamma_v, coef0_v, kind, params.degree.value
+            )
+            alpha_p, g_p, delta, delta0, it = _ridge_cg_explicit(
+                K, jnp.asarray(mask),
+                dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                jnp.asarray(max_iter, jnp.int32),
+                precision=csvm.gram_precision,
+                warm=warm, x_init=jnp.asarray(x0),
+            )
+        else:
+            Xd = jnp.asarray(Xp)
+            sq = jnp.sum(Xd * Xd, axis=1)
+            alpha_p, g_p, delta, delta0, it = _ridge_cg(
+                Xd, sq, jnp.asarray(mask),
+                dt.type(params.resolved_gamma(d)),
+                dt.type(params.coef0.value),
+                dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                jnp.asarray(max_iter, jnp.int32),
+                kind, params.degree.value,
+                impl=(
+                    "pallas" if csvm.backend == BackendType.PALLAS
+                    else "xla"
+                ),
+                precision=getattr(csvm, "gram_precision", "f32"),
+                warm=warm, x_init=jnp.asarray(x0),
+            )
         alpha = np.asarray(jax.device_get(alpha_p))[:n]
         g = np.asarray(jax.device_get(g_p), dtype=np.float64)[:n]
         iterations = int(jax.device_get(it))

@@ -505,3 +505,28 @@ def test_nystroem_one_class_streaming(tmp_path):
     with open(mf) as fh:
         content = fh.read()
     assert "svm_type one_class" in content and "total_sv 32" in content
+
+
+@pytest.mark.parametrize("kind", ["rbf", "laplacian", "chi_squared"])
+def test_one_class_explicit_solver_matches_implicit(kind):
+    """Solver types apply to one-class like everything else (round 6):
+    cg_explicit materializes K once (memoized on the DataSet) and must
+    match cg_implicit to fp tolerance; warm starts ride it too."""
+    rng = np.random.default_rng(50)
+    X = np.abs(rng.normal(size=(200, 6)))
+    ds_i = DataSet(X, dtype=np.float64)
+    ds_e = DataSet(X, dtype=np.float64)
+    kw = dict(kernel_type=kind, gamma=0.1, cost=10.0)
+    mi = fit_one_class(
+        _svm(solver="cg_implicit", **kw), ds_i, nu=0.25, epsilon=1e-10
+    )
+    svm_e = _svm(solver="cg_explicit", **kw)
+    me = fit_one_class(svm_e, ds_e, nu=0.25, epsilon=1e-10)
+    np.testing.assert_allclose(me.alpha, mi.alpha, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(me.rho, mi.rho, rtol=1e-8)
+    # K is memoized on the DataSet: the warm refit runs 0 iterations and
+    # reuses the built matrix
+    m2 = fit_one_class(
+        svm_e, ds_e, nu=0.25, epsilon=1e-10, initial_model=me
+    )
+    assert m2.n_iter == 0
