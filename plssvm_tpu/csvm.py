@@ -1188,10 +1188,18 @@ class CSVM:
             return "xla"
         m_pad, d_pad = padded_shape
         if is_distance:
-            # the fused distance walk serves the ring's matvec only — the
-            # multiclass matmat has no distance kernel (XLA blocks there)
+            # fused distance walks serve both the ring's matvec and the
+            # multiclass matmat (ops/pallas_distance)
             if n_classes is not None:
-                return "xla"
+                from .ops.pallas_distance import distance_matmat_supported
+
+                return (
+                    "pallas"
+                    if distance_matmat_supported(
+                        m_pad // n_dev, d_pad, n_classes
+                    )
+                    else "xla"
+                )
             from .ops.pallas_distance import distance_supported
 
             return (
@@ -2044,9 +2052,9 @@ class CSVM:
                 self.backend == BackendType.PALLAS
                 and (
                     _is_gram_kernel(kind)
-                    # distance kernels: the fused VPU rect walk serves the
-                    # binary case (no fused distance matmat for OAA models)
-                    or (kind in DISTANCE_KERNELS and np.ndim(model.alpha) == 1)
+                    # distance kernels: the fused VPU walks serve binary
+                    # (rect) AND multiclass (matmat) models
+                    or kind in DISTANCE_KERNELS
                 )
                 and points.shape[0] >= 512
                 and sv.shape[0] >= 512
@@ -2193,7 +2201,17 @@ class CSVM:
                 se = min(sj + sv_chunk, n_sv)
                 sv_blk = _pad_2d(sv[sj:se], sv_chunk, d_pad)
                 sq_sv_blk = _row_sq_norms(sv_blk)
-                if multi:
+                if multi and kind in DISTANCE_KERNELS:
+                    from .ops.pallas_distance import (
+                        distance_matmat_pallas_dual,
+                    )
+
+                    blk, _ = distance_matmat_pallas_dual(
+                        pts_blk, sv_blk,
+                        alpha_t[:, sj:sj + sv_chunk], vx_zero,
+                        kind=kind, gamma=gamma, symmetric=False,
+                    )
+                elif multi:
                     blk, _ = kernel_matmat_pallas_dual(
                         pts_blk, sv_blk, sq_blk, sq_sv_blk,
                         alpha_t[:, sj:sj + sv_chunk], vx_zero,

@@ -52,6 +52,8 @@ from .pallas_matvec import (
     _i32,
     _vma_set,
     CHUNK_TARGET_BYTES,
+    class_pad,
+    pack_class_major,
 )
 
 #: rows per in-kernel group: one f32 sublane tile of the (G, t, dk)
@@ -270,6 +272,250 @@ def distance_matvec_pallas_dual(
         ),
     )(gamma_arr, Xc, Yc, vy_row, vx_row)
     return outr.reshape(mr), outc.reshape(mc)
+
+
+def _distance_kernel_matmat_dual(
+    gamma_ref,                     # SMEM (1, 1)
+    xi_ref,                        # VMEM (t, dk) row tile
+    yj_ref,                        # VMEM (t, dk) col tile
+    vy_ref,                        # VMEM (cp, t) class-major RHS block j
+    vx_ref,                        # VMEM (cp, t) class-major RHS block i
+    outr_ref,                      # VMEM (cp, t) block i — row accumulator
+    outc_ref,                      # VMEM (nj*cp, t) resident — col accum
+    dist_acc,                      # VMEM scratch (t, t) f32
+    *, kind, nk, symmetric, cp,
+):
+    """Block matmat over a DISTANCE-kernel tile: the VPU builds the tile
+    (row-group walk, as the matvec kernel) and tiny MXU matmuls contract
+    it with all C class-major columns both ways — the distance analog of
+    _matmat_kernel_dual (ops/pallas_matvec.py)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(i == 0, jnp.logical_and(j == 0, k == 0)))
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+
+    @pl.when(jnp.logical_and(j == 0, k == 0))
+    def _():
+        outr_ref[:] = jnp.zeros_like(outr_ref)
+
+    def compute():
+        y = yj_ref[:]
+        t = y.shape[0]
+
+        @pl.when(k == 0)
+        def _():
+            dist_acc[:] = jnp.zeros_like(dist_acc)
+
+        def body(g, _):
+            off = pl.multiple_of(g * _GROUP, _GROUP)
+            a = xi_ref[pl.ds(off, _GROUP), :]
+            part = _distance_partial(a, y, kind)
+            dist_acc[pl.ds(off, _GROUP), :] = (
+                dist_acc[pl.ds(off, _GROUP), :] + part
+            )
+            return 0
+
+        jax.lax.fori_loop(0, t // _GROUP, body, 0)
+
+        @pl.when(k == nk - 1)
+        def _():
+            k_tile = jnp.exp(-gamma_ref[0, 0] * dist_acc[:])
+            # rows: outr[c, ti] += sum_tj k_tile[ti, tj] vy[c, tj]
+            rowT = jax.lax.dot_general(
+                vy_ref[:], k_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outr_ref[:] = outr_ref[:] + rowT
+            # cols: outc[c, tj] += sum_ti k_tile[ti, tj] vx[c, ti]
+            colT = jax.lax.dot_general(
+                vx_ref[:], k_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if symmetric:
+                colT = jnp.where(j > i, colT, jnp.zeros_like(colT))
+            cur = outc_ref[pl.ds(j * cp, cp), :]
+            outc_ref[pl.ds(j * cp, cp), :] = cur + colT
+
+    if symmetric:
+        @pl.when(j >= i)
+        def _():
+            compute()
+    else:
+        compute()
+
+
+def _pick_dist_tile_multi(mr: int, mc: int, dk: int, cp: int):
+    """Largest tile dividing both row counts within the VMEM budget
+    (accounts for the (cp, t) RHS blocks + the (nj*cp, t) accumulator)."""
+    for t in _SYM_TILES:
+        if mr % t != 0 or mc % t != 0:
+            continue
+        nj = mc // t
+        vmem = (
+            2 * t * dk * 4 + 2 * t * t * 4 + 2 * _GROUP * t * dk * 4
+            + 3 * cp * t * 4 + nj * cp * t * 4
+        )
+        if vmem <= _VMEM_LIMIT_BYTES - (8 << 20):
+            return t
+    return None
+
+
+def distance_matmat_supported(m: int, d: int, n_classes: int) -> bool:
+    """Whether the fused distance matmat covers the (padded) shape."""
+    if m % 128 != 0:
+        return False
+    try:
+        dk = _pick_dist_dk(d)
+    except ValueError:
+        return False
+    return _pick_dist_tile_multi(m, m, dk, class_pad(n_classes)) is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "symmetric", "vma")
+)
+def distance_matmat_pallas_dual(
+    X: jnp.ndarray,          # (mr, d) rows of the kernel block
+    Y: jnp.ndarray,          # (mc, d) columns of the kernel block
+    Vy: jnp.ndarray,         # (cp, mc) class-major, contracted against rows
+    Vx: jnp.ndarray,         # (cp, mr) class-major, contracted against cols
+    *,
+    kind: KernelFunctionType,
+    gamma,
+    symmetric: bool = False,
+    vma=None,
+):
+    """Dual contraction of one DISTANCE block against C class-major
+    columns: ``(K @ Vy^T, K^T @ Vx^T)`` returned class-major (cp, mr),
+    (cp, mc) — the distance analog of kernel_matmat_pallas_dual."""
+    assert kind in DISTANCE_KERNELS, kind
+    mr, d = X.shape
+    mc = Y.shape[0]
+    cp = Vy.shape[0]
+    dk = _pick_dist_dk(d)
+    nk = d // dk
+    t = _pick_dist_tile_multi(mr, mc, dk, cp)
+    if t is None:
+        raise ValueError(
+            f"no Pallas distance tile for shape ({mr}, {mc}, {d}, C={cp}); "
+            "rows must be padded to a multiple of 128"
+        )
+    ni, nj = mr // t, mc // t
+
+    Xc = X.astype(jnp.float32)
+    Yc = Y.astype(jnp.float32)
+    Vy_c = Vy.astype(jnp.float32)
+    Vx_c = Vx.astype(jnp.float32)
+    gamma_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+
+    per_elem = 3 if kind == KernelFunctionType.LAPLACIAN else 6
+    flops = per_elem * mr * mc * d + 4 * mr * mc * max(cp, 8)
+    if symmetric:
+        flops = flops // 2 + flops // 8
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(mr + mc) * d * 4 + 3 * cp * (mr + mc) * 4,
+        transcendentals=(mr * mc // 2 if symmetric else mr * mc),
+    )
+
+    xi_map, yj_map, colv_map = _dual_index_maps(symmetric)
+
+    outr, outc = pl.pallas_call(
+        functools.partial(
+            _distance_kernel_matmat_dual,
+            kind=kind, nk=nk, symmetric=symmetric, cp=cp,
+        ),
+        grid=(ni, nj, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, k: _i32(0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, dk), xi_map),
+            pl.BlockSpec((t, dk), yj_map),
+            pl.BlockSpec((cp, t), colv_map),
+            pl.BlockSpec((cp, t), lambda i, j, k: _i32(0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((cp, t), lambda i, j, k: _i32(0, i)),
+            pl.BlockSpec((nj * cp, t), lambda i, j, k: _i32(0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, mr), jnp.float32, vma=_vma_set(vma)),
+            jax.ShapeDtypeStruct(
+                (nj * cp, t), jnp.float32, vma=_vma_set(vma)
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((t, t), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+    )(gamma_arr, Xc, Yc, Vy_c, Vx_c)
+    outc = (
+        outc.reshape(nj, cp, t).transpose(1, 0, 2).reshape(cp, mc)
+    )
+    return outr, outc
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def distance_matmat_pallas_big(
+    X: jnp.ndarray,          # (m, d)
+    V: jnp.ndarray,          # (m, C) block of right-hand sides
+    *,
+    kind: KernelFunctionType,
+    gamma,
+) -> jnp.ndarray:
+    """Symmetric distance-kernel ``K @ V`` at ANY size (row-major in/out)
+    — the matmat analog of :func:`distance_matvec_pallas_big` with the
+    same triangle-of-chunks composition."""
+    m, d = X.shape
+    C = V.shape[1]
+    cp = class_pad(C)
+    Vt = pack_class_major(V)
+    dk = _pick_dist_dk(d)
+
+    def _chunk_ok(nc_: int) -> bool:
+        if m % nc_ != 0 or (m // nc_) % 128 != 0:
+            return False
+        rows_ = m // nc_
+        return _pick_dist_tile_multi(rows_, rows_, dk, cp) is not None
+
+    total = m * d * 4
+    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    while nc < m // 128 and not _chunk_ok(nc):
+        nc += 1
+    if nc == 1 or not _chunk_ok(nc):
+        outr, outc = distance_matmat_pallas_dual(
+            X, X, Vt, Vt, kind=kind, gamma=gamma, symmetric=True,
+        )
+        return (outr + outc).T[:, :C].astype(V.dtype)
+
+    rows = m // nc
+    Xc = X.reshape(nc, rows, d)
+    Vc = Vt.reshape(cp, nc, rows)
+
+    outs = []
+    for ci in range(nc):
+        r, c = distance_matmat_pallas_dual(
+            Xc[ci], Xc[ci], Vc[:, ci], Vc[:, ci],
+            kind=kind, gamma=gamma, symmetric=True,
+        )
+        outs.append(r + c)
+    for ci in range(nc):
+        for cj in range(ci + 1, nc):
+            r, c = distance_matmat_pallas_dual(
+                Xc[ci], Xc[cj], Vc[:, cj], Vc[:, ci],
+                kind=kind, gamma=gamma, symmetric=False,
+            )
+            outs[ci] = outs[ci] + r
+            outs[cj] = outs[cj] + c
+    return jnp.concatenate(
+        outs, axis=1
+    ).T[:, :C].astype(V.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))

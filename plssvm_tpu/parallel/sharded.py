@@ -253,6 +253,7 @@ def ring_kernel_matmat(
             num_devices=num_devices, impl="xla",
         )
 
+    from ..kernel_functions import DISTANCE_KERNELS
     from ..ops.pallas_matvec import kernel_matmat_pallas_dual, pack_class_major
 
     C = V_local.shape[1]
@@ -263,6 +264,36 @@ def ring_kernel_matmat(
             jax.lax.ppermute(a, axis_name, _FWD_PERM(num_devices))
             for a in state
         )
+
+    if kind in DISTANCE_KERNELS:
+        # the fused distance matmat rides the same ring (ops/pallas_distance)
+        from ..ops.pallas_distance import distance_matmat_pallas_dual
+
+        def own():
+            r, c = distance_matmat_pallas_dual(
+                X_local, X_local, vt_local, vt_local,
+                kind=kind, gamma=gamma, symmetric=True, vma=axis_name,
+            )
+            return r + c
+
+        def cross_dual(Xc, sqc, vtc):
+            return distance_matmat_pallas_dual(
+                X_local, Xc, vtc, vt_local,
+                kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
+            )
+
+        def cross_rows(Xc, sqc, vtc):
+            r, _ = distance_matmat_pallas_dual(
+                X_local, Xc, vtc, vt_local,
+                kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
+            )
+            return r
+
+        accT = _symmetric_ring(
+            own, cross_dual, cross_rows, rotate,
+            (X_local, sq_local, vt_local), axis_name, num_devices,
+        )
+        return accT.T[:, :C].astype(V_local.dtype)
 
     def own():
         r, c = kernel_matmat_pallas_dual(

@@ -668,6 +668,32 @@ def _make_kernel_matmat(
 
         return kmm
 
+    if impl == "pallas" and kind in DISTANCE_KERNELS:
+        from ..ops.pallas_distance import (
+            distance_matmat_pallas_big,
+            distance_matmat_supported,
+        )
+
+        def kmm(X, sq_norms, V, gamma, coef0):
+            if distance_matmat_supported(
+                X.shape[0], X.shape[1], V.shape[1]
+            ):
+                return distance_matmat_pallas_big(
+                    X, V, kind=kind, gamma=gamma
+                )
+            m = X.shape[0]
+            if m % min(row_block, m) == 0:
+                return distance_kernel_matvec_sym(
+                    X, V, gamma, kind=kind,
+                    row_block=min(row_block, m),
+                )
+            return kernel_matvec_xla(
+                X, sq_norms, V, kind=kind, gamma=gamma, coef0=coef0,
+                degree=degree, row_block=row_block,
+            )
+
+        return kmm
+
     def kmm(X, sq_norms, V, gamma, coef0):
         if kind == KernelFunctionType.LINEAR:
             return linear_kernel_matvec(X, V)

@@ -468,12 +468,17 @@ class TestPallasSigmoid:
             )
             kmm = _make_kernel_matmat(kind, 3, 64, "pallas")
             V = jnp.stack([v, 2 * v], axis=1)
-            out2 = np.asarray(kmm(jnp.asarray(X), sq, V, 0.2, 0.0))
+            # the multiclass matmat routes to the fused distance matmat
+            # (round 6) — interpret mode on CPU
+            with pltpu.force_tpu_interpret_mode():
+                out2 = np.asarray(kmm(jnp.asarray(X), sq, V, 0.2, 0.0))
             np.testing.assert_allclose(
                 out2, Ko @ np.asarray(V), rtol=1e-3
             )
 
     def test_sharded_impl_selection(self):
+        # distance kernels ride the fused pallas ring on TPU meshes only;
+        # here the devices are CPU (or None) -> XLA
         svm = p.CSVM(kernel_type="laplacian", gamma=0.1)
         svm.backend = p.BackendType.PALLAS  # force, regardless of host
         assert svm._sharded_impl(KT.LAPLACIAN, (256, 128), 2) == "xla"

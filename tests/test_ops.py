@@ -738,3 +738,56 @@ def test_pallas_distance_predict_path_interpret():
                 )
             )
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize(
+    "kind", [KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED]
+)
+def test_pallas_distance_matmat_interpret(kind):
+    """The fused distance MATMAT (multiclass block solve, round 6): the
+    symmetric dual walk contracted with C class-major columns must match
+    the dense oracle K @ V."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plssvm_tpu.ops.pallas_distance import (
+        distance_matmat_pallas_big,
+        distance_matmat_pallas_dual,
+        distance_matmat_supported,
+    )
+    from plssvm_tpu.ops.pallas_matvec import pack_class_major
+
+    rng = np.random.default_rng(6)
+    m, d, C = 256, 192, 3
+    X = jnp.asarray(np.abs(rng.normal(size=(m, d))).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(m, C)).astype(np.float32))
+    gamma = 0.02
+    K = _dense_distance_kernel(X, X, kind, gamma)
+    want = K @ np.asarray(V, np.float64)
+    assert distance_matmat_supported(m, d, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            distance_matmat_pallas_big(X, V, kind=kind, gamma=gamma),
+            np.float64,
+        )
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+    # rectangular dual (the ring's cross blocks + multiclass predict)
+    Y = jnp.asarray(np.abs(rng.normal(size=(128, d))).astype(np.float32))
+    Vy = pack_class_major(jnp.asarray(
+        rng.normal(size=(128, C)).astype(np.float32)))
+    Vx = pack_class_major(V)
+    Kxy = _dense_distance_kernel(X, Y, kind, gamma)
+    with pltpu.force_tpu_interpret_mode():
+        r, c = distance_matmat_pallas_dual(
+            X, Y, Vy, Vx, kind=kind, gamma=gamma, symmetric=False
+        )
+    np.testing.assert_allclose(
+        np.asarray(r, np.float64)[:C].T,
+        Kxy @ np.asarray(Vy, np.float64)[:C].T,
+        rtol=5e-5, atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c, np.float64)[:C].T,
+        Kxy.T @ np.asarray(Vx, np.float64)[:C].T,
+        rtol=5e-5, atol=5e-5,
+    )

@@ -678,6 +678,16 @@ def test_sharded_distance_pallas_traces_under_checker(mesh, kind):
         jnp.asarray(1.0, dtype), scal[3], scal[4],
     )
     assert out_oc[0].shape == (m_pad,)
+    # the fused distance MATMAT ring (multiclass block solve)
+    from plssvm_tpu.parallel.sharded import build_sharded_multi_solver
+
+    Y3 = np.ones((m_pad, 3), dtype)
+    args3 = shard_arrays(mesh, X, X[0], Y3, np.ones(3, dtype), mask, dtype)
+    msolver = build_sharded_multi_solver(
+        mesh, kind=kind, degree=3, impl="pallas"
+    )
+    out3 = jax.eval_shape(msolver, *args3, *scal)
+    assert out3.x.shape == (m_pad, 3)
 
 
 def test_sharded_impl_distance_gating():
@@ -696,10 +706,10 @@ def test_sharded_impl_distance_gating():
     assert svm._sharded_impl(
         KernelFunctionType.CHI_SQUARED, (256, 128), 2
     ) == "pallas"
-    # multiclass matmat: no fused distance kernel -> XLA
+    # multiclass matmat: the fused distance matmat covers it too
     assert svm._sharded_impl(
         KernelFunctionType.LAPLACIAN, (256, 128), 2, n_classes=3
-    ) == "xla"
+    ) == "pallas"
     # unpadded per-chip rows -> XLA
     assert svm._sharded_impl(
         KernelFunctionType.LAPLACIAN, (250, 128), 2
@@ -709,3 +719,73 @@ def test_sharded_impl_distance_gating():
     assert svm._sharded_impl(
         KernelFunctionType.LAPLACIAN, (256, 128), 2
     ) == "xla"
+
+
+@pytest.mark.parametrize("ndev", [2, 3])
+@pytest.mark.parametrize("matmat", [False, True])
+@pytest.mark.parametrize(
+    "kind", [KernelFunctionType.LAPLACIAN, KernelFunctionType.CHI_SQUARED]
+)
+def test_distance_ring_pallas_interpret(ndev, matmat, kind):
+    """The fused distance ring (matvec AND matmat) must match the dense
+    distance kernel — interpret mode on small CPU meshes (covers the
+    half-step rect path at P=2 and the dual + ppermute-back at P=3)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plssvm_tpu.parallel.sharded import (
+        ring_kernel_matmat, ring_kernel_matvec,
+    )
+
+    devs = jax.devices("cpu")
+    if len(devs) < ndev:
+        pytest.skip("needs virtual CPU devices")
+    small_mesh = make_row_mesh(devs[:ndev])
+
+    rng = np.random.default_rng(13)
+    m, d = ndev * 128, 128
+    X = np.abs(rng.normal(size=(m, d))).astype(np.float32) * 0.3
+    v = rng.normal(size=(m, 3) if matmat else (m,)).astype(np.float32)
+    gamma = np.float32(0.5 / d)
+    sq = np.sum(X * X, axis=1)
+    Xf = X.astype(np.float64)
+    if kind == KernelFunctionType.LAPLACIAN:
+        D = np.abs(Xf[:, None, :] - Xf[None, :, :]).sum(-1)
+    else:
+        num = (Xf[:, None, :] - Xf[None, :, :]) ** 2
+        den = Xf[:, None, :] + Xf[None, :, :]
+        D = np.divide(num, den, out=np.zeros_like(num),
+                      where=den != 0).sum(-1)
+    K = np.exp(-gamma * D)
+    expected = K @ v.astype(np.float64)
+
+    ring = ring_kernel_matmat if matmat else ring_kernel_matvec
+    fn = jax.jit(
+        jax.shard_map(
+            lambda Xl, sql, vl: ring(
+                Xl, sql, vl, gamma, np.float32(0.0),
+                kind=kind, degree=3, axis_name=ROW_AXIS, num_devices=ndev,
+                impl="pallas",
+            ),
+            mesh=small_mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS),
+                      P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS, None) if matmat else P(ROW_AXIS),
+            check_vma=True,
+        )
+    )
+    Xs = jax.device_put(
+        jnp.asarray(X), NamedSharding(small_mesh, P(ROW_AXIS, None))
+    )
+    sqs = jax.device_put(
+        jnp.asarray(sq), NamedSharding(small_mesh, P(ROW_AXIS))
+    )
+    vs = jax.device_put(
+        jnp.asarray(v),
+        NamedSharding(
+            small_mesh, P(ROW_AXIS, None) if matmat else P(ROW_AXIS)
+        ),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.device_get(fn(Xs, sqs, vs)), np.float64)
+    np.testing.assert_allclose(got, expected, rtol=5e-5, atol=5e-5)
