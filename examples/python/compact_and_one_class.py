@@ -54,3 +54,32 @@ ocsvm = p.CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
                gamma=0.2, cost=10.0)
 oc_model = p.fit_one_class(ocsvm, p.DataSet(cloud), nu=0.05)
 oc_model.save("/tmp/one_class_example.model")
+
+# -- round-6 composition: streaming ingest + compact one-class -------------
+# fixed-size fits can train STRAIGHT FROM a LIBSVM file in bounded host
+# memory (two windowed native-parse passes; files larger than host RAM)
+import os
+import tempfile
+
+train_file = os.path.join(tempfile.mkdtemp(), "big.libsvm")
+from plssvm_tpu.io.libsvm import write_libsvm_file
+
+write_libsvm_file(train_file, X, y)
+stream = p.nystroem_fit_from_file(
+    svm, train_file, n_landmarks=128, random_state=0, row_block=512
+)
+print(f"streaming m=128:{stream.num_support_vectors:5d} SVs, "
+      f"train acc {svm.score(stream, ds):.3f}  (file-windowed, O(window) host memory)")
+
+# compact one-class: novelty models with m << n support vectors — the
+# nu-quantile threshold still covers the FULL training cloud
+cloud = rng.normal(size=(1500, 8))
+oc_compact, landmarks = p.nystroem_fit_one_class(
+    p.CSVM(backend="xla", dtype=np.float64, kernel_type="rbf", gamma=0.2,
+           cost=10.0),
+    p.DataSet(cloud), n_landmarks=96, nu=0.05, return_indices=True,
+)
+print(f"one-class m=96: {oc_compact.num_support_vectors:5d} SVs, "
+      f"outlier fraction "
+      f"{float(np.mean(np.asarray(p.CSVM(backend='xla', dtype=np.float64, kernel_type='rbf', gamma=0.2, cost=10.0).predict(oc_compact, p.DataSet(cloud))) == -1)):.3f}"
+      f"  (target nu=0.05)")
