@@ -350,9 +350,10 @@ def main(argv=None) -> int:
             # one-class COMPOSES with --max_sv/--nystroem (compact novelty
             # models, sparse.py) and --multihost (windowed per-host ingest,
             # one_class.fit_one_class_multihost)
+            # --checkpoint also COMPOSES (one-class CG-state
+            # checkpointing, one_class._run_ridge_segments)
             for flag, name in (
                 (args.warm_start, "--warm_start"),
-                (args.checkpoint, "--checkpoint"),
                 (args.cross_validation, "--cross_validation"),
                 (args.probability, "--probability"),
                 (args.weight, "--weight"),
@@ -488,9 +489,16 @@ def main(argv=None) -> int:
                         )
                     from ..one_class import fit_one_class
 
+                    oc_kwargs = {}
+                    if args.checkpoint is not None:
+                        oc_kwargs["checkpoint_path"] = args.checkpoint
+                        oc_kwargs["checkpoint_interval"] = (
+                            args.checkpoint_interval
+                        )
                     return fit_one_class(
                         svm, data, nu=args.nu,
                         epsilon=args.epsilon, max_iter=args.max_iter,
+                        **oc_kwargs,
                     )
                 if args.nystroem is not None:
                     from ..sparse import nystroem_fit

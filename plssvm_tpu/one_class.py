@@ -58,15 +58,17 @@ from .solver.cg import _make_kernel_matvec, ridge_cg_core
 from .utils.logger import VerbosityLevel, log
 
 
-@partial(jax.jit, static_argnames=("precision", "warm"))
+@partial(jax.jit, static_argnames=("precision", "warm", "resume"))
 def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
-                       precision="f32", warm=False, x_init=None):
+                       precision="f32", warm=False, x_init=None,
+                       resume=False, init_state=None):
     """CG on ``(K + I/C) x = 1`` against a MATERIALIZED kernel matrix.
 
     The one-class analog of the classifier's cg_explicit solver type
     (solver/explicit.py): K is built once and each iteration is one
     HBM-bound matmul — the measured win for the VPU-bound distance
     kernels while K fits in device memory (BENCHMARKS.md "Solver types").
+    ``resume=True`` continues from ``init_state`` (checkpointed solves).
     """
     from .solver.explicit import _explicit_matvec
 
@@ -75,19 +77,20 @@ def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
     def matvec(v):
         return (kv_fn(None, None, v, None, None) + cost_inv * v) * mask
 
-    x, delta, delta0, it = ridge_cg_core(
+    x, r, d, delta, delta0, it = ridge_cg_core(
         mask, matvec, eps=eps, max_iter=max_iter,
         x_init=x_init if warm else None,
+        init_state=init_state if resume else None,
     )
     g = kv_fn(None, None, x, None, None) * mask
-    return x, g, delta, delta0, it
+    return x, g, r, d, delta, delta0, it
 
 
 @partial(jax.jit, static_argnames=("kind", "degree", "impl", "precision",
-                                   "warm"))
+                                   "warm", "resume"))
 def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
               kind, degree, impl="xla", precision="f32", warm=False,
-              x_init=None):
+              x_init=None, resume=False, init_state=None):
     """CG on ``(K + I/C) x = 1`` (masked rows) on one device.
 
     Same convergence contract as the classifier's CG (solver/cg.py):
@@ -95,7 +98,8 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
     residual recomputation every 50 iterations (reference:
     gpu_csvm.hpp:595-619).  ``warm=True`` seeds CG from ``x_init`` (a
     previous solve's alpha — pruning refits); the stop target stays
-    anchored to the cold start.
+    anchored to the cold start.  ``resume=True`` continues from
+    ``init_state`` (checkpointed solves, solver.checkpoint).
     """
     # the ridge matrix (K + I/C) is the classifier's implicit matrix with
     # q = 0 and QA_cost = 0, so the SAME kernel matvec implementations
@@ -106,13 +110,14 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
         kv = kv_fn(X, sq, v, gamma, coef0)
         return (kv + cost_inv * v) * mask
 
-    x, delta, delta0, it = ridge_cg_core(
+    x, r, d, delta, delta0, it = ridge_cg_core(
         mask, matvec, eps=eps, max_iter=max_iter,
         x_init=x_init if warm else None,
+        init_state=init_state if resume else None,
     )
     # training scores g = K @ alpha (for the nu-quantile threshold)
     g = kv_fn(X, sq, x, gamma, coef0) * mask
-    return x, g, delta, delta0, it
+    return x, g, r, d, delta, delta0, it
 
 
 def _validate_one_class_args(nu, epsilon, max_iter, n):
@@ -210,6 +215,74 @@ def _fit_one_class_sharded(
     return model
 
 
+def _run_ridge_segments(
+    solve_once, resume_once, Xp, mask, params_repr, epsilon, max_iter,
+    checkpoint_path, checkpoint_interval,
+):
+    """Segmented one-class ridge CG with checkpoint/resume — the one-class
+    analog of CSVM._fit_with_checkpointing (same fingerprint rules, same
+    no-forward-progress guard at the eps boundary)."""
+    import os
+
+    from .solver.checkpoint import (
+        CGCheckpoint,
+        load_checkpoint,
+        problem_fingerprint,
+        save_checkpoint,
+    )
+
+    fingerprint = problem_fingerprint(Xp, mask, params_repr, epsilon)
+    ckpt = load_checkpoint(checkpoint_path, fingerprint)
+    if ckpt is not None:
+        log(
+            VerbosityLevel.FULL,
+            "Resuming one-class CG from checkpoint '{}' at iteration {}.\n",
+            checkpoint_path, ckpt.iteration,
+        )
+    res = None
+    while True:
+        if ckpt is None:
+            seg_end = min(int(checkpoint_interval), int(max_iter))
+            res = solve_once(jnp.asarray(seg_end, jnp.int32))
+        else:
+            seg_end = min(
+                int(ckpt.iteration) + int(checkpoint_interval),
+                int(max_iter),
+            )
+            res = resume_once(
+                jnp.asarray(seg_end, jnp.int32),
+                (
+                    jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
+                    jnp.asarray(ckpt.d),
+                    jnp.asarray(ckpt.delta, dtype=mask.dtype),
+                    jnp.asarray(ckpt.delta0, dtype=mask.dtype),
+                    jnp.asarray(ckpt.iteration, jnp.int32),
+                ),
+            )
+        x, g, r, d, delta, delta0, it = res
+        iterations = int(it)
+        delta_f = float(delta)
+        converged = delta_f <= float(epsilon) ** 2 * float(delta0)
+        if converged or iterations >= int(max_iter):
+            break
+        if ckpt is not None and iterations <= int(ckpt.iteration):
+            break  # eps-boundary: accept the solver's verdict
+        ckpt = CGCheckpoint(
+            x=np.asarray(jax.device_get(x)),
+            r=np.asarray(jax.device_get(r)),
+            d=np.asarray(jax.device_get(d)),
+            delta=delta_f, delta0=float(delta0),
+            iteration=iterations, fingerprint=fingerprint,
+        )
+        save_checkpoint(checkpoint_path, ckpt)
+    try:
+        if os.path.isfile(checkpoint_path):
+            os.remove(checkpoint_path)
+    except OSError:
+        pass
+    return res
+
+
 def fit_one_class(
     csvm,
     data: DataSet,
@@ -218,6 +291,8 @@ def fit_one_class(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     initial_model: Optional[Model] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_interval: int = 1000,
 ) -> Model:
     """Fit a one-class LS-SVM on ``data``'s points (labels are ignored).
 
@@ -233,11 +308,31 @@ def fit_one_class(
     mesh (symmetric ppermute ring, psum'd scalars) exactly like the
     classifier's sharded solve.  ``initial_model`` warm-starts CG from a
     previous one-class fit on the same points (pruning refits; the stop
-    target stays cold-anchored, single-device path).
+    target stays cold-anchored, single-device path).  ``checkpoint_path``
+    enables CG-state checkpointing like ``CSVM.fit`` — the solve runs in
+    ``checkpoint_interval``-iteration segments, the solver state persists
+    between them, and an interrupted run resumes (single-device path).
     """
     n = data.num_data_points
     d = data.num_features
     max_iter = _validate_one_class_args(nu, epsilon, max_iter, n)
+    if checkpoint_path is not None:
+        if int(checkpoint_interval) < 1:
+            raise InvalidParameterError(
+                f"checkpoint_interval must be at least 1, but is "
+                f"{checkpoint_interval}!"
+            )
+        if initial_model is not None:
+            raise InvalidParameterError(
+                "initial_model cannot be combined with CG-state "
+                "checkpointing (the checkpoint already carries the "
+                "solver state)!"
+            )
+        if csvm.devices is not None and len(csvm.devices) > 1:
+            raise InvalidParameterError(
+                "one-class CG-state checkpointing is single-device — "
+                "drop checkpoint_path for multi-device fits!"
+            )
 
     from .csvm import _ensure_x64_if_needed
 
@@ -294,36 +389,68 @@ def fit_one_class(
     )
 
     with csvm._device_ctx():
+        mask_d = jnp.asarray(mask)
         if use_explicit:
             gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dt)
             coef0_v = jnp.asarray(params.coef0.value, dtype=dt)
             K = csvm._build_explicit_k(
                 data, Xp, gamma_v, coef0_v, kind, params.degree.value
             )
-            alpha_p, g_p, delta, delta0, it = _ridge_cg_explicit(
-                K, jnp.asarray(mask),
-                dt.type(1.0 / params.cost.value), dt.type(epsilon),
-                jnp.asarray(max_iter, jnp.int32),
-                precision=csvm.gram_precision,
-                warm=warm, x_init=jnp.asarray(x0),
-            )
+
+            def solve_once(seg_end):
+                return _ridge_cg_explicit(
+                    K, mask_d,
+                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    seg_end, precision=csvm.gram_precision,
+                    warm=warm, x_init=jnp.asarray(x0),
+                )
+
+            def resume_once(seg_end, state):
+                return _ridge_cg_explicit(
+                    K, mask_d,
+                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    seg_end, precision=csvm.gram_precision,
+                    resume=True, init_state=state,
+                )
         else:
             Xd = jnp.asarray(Xp)
             sq = jnp.sum(Xd * Xd, axis=1)
-            alpha_p, g_p, delta, delta0, it = _ridge_cg(
-                Xd, sq, jnp.asarray(mask),
-                dt.type(params.resolved_gamma(d)),
-                dt.type(params.coef0.value),
-                dt.type(1.0 / params.cost.value), dt.type(epsilon),
-                jnp.asarray(max_iter, jnp.int32),
-                kind, params.degree.value,
-                impl=(
-                    "pallas" if csvm.backend == BackendType.PALLAS
-                    else "xla"
-                ),
-                precision=getattr(csvm, "gram_precision", "f32"),
-                warm=warm, x_init=jnp.asarray(x0),
+            impl = (
+                "pallas" if csvm.backend == BackendType.PALLAS else "xla"
             )
+            prec = getattr(csvm, "gram_precision", "f32")
+
+            def solve_once(seg_end):
+                return _ridge_cg(
+                    Xd, sq, mask_d,
+                    dt.type(params.resolved_gamma(d)),
+                    dt.type(params.coef0.value),
+                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    seg_end, kind, params.degree.value,
+                    impl=impl, precision=prec,
+                    warm=warm, x_init=jnp.asarray(x0),
+                )
+
+            def resume_once(seg_end, state):
+                return _ridge_cg(
+                    Xd, sq, mask_d,
+                    dt.type(params.resolved_gamma(d)),
+                    dt.type(params.coef0.value),
+                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    seg_end, kind, params.degree.value,
+                    impl=impl, precision=prec,
+                    resume=True, init_state=state,
+                )
+
+        if checkpoint_path is None:
+            res = solve_once(jnp.asarray(max_iter, jnp.int32))
+        else:
+            res = _run_ridge_segments(
+                solve_once, resume_once, Xp, mask,
+                repr(params) + "|one_class", epsilon, max_iter,
+                checkpoint_path, int(checkpoint_interval),
+            )
+        alpha_p, g_p, _r, _d, delta, delta0, it = res
         alpha = np.asarray(jax.device_get(alpha_p))[:n]
         g = np.asarray(jax.device_get(g_p), dtype=np.float64)[:n]
         iterations = int(jax.device_get(it))

@@ -640,7 +640,7 @@ def build_sharded_one_class_solver(
         def matvec(v):
             return (kernel_mv(v) + cost_inv * v) * mask
 
-        x, delta, delta0, it = ridge_cg_core(
+        x, _r, _d, delta, delta0, it = ridge_cg_core(
             mask, matvec, dot, eps=eps, max_iter=max_iter
         )
         g = kernel_mv(x) * mask

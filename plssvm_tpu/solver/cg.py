@@ -390,6 +390,7 @@ def ridge_cg_core(
     eps,
     max_iter,
     x_init=None,           # optional warm start (pruning refits)
+    init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
 ):
     """Plain ridge CG ``A x = b``, agnostic to single-chip vs sharded runs.
 
@@ -402,20 +403,28 @@ def ridge_cg_core(
     50 iterations.  ``x_init`` warm-starts from a previous solve; the stop
     target stays anchored to the cold start (x0 = 0, so delta0 = b.b — no
     extra matvec needed, unlike the classifier's x0 = 1 anchor).
+    ``init_state`` resumes a checkpointed solve mid-CG (solver.checkpoint),
+    the one-class analog of ``cg_ls_svm_core``'s resume.
 
-    Returns ``(x, delta, delta0, iterations)``.
+    Returns ``(x, r, d, delta, delta0, iterations)`` — r/d/delta are the
+    live solver state a checkpoint needs.
     """
-    # cold anchor: x0 = 0 gives r = b, so delta0 = b.b always
-    delta0 = dot(b, b)
-    if x_init is None:
-        x = jnp.zeros_like(b)
-        r = b
-        delta = delta0
+    if init_state is not None:
+        x, r, d, delta, delta0, it0 = init_state
+        it0 = jnp.asarray(it0, jnp.int32)
     else:
-        x = x_init.astype(b.dtype)
-        r = b - matvec(x)
-        delta = dot(r, r)
-    d = r
+        # cold anchor: x0 = 0 gives r = b, so delta0 = b.b always
+        delta0 = dot(b, b)
+        if x_init is None:
+            x = jnp.zeros_like(b)
+            r = b
+            delta = delta0
+        else:
+            x = x_init.astype(b.dtype)
+            r = b - matvec(x)
+            delta = dot(r, r)
+        d = r
+        it0 = jnp.asarray(0, jnp.int32)
     target = eps * eps * delta0
 
     def cond(state):
@@ -438,9 +447,9 @@ def ridge_cg_core(
         return x, r, d, delta_new, it + 1
 
     x, r, d, delta, it = jax.lax.while_loop(
-        cond, body, (x, r, d, delta, jnp.asarray(0, jnp.int32))
+        cond, body, (x, r, d, delta, it0)
     )
-    return x, delta, delta0, it
+    return x, r, d, delta, delta0, it
 
 
 def _scalar_reductions(scalars: str):

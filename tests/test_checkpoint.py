@@ -5,6 +5,8 @@ artifact is the finished model, SURVEY.md §5); these tests pin down the
 exact-resume semantics of the addition.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -293,3 +295,134 @@ def test_sharded_multiclass_checkpointed_fit(tmp_path):
     )
     np.testing.assert_allclose(m_chk.rho, m_plain.rho, rtol=1e-12)
     assert not os.path.exists(path)
+
+
+# ---------------------------------------------------------------------------
+# one-class CG-state checkpointing (round 6 — the checkpoint subsystem now
+# covers every model family)
+# ---------------------------------------------------------------------------
+
+
+class TestOneClassCheckpoint:
+    def _problem(self, n=300, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        return np.abs(rng.normal(size=(n, d)))
+
+    def _svm(self, **kw):
+        kw.setdefault("backend", "xla")
+        kw.setdefault("dtype", np.float64)
+        kw.setdefault("kernel_type", "rbf")
+        kw.setdefault("gamma", 0.1)
+        kw.setdefault("cost", 50.0)
+        return plssvm_tpu.CSVM(**kw)
+
+    def test_segmented_equals_plain(self, tmp_path):
+        from plssvm_tpu import DataSet, fit_one_class
+
+        X = self._problem()
+        svm = self._svm()
+        plain = fit_one_class(
+            svm, DataSet(X, dtype=np.float64), nu=0.2, epsilon=1e-10
+        )
+        ck = str(tmp_path / "oc.ckpt")
+        seg = fit_one_class(
+            svm, DataSet(X, dtype=np.float64), nu=0.2, epsilon=1e-10,
+            checkpoint_path=ck, checkpoint_interval=7,
+        )
+        np.testing.assert_allclose(
+            seg.alpha, plain.alpha, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(seg.rho, plain.rho, rtol=1e-10)
+        assert seg.n_iter == plain.n_iter
+        # converged: the stale checkpoint is removed
+        assert not os.path.exists(ck)
+
+    def test_resume_from_interrupted_checkpoint(self, tmp_path):
+        """A checkpoint left by an interrupted run (simulated by saving the
+        solver state mid-CG) resumes to exactly the plain answer."""
+        import jax.numpy as jnp
+
+        from plssvm_tpu import DataSet, fit_one_class
+        from plssvm_tpu.one_class import _ridge_cg
+        from plssvm_tpu.parameter import KernelFunctionType
+        from plssvm_tpu.solver.checkpoint import (
+            CGCheckpoint, problem_fingerprint, save_checkpoint,
+        )
+
+        X = self._problem()
+        svm = self._svm()
+        plain = fit_one_class(
+            svm, DataSet(X, dtype=np.float64), nu=0.2, epsilon=1e-10
+        )
+        n, d = X.shape
+        block = 256
+        n_pad = -(-n // block) * block
+        Xp = np.zeros((n_pad, d))
+        Xp[:n] = X
+        mask = np.zeros(n_pad)
+        mask[:n] = 1.0
+        params = svm.params.copy()
+        params.gamma.value = 0.1
+        Xd = jnp.asarray(Xp)
+        sq = jnp.sum(Xd * Xd, axis=1)
+        x, g, r, dd, delta, delta0, it = _ridge_cg(
+            Xd, sq, jnp.asarray(mask), np.float64(0.1), np.float64(0.0),
+            np.float64(1 / 50.0), np.float64(1e-10),
+            jnp.asarray(6, jnp.int32), KernelFunctionType.RBF, 3,
+        )
+        fp = problem_fingerprint(
+            Xp, mask, repr(params) + "|one_class", 1e-10
+        )
+        ck = str(tmp_path / "oc_int.ckpt")
+        save_checkpoint(ck, CGCheckpoint(
+            x=np.asarray(x), r=np.asarray(r), d=np.asarray(dd),
+            delta=float(delta), delta0=float(delta0),
+            iteration=int(it), fingerprint=fp,
+        ))
+        resumed = fit_one_class(
+            svm, DataSet(X, dtype=np.float64), nu=0.2, epsilon=1e-10,
+            checkpoint_path=ck,
+        )
+        np.testing.assert_allclose(
+            resumed.alpha, plain.alpha, rtol=1e-9, atol=1e-12
+        )
+        assert resumed.n_iter == plain.n_iter
+
+    def test_conflicts(self, tmp_path):
+        from plssvm_tpu import DataSet, fit_one_class
+        from plssvm_tpu.exceptions import InvalidParameterError
+
+        X = self._problem(n=40)
+        svm = self._svm()
+        ds = DataSet(X, dtype=np.float64)
+        model = fit_one_class(svm, ds, nu=0.2)
+        with pytest.raises(InvalidParameterError, match="initial_model"):
+            fit_one_class(
+                svm, ds, checkpoint_path=str(tmp_path / "c.ckpt"),
+                initial_model=model,
+            )
+        with pytest.raises(
+            InvalidParameterError, match="checkpoint_interval"
+        ):
+            fit_one_class(
+                svm, ds, checkpoint_path=str(tmp_path / "c.ckpt"),
+                checkpoint_interval=0,
+            )
+
+    def test_cli_one_class_checkpoint(self, tmp_path):
+        from plssvm_tpu.cli import train as cli_train
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+
+        X = self._problem(n=80, d=4, seed=3)
+        path = str(tmp_path / "oc.libsvm")
+        write_libsvm_file(path, X, np.ones(80))
+        mf = str(tmp_path / "oc.model")
+        rc = cli_train.main(
+            ["-q", "--use_double_as_real_type", "-s", "one_class",
+             "-n", "0.2", "-t", "2", "-g", "0.3",
+             "--checkpoint", str(tmp_path / "oc.ckpt"),
+             "--checkpoint_interval", "5", path, mf]
+        )
+        assert rc == 0
+        with open(mf) as fh:
+            assert "svm_type one_class" in fh.read()
