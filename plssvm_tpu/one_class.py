@@ -62,13 +62,15 @@ from .utils.logger import VerbosityLevel, log
 def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
                        precision="f32", warm=False, x_init=None,
                        resume=False, init_state=None):
-    """CG on ``(K + I/C) x = 1`` against a MATERIALIZED kernel matrix.
+    """CG on ``(K + diag(civ)) x = 1`` against a MATERIALIZED kernel matrix.
 
     The one-class analog of the classifier's cg_explicit solver type
     (solver/explicit.py): K is built once and each iteration is one
     HBM-bound matmul — the measured win for the VPU-bound distance
     kernels while K fits in device memory (BENCHMARKS.md "Solver types").
-    ``resume=True`` continues from ``init_state`` (checkpointed solves).
+    ``cost_inv`` is a scalar 1/C or the per-row ``1/(C s_i)`` vector
+    (Suykens-weighted one-class).  ``resume=True`` continues from
+    ``init_state`` (checkpointed solves).
     """
     from .solver.explicit import _explicit_matvec
 
@@ -96,10 +98,12 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
     Same convergence contract as the classifier's CG (solver/cg.py):
     relative squared-residual stop ``delta <= eps^2 * delta0`` and an exact
     residual recomputation every 50 iterations (reference:
-    gpu_csvm.hpp:595-619).  ``warm=True`` seeds CG from ``x_init`` (a
-    previous solve's alpha — pruning refits); the stop target stays
-    anchored to the cold start.  ``resume=True`` continues from
-    ``init_state`` (checkpointed solves, solver.checkpoint).
+    gpu_csvm.hpp:595-619).  ``cost_inv`` is a scalar 1/C or the per-row
+    ``1/(C s_i)`` vector (Suykens-weighted one-class).  ``warm=True``
+    seeds CG from ``x_init`` (a previous solve's alpha — pruning refits);
+    the stop target stays anchored to the cold start.  ``resume=True``
+    continues from ``init_state`` (checkpointed solves,
+    solver.checkpoint).
     """
     # the ridge matrix (K + I/C) is the classifier's implicit matrix with
     # q = 0 and QA_cost = 0, so the SAME kernel matvec implementations
@@ -153,9 +157,13 @@ def _log_one_class_result(iterations, max_iter, delta, epsilon, nu):
 
 
 def _fit_one_class_sharded(
-    csvm, X, params, nu, epsilon, max_iter
+    csvm, X, params, nu, epsilon, max_iter, civ=None
 ) -> Model:
-    """Row-sharded one-class ridge CG over the CSVM's device mesh."""
+    """Row-sharded one-class ridge CG over the CSVM's device mesh.
+
+    ``civ``: optional per-row 1/(C s_i) regularizer vector (Suykens'
+    weighting) — row-shards like the mask.
+    """
     from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
     from .parallel.sharded import (
         ROW_AXIS,
@@ -190,13 +198,23 @@ def _fit_one_class_sharded(
     solver = build_sharded_one_class_solver(
         mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
+        weighted=civ is not None,
     )
+    if civ is None:
+        civ_arg = jax.device_put(
+            jnp.asarray(1.0 / params.cost.value, dtype=dt),
+            NamedSharding(mesh, P()),
+        )
+    else:
+        civ_pad = np.full(m_pad, 1.0 / params.cost.value, dtype=dt)
+        civ_pad[:n] = civ
+        civ_arg = jax.device_put(jnp.asarray(civ_pad), row1)
     x_sh, g_sh, delta, delta0, it = solver(
         jax.device_put(jnp.asarray(Xp), row2),
         jax.device_put(jnp.asarray(mask), row1),
         jnp.asarray(params.resolved_gamma(d), dtype=dt),
         jnp.asarray(params.coef0.value, dtype=dt),
-        jnp.asarray(1.0 / params.cost.value, dtype=dt),
+        civ_arg,
         jnp.asarray(epsilon, dtype=dt),
         jnp.asarray(max_iter, jnp.int32),
     )
@@ -283,6 +301,25 @@ def _run_ridge_segments(
     return res
 
 
+def _one_class_civ(cost, sample_weight, n, dt):
+    """Per-row ridge regularizer 1/(C s_i) as a validated (n,) array, or
+    None for the unweighted scalar case (Suykens' weighting applied to
+    the one-class support-function ridge)."""
+    if sample_weight is None:
+        return None
+    sample_weight = np.asarray(sample_weight, dtype=np.float64)
+    if sample_weight.shape != (n,):
+        raise InvalidParameterError(
+            f"sample_weight must have one entry per data point ({n}), "
+            f"but has shape {sample_weight.shape}!"
+        )
+    if not np.all(sample_weight > 0.0):
+        raise InvalidParameterError(
+            "sample_weight entries must all be positive!"
+        )
+    return (1.0 / (cost * sample_weight)).astype(dt)
+
+
 def fit_one_class(
     csvm,
     data: DataSet,
@@ -293,6 +330,7 @@ def fit_one_class(
     initial_model: Optional[Model] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 1000,
+    sample_weight=None,
 ) -> Model:
     """Fit a one-class LS-SVM on ``data``'s points (labels are ignored).
 
@@ -356,12 +394,13 @@ def fit_one_class(
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
+    civ = _one_class_civ(params.cost.value, sample_weight, n, dt)
 
     if csvm.devices is not None and len(csvm.devices) > 1:
         # warm starts ride the single-device path only; a sharded refit
         # simply runs cold (correctness is identical)
         return _fit_one_class_sharded(
-            csvm, X, params, nu, epsilon, max_iter
+            csvm, X, params, nu, epsilon, max_iter, civ=civ
         )
 
     block = 256
@@ -370,6 +409,13 @@ def fit_one_class(
     Xp[:n] = X
     mask = np.zeros(n_pad, dtype=dt)
     mask[:n] = 1.0
+    if civ is None:
+        civ_arg = dt.type(1.0 / params.cost.value)
+    else:
+        # per-row 1/(C s_i); padding rows carry 1/C (masked — irrelevant)
+        civ_pad = np.full(n_pad, 1.0 / params.cost.value, dtype=dt)
+        civ_pad[:n] = civ
+        civ_arg = jnp.asarray(civ_pad)
     warm = initial_model is not None
     if warm:
         x0 = np.zeros(n_pad, dtype=dt)
@@ -400,7 +446,7 @@ def fit_one_class(
             def solve_once(seg_end):
                 return _ridge_cg_explicit(
                     K, mask_d,
-                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    civ_arg, dt.type(epsilon),
                     seg_end, precision=csvm.gram_precision,
                     warm=warm, x_init=jnp.asarray(x0),
                 )
@@ -408,7 +454,7 @@ def fit_one_class(
             def resume_once(seg_end, state):
                 return _ridge_cg_explicit(
                     K, mask_d,
-                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    civ_arg, dt.type(epsilon),
                     seg_end, precision=csvm.gram_precision,
                     resume=True, init_state=state,
                 )
@@ -425,7 +471,7 @@ def fit_one_class(
                     Xd, sq, mask_d,
                     dt.type(params.resolved_gamma(d)),
                     dt.type(params.coef0.value),
-                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    civ_arg, dt.type(epsilon),
                     seg_end, kind, params.degree.value,
                     impl=impl, precision=prec,
                     warm=warm, x_init=jnp.asarray(x0),
@@ -436,7 +482,7 @@ def fit_one_class(
                     Xd, sq, mask_d,
                     dt.type(params.resolved_gamma(d)),
                     dt.type(params.coef0.value),
-                    dt.type(1.0 / params.cost.value), dt.type(epsilon),
+                    civ_arg, dt.type(epsilon),
                     seg_end, kind, params.degree.value,
                     impl=impl, precision=prec,
                     resume=True, init_state=state,
@@ -445,9 +491,18 @@ def fit_one_class(
         if checkpoint_path is None:
             res = solve_once(jnp.asarray(max_iter, jnp.int32))
         else:
+            params_repr = repr(params) + "|one_class"
+            if civ is not None:
+                import hashlib
+
+                params_repr += "|weights:" + hashlib.sha256(
+                    np.ascontiguousarray(
+                        np.asarray(sample_weight, np.float64)
+                    ).tobytes()
+                ).hexdigest()
             res = _run_ridge_segments(
                 solve_once, resume_once, Xp, mask,
-                repr(params) + "|one_class", epsilon, max_iter,
+                params_repr, epsilon, max_iter,
                 checkpoint_path, int(checkpoint_interval),
             )
         alpha_p, g_p, _r, _d, delta, delta0, it = res

@@ -585,6 +585,7 @@ _ONE_CLASS_CACHE: dict = {}
 def build_sharded_one_class_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     scalars: str = "plain", gram_precision: str = "f32",
+    weighted: bool = False,
 ):
     """A jitted, shard_map'ped one-class ridge CG over ``mesh``.
 
@@ -599,13 +600,14 @@ def build_sharded_one_class_solver(
     reference solver seam: gpu_csvm.hpp:477-654).
 
     Arguments (placed by the caller, X row-sharded, scalars replicated):
-    ``(X, mask, gamma, coef0, cost_inv, eps, max_iter)`` + the optional
-    row-sharded warm start when ``warm`` solvers are built via ``x_init``
-    being passed positionally after ``max_iter``.  Returns
+    ``(X, mask, gamma, coef0, cost_inv, eps, max_iter)``.  With
+    ``weighted=True`` the ``cost_inv`` argument is the ROW-SHARDED
+    per-row regularizer vector ``1/(C s_i)`` (Suykens-weighted one-class)
+    instead of the replicated scalar 1/C.  Returns
     ``(x, g, delta, delta0, iterations)`` with x/g row-sharded — ``g`` is
     the training-score vector ``K @ a`` the nu-quantile threshold needs.
     """
-    key = (mesh, kind, degree, impl, scalars, gram_precision)
+    key = (mesh, kind, degree, impl, scalars, gram_precision, weighted)
     cached = _ONE_CLASS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -652,7 +654,10 @@ def build_sharded_one_class_solver(
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, None), row, rep, rep, rep, rep, rep),
+            in_specs=(
+                P(ROW_AXIS, None), row, rep, rep,
+                row if weighted else rep, rep, rep,
+            ),
             out_specs=(row, row, rep, rep, rep),
             # replication checker ON for both impls (see
             # build_sharded_solver — pallas outputs declare vma)

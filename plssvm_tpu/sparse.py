@@ -952,6 +952,7 @@ def pruned_fit_one_class(
     prune_rate: float = 0.25,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
     return_indices: bool = False,
 ):
     """Compact one-class LS-SVM by iterative smallest-|alpha| pruning.
@@ -978,8 +979,11 @@ def pruned_fit_one_class(
             f"prune_rate must be in (0, 1), but is {prune_rate}!"
         )
 
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
     model = fit_one_class(
-        csvm, data, nu=nu, epsilon=epsilon, max_iter=max_iter
+        csvm, data, nu=nu, epsilon=epsilon, max_iter=max_iter,
+        sample_weight=sample_weight,
     )
     X = np.asarray(data.data)
     indices = np.arange(n)
@@ -998,9 +1002,10 @@ def pruned_fit_one_class(
             alpha=np.asarray(model.alpha)[local_keep], rho=model.rho,
         )
         warm.is_one_class = True
+        sw = sample_weight[indices] if sample_weight is not None else None
         model = fit_one_class(
             csvm, sub, nu=nu, epsilon=epsilon, max_iter=max_iter,
-            initial_model=warm,
+            initial_model=warm, sample_weight=sw,
         )
     model.rho = _one_class_rho(csvm, model, data, nu)
     if return_indices:
@@ -1016,6 +1021,7 @@ def nystroem_fit_one_class(
     landmarks: Optional[Union[Sequence[int], np.ndarray]] = None,
     nu: float = 0.5,
     random_state=0,
+    sample_weight=None,
     rcond: float = 1e-10,
     row_block: int = 4096,
     return_indices: bool = False,
@@ -1077,7 +1083,19 @@ def nystroem_fit_one_class(
     Z = X[idx]
     # the support-function target is the constant 1 (one_class.py)
     Y = np.ones((n, 1), dtype=np.float64)
-    s = np.ones(n, dtype=np.float64)
+    if sample_weight is not None:
+        s = np.asarray(sample_weight, dtype=np.float64)
+        if s.shape != (n,):
+            raise InvalidParameterError(
+                f"sample_weight must have one entry per data point ({n}), "
+                f"but has shape {s.shape}!"
+            )
+        if not np.all(s > 0.0):
+            raise InvalidParameterError(
+                "sample_weight entries must all be positive!"
+            )
+    else:
+        s = np.ones(n, dtype=np.float64)
 
     devices = getattr(csvm, "devices", None)
     n_dev = len(devices) if devices else 1

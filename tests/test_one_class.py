@@ -530,3 +530,63 @@ def test_one_class_explicit_solver_matches_implicit(kind):
         svm_e, ds_e, nu=0.25, epsilon=1e-10, initial_model=me
     )
     assert m2.n_iter == 0
+
+
+def test_one_class_weighted_matches_dense_golden():
+    """Suykens' weighting applied to one-class (round 6): the solve is
+    (K + diag(1/(C s))) a = 1 — validated against the dense system on the
+    implicit, explicit, and 8-device sharded paths, plus the compact
+    fits."""
+    import jax
+
+    from plssvm_tpu import (
+        fit_one_class, nystroem_fit_one_class, pruned_fit_one_class,
+    )
+
+    rng = np.random.default_rng(60)
+    n = 200
+    X = np.abs(rng.normal(size=(n, 6)))
+    s = rng.uniform(0.5, 3.0, size=n)
+    gamma, cost = 0.2, 10.0
+    ds = DataSet(X, dtype=np.float64)
+    K = golden.kernel_matrix(X, "rbf", gamma=gamma)
+    want = np.linalg.solve(K + np.diag(1.0 / (cost * s)), np.ones(n))
+    g = K @ want
+
+    svm = _svm(kernel_type="rbf", gamma=gamma, cost=cost,
+               solver="cg_implicit")
+    m = fit_one_class(svm, ds, nu=0.2, epsilon=1e-12, sample_weight=s)
+    np.testing.assert_allclose(m.alpha, want, rtol=1e-7, atol=1e-9)
+    assert m.rho == pytest.approx(float(np.quantile(g, 0.2)), abs=1e-8)
+
+    svm_e = _svm(kernel_type="rbf", gamma=gamma, cost=cost,
+                 solver="cg_explicit")
+    me = fit_one_class(
+        svm_e, DataSet(X, dtype=np.float64), nu=0.2, epsilon=1e-12,
+        sample_weight=s,
+    )
+    np.testing.assert_allclose(me.alpha, want, rtol=1e-7, atol=1e-9)
+
+    devs = jax.devices("cpu")[:8]
+    svm8 = _svm(kernel_type="rbf", gamma=gamma, cost=cost, devices=devs)
+    m8 = fit_one_class(svm8, ds, nu=0.2, epsilon=1e-12, sample_weight=s)
+    np.testing.assert_allclose(m8.alpha, want, rtol=1e-6, atol=1e-9)
+
+    # exact-basis weighted nystroem reproduces the weighted scores
+    mn = nystroem_fit_one_class(
+        svm, ds, landmarks=np.arange(n), nu=0.2, rcond=1e-12,
+        sample_weight=s,
+    )
+    vals = np.asarray(svm.predict_values(mn, ds)) + mn.rho
+    np.testing.assert_allclose(vals, g, rtol=1e-6, atol=1e-7)
+
+    mp_, idx = pruned_fit_one_class(
+        svm, ds, n_sv=50, nu=0.2, epsilon=1e-8, sample_weight=s,
+        return_indices=True,
+    )
+    assert mp_.num_support_vectors == 50 and idx.shape == (50,)
+
+    with pytest.raises(InvalidParameterError, match="positive"):
+        fit_one_class(svm, ds, sample_weight=np.zeros(n))
+    with pytest.raises(InvalidParameterError, match="one entry per"):
+        fit_one_class(svm, ds, sample_weight=np.ones(3))
