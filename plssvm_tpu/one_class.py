@@ -527,6 +527,7 @@ def fit_one_class_multihost(
     nu: float = 0.5,
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
+    sample_weight=None,
 ) -> Model:
     """Multi-host one-class fit from a LIBSVM file on shared storage.
 
@@ -535,7 +536,9 @@ def fit_one_class_multihost(
     row-sharded over the GLOBAL device mesh with psum'd scalars over
     ICI/DCN.  The nu-quantile threshold is computed from the globally
     gathered training scores, so every host returns an identical model.
-    Works unchanged at process_count()==1, where it equals
+    ``sample_weight`` (one entry per file row) applies Suykens' weighted
+    regularizers 1/(C s_i); each host slices its row window of the
+    weight vector.  Works unchanged at process_count()==1, where it equals
     :func:`fit_one_class` on ``DataSet(filename)``.
     """
     import time as _time
@@ -588,11 +591,17 @@ def fit_one_class_multihost(
     impl = csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
 
     # this host's row window of the padded row axis
+    civ = _one_class_civ(params.cost.value, sample_weight, n_total, dt)
     begin, end = host_row_range(m_pad)
     real_end = min(end, n_total)
     rows_local = end - begin
     X_local = np.zeros((rows_local, d_pad), dtype=dt)
     mask_local = np.zeros((rows_local,), dtype=dt)
+    civ_local = None
+    if civ is not None:
+        civ_local = np.full(
+            (rows_local,), 1.0 / params.cost.value, dtype=dt
+        )
     if real_end > begin:
         if X_all is not None:
             Xw = X_all[begin:real_end]
@@ -602,6 +611,8 @@ def fit_one_class_multihost(
             )
         X_local[: real_end - begin, :d] = Xw
         mask_local[: real_end - begin] = 1.0
+        if civ_local is not None:
+            civ_local[: real_end - begin] = civ[begin:real_end]
 
     if kind == KernelFunctionType.CHI_SQUARED:
         # global verdict (every host must agree before the first collective)
@@ -629,12 +640,19 @@ def fit_one_class_multihost(
     solver = build_sharded_one_class_solver(
         mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
+        weighted=civ is not None,
     )
+    if civ is None:
+        civ_arg = jnp.asarray(1.0 / params.cost.value, dtype=dt)
+    else:
+        civ_arg = jax.make_array_from_process_local_data(
+            row1, civ_local, global_shape=(m_pad,)
+        )
     x_sh, g_sh, delta, delta0, it = solver(
         X_g, mask_g,
         jnp.asarray(params.resolved_gamma(d), dtype=dt),
         jnp.asarray(params.coef0.value, dtype=dt),
-        jnp.asarray(1.0 / params.cost.value, dtype=dt),
+        civ_arg,
         jnp.asarray(epsilon, dtype=dt),
         jnp.asarray(max_iter, jnp.int32),
     )

@@ -949,15 +949,21 @@ class OneClassSVM:
         return self
 
     def fit(self, X, y=None, sample_weight=None) -> "OneClassSVM":
-        """``y`` is ignored (present for the sklearn pipeline contract)."""
-        if sample_weight is not None:
-            raise AttributeError(
-                "sample_weight is not implemented for OneClassSVM!"
-            )
+        """``y`` is ignored (present for the sklearn pipeline contract).
+
+        ``sample_weight`` is IMPLEMENTED (Suykens' weighted one-class —
+        the solve becomes ``(K + diag(1/(C s_i))) a = 1``; sklearn's own
+        OneClassSVM supports it too).
+        """
         from .one_class import fit_one_class
 
         X = np.asarray(X, dtype=np.float64)
         self._data = DataSet(X)
+        sw = (
+            np.asarray(sample_weight, dtype=np.float64)
+            if sample_weight is not None
+            else None
+        )
         if self._gamma_scale:
             var = float(X.var())
             self._svm.set_params(
@@ -974,7 +980,8 @@ class OneClassSVM:
             self._model, self._support_indices = nystroem_fit_one_class(
                 self._svm, self._data,
                 n_landmarks=self._n_landmarks, nu=self._nu,
-                random_state=self._random_state or 0, return_indices=True,
+                random_state=self._random_state or 0, sample_weight=sw,
+                return_indices=True,
             )
             return self
         if self._max_sv is not None:
@@ -987,7 +994,8 @@ class OneClassSVM:
                     self._epsilon_tol
                     if self._epsilon_tol is not None else 0.001
                 ),
-                max_iter=self._max_iter, return_indices=True,
+                max_iter=self._max_iter, sample_weight=sw,
+                return_indices=True,
             )
             return self
         kwargs = {"nu": self._nu}
@@ -995,6 +1003,8 @@ class OneClassSVM:
             kwargs["epsilon"] = self._epsilon_tol
         if self._max_iter is not None:
             kwargs["max_iter"] = self._max_iter
+        if sw is not None:
+            kwargs["sample_weight"] = sw
         self._model = fit_one_class(self._svm, self._data, **kwargs)
         return self
 

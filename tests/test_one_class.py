@@ -590,3 +590,43 @@ def test_one_class_weighted_matches_dense_golden():
         fit_one_class(svm, ds, sample_weight=np.zeros(n))
     with pytest.raises(InvalidParameterError, match="one entry per"):
         fit_one_class(svm, ds, sample_weight=np.ones(3))
+
+
+def test_one_class_weights_multihost_and_sklearn(tmp_path):
+    import jax
+
+    from plssvm_tpu import OneClassSVM, fit_one_class_multihost
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    rng = np.random.default_rng(61)
+    n = 160
+    X = np.abs(rng.normal(size=(n, 5)))
+    s = rng.uniform(0.5, 3.0, size=n)
+    gamma, cost = 0.2, 10.0
+    K = golden.kernel_matrix(X, "rbf", gamma=gamma)
+    want = np.linalg.solve(K + np.diag(1.0 / (cost * s)), np.ones(n))
+
+    # multihost (single-process) weighted
+    f = os.fspath(tmp_path / "ocw.libsvm")
+    write_libsvm_file(f, X, np.ones(n))
+    devs = jax.devices("cpu")[:8]
+    svm8 = _svm(kernel_type="rbf", gamma=gamma, cost=cost, devices=devs)
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs)
+    try:
+        m = fit_one_class_multihost(
+            svm8, f, nu=0.2, epsilon=1e-12, sample_weight=s
+        )
+    finally:
+        mh.global_row_mesh = orig
+    np.testing.assert_allclose(m.alpha, want, rtol=1e-6, atol=1e-9)
+
+    # sklearn facade: fit(sample_weight=) now implemented
+    clf = OneClassSVM(kernel="rbf", gamma=gamma, C=cost, nu=0.2, tol=1e-10)
+    clf.fit(X, sample_weight=s)
+    np.testing.assert_allclose(
+        clf.dual_coef_[0], want, rtol=1e-6, atol=1e-8
+    )
