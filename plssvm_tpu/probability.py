@@ -142,6 +142,7 @@ def cross_validated_decision_values(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     sample_weight=None,
+    fit_fn=None,
 ) -> np.ndarray:
     """Out-of-fold decision values for every training point.
 
@@ -149,6 +150,11 @@ def cross_validated_decision_values(
     and evaluates each fold's points with the model that excluded them —
     LIBSVM's ``svm_binary_svc_probability`` scheme.  Returns (n,) for
     binary data, (n, C) for multiclass.
+
+    ``fit_fn(fold_data, fold_sample_weight) -> Model`` overrides the fold
+    training procedure — compact fits (pruning/Nystroem) calibrate with
+    compact CV folds so the sigmoid reflects the DEPLOYED model's
+    decision distribution, not the exact fit's.
     """
     from .data_set import DataSet
 
@@ -166,12 +172,20 @@ def cross_validated_decision_values(
         if len(test_idx) == 0:
             continue
         fold_data = DataSet(X[train_idx], labels[train_idx])
-        kwargs = {} if max_iter is None else {"max_iter": max_iter}
-        if sample_weight is not None:
-            # keep the -wi / sample weights in the CV subproblems, as
-            # LIBSVM's svm_binary_svc_probability does
-            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
-        model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        fold_sw = (
+            np.asarray(sample_weight)[train_idx]
+            if sample_weight is not None
+            else None
+        )
+        if fit_fn is not None:
+            model = fit_fn(fold_data, fold_sw)
+        else:
+            kwargs = {} if max_iter is None else {"max_iter": max_iter}
+            if fold_sw is not None:
+                # keep the -wi / sample weights in the CV subproblems, as
+                # LIBSVM's svm_binary_svc_probability does
+                kwargs["sample_weight"] = fold_sw
+            model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         vals = csvm.predict_values(model, DataSet(X[test_idx]))
         if out is None:
             out = np.zeros((n,) + vals.shape[1:], dtype=np.float64)
@@ -285,6 +299,7 @@ def calibrate_model(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     sample_weight=None,
+    fit_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit Platt sigmoid(s) for ``model`` and store them on it.
 
@@ -339,7 +354,7 @@ def calibrate_model(
             csvm, data,
             n_folds=n_folds, random_state=random_state,
             epsilon=epsilon, max_iter=max_iter,
-            sample_weight=sample_weight,
+            sample_weight=sample_weight, fit_fn=fit_fn,
         )
     different = list(data.different_labels)
     if decisions.ndim == 1:

@@ -287,11 +287,11 @@ class SVC:
                 "max_sv and n_landmarks are mutually exclusive!"
             )
         if (self._max_sv is not None or self._n_landmarks is not None) and (
-            self._probability or self._classification == "oao"
+            self._classification == "oao"
         ):
             raise AttributeError(
                 "compact-model fits (max_sv/n_landmarks) support "
-                "probability=False and one-vs-all classification only!"
+                "one-vs-all classification only!"
             )
         self._support_indices = None
         if self._n_landmarks is not None:
@@ -305,6 +305,8 @@ class SVC:
                 return_indices=True,
             )
             self._fit_weights = eff
+            if self._probability:
+                self._calibrate_compact(eff)
             return self
         if self._max_sv is not None:
             from .sparse import pruned_fit
@@ -320,6 +322,8 @@ class SVC:
                 return_indices=True,
             )
             self._fit_weights = eff
+            if self._probability:
+                self._calibrate_compact(eff)
             return self
         kwargs = {"classification": self._classification}
         if self._epsilon is not None:
@@ -346,6 +350,43 @@ class SVC:
                 sample_weight=self._fit_weights,
             )
         return self
+
+    def _calibrate_compact(self, eff) -> None:
+        """Platt calibration for a compact fit: the CV folds train with
+        the SAME compact procedure (scaled to the fold size), so the
+        sigmoid reflects the deployed compact model's decision
+        distribution rather than the exact fit's."""
+        from .probability import calibrate_model
+
+        eps = self._epsilon if self._epsilon is not None else 0.001
+
+        def fit_fn(fold_data, fold_sw):
+            n_fold = fold_data.num_data_points
+            n_classes = fold_data.num_different_labels
+            if self._n_landmarks is not None:
+                from .sparse import nystroem_fit
+
+                return nystroem_fit(
+                    self._svm, fold_data,
+                    n_landmarks=min(self._n_landmarks, n_fold),
+                    random_state=self._random_state or 0,
+                    sample_weight=fold_sw,
+                )
+            from .sparse import pruned_fit
+
+            target = max(n_classes, min(self._max_sv, n_fold - 1))
+            return pruned_fit(
+                self._svm, fold_data, n_sv=target,
+                epsilon=eps, max_iter=self._max_iter,
+                sample_weight=fold_sw,
+            )
+
+        calibrate_model(
+            self._svm, self._model, self._data,
+            random_state=self._random_state,
+            epsilon=eps, max_iter=self._max_iter,
+            sample_weight=eff, fit_fn=fit_fn,
+        )
 
     def _check_fitted(self, what: str = "estimator"):
         if self._model is None:

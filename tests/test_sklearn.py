@@ -233,11 +233,31 @@ def test_svc_compact_kwargs_conflicts(blobs):
     with pytest.raises(AttributeError, match="mutually exclusive"):
         SVC(max_sv=8, n_landmarks=8).fit(X, y)
     with pytest.raises(AttributeError, match="compact-model"):
-        SVC(max_sv=8, probability=True).fit(X, y)
-    with pytest.raises(AttributeError, match="compact-model"):
         SVC(n_landmarks=8, classification="oao").fit(
             X, np.where(y > 0, y, 2 + (np.arange(len(y)) % 2))
         )
+
+
+def test_svc_compact_probability_composition(blobs):
+    """probability=True composes with compact fits (round 6): the Platt
+    sigmoid is fitted on COMPACT CV folds, so it reflects the deployed
+    compact model's decision distribution."""
+    X, y = blobs
+    clf = SVC(kernel="rbf", C=2.0, n_landmarks=32, probability=True,
+              random_state=0, dtype=np.float64)
+    clf.fit(X, y)
+    proba = clf.predict_proba(X)
+    assert proba.shape == (len(y), 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+    idx = (y > 0).astype(int)
+    assert float(proba[np.arange(len(y)), idx].mean()) > 0.8
+    assert clf.probA_.shape == (1,)
+
+    clf2 = SVC(kernel="rbf", C=2.0, max_sv=48, probability=True,
+               dtype=np.float64)
+    clf2.fit(X, y)
+    proba2 = clf2.predict_proba(X)
+    assert float(proba2[np.arange(len(y)), idx].mean()) > 0.8
 
 
 def test_svc_compact_kwargs_clone_contract():
