@@ -587,9 +587,37 @@ def main(argv=None) -> int:
         if args.probability:
             from ..probability import calibrate_model
 
+            fit_fn = None
+            if args.nystroem is not None or args.max_sv is not None:
+                # compact fits calibrate on COMPACT CV folds so the
+                # sigmoid reflects the deployed model's decision
+                # distribution (probability.cross_validated_decision_values)
+                def fit_fn(fold_data, fold_sw):
+                    n_fold = fold_data.num_data_points
+                    if args.nystroem is not None:
+                        from ..sparse import nystroem_fit
+
+                        return nystroem_fit(
+                            svm, fold_data,
+                            n_landmarks=min(args.nystroem, n_fold),
+                            sample_weight=fold_sw,
+                        )
+                    from ..sparse import pruned_fit
+
+                    target = max(
+                        fold_data.num_different_labels,
+                        min(args.max_sv, n_fold - 1),
+                    )
+                    return pruned_fit(
+                        svm, fold_data, n_sv=target,
+                        epsilon=args.epsilon, max_iter=args.max_iter,
+                        sample_weight=fold_sw,
+                    )
+
             calibrate_model(
                 svm, model, data,
                 epsilon=args.epsilon, max_iter=args.max_iter,
+                fit_fn=fit_fn,
             )
         model.save(model_filename)
     except PLSSVMError as exc:
