@@ -65,6 +65,14 @@ _GROUP = 8
 #: tiles.  512 keeps the temporary at 8*512*512*4 = 8 MB worst case.
 _DIST_FEATURE_BLOCK = 512
 
+#: per-pallas_call VPU-op ceiling for the chunked compositions.  The
+#: distance walk runs ~7-10 TOP/s, so 2e13 ops ~ 2-3 s per call — large
+#: single calls are NOT merely slow: a monolithic 1M x 128 laplacian call
+#: (~38 s of VPU work) CRASHED the TPU worker ("kernel fault"), so big
+#: problems must chunk into bounded-runtime calls like the byte cap
+#: already forces for bounded offsets.
+_DIST_CHUNK_TARGET_OPS = 2e13
+
 
 def _pick_dist_dk(d: int) -> int:
     if d <= _DIST_FEATURE_BLOCK:
@@ -485,7 +493,13 @@ def distance_matmat_pallas_big(
         return _pick_dist_tile_multi(rows_, rows_, dk, cp) is not None
 
     total = m * d * 4
-    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    per_elem = 3 if kind == KernelFunctionType.LAPLACIAN else 6
+    rows_max = max(128, int((_DIST_CHUNK_TARGET_OPS / (per_elem * d)) ** 0.5))
+    nc = max(
+        1,
+        -(-total // CHUNK_TARGET_BYTES),
+        -(-m // rows_max),
+    )
     while nc < m // 128 and not _chunk_ok(nc):
         nc += 1
     if nc == 1 or not _chunk_ok(nc):
@@ -537,7 +551,15 @@ def distance_matvec_pallas_big(
     """
     m, d = X.shape
     total = m * d * 4
-    nc = max(1, -(-total // CHUNK_TARGET_BYTES))
+    per_elem = 3 if kind == KernelFunctionType.LAPLACIAN else 6
+    # chunk for BOTH bounded offsets (bytes) and bounded kernel runtime
+    # (ops — see _DIST_CHUNK_TARGET_OPS)
+    rows_max = max(128, int((_DIST_CHUNK_TARGET_OPS / (per_elem * d)) ** 0.5))
+    nc = max(
+        1,
+        -(-total // CHUNK_TARGET_BYTES),
+        -(-m // rows_max),
+    )
     while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
         nc += 1
     if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
