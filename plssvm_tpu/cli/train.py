@@ -334,6 +334,15 @@ def main(argv=None) -> int:
             if args.nystroem is None:
                 print("--streaming requires --nystroem!", file=sys.stderr)
                 return 1
+            if args.probability:
+                # calibration needs CV refits over the materialized data,
+                # which --streaming never loads
+                print(
+                    "--streaming is not supported together with "
+                    "--probability!",
+                    file=sys.stderr,
+                )
+                return 1
             if args.weight:
                 print(
                     "--streaming is not supported together with --weight!",
@@ -367,6 +376,15 @@ def main(argv=None) -> int:
                     return 1
             # (--multihost with --max_sv/--nystroem is already rejected by
             # the generic compact-flag block above)
+            if args.multihost and args.checkpoint is not None:
+                # fit_one_class_multihost has no CG-state checkpointing;
+                # accepting the flag would silently drop it
+                print(
+                    "-s one_class --multihost does not support "
+                    "--checkpoint yet — drop one of the two!",
+                    file=sys.stderr,
+                )
+                return 1
         if args.warm_start is not None:
             if args.multihost:
                 print(

@@ -2200,7 +2200,12 @@ class CSVM:
             for sj in range(0, nsv_pad, sv_chunk):
                 se = min(sj + sv_chunk, n_sv)
                 sv_blk = _pad_2d(sv[sj:se], sv_chunk, d_pad)
-                sq_sv_blk = _row_sq_norms(sv_blk)
+                # distance kernels never consume the squared norms — skip
+                # the per-chunk O(sv_chunk * d) norm dispatch there
+                sq_sv_blk = (
+                    None if kind in DISTANCE_KERNELS
+                    else _row_sq_norms(sv_blk)
+                )
                 if multi and kind in DISTANCE_KERNELS:
                     from .ops.pallas_distance import (
                         distance_matmat_pallas_dual,

@@ -130,6 +130,9 @@ def _validate_one_class_args(nu, epsilon, max_iter, n):
             f"nu must be in (0, 1), but is {nu}!"
         )
     if epsilon <= 0.0:
+        # the inverted wording is DELIBERATE reference parity — the
+        # reference's own message says "less than" for this check
+        # (include/plssvm/csvm.hpp:284), and the error-message tests pin it
         raise InvalidParameterError(
             f"epsilon must be less than 0.0, but is {epsilon}!"
         )

@@ -170,6 +170,25 @@ def _make_kernel_matvec(
 
         def kv(X, sq_norms, v, gamma, coef0):
             if distance_supported(X.shape[0], X.shape[1]):
+                # trace-time heads-up: the whole chunk composition runs as
+                # ONE device program per matvec; on runtimes with a strict
+                # device-call watchdog (e.g. the tunneled dev TPU, ~60-80 s)
+                # a VPU-bound matvec beyond ~2e14 ops can kill the worker —
+                # prefer multi-chip (the ring divides per-chip work) or the
+                # explicit solver where K fits (BENCHMARKS.md)
+                m_, d_ = X.shape
+                per_elem = 3 if kind == KernelFunctionType.LAPLACIAN else 6
+                if per_elem * float(m_) * m_ * d_ / 2 > 2e14:
+                    import warnings
+
+                    warnings.warn(
+                        f"distance-kernel matvec at {m_} x {d_} is "
+                        "~minutes of VPU work per CG iteration in one "
+                        "device call — runtimes with a device-call "
+                        "watchdog may kill it; consider multi-chip or "
+                        "solver='cg_explicit' if K fits.",
+                        stacklevel=2,
+                    )
                 return distance_matvec_pallas_big(
                     X, v, kind=kind, gamma=gamma
                 )

@@ -534,6 +534,21 @@ def _stratified_landmarks(labels, n, m, rng) -> np.ndarray:
     return np.sort(np.concatenate(picked))
 
 
+def _parse_rows_checked(filename, spans_subset, d, dt):
+    """Selected-row parse that fails CLEANLY if the native read breaks
+    mid-stream (None = IO-level failure after validation succeeded)."""
+    from .exceptions import InvalidFileFormatError
+    from .native.loader import parse_libsvm_native_rows
+
+    rows = parse_libsvm_native_rows(filename, spans_subset, d, dtype=dt)
+    if rows is None:
+        raise InvalidFileFormatError(
+            f"selected-row parse of '{filename}' failed mid-stream — "
+            "file removed or truncated during the windowed read?"
+        )
+    return rows
+
+
 def nystroem_fit_from_file(
     csvm,
     filename: str,
@@ -657,7 +672,7 @@ def nystroem_fit_from_file(
     dt = csvm.dtype
 
     # ---- pass 1: gather the landmark rows (one O(m d) selected parse) ----
-    Z = parse_libsvm_native_rows(filename, spans[idx], d, dtype=dt)
+    Z = _parse_rows_checked(filename, spans[idx], d, dt)
     if kind == KernelFunctionType.CHI_SQUARED and np.any(Z < 0.0):
         raise InvalidParameterError(
             "chi-squared kernel requires non-negative data!"
@@ -705,7 +720,7 @@ def nystroem_fit_from_file(
         # ---- pass 2: stream fixed-shape windows (one compile) ----
         for b in range(0, n, block):
             e = min(b + block, n)
-            Xw = parse_libsvm_native_rows(filename, spans[b:e], d, dtype=dt)
+            Xw = _parse_rows_checked(filename, spans[b:e], d, dt)
             if kind == KernelFunctionType.CHI_SQUARED and np.any(Xw < 0.0):
                 raise InvalidParameterError(
                     "chi-squared kernel requires non-negative data!"
@@ -809,6 +824,11 @@ def nystroem_fit_one_class_from_file(
         )
 
     _, _, n, d = meta
+    if spans.shape[0] != n:
+        raise InvalidParameterError(
+            f"line index ({spans.shape[0]} rows) disagrees with the parse "
+            f"({n} rows) — file changed mid-read?"
+        )
     if not 1 <= n_landmarks <= n:
         raise InvalidParameterError(
             f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
@@ -830,7 +850,7 @@ def nystroem_fit_one_class_from_file(
     cost = params.cost.value
     dt = csvm.dtype
 
-    Z = parse_libsvm_native_rows(filename, spans[idx], d, dtype=dt)
+    Z = _parse_rows_checked(filename, spans[idx], d, dt)
     if kind == KernelFunctionType.CHI_SQUARED and np.any(Z < 0.0):
         raise InvalidParameterError(
             "chi-squared kernel requires non-negative data!"
@@ -862,7 +882,7 @@ def nystroem_fit_one_class_from_file(
     def windows():
         for b in range(0, n, block):
             e = min(b + block, n)
-            Xw = parse_libsvm_native_rows(filename, spans[b:e], d, dtype=dt)
+            Xw = _parse_rows_checked(filename, spans[b:e], d, dt)
             if kind == KernelFunctionType.CHI_SQUARED and np.any(Xw < 0.0):
                 raise InvalidParameterError(
                     "chi-squared kernel requires non-negative data!"
@@ -1080,6 +1100,12 @@ def nystroem_fit_one_class(
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
+    from .kernel_functions import KernelFunctionType as _KFT
+
+    if kind == _KFT.CHI_SQUARED and np.any(X < 0.0):
+        raise InvalidParameterError(
+            "chi-squared kernel requires non-negative data!"
+        )
     Z = X[idx]
     # the support-function target is the constant 1 (one_class.py)
     Y = np.ones((n, 1), dtype=np.float64)

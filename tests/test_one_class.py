@@ -630,3 +630,31 @@ def test_one_class_weights_multihost_and_sklearn(tmp_path):
     np.testing.assert_allclose(
         clf.dual_coef_[0], want, rtol=1e-6, atol=1e-8
     )
+
+
+def test_cli_one_class_multihost_checkpoint_rejected(tmp_path, capsys):
+    """fit_one_class_multihost has no checkpointing — accepting the flag
+    and silently dropping it would lose hours of progress."""
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=20, d=3, seed=6)
+    path = os.fspath(tmp_path / "oc.libsvm")
+    write_libsvm_file(path, X, np.ones(20))
+    rc = cli_train.main(
+        ["-q", "-s", "one_class", "--multihost",
+         "--checkpoint", os.fspath(tmp_path / "c.ckpt"), path]
+    )
+    assert rc == 1
+    assert "--checkpoint" in capsys.readouterr().err
+
+
+def test_nystroem_one_class_chi_squared_rejects_negative():
+    from plssvm_tpu import nystroem_fit_one_class
+
+    rng = np.random.default_rng(70)
+    X = rng.normal(size=(60, 4))  # has negatives
+    svm = _svm(kernel_type="chi_squared", gamma=0.2)
+    with pytest.raises(InvalidParameterError, match="non-negative"):
+        nystroem_fit_one_class(svm, DataSet(X, dtype=np.float64),
+                               n_landmarks=16)

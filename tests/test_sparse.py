@@ -591,3 +591,17 @@ def test_cli_train_nystroem_streaming(streaming_file, tmp_path, capsys):
     rc = cli_train.main(["-q", "--streaming", path, model_file])
     assert rc == 1
     assert "--streaming requires --nystroem" in capsys.readouterr().err
+
+
+def test_cli_streaming_probability_rejected(streaming_file, tmp_path, capsys):
+    """--streaming never materializes the data, so --probability (which
+    needs CV refits over it) must be rejected cleanly, not crash."""
+    from plssvm_tpu.cli import train as cli_train
+
+    path, X, lab = streaming_file
+    rc = cli_train.main(
+        ["-q", "--nystroem", "16", "--streaming", "--probability",
+         path, os.fspath(tmp_path / "x.model")]
+    )
+    assert rc == 1
+    assert "--probability" in capsys.readouterr().err

@@ -29,7 +29,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# append (not setdefault): a pre-set XLA_FLAGS must not silently drop the
+# virtual-device flag — that would shrink the mesh to 1 device and report
+# an EMPTY collective inventory (same fix as tests/conftest.py)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import numpy as np
 
