@@ -1189,21 +1189,15 @@ class CSVM:
         m_pad, d_pad = padded_shape
         if is_distance:
             # fused distance walks serve both the ring's matvec and the
-            # multiclass matmat (ops/pallas_distance)
-            if n_classes is not None:
-                from .ops.pallas_distance import distance_matmat_supported
-
-                return (
-                    "pallas"
-                    if distance_matmat_supported(
-                        m_pad // n_dev, d_pad, n_classes
-                    )
-                    else "xla"
-                )
-            from .ops.pallas_distance import distance_supported
+            # multiclass matmat (ops/pallas_distance); ring blocks are
+            # never chunked, so the per-call byte cap applies here
+            from .ops.pallas_distance import distance_ring_block_supported
 
             return (
-                "pallas" if distance_supported(m_pad // n_dev, d_pad)
+                "pallas"
+                if distance_ring_block_supported(
+                    m_pad // n_dev, d_pad, n_classes
+                )
                 else "xla"
             )
         from .ops.pallas_matvec import ring_block_supported

@@ -408,8 +408,20 @@ def fit_one_class(
 
     block = 256
     n_pad = int(-(-n // block) * block)
-    Xp = np.zeros((n_pad, d), dtype=dt)
-    Xp[:n] = X
+    # the Pallas kernels need 128-multiple feature counts (csvm.fit pads
+    # the same way, csvm.py:469); zero feature columns are exact no-ops
+    # for every kernel (|0-0| = 0, 0*0 = 0, 0/0-limit = 0)
+    from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
+
+    d_pad = (
+        ((d + 127) // 128) * 128
+        if csvm.backend == BackendType.PALLAS
+        and (uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS)
+        and d > 128
+        else d
+    )
+    Xp = np.zeros((n_pad, d_pad), dtype=dt)
+    Xp[:n, :d] = X
     mask = np.zeros(n_pad, dtype=dt)
     mask[:n] = 1.0
     if civ is None:
@@ -683,15 +695,22 @@ def fit_one_class_multihost(
     add_tracking_entry("backend", "num_hosts", jax.process_count())
     rho = float(np.quantile(g, nu))
 
-    # model assembly: the one-class model stores every training point
+    # model assembly: the one-class model stores every training point.
+    # Multi-process hosts re-parse via the NATIVE window parser (the full
+    # Python parse would break the per-host memory/time story — the model
+    # itself is inherently O(n d), but the parse need not be 70x slower)
     if jax.process_count() == 1 and X_all is None:
         X_full = X_local[:n_total, :d]
     elif X_all is not None:
         X_full = X_all
     else:
-        from .io.libsvm import parse_libsvm_file
+        win = parse_libsvm_native_window(filename, 0, n_total, dtype=dt)
+        if win is not None:
+            X_full = win[0]
+        else:
+            from .io.libsvm import parse_libsvm_file
 
-        X_full, _ = parse_libsvm_file(filename, dtype=dt)
+            X_full, _ = parse_libsvm_file(filename, dtype=dt)
     model = Model(
         params, DataSet(np.asarray(X_full, dtype=dt), dtype=dt),
         alpha=alpha, rho=rho,

@@ -188,7 +188,13 @@ def _distance_kernel_dual(
 
 
 def distance_supported(m: int, d: int) -> bool:
-    """Whether the fused distance kernels cover the (padded) shape."""
+    """Whether the fused distance kernels cover the (padded) shape.
+
+    Tile/alignment feasibility only — the single-device big compositions
+    chunk oversized operands themselves.  Ring callers must use
+    :func:`distance_ring_block_supported`, which adds the per-call
+    operand byte cap (ring blocks are NEVER chunked).
+    """
     if m % 128 != 0:
         return False
     try:
@@ -196,6 +202,21 @@ def distance_supported(m: int, d: int) -> bool:
     except ValueError:
         return False
     return _pick_dist_tile(m, m, dk) is not None
+
+
+def distance_ring_block_supported(
+    m_block: int, d: int, n_classes=None
+) -> bool:
+    """Per-chip ring-block feasibility: tile fit AND the 32-bit in-kernel
+    offset range (PALLAS_MAX_OPERAND_BYTES) — the distance analog of
+    ops/pallas_matvec.ring_block_supported."""
+    from .pallas_matvec import PALLAS_MAX_OPERAND_BYTES
+
+    if m_block * d * 4 > PALLAS_MAX_OPERAND_BYTES:
+        return False
+    if n_classes is not None:
+        return distance_matmat_supported(m_block, d, n_classes)
+    return distance_supported(m_block, d)
 
 
 @functools.partial(
@@ -500,9 +521,10 @@ def distance_matmat_pallas_big(
         -(-total // CHUNK_TARGET_BYTES),
         -(-m // rows_max),
     )
-    while nc < m // 128 and not _chunk_ok(nc):
+    # bounded divisor search — see distance_matvec_pallas_big
+    while nc <= min(m // 128, 128) and not _chunk_ok(nc):
         nc += 1
-    if nc == 1 or not _chunk_ok(nc):
+    if nc == 1 or nc > 128 or not _chunk_ok(nc):
         outr, outc = distance_matmat_pallas_dual(
             X, X, Vt, Vt, kind=kind, gamma=gamma, symmetric=True,
         )
@@ -560,9 +582,15 @@ def distance_matvec_pallas_big(
         -(-total // CHUNK_TARGET_BYTES),
         -(-m // rows_max),
     )
-    while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+    # bounded divisor search: m/128 can be prime, in which case the only
+    # exact chunking is m/128 chunks — a triangle of ~(m/256)^2 pallas
+    # calls that would hang compilation.  Past the cap, fall back to ONE
+    # call (the trace-time watchdog warning covers the runtime risk).
+    while nc <= min(m // 128, 128) and (
+        m % nc != 0 or (m // nc) % 128 != 0
+    ):
         nc += 1
-    if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
+    if nc == 1 or nc > 128 or m % nc != 0 or (m // nc) % 128 != 0:
         outr, outc = distance_matvec_pallas_dual(
             X, X, v, v, kind=kind, gamma=gamma, symmetric=True,
         )

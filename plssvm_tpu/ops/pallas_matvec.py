@@ -512,9 +512,15 @@ def kernel_matvec_pallas_big(
     itemsize = 2 if precision == "bf16" else 4
     total = m * d * itemsize
     nc = max(1, -(-total // CHUNK_TARGET_BYTES))
-    while nc < m // 128 and (m % nc != 0 or (m // nc) % 128 != 0):
+    # bounded divisor search: a prime m/128 would otherwise degenerate to
+    # m/128 chunks (a compilation-hanging triangle of calls); past the
+    # cap, one call (CSVM.fit's preferred_row_multiple padding makes the
+    # capped case unreachable from the standard front end)
+    while nc <= min(m // 128, 128) and (
+        m % nc != 0 or (m // nc) % 128 != 0
+    ):
         nc += 1
-    if nc == 1 or m % nc != 0 or (m // nc) % 128 != 0:
+    if nc == 1 or nc > 128 or m % nc != 0 or (m // nc) % 128 != 0:
         outr, outc = kernel_matvec_pallas_dual(
             X, X, sq_norms, sq_norms, v, v,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
@@ -840,9 +846,10 @@ def kernel_matmat_pallas_big(
         return _pick_dual_tile_multi(rows_, rows_, dk, cp) is not None
 
     nc = max(1, -(-total // CHUNK_TARGET_BYTES))
-    while nc < m // 128 and not _chunk_ok(nc):
+    # bounded divisor search — see kernel_matvec_pallas_big
+    while nc <= min(m // 128, 128) and not _chunk_ok(nc):
         nc += 1
-    if nc == 1 or not _chunk_ok(nc):
+    if nc == 1 or nc > 128 or not _chunk_ok(nc):
         # one call (or no feasible chunking exists, in which case the dual
         # kernel raises its descriptive tile error)
         outr, outc = kernel_matmat_pallas_dual(

@@ -46,7 +46,7 @@ from .data_set import DataSet
 from .exceptions import InvalidParameterError
 from .kernel_functions import is_gram_kernel, kernel_block
 from .model import Model
-from .parameter import ClassificationType
+from .parameter import ClassificationType, KernelFunctionType
 
 
 # ---------------------------------------------------------------------------
@@ -352,8 +352,14 @@ def nystroem_fit(
     n = data.num_data_points
     d = data.num_features
     if landmarks is not None:
-        idx = np.unique(np.asarray(landmarks, dtype=np.int64))
-        if idx.size == 0 or idx[0] < 0 or idx[-1] >= n:
+        raw_idx = np.asarray(landmarks, dtype=np.int64)
+        idx = np.unique(raw_idx)
+        if (
+            idx.size == 0 or idx.size != raw_idx.size
+            or idx[0] < 0 or idx[-1] >= n
+        ):
+            # duplicates must RAISE, not silently shrink the model below
+            # the requested size
             raise InvalidParameterError(
                 f"landmark indices must be unique and within [0, {n - 1}]!"
             )
@@ -413,6 +419,10 @@ def nystroem_fit(
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
+    if kind == KernelFunctionType.CHI_SQUARED:
+        from .csvm import _check_chi_squared_data
+
+        _check_chi_squared_data(X, "training data")
     Z = X[idx]
 
     devices = getattr(csvm, "devices", None)
@@ -813,12 +823,15 @@ def nystroem_fit_one_class_from_file(
     meta = parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
     spans = libsvm_line_spans(filename) if meta is not None else None
     if meta is None or spans is None:
-        from .data_set import DataSet as _DS
+        # one-class ignores labels entirely, and one-class files may carry
+        # a single class or string labels that DataSet's classification /
+        # regression loaders would reject — parse X directly instead
+        from .io.libsvm import parse_libsvm_file
 
-        data = _DS(filename, label_type=float, dtype=csvm.dtype,
-                   regression=True)
+        X_all, _ = parse_libsvm_file(filename, dtype=csvm.dtype)
         return nystroem_fit_one_class(
-            csvm, data, n_landmarks=n_landmarks, nu=nu,
+            csvm, DataSet(X_all, dtype=csvm.dtype),
+            n_landmarks=n_landmarks, nu=nu,
             random_state=random_state, rcond=rcond,
             return_indices=return_indices,
         )
@@ -1067,8 +1080,14 @@ def nystroem_fit_one_class(
             f"nu must be in (0, 1), but is {nu}!"
         )
     if landmarks is not None:
-        idx = np.unique(np.asarray(landmarks, dtype=np.int64))
-        if idx.size == 0 or idx[0] < 0 or idx[-1] >= n:
+        raw_idx = np.asarray(landmarks, dtype=np.int64)
+        idx = np.unique(raw_idx)
+        if (
+            idx.size == 0 or idx.size != raw_idx.size
+            or idx[0] < 0 or idx[-1] >= n
+        ):
+            # duplicates must RAISE, not silently shrink the model below
+            # the requested size
             raise InvalidParameterError(
                 f"landmark indices must be unique and within [0, {n - 1}]!"
             )
@@ -1100,12 +1119,10 @@ def nystroem_fit_one_class(
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
-    from .kernel_functions import KernelFunctionType as _KFT
+    if kind == KernelFunctionType.CHI_SQUARED:
+        from .csvm import _check_chi_squared_data
 
-    if kind == _KFT.CHI_SQUARED and np.any(X < 0.0):
-        raise InvalidParameterError(
-            "chi-squared kernel requires non-negative data!"
-        )
+        _check_chi_squared_data(X, "training data")
     Z = X[idx]
     # the support-function target is the constant 1 (one_class.py)
     Y = np.ones((n, 1), dtype=np.float64)
