@@ -1293,11 +1293,9 @@ class CSVM:
         rep = repr(self._params)
         w = solve_kwargs.get("weights")
         if w is not None:
-            import hashlib
+            from .solver.checkpoint import weights_digest_suffix
 
-            rep += "|weights:" + hashlib.sha256(
-                np.ascontiguousarray(np.asarray(w, np.float64)).tobytes()
-            ).hexdigest()
+            rep += weights_digest_suffix(w)
         return rep
 
     def _extend_solve_kwargs(self, solve_kwargs, x_init, weights, weight_last):

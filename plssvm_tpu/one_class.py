@@ -508,13 +508,9 @@ def fit_one_class(
         else:
             params_repr = repr(params) + "|one_class"
             if civ is not None:
-                import hashlib
+                from .solver.checkpoint import weights_digest_suffix
 
-                params_repr += "|weights:" + hashlib.sha256(
-                    np.ascontiguousarray(
-                        np.asarray(sample_weight, np.float64)
-                    ).tobytes()
-                ).hexdigest()
+                params_repr += weights_digest_suffix(sample_weight)
             res = _run_ridge_segments(
                 solve_once, resume_once, Xp, mask,
                 params_repr, epsilon, max_iter,

@@ -80,15 +80,36 @@ def initialize_distributed(
         and not _multi_process_env()
     ):
         return
+    # already initialized (the CORRECT usage pattern is calling this — or
+    # jax.distributed.initialize — before building any CSVM): no-op.
+    # jax.distributed.initialize would itself raise for the late call, but
+    # its backends-are-initialized check fires FIRST, so the re-call of an
+    # already-initialized group also surfaces as the unhelpful "must be
+    # called before any JAX calls" error — hence the explicit check.
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as exc:  # already initialized
-        if "already" not in str(exc).lower():
-            raise
+    except RuntimeError as exc:
+        if "already" in str(exc).lower():
+            return
+        if "before any jax calls" in str(exc).lower():
+            # the XLA backend was initialized before the process group
+            # (e.g. the CSVM was constructed first on a pod) — JAX cannot
+            # recover; tell the user the actionable fix instead of
+            # surfacing the bare ordering error
+            raise RuntimeError(
+                "multi-host initialization came too late: the XLA backend "
+                "was already initialized (constructing a CSVM does that). "
+                "Call plssvm_tpu.parallel.multihost.initialize_distributed"
+                "() (or jax.distributed.initialize()) at program start, "
+                "BEFORE creating any CSVM or touching jax.devices()."
+            ) from exc
+        raise
 
 
 def global_row_mesh() -> Mesh:
@@ -343,7 +364,11 @@ def fit_multihost(
     from ..utils.logger import VerbosityLevel, log
     from ..utils.tracker import add_tracking_entry
     from .sharded import build_sharded_solver
-    from ..native.loader import parse_libsvm_native_window
+    from ..native.loader import (
+        libsvm_line_spans,
+        parse_libsvm_native_rows,
+        parse_libsvm_native_window,
+    )
 
     from ..csvm import _ensure_x64_if_needed
 
@@ -437,9 +462,24 @@ def fit_multihost(
     weights_local = None
     if sample_weight is not None:
         weights_local = np.ones((rows_local,), dtype=dtype)
+    # the metadata scan already validated the whole file; the per-host
+    # window and the single folded-out row ride the O(selected-rows)
+    # byte-span index instead of paying two more full-file scans
+    spans = None if X_all is not None else libsvm_line_spans(filename)
+    if spans is not None and spans.shape[0] != n_total:
+        from ..exceptions import InvalidFileFormatError
+
+        raise InvalidFileFormatError(
+            f"line index ({spans.shape[0]} rows) disagrees with the parse "
+            f"({n_total} rows) — file changed mid-read?"
+        )
     if real_end > begin:
         if X_all is not None:
             Xw = X_all[begin:real_end]
+        elif spans is not None:
+            Xw = parse_libsvm_native_rows(
+                filename, spans[begin:real_end], d, dtype=dtype
+            )
         else:
             Xw, _, _, _ = parse_libsvm_native_window(
                 filename, begin, real_end, dtype=dtype
@@ -453,6 +493,10 @@ def fit_multihost(
     # the folded-out last data point, replicated on every host
     if X_all is not None:
         x_last_row = X_all[dept]
+    elif spans is not None:
+        x_last_row = parse_libsvm_native_rows(
+            filename, spans[dept:dept + 1], d, dtype=dtype
+        )[0]
     else:
         x_last_row, _, _, _ = parse_libsvm_native_window(
             filename, dept, dept + 1, dtype=dtype
@@ -509,12 +553,10 @@ def fit_multihost(
             ),
         )
         # differently-weighted runs must never resume each other's
-        # checkpoints (same digest rule as CSVM._params_repr_for_fingerprint)
-        import hashlib
+        # checkpoints — the ONE digest rule (solver.checkpoint)
+        from ..solver.checkpoint import weights_digest_suffix
 
-        params_repr += "|weights:" + hashlib.sha256(
-            np.ascontiguousarray(sample_weight).tobytes()
-        ).hexdigest()
+        params_repr += weights_digest_suffix(sample_weight)
     gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dtype)
     coef0_v = jnp.asarray(params.coef0.value, dtype=dtype)
     cost_v = jnp.asarray(params.cost.value, dtype=dtype)
@@ -587,19 +629,24 @@ def fit_multihost(
         rho = float(result.rho)
     iterations = int(result.iterations)
 
-    log(
-        VerbosityLevel.LIBSVM, "optimization finished, #iter = {}\n", iterations
-    )
-    add_tracking_entry("cg", "iterations", iterations)
-    add_tracking_entry(
-        "cg", "residuum",
-        float(np.max(np.asarray(result.delta)))  # worst class if multiclass
-        if multiclass else float(result.delta),
-    )
-    add_tracking_entry(
-        "cg", "total_runtime", (_time.perf_counter() - start) * 1000.0
-    )
-    add_tracking_entry("backend", "num_hosts", jax.process_count())
+    if jax.process_index() == 0:
+        # one copy of the LIBSVM lines / tracking per pod, like the
+        # checkpoint writes — not once per host
+        log(
+            VerbosityLevel.LIBSVM,
+            "optimization finished, #iter = {}\n", iterations,
+        )
+        add_tracking_entry("cg", "iterations", iterations)
+        add_tracking_entry(
+            "cg", "residuum",
+            # worst class if multiclass
+            float(np.max(np.asarray(result.delta)))
+            if multiclass else float(result.delta),
+        )
+        add_tracking_entry(
+            "cg", "total_runtime", (_time.perf_counter() - start) * 1000.0
+        )
+        add_tracking_entry("backend", "num_hosts", jax.process_count())
 
     # model assembly: the LS-SVM model stores every training point — build
     # the full DataSet (single-process: from the already-parsed rows;

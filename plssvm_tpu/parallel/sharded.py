@@ -139,7 +139,9 @@ def ring_kernel_matvec(
 
     if impl == "pallas" and kind in DISTANCE_KERNELS:
         # distance kernels ride the SAME symmetric ring with their own
-        # fused VPU walk (ops/pallas_distance — no sq norms needed)
+        # fused VPU walk (ops/pallas_distance — no sq norms needed, so
+        # the ring state is a 2-tuple: rotating sq would be pure wasted
+        # ICI traffic)
         from ..ops.pallas_distance import distance_matvec_pallas_dual
 
         def own():
@@ -149,13 +151,13 @@ def ring_kernel_matvec(
             )
             return r + c
 
-        def cross_dual(Xc, sqc, vc):
+        def cross_dual(Xc, vc):
             return distance_matvec_pallas_dual(
                 X_local, Xc, vc, v_local,
                 kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
             )
 
-        def cross_rows(Xc, sqc, vc):
+        def cross_rows(Xc, vc):
             # no rows-only distance kernel; the discarded column
             # contraction costs ~1/d of the block — negligible
             r, _ = distance_matvec_pallas_dual(
@@ -166,7 +168,7 @@ def ring_kernel_matvec(
 
         return _symmetric_ring(
             own, cross_dual, cross_rows, rotate,
-            (X_local, sq_local, v_local), axis_name, num_devices,
+            (X_local, v_local), axis_name, num_devices,
         )
 
     if impl == "pallas":
@@ -267,6 +269,7 @@ def ring_kernel_matmat(
 
     if kind in DISTANCE_KERNELS:
         # the fused distance matmat rides the same ring (ops/pallas_distance)
+        # with a 2-tuple state — sq is never read by the distance walks
         from ..ops.pallas_distance import distance_matmat_pallas_dual
 
         def own():
@@ -276,13 +279,13 @@ def ring_kernel_matmat(
             )
             return r + c
 
-        def cross_dual(Xc, sqc, vtc):
+        def cross_dual(Xc, vtc):
             return distance_matmat_pallas_dual(
                 X_local, Xc, vtc, vt_local,
                 kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
             )
 
-        def cross_rows(Xc, sqc, vtc):
+        def cross_rows(Xc, vtc):
             r, _ = distance_matmat_pallas_dual(
                 X_local, Xc, vtc, vt_local,
                 kind=kind, gamma=gamma, symmetric=False, vma=axis_name,
@@ -291,7 +294,7 @@ def ring_kernel_matmat(
 
         accT = _symmetric_ring(
             own, cross_dual, cross_rows, rotate,
-            (X_local, sq_local, vt_local), axis_name, num_devices,
+            (X_local, vt_local), axis_name, num_devices,
         )
         return accT.T[:, :C].astype(V_local.dtype)
 
@@ -340,6 +343,23 @@ def linear_sharded_matvec(
     """
     xtv = jax.lax.psum(X_local.T @ v_local, axis_name)
     return X_local @ xtv
+
+
+def _unpack_trailing(rest, weighted, warm):
+    """The positional trailing-argument protocol shared by every sharded
+    builder: ``(weights, weight_last)`` if weighted, then ``x_init`` if
+    warm, then the resume state.  ONE implementation — the protocol is
+    order-sensitive, and three hand-synced copies meant a future flag
+    could silently mis-bind weights as resume state."""
+    rest = list(rest)
+    weights = weight_last = x_init = None
+    if weighted:
+        weights, weight_last = rest[0], rest[1]
+        rest = rest[2:]
+    if warm:
+        x_init = rest[0]
+        rest = rest[1:]
+    return weights, weight_last, x_init, tuple(rest)
 
 
 _SOLVER_CACHE: dict = {}
@@ -395,15 +415,9 @@ def build_sharded_solver(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
-        rest = list(rest)
-        weights = weight_last = x_init = None
-        if weighted:
-            weights, weight_last = rest[0], rest[1]
-            rest = rest[2:]
-        if warm:
-            x_init = rest[0]
-            rest = rest[1:]
-        init_state = rest
+        weights, weight_last, x_init, init_state = _unpack_trailing(
+            rest, weighted, warm
+        )
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -435,7 +449,7 @@ def build_sharded_solver(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
-            init_state=tuple(init_state) if resume else None,
+            init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
         )
 
@@ -511,15 +525,9 @@ def build_sharded_multi_solver(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
-        rest = list(rest)
-        weights = weight_last = x_init = None
-        if weighted:
-            weights, weight_last = rest[0], rest[1]
-            rest = rest[2:]
-        if warm:
-            x_init = rest[0]
-            rest = rest[1:]
-        init_state = rest
+        weights, weight_last, x_init, init_state = _unpack_trailing(
+            rest, weighted, warm
+        )
         if scalars == "compensated":
             from ..solver.cg import compensated_sum
 
@@ -545,7 +553,7 @@ def build_sharded_multi_solver(
             X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
             preconditioner=preconditioner,
-            init_state=tuple(init_state) if resume else None,
+            init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
         )
 
@@ -750,15 +758,9 @@ def build_sharded_explicit_solver(
         K, X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         *rest,
     ):
-        rest = list(rest)
-        weights = weight_last = x_init = None
-        if weighted:
-            weights, weight_last = rest[0], rest[1]
-            rest = rest[2:]
-        if warm:
-            x_init = rest[0]
-            rest = rest[1:]
-        init_state = rest
+        weights, weight_last, x_init, init_state = _unpack_trailing(
+            rest, weighted, warm
+        )
         if scalars == "compensated":
             from ..solver.cg import compensated_dot, compensated_sum
 
@@ -794,14 +796,14 @@ def build_sharded_explicit_solver(
                 X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
                 kind=kind, degree=degree, kernel_mm=kernel_mv, colsum=colsum,
                 preconditioner=preconditioner,
-                init_state=tuple(init_state) if resume else None,
+                init_state=init_state if resume else None,
                 weights=weights, weight_last=weight_last, x_init=x_init,
             )
         return cg_ls_svm_core(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
             kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
             preconditioner=preconditioner,
-            init_state=tuple(init_state) if resume else None,
+            init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
         )
 

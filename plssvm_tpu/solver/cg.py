@@ -114,21 +114,6 @@ class CGResult(NamedTuple):
 
 
 
-def _adaptive_row_block(m: int, gram_budget_bytes: int = 1 << 30) -> int:
-    """Row-block height whose (block, m) Gram slab stays under ~1 GiB.
-
-    Measured at 1M x 1k: rb=256 runs HBM-stream-bound at ~spec bandwidth
-    (20.5 s/iter); rb=512 makes XLA switch to a slower strategy (41 s/iter)
-    and rb=2048 materializes an 8.6 GB slab that OOM-kills the device.
-    Floor 128 — m is always padded to a 128 multiple.  The block must also
-    DIVIDE m, or kernel_matvec_xla silently falls back to a single (m, m)
-    block — catastrophic at the sizes this path targets."""
-    rb = 2048
-    while rb > 128 and (m % rb != 0 or m * rb * 4 > gram_budget_bytes):
-        rb //= 2
-    return rb
-
-
 def _make_kernel_matvec(
     kind: KernelFunctionType, degree: int, impl: str, row_block: int,
     precision: str = "f32",

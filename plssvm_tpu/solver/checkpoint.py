@@ -53,6 +53,17 @@ class MultiCGCheckpoint(NamedTuple):
     fingerprint: str
 
 
+def weights_digest_suffix(weights) -> str:
+    """``"|weights:<sha256>"`` fingerprint suffix for Suykens sample
+    weights — the ONE digest rule (CSVM, multihost and one-class
+    checkpointing all append it), so differently-weighted runs never
+    resume each other's checkpoints and the rule cannot drift between
+    call sites."""
+    return "|weights:" + hashlib.sha256(
+        np.ascontiguousarray(np.asarray(weights, np.float64)).tobytes()
+    ).hexdigest()
+
+
 def problem_fingerprint(X, y, params_repr: str, epsilon: float) -> str:
     """Cheap fingerprint tying a checkpoint to its training problem.
 

@@ -185,16 +185,6 @@ class TestJacobiPreconditioner:
 
 
 class TestLargeProblemGuards:
-    def test_adaptive_row_block(self):
-        from plssvm_tpu.solver.cg import _adaptive_row_block
-
-        assert _adaptive_row_block(8192) == 2048          # small m: full block
-        assert _adaptive_row_block(1 << 20) == 256        # 1M rows: ~1GB slab
-        assert _adaptive_row_block(1 << 23) == 128        # floor
-        for m in (8192, 1 << 20, 1 << 23):
-            rb = _adaptive_row_block(m)
-            assert m % rb == 0  # scan blocking requires divisibility
-
     def test_pallas_operand_ceiling_value(self):
         from plssvm_tpu.solver.cg import PALLAS_MAX_OPERAND_BYTES
 
