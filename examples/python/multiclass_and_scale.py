@@ -29,8 +29,12 @@ values = svm.predict_values(model, data)
 print(f"decision values: {values.shape}")
 
 # the model file round-trips with C rho values and C alpha columns
-model.save("multiclass.libsvm.model")
-reloaded = plssvm.Model.load("multiclass.libsvm.model", label_type=np.int64)
+import os
+import tempfile
+
+_model_path = os.path.join(tempfile.mkdtemp(), "multiclass.libsvm.model")
+model.save(_model_path)
+reloaded = plssvm.Model.load(_model_path, label_type=np.int64)
 print(f"reloaded accuracy: {svm.score(reloaded, data)}")
 
 # long fits are resumable: CG state is checkpointed every N iterations and

@@ -42,8 +42,12 @@ data = plssvm.DataSet(samples, labels)
 svm = plssvm.CSVM(kernel_type="rbf", gamma=0.05)
 model = svm.fit(data)
 calibrate_model(svm, model, data, random_state=0)
-model.save("calibrated.model")          # probA/probB ride the model file
-reloaded = plssvm.Model.load("calibrated.model")
+import os
+import tempfile
+
+_model_path = os.path.join(tempfile.mkdtemp(), "calibrated.model")
+model.save(_model_path)                  # probA/probB ride the model file
+reloaded = plssvm.Model.load(_model_path)
 P = predict_probabilities(reloaded, svm.predict_values(reloaded, data))
 print("reloaded-model mean P(+1) on the +1 class: "
       f"{P[labels == 1, 1].mean():.3f}")

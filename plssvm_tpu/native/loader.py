@@ -275,6 +275,18 @@ def libsvm_line_spans(filename: str) -> Optional[np.ndarray]:
         lib.plssvm_free_spans(spans_ptr)
 
 
+def check_line_spans(spans: np.ndarray, n_expected: int) -> None:
+    """Validate a span index against a prior parse's row count — the ONE
+    consistency rule for streaming consumers (raises
+    InvalidFileFormatError when the file changed between the validating
+    parse and the memchr sweep)."""
+    if spans.shape[0] != n_expected:
+        raise InvalidFileFormatError(
+            f"line index ({spans.shape[0]} rows) disagrees with the parse "
+            f"({n_expected} rows) — file changed mid-read?"
+        )
+
+
 def parse_libsvm_native_rows(
     filename: str, spans: np.ndarray, d: int, dtype=np.float64
 ) -> Optional[np.ndarray]:

@@ -85,8 +85,10 @@ def initialize_distributed(
     # jax.distributed.initialize would itself raise for the late call, but
     # its backends-are-initialized check fires FIRST, so the re-call of an
     # already-initialized group also surfaces as the unhelpful "must be
-    # called before any JAX calls" error — hence the explicit check.
-    if jax.distributed.is_initialized():
+    # called before any JAX calls" error — hence the explicit check
+    # (getattr: is_initialized is absent on old jax versions).
+    _is_init = getattr(jax.distributed, "is_initialized", None)
+    if _is_init is not None and _is_init():
         return
     try:
         jax.distributed.initialize(
@@ -97,7 +99,10 @@ def initialize_distributed(
     except RuntimeError as exc:
         if "already" in str(exc).lower():
             return
-        if "before any jax calls" in str(exc).lower():
+        # jax's wording varies across versions ("...before any JAX
+        # calls..." / "...before any JAX computations..."); match the
+        # stable prefix
+        if "before any jax" in str(exc).lower():
             # the XLA backend was initialized before the process group
             # (e.g. the CSVM was constructed first on a pod) — JAX cannot
             # recover; tell the user the actionable fix instead of
@@ -464,14 +469,27 @@ def fit_multihost(
         weights_local = np.ones((rows_local,), dtype=dtype)
     # the metadata scan already validated the whole file; the per-host
     # window and the single folded-out row ride the O(selected-rows)
-    # byte-span index instead of paying two more full-file scans
+    # byte-span index instead of paying two more full-file scans.
+    # The consistency verdict must be COLLECTIVE (like the chi-squared
+    # check below): one host raising alone would leave the others hanging
+    # in the first collective.
     spans = None if X_all is not None else libsvm_line_spans(filename)
-    if spans is not None and spans.shape[0] != n_total:
+    spans_rows = -1 if spans is None else int(spans.shape[0])
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        all_rows = np.asarray(
+            multihost_utils.process_allgather(np.asarray([spans_rows]))
+        ).reshape(-1)
+    else:
+        all_rows = np.asarray([spans_rows])
+    if any(r != -1 and r != n_total for r in all_rows):
         from ..exceptions import InvalidFileFormatError
 
         raise InvalidFileFormatError(
-            f"line index ({spans.shape[0]} rows) disagrees with the parse "
-            f"({n_total} rows) — file changed mid-read?"
+            f"line index ({sorted(set(int(r) for r in all_rows))} rows "
+            f"across hosts) disagrees with the parse ({n_total} rows) — "
+            "file changed mid-read?"
         )
     if real_end > begin:
         if X_all is not None:
@@ -576,7 +594,8 @@ def fit_multihost(
             mesh, None, sharded[0], gamma_v, coef0_v, kind, degree
         )
         sharded = (K,) + tuple(sharded)
-        add_tracking_entry("cg", "solver", "cg_explicit")
+        if jax.process_index() == 0:
+            add_tracking_entry("cg", "solver", "cg_explicit")
         build = _functools.partial(
             build_sharded_explicit_solver,
             mesh, kind=kind, degree=degree,
@@ -586,7 +605,8 @@ def fit_multihost(
             weighted=weighted,
         )
     else:
-        add_tracking_entry("cg", "solver", "cg_implicit")
+        if jax.process_index() == 0:
+            add_tracking_entry("cg", "solver", "cg_implicit")
         impl = "pallas" if pallas else "xla"
         build = _functools.partial(
             build_sharded_multi_solver if multiclass else build_sharded_solver,

@@ -621,11 +621,9 @@ def nystroem_fit_from_file(
         )
 
     _, raw_labels, n, d = meta
-    if spans.shape[0] != n:
-        raise InvalidParameterError(
-            f"line index ({spans.shape[0]} rows) disagrees with the parse "
-            f"({n} rows) — file changed mid-read?"
-        )
+    from .native.loader import check_line_spans
+
+    check_line_spans(spans, n)
     if raw_labels is None:
         raise InvalidParameterError(
             "No labels given for training! Maybe the data is only usable "
@@ -837,11 +835,9 @@ def nystroem_fit_one_class_from_file(
         )
 
     _, _, n, d = meta
-    if spans.shape[0] != n:
-        raise InvalidParameterError(
-            f"line index ({spans.shape[0]} rows) disagrees with the parse "
-            f"({n} rows) — file changed mid-read?"
-        )
+    from .native.loader import check_line_spans
+
+    check_line_spans(spans, n)
     if not 1 <= n_landmarks <= n:
         raise InvalidParameterError(
             f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
