@@ -296,6 +296,15 @@ def main(argv=None) -> int:
                     return 1
                 lab, w = spec.split("=", 1)
                 per_class_weights[lab.strip()] = float(w)
+        if args.probability and args.multihost:
+            # reject BEFORE building the multihost CSVM — constructing it
+            # on a pod initializes (and blocks on) the process group
+            print(
+                "--probability is not supported together with --multihost "
+                "(the cross-validation fits are single-host)!",
+                file=sys.stderr,
+            )
+            return 1
         if args.max_sv is not None or args.nystroem is not None:
             which = "--max_sv" if args.max_sv is not None else "--nystroem"
             if args.max_sv is not None and args.nystroem is not None:
@@ -535,14 +544,6 @@ def main(argv=None) -> int:
                     )
                 return svm.fit(data, **fit_kwargs)
 
-        if args.probability and args.multihost:
-            print(
-                "--probability is not supported together with --multihost "
-                "(the cross-validation fits are single-host)!",
-                file=sys.stderr,
-            )
-            return 1
-
         if args.cross_validation is not None:
             # svm-train -v mode: report CV metrics, write no model
             for flag, name in (
@@ -607,34 +608,20 @@ def main(argv=None) -> int:
 
             fit_fn = None
             if args.nystroem is not None or args.max_sv is not None:
-                # compact fits calibrate on COMPACT CV folds so the
-                # sigmoid reflects the deployed model's decision
-                # distribution (probability.cross_validated_decision_values)
-                def fit_fn(fold_data, fold_sw):
-                    n_fold = fold_data.num_data_points
-                    if args.nystroem is not None:
-                        from ..sparse import nystroem_fit
+                # compact fits calibrate on COMPACT CV folds — the ONE
+                # rule shared with the sklearn facade
+                from ..sparse import compact_fold_fit_fn
 
-                        return nystroem_fit(
-                            svm, fold_data,
-                            n_landmarks=min(args.nystroem, n_fold),
-                            sample_weight=fold_sw,
-                        )
-                    from ..sparse import pruned_fit
-
-                    target = max(
-                        fold_data.num_different_labels,
-                        min(args.max_sv, n_fold - 1),
-                    )
-                    return pruned_fit(
-                        svm, fold_data, n_sv=target,
-                        epsilon=args.epsilon, max_iter=args.max_iter,
-                        sample_weight=fold_sw,
-                    )
-
+                fit_fn = compact_fold_fit_fn(
+                    svm, n_landmarks=args.nystroem, max_sv=args.max_sv,
+                    epsilon=args.epsilon, max_iter=args.max_iter,
+                )
             calibrate_model(
                 svm, model, data,
                 epsilon=args.epsilon, max_iter=args.max_iter,
+                # keep the -wi weights in the CV subproblems, as LIBSVM's
+                # svm_binary_svc_probability does
+                sample_weight=fit_kwargs.get("sample_weight"),
                 fit_fn=fit_fn,
             )
         model.save(model_filename)

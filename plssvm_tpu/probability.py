@@ -61,14 +61,12 @@ def fit_sigmoid(
 
     def objective(A: float, B: float) -> float:
         z = A * f + B
-        # -t*log(p) - (1-t)*log(1-p) with p = sigmoid(-z), computed stably
-        return float(np.sum(
-            np.where(
-                z >= 0,
-                t * z + np.log1p(np.exp(-z)),
-                (t - 1.0) * z + np.log1p(np.exp(z)),
-            )
-        ))
+        # -t*log(p) - (1-t)*log(1-p) with p = sigmoid(-z).  np.where
+        # evaluates BOTH branches, so the overflowing exp of the
+        # unselected branch would spam RuntimeWarnings on well-separated
+        # data — the shared softplus term exp(-|z|) never overflows
+        lin = np.where(z >= 0.0, t * z, (t - 1.0) * z)
+        return float(np.sum(lin + np.log1p(np.exp(-np.abs(z)))))
 
     A = 0.0
     B = float(np.log((prior0 + 1.0) / (prior1 + 1.0)))
@@ -319,7 +317,7 @@ def calibrate_model(
             csvm, model, data,
             n_folds=n_folds, random_state=random_state,
             epsilon=epsilon, max_iter=max_iter,
-            sample_weight=sample_weight,
+            sample_weight=sample_weight, fit_fn=fit_fn,
         )
         return model.prob_a, model.prob_b
     if (
@@ -454,6 +452,7 @@ def calibrate_svr_noise(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     sample_weight=None,
+    fit_fn=None,
 ) -> float:
     """LIBSVM's ``svr_probability``: the Laplace noise scale of a regression
     model from cross-validated residuals.
@@ -483,10 +482,20 @@ def calibrate_svr_noise(
         if len(test_idx) == 0 or len(train_idx) < 2:
             continue
         fold_data = DataSet(X[train_idx], targets[train_idx], regression=True)
-        kwargs = {} if max_iter is None else {"max_iter": max_iter}
-        if sample_weight is not None:
-            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
-        fold_model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        fold_sw = (
+            np.asarray(sample_weight)[train_idx]
+            if sample_weight is not None
+            else None
+        )
+        if fit_fn is not None:
+            # compact fits calibrate with compact CV folds (see
+            # cross_validated_decision_values)
+            fold_model = fit_fn(fold_data, fold_sw)
+        else:
+            kwargs = {} if max_iter is None else {"max_iter": max_iter}
+            if fold_sw is not None:
+                kwargs["sample_weight"] = fold_sw
+            fold_model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         predicted[test_idx] = csvm.predict_values(
             fold_model, DataSet(X[test_idx])
         )

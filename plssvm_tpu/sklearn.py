@@ -93,6 +93,11 @@ class SVC:
         #: row indices of the SVs in the training data (compact fits only;
         #: None = every training point is an SV, the exact-LS-SVM case)
         self._support_indices: Optional[np.ndarray] = None
+        #: kept-row mapping after zero-weight exclusion (None = no rows
+        #: dropped) and the fit-call X shape — support_/shape_fit_ report
+        #: CALLER-X indexing
+        self._kept_rows: Optional[np.ndarray] = None
+        self._shape_fit: Optional[tuple] = None
         #: raw user-provided parameters, returned VERBATIM by get_params —
         #: sklearn's clone() contract compares them by identity
         self._user_params: dict = {}
@@ -266,6 +271,11 @@ class SVC:
         X = np.asarray(X)
         y = np.asarray(y)
         eff = self._effective_sample_weight(y, sample_weight)
+        #: fit-call X shape and (after zero-weight exclusion) the kept-row
+        #: mapping — support_/shape_fit_ must index the CALLER's X, not
+        #: the filtered matrix (sklearn semantics)
+        self._shape_fit = X.shape
+        self._kept_rows = None
         if eff is not None and np.any(eff == 0.0):
             # sklearn semantics: zero-weight samples are EXCLUDED (the
             # 1/(C s_i) regularizer cannot express s_i = 0)
@@ -275,6 +285,7 @@ class SVC:
                     "All samples have zero weight — nothing to fit!"
                 )
             X, y, eff = X[keep], y[keep], eff[keep]
+            self._kept_rows = np.flatnonzero(keep)
         self._data = DataSet(X, y)
         if self._gamma_scale:
             # sklearn semantics: gamma = 1 / (n_features * X.var())
@@ -352,40 +363,24 @@ class SVC:
         return self
 
     def _calibrate_compact(self, eff) -> None:
-        """Platt calibration for a compact fit: the CV folds train with
-        the SAME compact procedure (scaled to the fold size), so the
-        sigmoid reflects the deployed compact model's decision
-        distribution rather than the exact fit's."""
+        """Platt calibration for a compact fit — the shared compact
+        fold-fit rule (sparse.compact_fold_fit_fn: same procedure as the
+        deployed model, scaled to the fold size)."""
         from .probability import calibrate_model
+        from .sparse import compact_fold_fit_fn
 
         eps = self._epsilon if self._epsilon is not None else 0.001
-
-        def fit_fn(fold_data, fold_sw):
-            n_fold = fold_data.num_data_points
-            n_classes = fold_data.num_different_labels
-            if self._n_landmarks is not None:
-                from .sparse import nystroem_fit
-
-                return nystroem_fit(
-                    self._svm, fold_data,
-                    n_landmarks=min(self._n_landmarks, n_fold),
-                    random_state=self._random_state or 0,
-                    sample_weight=fold_sw,
-                )
-            from .sparse import pruned_fit
-
-            target = max(n_classes, min(self._max_sv, n_fold - 1))
-            return pruned_fit(
-                self._svm, fold_data, n_sv=target,
-                epsilon=eps, max_iter=self._max_iter,
-                sample_weight=fold_sw,
-            )
-
         calibrate_model(
             self._svm, self._model, self._data,
             random_state=self._random_state,
             epsilon=eps, max_iter=self._max_iter,
-            sample_weight=eff, fit_fn=fit_fn,
+            sample_weight=eff,
+            fit_fn=compact_fold_fit_fn(
+                self._svm, n_landmarks=self._n_landmarks,
+                max_sv=self._max_sv, epsilon=eps,
+                max_iter=self._max_iter,
+                random_state=self._random_state,
+            ),
         )
 
     def _check_fitted(self, what: str = "estimator"):
@@ -479,16 +474,22 @@ class SVC:
 
     @property
     def support_(self) -> np.ndarray:
-        """Indices of the support vectors in the training data.
+        """Indices of the support vectors in the CALLER's training X.
 
         All data points are support vectors in an exact LS-SVM fit; compact
-        fits (max_sv/n_landmarks) report the indices of the surviving /
-        landmark rows.
+        fits (max_sv/n_landmarks) report the surviving / landmark rows.
+        Zero-weight-excluded rows are never SVs, and the indices map back
+        through the exclusion to the X passed to ``fit`` (sklearn
+        semantics).
         """
         self._check_fitted()
         if self._support_indices is not None:
-            return np.asarray(self._support_indices, dtype=np.int32)
-        return np.arange(self._model.num_support_vectors, dtype=np.int32)
+            base = np.asarray(self._support_indices, dtype=np.int32)
+        else:
+            base = np.arange(self._model.num_support_vectors, dtype=np.int32)
+        if self._kept_rows is not None:
+            return np.asarray(self._kept_rows, dtype=np.int32)[base]
+        return base
 
     @property
     def support_vectors_(self) -> np.ndarray:
@@ -546,6 +547,8 @@ class SVC:
     @property
     def shape_fit_(self) -> tuple:
         self._check_fitted()
+        if self._shape_fit is not None:
+            return tuple(self._shape_fit)
         return (self._data.num_data_points, self._data.num_features)
 
     @property

@@ -501,6 +501,49 @@ def nystroem_fit(
     return model
 
 
+def compact_fold_fit_fn(
+    csvm, *, n_landmarks=None, max_sv=None, epsilon=0.001, max_iter=None,
+    random_state=None,
+):
+    """Fold-fit callable for Platt calibration of COMPACT models.
+
+    Probability calibration must reflect the DEPLOYED model's decision
+    distribution, so the CV folds train with the same compact procedure,
+    scaled to the fold size.  Shared by the sklearn facade and the CLI
+    (one rule — the two previously drifted).  Tiny folds where no valid
+    pruning target exists (n_fold <= num_classes) fall back to the exact
+    fold fit rather than violating pruned_fit's n_sv < n precondition.
+    """
+
+    def fit_fn(fold_data, fold_sw):
+        n_fold = fold_data.num_data_points
+        if n_landmarks is not None:
+            return nystroem_fit(
+                csvm, fold_data,
+                n_landmarks=min(n_landmarks, n_fold),
+                random_state=random_state or 0,
+                sample_weight=fold_sw,
+            )
+        n_classes = (
+            fold_data.num_different_labels
+            if not fold_data.is_regression and fold_data.has_labels()
+            else 1
+        )
+        target = max(n_classes, min(max_sv, n_fold - 1))
+        if not n_classes <= target < n_fold:
+            # the fold is too small to prune at all — exact fit
+            kwargs = {} if max_iter is None else {"max_iter": max_iter}
+            if fold_sw is not None:
+                kwargs["sample_weight"] = fold_sw
+            return csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        return pruned_fit(
+            csvm, fold_data, n_sv=target,
+            epsilon=epsilon, max_iter=max_iter, sample_weight=fold_sw,
+        )
+
+    return fit_fn
+
+
 # ---------------------------------------------------------------------------
 # Windowed file ingest: fixed-size fits at n >> host RAM
 # ---------------------------------------------------------------------------

@@ -316,3 +316,40 @@ def test_svr_compact_kwargs():
     assert reg2.score(X, y) >= 0.8
     with pytest.raises(AttributeError, match="mutually exclusive"):
         SVR(max_sv=8, n_landmarks=8).fit(X, y)
+
+
+def test_zero_weight_exclusion_preserves_caller_indexing():
+    """support_ and shape_fit_ index the CALLER's X even when zero-weight
+    rows are excluded (sklearn semantics — review finding, round 6)."""
+    rng = np.random.default_rng(80)
+    X = rng.normal(size=(40, 4))
+    y = np.where(X[:, 0] > 0, 1, -1)
+    sw = np.ones(40)
+    sw[[0, 7, 20]] = 0.0
+    clf = SVC(kernel="rbf", C=2.0, dtype=np.float64)
+    clf.fit(X, y, sample_weight=sw)
+    assert clf.shape_fit_ == (40, 4)
+    sup = clf.support_
+    # dropped rows are never SVs; all other rows are (exact LS-SVM)
+    assert set(sup) == set(range(40)) - {0, 7, 20}
+    np.testing.assert_allclose(X[sup], clf.support_vectors_)
+
+    # compact fit: landmark indices map through the exclusion too
+    clf2 = SVC(kernel="rbf", C=2.0, n_landmarks=10, random_state=0,
+               dtype=np.float64)
+    clf2.fit(X, y, sample_weight=sw)
+    assert not ({0, 7, 20} & set(clf2.support_))
+    np.testing.assert_allclose(X[clf2.support_], clf2.support_vectors_)
+
+
+def test_compact_probability_tiny_folds_no_crash():
+    """Pruned calibration on folds too small to prune falls back to the
+    exact fold fit instead of violating pruned_fit's n_sv < n bound."""
+    rng = np.random.default_rng(81)
+    X = rng.normal(size=(8, 3))
+    y = np.array([1, -1, 1, -1, 1, -1, 1, -1])
+    clf = SVC(kernel="rbf", C=2.0, max_sv=4, probability=True,
+              dtype=np.float64)
+    clf.fit(X, y)  # 5-fold on 8 points -> tiny folds; must not raise
+    proba = clf.predict_proba(X)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
