@@ -2301,6 +2301,13 @@ class CSVM:
 
                 return order_arr[oao.vote(values, model.num_classes)]
             return order_arr[np.argmax(values, axis=1)]
+        if model.label_order is not None:
+            # file-loaded binary model: libsvm's svm_predict rule is
+            # f > 0 -> label[0] (the header's FIRST label — appearance
+            # order, not sorted; ignoring it flips every prediction of a
+            # file whose first-seen class sorts low)
+            order_arr = np.asarray(model.label_order)
+            return order_arr[(values <= 0).astype(np.intp)]
         labels_arr = np.asarray(model.data.mapper.labels())
         return labels_arr[(values > 0).astype(np.intp)]
 

@@ -118,11 +118,14 @@ class Model:
         # multiclass format detection: C-1 coefficient columns = the standard
         # LIBSVM one-vs-one layout; C columns = the one-vs-all extension
         C = data.num_different_labels
-        if C > 2:
+        if C >= 2:
             # the file's label-header order (first appearance in the
             # class-grouped SV section) defines the column/machine layout —
             # LIBSVM writes it in training-file appearance order, which is
-            # NOT necessarily sorted
+            # NOT necessarily sorted.  For BINARY files the order carries
+            # the decision-sign association: libsvm predicts label[0] when
+            # f > 0 (svm.cpp svm_predict), so ignoring it silently flips
+            # every prediction of a file whose first-seen class sorts low
             seen = dict.fromkeys(labels.tolist())
             model.label_order = list(seen)
         if C > 2 and np.ndim(alpha) == 2 and alpha.shape[1] == C - 1:
@@ -160,7 +163,7 @@ class Model:
             # alpha-column association survives re-saving a loaded model
             # whose label header was not sorted
             None if no_labels
-            else [str(lab) for lab in self.class_order()],
+            else [str(lab) for lab in self._file_class_order()],
             prob_a=self.prob_a,
             prob_b=self.prob_b,
             regression=self.is_regression,
@@ -176,6 +179,22 @@ class Model:
         add_tracking_entry("model_write", "time", elapsed_ms)
 
     # -- accessors ---------------------------------------------------------
+    def _file_class_order(self) -> List:
+        """Class order for the MODEL FILE header.
+
+        Loaded models keep their file's order (sign/column association
+        must survive re-saving).  Binary models trained here write the
+        +1-mapped class FIRST: libsvm's svm_predict rule is
+        ``f > 0 -> label[0]`` and our decision function is positive for
+        the mapper's larger label — the reference writes the same order
+        (its bundled fixtures read "label 1 -1",
+        libsvm_model_parsing.hpp:294-500).
+        """
+        order = self.class_order()
+        if self.label_order is None and len(order) == 2:
+            return [order[1], order[0]]
+        return order
+
     def class_order(self) -> List:
         """The class order defining this model's column/machine layout.
 

@@ -546,8 +546,21 @@ def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
         )
     values = np.asarray(decision_values)
     if values.ndim == 1:
+        # the sigmoid gives P(f>0 class): the header's label[0] for
+        # file-loaded models (libsvm's probA/probB convention), the
+        # mapper's +1 label for models calibrated here.  Columns are
+        # emitted in SORTED label order (the library-wide convention).
         p = sigmoid_probability(values, model.prob_a[0], model.prob_b[0])
-        return np.stack([1.0 - p, p], axis=1)
+        sorted_labels = [str(lab) for lab in model.data.different_labels]
+        if getattr(model, "label_order", None) is not None:
+            pos = str(model.label_order[0])
+        else:
+            pos = sorted_labels[1]
+        out = np.empty((len(p), 2), dtype=np.float64)
+        pos_col = sorted_labels.index(pos)
+        out[:, pos_col] = p
+        out[:, 1 - pos_col] = 1.0 - p
+        return out
     from .parameter import ClassificationType
 
     if model.classification == ClassificationType.OAO:

@@ -56,6 +56,23 @@ def write_sklearn_svc_model(clf, path, kernel, gamma, coef0=0.0, degree=3):
     sv = clf.support_vectors_
     sv_coef = clf.dual_coef_  # (C-1, n_SV)
     rho = -clf.intercept_
+    if len(classes) == 2:
+        # a FAITHFUL libsvm binary file obeys f > 0 -> label[0]
+        # (svm.cpp svm_predict).  sklearn sign-normalizes its binary
+        # arrays so positive decision values mean classes_[1], so the
+        # equivalent libsvm model has label[0] = classes_[1] — reorder
+        # the header, nr_sv and the class-grouped SV block accordingly
+        # (an earlier revision of this helper wrote the sorted header
+        # with the positive-means-classes_[1] values, i.e. a file real
+        # libsvm would read with every prediction inverted)
+        n0 = int(clf.n_support_[0])
+        perm = np.concatenate(
+            [np.arange(n0, sv.shape[0]), np.arange(n0)]
+        )
+        classes = classes[[1, 0]]
+        n_support = n_support[[1, 0]]
+        sv = sv[perm]
+        sv_coef = sv_coef[:, perm]
     lines = ["svm_type c_svc", f"kernel_type {kernel}"]
     if kernel == "polynomial":
         lines += [f"degree {degree}", f"gamma {gamma!r}", f"coef0 {coef0!r}"]
@@ -207,3 +224,69 @@ def test_gridsearchcv_over_svc():
     gs.fit(X, y)
     assert gs.best_score_ >= 0.9
     assert set(gs.best_params_) == {"C", "gamma"}
+
+
+def test_binary_flipped_appearance_order_header(tmp_path):
+    """svm-train writes the label header in APPEARANCE order with
+    f > 0 meaning label[0] — a binary file whose first-seen class sorts
+    LOW previously loaded with every prediction inverted (round-6 review
+    finding; the loader ignored the binary header order)."""
+    X, y = _blobs(n_per=30, d=3, n_classes=2, seed=9)
+    clf = sk_svm.SVC(kernel="rbf", gamma=0.4, C=5.0).fit(X, y)
+    # craft the file svm-train would write when class -1 is seen FIRST:
+    # label[0] = -1, f_file > 0 -> -1, i.e. f_file = -f_sklearn
+    path = str(tmp_path / "flipped.model")
+    n1 = int(clf.n_support_[1])
+    lines = [
+        "svm_type c_svc", "kernel_type rbf", "gamma 0.4", "nr_class 2",
+        f"total_sv {clf.support_vectors_.shape[0]}",
+        f"rho {float(clf.intercept_[0]):.17g}",
+        f"label {int(clf.classes_[0])} {int(clf.classes_[1])}",
+        f"nr_sv {int(clf.n_support_[0])} {int(clf.n_support_[1])}", "SV",
+    ]
+    for coef, sv in zip(-clf.dual_coef_[0], clf.support_vectors_):
+        feats = " ".join(f"{j + 1}:{v:.17g}" for j, v in enumerate(sv))
+        lines.append(f"{coef:.17g} {feats}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    model = Model.load(path, label_type=int)
+    assert model.label_order == [int(clf.classes_[0]), int(clf.classes_[1])]
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    pts = DataSet(X)
+    # decision values are the NEGATED sklearn ones...
+    np.testing.assert_allclose(
+        plssvm.predict_values(model, pts), -clf.decision_function(X),
+        rtol=1e-9, atol=1e-12,
+    )
+    # ...but predictions must MATCH (f > 0 -> label[0])
+    np.testing.assert_array_equal(plssvm.predict(model, pts), clf.predict(X))
+    # re-saving keeps the file's order, so the round trip stays faithful
+    path2 = str(tmp_path / "flipped_resaved.model")
+    model.save(path2)
+    reloaded = Model.load(path2, label_type=int)
+    np.testing.assert_array_equal(
+        plssvm.predict(reloaded, pts), clf.predict(X)
+    )
+
+
+def test_binary_writer_emits_positive_class_first(tmp_path):
+    """Our writer emits the +1-mapped class FIRST in the binary header —
+    the reference's own fixture convention ('label 1 -1') and the order
+    svm-predict needs for f > 0 -> label[0] to hold on our files."""
+    X, y = _blobs(n_per=25, d=3, n_classes=2, seed=10)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+               gamma=0.3)
+    model = svm.fit(DataSet(X, y, dtype=np.float64))
+    path = str(tmp_path / "ours.model")
+    model.save(path)
+    hdr = [l for l in open(path) if l.startswith("label")][0].split()
+    # sorted labels are [0, 1]; the +1-mapped (f>0) class sorts LAST but
+    # must be written FIRST
+    assert hdr[1:] == ["1", "0"]
+    # the round trip predicts identically
+    reloaded = Model.load(path, label_type=int)
+    ds = DataSet(X, dtype=np.float64)
+    np.testing.assert_array_equal(
+        svm.predict(reloaded, ds), svm.predict(model, ds)
+    )
