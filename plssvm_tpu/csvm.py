@@ -2097,8 +2097,12 @@ class CSVM:
         ``K(points, SV) @ W - rho`` — riding the same fused Pallas/XLA/
         sharded matmat paths as one-vs-all models via a cached shadow model.
         """
-        shadow = getattr(model, "_oao_shadow", None)
-        if shadow is None:
+        cached = getattr(model, "_oao_shadow", None)
+        # keyed on the alpha object: a mutated/replaced sv_coef block
+        # must rebuild the expansion (same rule as oao.model_weight_matrix)
+        if cached is not None and cached[0] is model.alpha:
+            shadow = cached[1]
+        else:
             from . import oao
 
             # the expansion follows the model's LAYOUT class order (the
@@ -2110,7 +2114,7 @@ class CSVM:
                 model.params, model.data, alpha=W,
                 rho=np.atleast_1d(np.asarray(model.rho, dtype=np.float64)),
             )
-            model._oao_shadow = shadow
+            model._oao_shadow = (model.alpha, shadow)
         return self.predict_values(shadow, data)
 
     def _predict_values_pallas(

@@ -26,7 +26,7 @@ rows' leading-coefficient count:
 from __future__ import annotations
 
 import datetime
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -35,18 +35,37 @@ from ..parameter import KernelFunctionType, Parameter
 from . import libsvm
 
 
-def parse_model_header(
-    lines: List[str],
-) -> Tuple[Parameter, "np.ndarray", List[str], int, Optional[tuple]]:
-    """Parse the model-file header.
+class ModelHeader(NamedTuple):
+    """Parsed model-file header (see :func:`parse_model_header`)."""
 
-    Returns ``(params, rho, per_point_labels, num_header_lines, prob)`` where
-    ``rho`` is a float array (1 value for binary models, C for one-vs-all
-    multiclass) and ``per_point_labels`` holds the label string of each SV
-    row, expanded from the ``label`` / ``nr_sv`` header entries.  ``prob`` is
-    ``None`` or ``(probA, probB)`` float arrays from the optional LIBSVM
-    probability-calibration header lines (EXTENSION — the reference has no
-    probability support; LIBSVM writes these for ``-b 1`` models).
+    params: Parameter
+    #: float array: 1 value for binary/regression models, C for one-vs-all
+    #: multiclass, C(C-1)/2 for one-vs-one multiclass
+    rho: np.ndarray
+    #: label string of each SV row, expanded from label x nr_sv
+    #: (None for the no-label epsilon_svr / one_class layouts)
+    per_point_labels: Optional[List[str]]
+    #: lines consumed by the header, including the ``SV`` marker
+    num_header_lines: int
+    #: None or the (probA, probB) Platt-calibration arrays
+    #: (probB is None for the lone-probA SVR noise scale)
+    prob: Optional[Tuple[np.ndarray, Optional[np.ndarray]]]
+    #: "c_svc" | "epsilon_svr" | "nu_svr" | "one_class"
+    svm_type: str
+    #: the header's nr_class (None for the no-label layouts)
+    nr_class: Optional[int]
+    #: the DISTINCT labels in header order (None for the no-label layouts)
+    labels: Optional[List[str]]
+    #: the header's total_sv
+    total_sv: int
+
+
+def parse_model_header(lines: List[str]) -> ModelHeader:
+    """Parse the model-file header into a :class:`ModelHeader`.
+
+    ``prob`` is ``None`` or ``(probA, probB)`` float arrays from the optional
+    LIBSVM probability-calibration header lines (EXTENSION — the reference
+    has no probability support; LIBSVM writes these for ``-b 1`` models).
 
     reference: libsvm_model_parsing.hpp:83-272 (parse_libsvm_model_header).
     """
@@ -66,9 +85,10 @@ def parse_model_header(
     for header_line, raw in enumerate(lines):
         line = raw.strip()
         lower = line.lower()
-        # value = everything after the first space
-        space = lower.find(" ")
-        value = lower[space + 1:].lstrip() if space != -1 else ""
+        # value = everything after the key token (any whitespace separator —
+        # libsvm itself tokenizes with fscanf, so tabs are legal)
+        parts = lower.split(None, 1)
+        value = parts[1].strip() if len(parts) > 1 else ""
 
         if lower.startswith("svm_type"):
             # c_svc = classification; epsilon_svr / nu_svr = regression
@@ -83,7 +103,8 @@ def parse_model_header(
             # svm-train -s 2 models load unchanged
             if value not in ("c_svc", "epsilon_svr", "nu_svr", "one_class"):
                 raise InvalidFileFormatError(
-                    f"Can only use c_svc as svm_type, but '{value}' was given!"
+                    "Can only use c_svc, epsilon_svr, nu_svr, or one_class "
+                    f"as svm_type, but '{value}' was given!"
                 )
             svm_type = value
         elif lower.startswith("kernel_type"):
@@ -126,8 +147,8 @@ def parse_model_header(
             )
         elif lower.startswith("label"):
             # preserve the original case of the labels
-            original = line[line.find(" ") + 1:].lstrip() if " " in line else ""
-            labels = original.split()
+            orig_parts = line.split(None, 1)
+            labels = orig_parts[1].split() if len(orig_parts) > 1 else []
             if len(labels) < 2:
                 raise InvalidFileFormatError(
                     f"At least two labels must be set, but only {len(labels)} "
@@ -149,6 +170,14 @@ def parse_model_header(
                 raise InvalidFileFormatError(
                     f"At least two nr_sv must be set, but only {len(nr_sv)} "
                     f"([{', '.join(map(str, nr_sv))}]) was given!"
+                )
+            if any(c <= 0 for c in nr_sv):
+                # a non-positive class count would desync the header's
+                # nr_class from the classes actually present in the SV
+                # block (libsvm only writes classes seen in training)
+                raise InvalidFileFormatError(
+                    f"Each nr_sv count must be greater than 0, but "
+                    f"[{', '.join(map(str, nr_sv))}] was given!"
                 )
         elif lower == "sv":
             found_sv = True
@@ -231,6 +260,15 @@ def parse_model_header(
             )
         prob: Optional[tuple] = None
         if prob_a is not None:
+            # a lone scalar: the Laplace noise scale (SVR) or density
+            # threshold — never the per-sigmoid vectors of classification
+            if prob_a.size != 1 or (prob_b is not None and prob_b.size != 1):
+                raise InvalidFileFormatError(
+                    f"Expected 1 probA/probB value for a {svm_type} model, "
+                    f"but {prob_a.size}"
+                    f"{'' if prob_b is None else f'/{prob_b.size}'} "
+                    "were given!"
+                )
             prob = (prob_a, prob_b)
         elif prob_b is not None:
             raise InvalidFileFormatError(
@@ -240,7 +278,10 @@ def parse_model_header(
             raise InvalidFileFormatError(
                 "Can't parse file: no support vectors are given or SV is missing!"
             )
-        return params, rho, None, header_line + 1, prob, svm_type
+        return ModelHeader(
+            params, rho, None, header_line + 1, prob, svm_type,
+            None, None, num_support_vectors,
+        )
     if nr_class is None:
         raise InvalidFileFormatError("Missing number of different classes nr_class!")
     if labels is None:
@@ -303,7 +344,10 @@ def parse_model_header(
             )
         prob = (prob_a, prob_b)
 
-    return params, rho, per_point_labels, header_line + 1, prob, svm_type
+    return ModelHeader(
+        params, rho, per_point_labels, header_line + 1, prob, svm_type,
+        nr_class, labels, num_support_vectors,
+    )
 
 
 def _to_float(value: str, name: str) -> float:
@@ -324,18 +368,17 @@ def _to_int(value: str, name: str) -> int:
         ) from None
 
 
-def _header_total_sv(lines) -> Optional[int]:
-    """The total_sv header value (for the regression SV-count check)."""
-    for raw in lines:
-        low = raw.strip().lower()
-        if low.startswith("total_sv"):
-            try:
-                return int(low.split(None, 1)[1])
-            except (IndexError, ValueError):
-                return None
-        if low == "sv":
-            break
-    return None
+def _check_sv_count(n_found: int, header: ModelHeader) -> None:
+    """Require the SV-block row count to match the header's promise."""
+    expected = (
+        len(header.per_point_labels)
+        if header.per_point_labels is not None
+        else header.total_sv
+    )
+    if expected != n_found:
+        raise InvalidFileFormatError(
+            f"Found {n_found} support vectors, but expected {expected}!"
+        )
 
 
 def _count_leading_coeffs(line: str) -> int:
@@ -411,12 +454,16 @@ def _read_header_and_offset(filename: str):
 
 def parse_model_file(
     filename: str, dtype: np.dtype = np.float64
-) -> Tuple[Parameter, np.ndarray, np.ndarray, np.ndarray, List[str], Optional[tuple]]:
+) -> Tuple[
+    Parameter, np.ndarray, np.ndarray, np.ndarray, Optional[List[str]],
+    Optional[tuple], str,
+]:
     """Read a full model file.
 
-    Returns ``(params, rho, support_vectors, alpha, labels, prob)`` with
-    ``prob`` either ``None`` or the ``(probA, probB)`` Platt-calibration
-    arrays from the optional probability header lines.  For a binary
+    Returns ``(params, rho, support_vectors, alpha, labels, prob, svm_type)``
+    with ``prob`` either ``None`` or the ``(probA, probB)`` Platt-calibration
+    arrays from the optional probability header lines and ``svm_type`` the
+    header's type string (c_svc / epsilon_svr / nu_svr / one_class).  For a binary
     model ``rho`` has 1 entry and ``alpha`` is (n_sv,): the alpha values are
     the "label column" of the SV rows (reference: model.hpp:169-201 — alpha
     is parsed as the label of a regular LIBSVM data section).  For a
@@ -438,48 +485,47 @@ def parse_model_file(
         try:
             # the placeholder row only satisfies the header parser's
             # "rows exist after SV" check; it is never parsed
-            params, rho, labels, _, prob, svm_type = parse_model_header(
-                header_lines + ["<sv-row>"]
-            )
+            header = parse_model_header(header_lines + ["<sv-row>"])
         except InvalidFileFormatError:
-            params = None
-        if params is not None:
+            header = None
+        if header is not None:
             from ..native import parse_model_svs_native
 
+            labels, rho = header.per_point_labels, header.rho
+            # the HEADER's class count resolves the layout (the per-point
+            # expansion could alias a multiclass file to fewer classes)
             if labels is None:  # regression (epsilon_svr layout)
-                nr_class, n_lead = 2, 1
-            elif len(set(labels)) == 2:
-                nr_class, n_lead = 2, 1
+                n_lead = 1
+            elif header.nr_class == 2:
+                n_lead = 1
             else:
-                nr_class = len(set(labels))
                 first = _peek_first_sv_line(filename, sv_offset)
                 if first is None:
                     raise InvalidFileFormatError(
                         "Can't parse file: no support vectors are given or "
                         "SV is missing!"
                     )
-                n_lead = _resolve_multiclass_lead(first, nr_class, rho.size)
+                n_lead = _resolve_multiclass_lead(
+                    first, header.nr_class, rho.size
+                )
             native = parse_model_svs_native(filename, sv_offset, n_lead, dtype)
             if native is not None:
                 coeffs, data = native
-                expected = (
-                    len(labels) if labels is not None
-                    else _header_total_sv(header_lines)
-                )
-                if expected is not None and expected != data.shape[0]:
-                    raise InvalidFileFormatError(
-                        f"Found {data.shape[0]} support vectors, but expected "
-                        f"{expected}!"
-                    )
+                _check_sv_count(data.shape[0], header)
                 alpha = coeffs[:, 0] if n_lead == 1 else coeffs
-                return params, rho, data, alpha, labels, prob, svm_type
+                return (
+                    header.params, rho, data, alpha, labels, header.prob,
+                    header.svm_type,
+                )
 
     lines = read_lines(filename, comment="#")
-    params, rho, labels, num_header_lines, prob, svm_type = parse_model_header(lines)
-    sv_lines = lines[num_header_lines:]
+    header = parse_model_header(lines)
+    params, rho, labels = header.params, header.rho, header.per_point_labels
+    prob, svm_type = header.prob, header.svm_type
+    sv_lines = lines[header.num_header_lines:]
     # labels is None for regression (epsilon_svr) models — single alpha
     # column, exactly the binary SV-row grammar
-    nr_class = 2 if labels is None else len(set(labels))
+    nr_class = 2 if labels is None else header.nr_class
 
     if nr_class == 2:
         data, alpha_strings = libsvm.parse_libsvm_lines(sv_lines, dtype=dtype)
@@ -512,13 +558,7 @@ def parse_model_file(
         data, _ = libsvm.parse_libsvm_lines(feature_lines, dtype=dtype)
         alpha = np.asarray(alpha_rows, dtype=dtype)
 
-    expected = (
-        len(labels) if labels is not None else _header_total_sv(lines)
-    )
-    if expected is not None and expected != data.shape[0]:
-        raise InvalidFileFormatError(
-            f"Found {data.shape[0]} support vectors, but expected {expected}!"
-        )
+    _check_sv_count(data.shape[0], header)
     return params, rho, data, alpha, labels, prob, svm_type
 
 

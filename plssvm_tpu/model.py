@@ -36,11 +36,11 @@ class Model:
     ):
         self.params = params
         self.data = data
-        if alpha is not None and np.shape(alpha)[0] != data.num_data_points:
+        if alpha is not None:
             # reference: gpu_csvm.hpp predict preconditions
             # (generic_csvm_tests.hpp:337)
             plssvm_assert(
-                False,
+                np.shape(alpha)[0] == data.num_data_points,
                 "The number of support vectors ({}) and number of weights "
                 "({}) must be the same!",
                 data.num_data_points, np.shape(alpha)[0],

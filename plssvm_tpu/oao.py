@@ -28,7 +28,7 @@ one-vs-all models ride (ops/pallas_matvec.py, ops/predict.py).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -127,13 +127,15 @@ def model_weight_matrix(model) -> np.ndarray:
     sklearn's ``coef_`` — see :func:`weight_matrix`.
     """
     cached = getattr(model, "_oao_weights", None)
-    if cached is not None:
-        return cached
+    # keyed on the alpha object so a mutated/replaced sv_coef block (e.g.
+    # a refit writing into the same Model) never serves a stale expansion
+    if cached is not None and cached[0] is model.alpha:
+        return cached[1]
     W = weight_matrix(
         np.asarray(model.alpha), model_class_indices(model),
         model.num_classes,
     )
-    model._oao_weights = W
+    model._oao_weights = (model.alpha, W)
     return W
 
 
@@ -180,8 +182,8 @@ def ovr_from_ovo(decision_values: np.ndarray, n_classes: int) -> np.ndarray:
 
 
 def pairwise_coupling(
-    pair_probs: np.ndarray, n_classes: int, *, max_iter: int = 100,
-    eps: float = None,
+    pair_probs: np.ndarray, n_classes: int, *,
+    max_iter: Optional[int] = None, eps: Optional[float] = None,
 ) -> np.ndarray:
     """(n, C) class probabilities from (n, n_machines) pairwise estimates.
 
@@ -197,6 +199,8 @@ def pairwise_coupling(
     r = np.clip(np.asarray(pair_probs, dtype=np.float64), 1e-7, 1.0 - 1e-7)
     n = r.shape[0]
     C = n_classes
+    if max_iter is None:
+        max_iter = max(100, C)  # LIBSVM: max_iter = max(100, k)
     if eps is None:
         eps = 0.005 / C  # LIBSVM's multiclass_probability default
     pairs = class_pairs(C)

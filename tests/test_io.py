@@ -283,7 +283,51 @@ class TestModelHeaderOrdering:
             "svm_type c_svc", "kernel_type rbf", "gamma 0.25", "nr_class 2",
             "total_sv 3", "rho 1.5", "label a b", "nr_sv 1 2", "SV", "dummy",
         ]
-        params, rho, labels, n, prob, svm_type = parse_model_header(lines)
-        assert rho == 1.5
-        assert labels == ["a", "b", "b"]
-        assert n == 9
+        hdr = parse_model_header(lines)
+        assert hdr.rho == 1.5
+        assert hdr.per_point_labels == ["a", "b", "b"]
+        assert hdr.num_header_lines == 9
+        assert hdr.nr_class == 2 and hdr.labels == ["a", "b"]
+        assert hdr.total_sv == 3 and hdr.svm_type == "c_svc"
+
+
+class TestModelHeaderRobustness:
+    def test_tab_separated_header_values(self, tmp_path):
+        # libsvm tokenizes with fscanf — tabs between key and value are legal
+        path = str(tmp_path / "tabs.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type\tc_svc\nkernel_type\trbf\ngamma\t0.25\n"
+                "nr_class\t2\ntotal_sv\t2\nrho\t1.5\nlabel\t1 -1\n"
+                "nr_sv\t1 1\nSV\n"
+                "0.5 1:1.0 2:2.0\n-0.5 1:3.0 2:4.0\n"
+            )
+        params, rho, sv, alpha, labels, prob, svm_type = parse_model_file(path)
+        assert float(rho[0]) == 1.5
+        assert params.gamma.value == 0.25
+        assert labels == ["1", "-1"]
+        assert sv.shape == (2, 2)
+
+    def test_zero_nr_sv_count_rejected(self, tmp_path):
+        # a zero class count would desync nr_class from the SV block
+        path = str(tmp_path / "zero_count.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type c_svc\nkernel_type linear\nnr_class 3\n"
+                "total_sv 2\nrho 1 2 3\nlabel 0 1 2\nnr_sv 1 0 1\nSV\n"
+                "0.5 0.1 0.2 1:1.0\n-0.5 0.3 -0.1 1:2.0\n"
+            )
+        with pytest.raises(InvalidFileFormatError, match="greater than 0"):
+            parse_model_file(path)
+
+    def test_regression_vector_probA_rejected(self, tmp_path):
+        # SVR/one-class models carry ONE probA (the Laplace noise scale)
+        path = str(tmp_path / "svr_vec_probA.model")
+        with open(path, "w") as fh:
+            fh.write(
+                "svm_type epsilon_svr\nkernel_type linear\nnr_class 2\n"
+                "total_sv 2\nrho 0.5\nprobA 0.1 0.2\nSV\n"
+                "0.5 1:1.0\n-0.5 1:2.0\n"
+            )
+        with pytest.raises(InvalidFileFormatError, match="probA"):
+            parse_model_file(path)

@@ -699,3 +699,32 @@ class TestOAOBatched:
         np.testing.assert_allclose(
             np.asarray(m2.rho), np.asarray(m1.rho), rtol=1e-6, atol=1e-8
         )
+
+
+def test_oao_caches_invalidate_on_alpha_replacement():
+    """Replacing model.alpha (e.g. an external refit writing into the same
+    Model) must rebuild the cached weight expansion and shadow model."""
+    import plssvm_tpu as p
+    from plssvm_tpu import oao as oao_mod
+
+    rng = np.random.default_rng(12)
+    X = np.concatenate([c + 0.5 * rng.normal(size=(20, 3)) for c in
+                        (np.zeros(3), 3 * np.ones(3), -3 * np.ones(3))])
+    y = np.repeat([0, 1, 2], 20)
+    svm = p.CSVM(backend="xla", dtype=np.float64, kernel_type="linear")
+    model = svm.fit(p.DataSet(X, y, dtype=np.float64),
+                    classification="oao")
+    ds = p.DataSet(X, dtype=np.float64)
+    v1 = svm.predict_values(model, ds)
+    W1 = oao_mod.model_weight_matrix(model)
+    assert oao_mod.model_weight_matrix(model) is W1  # cache hit
+    model.alpha = np.asarray(model.alpha) * 2.0
+    W2 = oao_mod.model_weight_matrix(model)
+    assert W2 is not W1
+    np.testing.assert_allclose(W2, 2.0 * W1)
+    v2 = svm.predict_values(model, ds)
+    # rho is unchanged, so doubled sv_coef must NOT reproduce v1
+    assert not np.allclose(v1, v2)
+    np.testing.assert_allclose(v2 + np.atleast_1d(model.rho), 
+                               2.0 * (v1 + np.atleast_1d(model.rho)),
+                               rtol=1e-9)
