@@ -384,16 +384,8 @@ def main(argv=None) -> int:
                     )
                     return 1
             # (--multihost with --max_sv/--nystroem is already rejected by
-            # the generic compact-flag block above)
-            if args.multihost and args.checkpoint is not None:
-                # fit_one_class_multihost has no CG-state checkpointing;
-                # accepting the flag would silently drop it
-                print(
-                    "-s one_class --multihost does not support "
-                    "--checkpoint yet — drop one of the two!",
-                    file=sys.stderr,
-                )
-                return 1
+            # the generic compact-flag block above; --multihost --checkpoint
+            # composes via fit_one_class_multihost(checkpoint_path=))
         if args.warm_start is not None:
             if args.multihost:
                 print(
@@ -418,9 +410,16 @@ def main(argv=None) -> int:
                 def run_fit():
                     from ..one_class import fit_one_class_multihost
 
+                    oc_mh_kwargs = {}
+                    if args.checkpoint is not None:
+                        oc_mh_kwargs["checkpoint_path"] = args.checkpoint
+                        oc_mh_kwargs["checkpoint_interval"] = (
+                            args.checkpoint_interval
+                        )
                     return fit_one_class_multihost(
                         svm, args.input, nu=args.nu,
                         epsilon=args.epsilon, max_iter=args.max_iter,
+                        **oc_mh_kwargs,
                     )
             else:
                 def run_fit():

@@ -160,12 +160,19 @@ def _log_one_class_result(iterations, max_iter, delta, epsilon, nu):
 
 
 def _fit_one_class_sharded(
-    csvm, X, params, nu, epsilon, max_iter, civ=None
+    csvm, X, params, nu, epsilon, max_iter, civ=None, x0=None,
+    checkpoint_path=None, checkpoint_interval=1000, params_repr=None,
+    sample_weight=None,
 ) -> Model:
     """Row-sharded one-class ridge CG over the CSVM's device mesh.
 
     ``civ``: optional per-row 1/(C s_i) regularizer vector (Suykens'
-    weighting) — row-shards like the mask.
+    weighting) — row-shards like the mask.  ``x0``: optional warm-start
+    alpha from a previous one-class fit on the same points (row-shards
+    with the CG state; the stop target stays cold-anchored).
+    ``checkpoint_path`` enables CG-state checkpointing exactly like the
+    single-device path — the row-sharded x/r/d gather to the host between
+    segments and re-place on the mesh at resume.
     """
     from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
     from .parallel.sharded import (
@@ -196,31 +203,67 @@ def _fit_one_class_sharded(
     mask[:n] = 1.0
 
     mesh = make_row_mesh(devices)
+    rep = NamedSharding(mesh, P())
     row2 = NamedSharding(mesh, P(ROW_AXIS, None))
     row1 = NamedSharding(mesh, P(ROW_AXIS))
-    solver = build_sharded_one_class_solver(
-        mesh, kind=kind, degree=params.degree.value, impl=impl,
+    common = dict(
+        mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
         weighted=civ is not None,
     )
     if civ is None:
         civ_arg = jax.device_put(
-            jnp.asarray(1.0 / params.cost.value, dtype=dt),
-            NamedSharding(mesh, P()),
+            jnp.asarray(1.0 / params.cost.value, dtype=dt), rep
         )
     else:
         civ_pad = np.full(m_pad, 1.0 / params.cost.value, dtype=dt)
         civ_pad[:n] = civ
         civ_arg = jax.device_put(jnp.asarray(civ_pad), row1)
-    x_sh, g_sh, delta, delta0, it = solver(
+    warm = x0 is not None
+    base_args = (
         jax.device_put(jnp.asarray(Xp), row2),
         jax.device_put(jnp.asarray(mask), row1),
         jnp.asarray(params.resolved_gamma(d), dtype=dt),
         jnp.asarray(params.coef0.value, dtype=dt),
         civ_arg,
         jnp.asarray(epsilon, dtype=dt),
-        jnp.asarray(max_iter, jnp.int32),
     )
+    warm_args = ()
+    if warm:
+        x0_pad = np.zeros(m_pad, dtype=dt)
+        x0_pad[:n] = np.asarray(x0, dtype=dt)
+        warm_args = (jax.device_put(jnp.asarray(x0_pad), row1),)
+
+    def solve_once(seg_end):
+        solver = build_sharded_one_class_solver(warm=warm, **common)
+        return solver(*base_args, seg_end, *warm_args)
+
+    def resume_once(seg_end, state):
+        solver = build_sharded_one_class_solver(resume=True, **common)
+        placed = (
+            jax.device_put(state[0], row1),
+            jax.device_put(state[1], row1),
+            jax.device_put(state[2], row1),
+            jax.device_put(state[3], rep),
+            jax.device_put(state[4], rep),
+            jax.device_put(state[5], rep),
+        )
+        return solver(*base_args, seg_end, *placed)
+
+    if checkpoint_path is None:
+        res = solve_once(jnp.asarray(max_iter, jnp.int32))
+    else:
+        if params_repr is None:
+            params_repr = repr(params) + "|one_class"
+            if civ is not None:
+                from .solver.checkpoint import weights_digest_suffix
+
+                params_repr += weights_digest_suffix(sample_weight)
+        res = _run_ridge_segments(
+            solve_once, resume_once, Xp, mask, params_repr, epsilon,
+            max_iter, checkpoint_path, int(checkpoint_interval),
+        )
+    x_sh, g_sh, _r, _d, delta, delta0, it = res
     alpha = np.asarray(jax.device_get(x_sh))[:n]
     g = np.asarray(jax.device_get(g_sh), dtype=np.float64)[:n]
     iterations = int(jax.device_get(it))
@@ -238,11 +281,21 @@ def _fit_one_class_sharded(
 
 def _run_ridge_segments(
     solve_once, resume_once, Xp, mask, params_repr, epsilon, max_iter,
-    checkpoint_path, checkpoint_interval,
+    checkpoint_path, checkpoint_interval, *,
+    fingerprint=None, gather=None, is_writer=True, state_dtype=None,
 ):
     """Segmented one-class ridge CG with checkpoint/resume — the one-class
     analog of CSVM._fit_with_checkpointing (same fingerprint rules, same
-    no-forward-progress guard at the eps boundary)."""
+    no-forward-progress guard at the eps boundary).
+
+    The sharded/multi-host variants parameterize the pieces that differ:
+    ``fingerprint`` overrides the host-array fingerprint (multi-host
+    processes only hold their row window, so they hash replicated
+    metadata), ``gather`` pulls a (possibly non-addressable) solver array
+    to the host, and ``is_writer`` gates checkpoint writes/removal to one
+    process.  ``resume_once`` receives the state as host-convertible
+    arrays (x, r, d, delta, delta0, it) and places them itself.
+    """
     import os
 
     from .solver.checkpoint import (
@@ -252,7 +305,14 @@ def _run_ridge_segments(
         save_checkpoint,
     )
 
-    fingerprint = problem_fingerprint(Xp, mask, params_repr, epsilon)
+    if gather is None:
+        def gather(a):
+            return np.asarray(jax.device_get(a))
+
+    if state_dtype is None:
+        state_dtype = mask.dtype
+    if fingerprint is None:
+        fingerprint = problem_fingerprint(Xp, mask, params_repr, epsilon)
     ckpt = load_checkpoint(checkpoint_path, fingerprint)
     if ckpt is not None:
         log(
@@ -275,32 +335,33 @@ def _run_ridge_segments(
                 (
                     jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
                     jnp.asarray(ckpt.d),
-                    jnp.asarray(ckpt.delta, dtype=mask.dtype),
-                    jnp.asarray(ckpt.delta0, dtype=mask.dtype),
+                    jnp.asarray(ckpt.delta, dtype=state_dtype),
+                    jnp.asarray(ckpt.delta0, dtype=state_dtype),
                     jnp.asarray(ckpt.iteration, jnp.int32),
                 ),
             )
         x, g, r, d, delta, delta0, it = res
-        iterations = int(it)
-        delta_f = float(delta)
-        converged = delta_f <= float(epsilon) ** 2 * float(delta0)
+        iterations = int(jax.device_get(it))
+        delta_f = float(jax.device_get(delta))
+        delta0_f = float(jax.device_get(delta0))
+        converged = delta_f <= float(epsilon) ** 2 * delta0_f
         if converged or iterations >= int(max_iter):
             break
         if ckpt is not None and iterations <= int(ckpt.iteration):
             break  # eps-boundary: accept the solver's verdict
         ckpt = CGCheckpoint(
-            x=np.asarray(jax.device_get(x)),
-            r=np.asarray(jax.device_get(r)),
-            d=np.asarray(jax.device_get(d)),
-            delta=delta_f, delta0=float(delta0),
+            x=gather(x), r=gather(r), d=gather(d),
+            delta=delta_f, delta0=delta0_f,
             iteration=iterations, fingerprint=fingerprint,
         )
-        save_checkpoint(checkpoint_path, ckpt)
-    try:
-        if os.path.isfile(checkpoint_path):
-            os.remove(checkpoint_path)
-    except OSError:
-        pass
+        if is_writer:
+            save_checkpoint(checkpoint_path, ckpt)
+    if is_writer:
+        try:
+            if os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
+        except OSError:
+            pass
     return res
 
 
@@ -349,10 +410,12 @@ def fit_one_class(
     mesh (symmetric ppermute ring, psum'd scalars) exactly like the
     classifier's sharded solve.  ``initial_model`` warm-starts CG from a
     previous one-class fit on the same points (pruning refits; the stop
-    target stays cold-anchored, single-device path).  ``checkpoint_path``
-    enables CG-state checkpointing like ``CSVM.fit`` — the solve runs in
+    target stays cold-anchored).  ``checkpoint_path`` enables CG-state
+    checkpointing like ``CSVM.fit`` — the solve runs in
     ``checkpoint_interval``-iteration segments, the solver state persists
-    between them, and an interrupted run resumes (single-device path).
+    between them, and an interrupted run resumes.  Both compose with the
+    multi-device mesh (the row-sharded state gathers to the host between
+    segments and re-places at resume).
     """
     n = data.num_data_points
     d = data.num_features
@@ -368,11 +431,6 @@ def fit_one_class(
                 "initial_model cannot be combined with CG-state "
                 "checkpointing (the checkpoint already carries the "
                 "solver state)!"
-            )
-        if csvm.devices is not None and len(csvm.devices) > 1:
-            raise InvalidParameterError(
-                "one-class CG-state checkpointing is single-device — "
-                "drop checkpoint_path for multi-device fits!"
             )
 
     from .csvm import _ensure_x64_if_needed
@@ -400,10 +458,15 @@ def fit_one_class(
     civ = _one_class_civ(params.cost.value, sample_weight, n, dt)
 
     if csvm.devices is not None and len(csvm.devices) > 1:
-        # warm starts ride the single-device path only; a sharded refit
-        # simply runs cold (correctness is identical)
         return _fit_one_class_sharded(
-            csvm, X, params, nu, epsilon, max_iter, civ=civ
+            csvm, X, params, nu, epsilon, max_iter, civ=civ,
+            x0=(
+                np.asarray(initial_model.alpha)
+                if initial_model is not None else None
+            ),
+            checkpoint_path=checkpoint_path,
+            checkpoint_interval=checkpoint_interval,
+            sample_weight=sample_weight,
         )
 
     block = 256
@@ -539,6 +602,8 @@ def fit_one_class_multihost(
     epsilon: float = 0.001,
     max_iter: Optional[int] = None,
     sample_weight=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_interval: int = 1000,
 ) -> Model:
     """Multi-host one-class fit from a LIBSVM file on shared storage.
 
@@ -551,6 +616,12 @@ def fit_one_class_multihost(
     regularizers 1/(C s_i); each host slices its row window of the
     weight vector.  Works unchanged at process_count()==1, where it equals
     :func:`fit_one_class` on ``DataSet(filename)``.
+
+    ``checkpoint_path`` (a file on SHARED storage) enables CG-state
+    checkpointing like ``CSVM.fit_multihost``: host-identical control flow
+    by construction — the fingerprint hashes only globally replicated
+    metadata, every host re-places its row window of the saved global
+    state at resume, and only process 0 writes checkpoint files.
     """
     import time as _time
 
@@ -568,6 +639,11 @@ def fit_one_class_multihost(
     from .csvm import _ensure_x64_if_needed
 
     start = _time.perf_counter()
+    if checkpoint_path is not None and int(checkpoint_interval) < 1:
+        raise InvalidParameterError(
+            f"checkpoint_interval must be at least 1, but is "
+            f"{checkpoint_interval}!"
+        )
     initialize_distributed()
     mesh = global_row_mesh()
     n_dev = mesh.devices.size
@@ -648,8 +724,8 @@ def fit_one_class_multihost(
     mask_g = jax.make_array_from_process_local_data(
         row1, mask_local, global_shape=(m_pad,)
     )
-    solver = build_sharded_one_class_solver(
-        mesh, kind=kind, degree=params.degree.value, impl=impl,
+    common = dict(
+        mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
         weighted=civ is not None,
     )
@@ -659,14 +735,60 @@ def fit_one_class_multihost(
         civ_arg = jax.make_array_from_process_local_data(
             row1, civ_local, global_shape=(m_pad,)
         )
-    x_sh, g_sh, delta, delta0, it = solver(
+    base_args = (
         X_g, mask_g,
         jnp.asarray(params.resolved_gamma(d), dtype=dt),
         jnp.asarray(params.coef0.value, dtype=dt),
         civ_arg,
         jnp.asarray(epsilon, dtype=dt),
-        jnp.asarray(max_iter, jnp.int32),
     )
+
+    def solve_once(seg_end):
+        return build_sharded_one_class_solver(**common)(*base_args, seg_end)
+
+    if checkpoint_path is None:
+        res = solve_once(jnp.asarray(max_iter, jnp.int32))
+    else:
+        from .parallel.multihost import _gather_global, _multihost_fingerprint
+
+        params_repr = repr(params) + "|one_class"
+        if civ is not None:
+            from .solver.checkpoint import weights_digest_suffix
+
+            params_repr += weights_digest_suffix(sample_weight)
+        # the one-class system has no folded row / label column — hash
+        # zero placeholders so the shared fingerprint helper applies
+        fingerprint = _multihost_fingerprint(
+            n_total, d, params_repr, epsilon,
+            np.zeros(1), np.zeros(1), m_pad,
+        )
+        rep_sh = NamedSharding(mesh, P())
+
+        def resume_once(seg_end, state):
+            def place_rows(a):
+                begin_r, end_r = host_row_range(m_pad)
+                local = np.asarray(a)[begin_r:end_r].astype(dt)
+                return jax.make_array_from_process_local_data(
+                    row1, local, global_shape=(m_pad,)
+                )
+
+            placed = (
+                place_rows(state[0]), place_rows(state[1]),
+                place_rows(state[2]),
+                jax.device_put(state[3], rep_sh),
+                jax.device_put(state[4], rep_sh),
+                jax.device_put(state[5], rep_sh),
+            )
+            solver = build_sharded_one_class_solver(resume=True, **common)
+            return solver(*base_args, seg_end, *placed)
+
+        res = _run_ridge_segments(
+            solve_once, resume_once, None, None, params_repr, epsilon,
+            max_iter, checkpoint_path, int(checkpoint_interval),
+            fingerprint=fingerprint, gather=_gather_global,
+            is_writer=jax.process_index() == 0, state_dtype=dt,
+        )
+    x_sh, g_sh, _r, _d, delta, delta0, it = res
     if x_sh.is_fully_addressable:
         alpha = np.asarray(jax.device_get(x_sh))[:n_total]
         g = np.asarray(jax.device_get(g_sh), dtype=np.float64)[:n_total]

@@ -593,7 +593,7 @@ _ONE_CLASS_CACHE: dict = {}
 def build_sharded_one_class_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     scalars: str = "plain", gram_precision: str = "f32",
-    weighted: bool = False,
+    weighted: bool = False, warm: bool = False, resume: bool = False,
 ):
     """A jitted, shard_map'ped one-class ridge CG over ``mesh``.
 
@@ -611,11 +611,22 @@ def build_sharded_one_class_solver(
     ``(X, mask, gamma, coef0, cost_inv, eps, max_iter)``.  With
     ``weighted=True`` the ``cost_inv`` argument is the ROW-SHARDED
     per-row regularizer vector ``1/(C s_i)`` (Suykens-weighted one-class)
-    instead of the replicated scalar 1/C.  Returns
-    ``(x, g, delta, delta0, iterations)`` with x/g row-sharded — ``g`` is
-    the training-score vector ``K @ a`` the nu-quantile threshold needs.
+    instead of the replicated scalar 1/C.  ``warm=True`` takes one more
+    argument — the row-sharded warm-start ``x_init`` (a previous one-class
+    fit's alpha; the stop target stays cold-anchored, see ridge_cg_core).
+    ``resume=True`` takes six extra trailing arguments
+    ``(x0, r0, d0, delta, delta0, it0)`` — x0/r0/d0 row-sharded, the rest
+    replicated — continuing a checkpointed ridge solve mid-CG
+    (solver.checkpoint); trailing order matches the classifier builders
+    (warm x_init first, then the resume state).  Returns
+    ``(x, g, r, d, delta, delta0, iterations)`` with x/g/r/d row-sharded —
+    ``g`` is the training-score vector ``K @ a`` the nu-quantile threshold
+    needs, r/d the live CG state a checkpoint persists.
     """
-    key = (mesh, kind, degree, impl, scalars, gram_precision, weighted)
+    key = (
+        mesh, kind, degree, impl, scalars, gram_precision, weighted,
+        warm, resume,
+    )
     cached = _ONE_CLASS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -624,7 +635,10 @@ def build_sharded_one_class_solver(
 
     num_devices = mesh.devices.size
 
-    def local_solve(X, mask, gamma, coef0, cost_inv, eps, max_iter):
+    def local_solve(X, mask, gamma, coef0, cost_inv, eps, max_iter, *rest):
+        # the one-class civ vector rides the cost_inv slot, so the
+        # trailing protocol carries only x_init and the resume state
+        _w, _wl, x_init, init_state = _unpack_trailing(rest, False, warm)
         if scalars == "compensated":
             from ..solver.cg import compensated_dot
 
@@ -650,23 +664,30 @@ def build_sharded_one_class_solver(
         def matvec(v):
             return (kernel_mv(v) + cost_inv * v) * mask
 
-        x, _r, _d, delta, delta0, it = ridge_cg_core(
-            mask, matvec, dot, eps=eps, max_iter=max_iter
+        x, r, d, delta, delta0, it = ridge_cg_core(
+            mask, matvec, dot, eps=eps, max_iter=max_iter,
+            x_init=x_init,
+            init_state=init_state if resume else None,
         )
         g = kernel_mv(x) * mask
-        return x, g, delta, delta0, it
+        return x, g, r, d, delta, delta0, it
 
     row = P(ROW_AXIS)
     rep = P()
+    in_specs = (
+        P(ROW_AXIS, None), row, rep, rep,
+        row if weighted else rep, rep, rep,
+    )
+    if warm:
+        in_specs = in_specs + (row,)
+    if resume:
+        in_specs = in_specs + (row, row, row, rep, rep, rep)
     solve = jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(
-                P(ROW_AXIS, None), row, rep, rep,
-                row if weighted else rep, rep, rep,
-            ),
-            out_specs=(row, row, rep, rep, rep),
+            in_specs=in_specs,
+            out_specs=(row, row, row, row, rep, rep, rep),
             # replication checker ON for both impls (see
             # build_sharded_solver — pallas outputs declare vma)
             check_vma=True,

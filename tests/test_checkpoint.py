@@ -426,3 +426,99 @@ class TestOneClassCheckpoint:
         assert rc == 0
         with open(mf) as fh:
             assert "svm_type one_class" in fh.read()
+
+
+class TestOneClassShardedCheckpoint:
+    """One-class CG-state checkpointing now composes with the mesh and
+    multi-host paths (round-7 frontier item; previously rejected)."""
+
+    def _problem(self, n=300, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        return np.abs(rng.normal(size=(n, d)))
+
+    def _svm(self, **kw):
+        kw.setdefault("backend", "xla")
+        kw.setdefault("dtype", np.float64)
+        kw.setdefault("kernel_type", "rbf")
+        kw.setdefault("gamma", 0.1)
+        kw.setdefault("cost", 50.0)
+        return plssvm_tpu.CSVM(**kw)
+
+    def test_sharded_segmented_equals_plain(self, tmp_path):
+        """Segmented sharded ridge CG (state gathered to the host between
+        segments, re-placed on the mesh at resume) lands on the plain
+        sharded answer with the same iteration count."""
+        import jax
+
+        from plssvm_tpu import DataSet, fit_one_class
+
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        X = self._problem()
+        ds = DataSet(X, dtype=np.float64)
+        svm8 = self._svm(devices=devs[:8])
+        plain = fit_one_class(svm8, ds, nu=0.2, epsilon=1e-10)
+        assert plain.n_iter > 10, "too easy to exercise segmentation"
+
+        ck = str(tmp_path / "oc_sharded.ckpt")
+        seg = fit_one_class(
+            svm8, ds, nu=0.2, epsilon=1e-10,
+            checkpoint_path=ck, checkpoint_interval=7,
+        )
+        assert seg.n_iter == plain.n_iter
+        np.testing.assert_allclose(
+            seg.alpha, plain.alpha, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(seg.rho, plain.rho, rtol=1e-10)
+        assert not os.path.exists(ck)  # converged: stale file removed
+
+    def test_multihost_segmented_equals_plain(self, tmp_path):
+        """fit_one_class_multihost(checkpoint_path=) at process_count()==1:
+        segmented == unsegmented, process-0 writes, file removed on
+        convergence."""
+        import jax
+
+        from plssvm_tpu import fit_one_class_multihost
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+        from plssvm_tpu.parallel import multihost as mh
+        from plssvm_tpu.parallel.sharded import make_row_mesh
+
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        X = self._problem(n=260)
+        f = str(tmp_path / "oc_mh.libsvm")
+        write_libsvm_file(f, X, np.ones(X.shape[0]))
+        svm8 = self._svm(devices=devs[:8])
+
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+        try:
+            plain = fit_one_class_multihost(svm8, f, nu=0.2, epsilon=1e-10)
+            assert plain.n_iter > 10
+            ck = str(tmp_path / "oc_mh.ckpt")
+            seg = fit_one_class_multihost(
+                svm8, f, nu=0.2, epsilon=1e-10,
+                checkpoint_path=ck, checkpoint_interval=6,
+            )
+        finally:
+            mh.global_row_mesh = orig
+        assert seg.n_iter == plain.n_iter
+        np.testing.assert_allclose(
+            seg.alpha, plain.alpha, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(seg.rho, plain.rho, rtol=1e-10)
+        assert not os.path.exists(ck)
+
+    def test_multihost_checkpoint_interval_validated(self, tmp_path):
+        from plssvm_tpu import fit_one_class_multihost
+        from plssvm_tpu.exceptions import InvalidParameterError
+
+        svm = self._svm()
+        with pytest.raises(InvalidParameterError, match="checkpoint_interval"):
+            fit_one_class_multihost(
+                svm, str(tmp_path / "nope.libsvm"), nu=0.2,
+                checkpoint_path=str(tmp_path / "c.ckpt"),
+                checkpoint_interval=0,
+            )

@@ -7,6 +7,7 @@ libsvm load and reproduce its decision function), and the CLI path.
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -632,21 +633,56 @@ def test_one_class_weights_multihost_and_sklearn(tmp_path):
     )
 
 
-def test_cli_one_class_multihost_checkpoint_rejected(tmp_path, capsys):
-    """fit_one_class_multihost has no checkpointing — accepting the flag
-    and silently dropping it would lose hours of progress."""
+def test_cli_one_class_multihost_checkpoint_composes(tmp_path, monkeypatch):
+    """-s one_class --multihost --checkpoint threads the checkpoint args
+    into fit_one_class_multihost (previously rejected)."""
+    from plssvm_tpu import one_class as oc_mod
     from plssvm_tpu.cli import train as cli_train
     from plssvm_tpu.io.libsvm import write_libsvm_file
 
     X = _cloud(n=20, d=3, seed=6)
     path = os.fspath(tmp_path / "oc.libsvm")
     write_libsvm_file(path, X, np.ones(20))
+    seen = {}
+
+    def stub(svm, filename, **kw):
+        seen.update(kw)
+        from plssvm_tpu import DataSet, fit_one_class
+
+        return fit_one_class(
+            svm, DataSet(X, dtype=svm.dtype),
+            nu=kw.get("nu", 0.5),
+        )
+
+    monkeypatch.setattr(oc_mod, "fit_one_class_multihost", stub)
     rc = cli_train.main(
         ["-q", "-s", "one_class", "--multihost",
-         "--checkpoint", os.fspath(tmp_path / "c.ckpt"), path]
+         "--checkpoint", os.fspath(tmp_path / "c.ckpt"),
+         "--checkpoint_interval", "5",
+         path, os.fspath(tmp_path / "oc.model")]
     )
-    assert rc == 1
-    assert "--checkpoint" in capsys.readouterr().err
+    assert rc == 0
+    assert seen["checkpoint_path"] == os.fspath(tmp_path / "c.ckpt")
+    assert seen["checkpoint_interval"] == 5
+
+
+def test_one_class_sharded_warm_start(tmp_path):
+    """A converged one-class model warm-starts a sharded refit to 0
+    iterations (previously the sharded path silently ran cold)."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X = _cloud(n=200, d=5, seed=31)
+    svm8 = _svm(kernel_type="rbf", gamma=0.2, cost=20.0, devices=devs[:8])
+    ds = DataSet(X, dtype=np.float64)
+    cold = fit_one_class(svm8, ds, nu=0.2, epsilon=1e-10)
+    assert cold.n_iter > 5
+    warm = fit_one_class(
+        svm8, ds, nu=0.2, epsilon=1e-10, initial_model=cold
+    )
+    assert warm.n_iter == 0
+    np.testing.assert_allclose(warm.alpha, cold.alpha, rtol=1e-12)
+    np.testing.assert_allclose(warm.rho, cold.rho, rtol=1e-12)
 
 
 def test_nystroem_one_class_chi_squared_rejects_negative():
