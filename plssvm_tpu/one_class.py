@@ -162,7 +162,7 @@ def _log_one_class_result(iterations, max_iter, delta, epsilon, nu):
 def _fit_one_class_sharded(
     csvm, X, params, nu, epsilon, max_iter, civ=None, x0=None,
     checkpoint_path=None, checkpoint_interval=1000, params_repr=None,
-    sample_weight=None,
+    sample_weight=None, dataset=None,
 ) -> Model:
     """Row-sharded one-class ridge CG over the CSVM's device mesh.
 
@@ -173,6 +173,12 @@ def _fit_one_class_sharded(
     ``checkpoint_path`` enables CG-state checkpointing exactly like the
     single-device path — the row-sharded x/r/d gather to the host between
     segments and re-place on the mesh at resume.
+
+    Solver types apply like the classifier's sharded fit: under
+    ``solver='cg_explicit'``/'automatic' (per-chip memory budget) the
+    ROW-SHARDED kernel matrix is built once — memoized on ``dataset``
+    for warm-started refits — and each iteration is one all_gather +
+    local (m/P, m) matmul.
     """
     from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
     from .parallel.sharded import (
@@ -187,15 +193,26 @@ def _fit_one_class_sharded(
     kind = params.kernel_type.value
     devices = csvm.devices
     n_dev = len(devices)
-    pallas_candidate = csvm.backend == BackendType.PALLAS and (
-        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    use_explicit = csvm._use_explicit_solver(n, d, kind, n_dev)
+    pallas_candidate = (
+        not use_explicit
+        and csvm.backend == BackendType.PALLAS
+        and (uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS)
     )
     d_pad = ((d + 127) // 128) * 128 if pallas_candidate else d
     chunk = n_dev * 128
     m_pad = max(-(-n // chunk) * chunk, chunk)
     # the CSVM's impl selection handles platform, shape-feasibility and
     # the distance-kernel gating (fused VPU walk for the ring's matvec)
-    impl = csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
+    impl = (
+        "xla" if use_explicit
+        else csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
+    )
+    from .utils.tracker import add_tracking_entry
+
+    add_tracking_entry(
+        "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
+    )
 
     Xp = np.zeros((m_pad, d_pad), dtype=dt)
     Xp[:n, :d] = X
@@ -209,7 +226,7 @@ def _fit_one_class_sharded(
     common = dict(
         mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
-        weighted=civ is not None,
+        weighted=civ is not None, explicit=use_explicit,
     )
     if civ is None:
         civ_arg = jax.device_put(
@@ -220,14 +237,23 @@ def _fit_one_class_sharded(
         civ_pad[:n] = civ
         civ_arg = jax.device_put(jnp.asarray(civ_pad), row1)
     warm = x0 is not None
+    gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dt)
+    coef0_v = jnp.asarray(params.coef0.value, dtype=dt)
+    X_placed = jax.device_put(jnp.asarray(Xp), row2)
     base_args = (
-        jax.device_put(jnp.asarray(Xp), row2),
+        X_placed,
         jax.device_put(jnp.asarray(mask), row1),
-        jnp.asarray(params.resolved_gamma(d), dtype=dt),
-        jnp.asarray(params.coef0.value, dtype=dt),
+        gamma_v,
+        coef0_v,
         civ_arg,
         jnp.asarray(epsilon, dtype=dt),
     )
+    if use_explicit:
+        K = csvm._build_explicit_k_sharded(
+            mesh, dataset, X_placed, gamma_v, coef0_v, kind,
+            params.degree.value,
+        )
+        base_args = (K,) + base_args
     warm_args = ()
     if warm:
         x0_pad = np.zeros(m_pad, dtype=dt)
@@ -467,6 +493,7 @@ def fit_one_class(
             checkpoint_path=checkpoint_path,
             checkpoint_interval=checkpoint_interval,
             sample_weight=sample_weight,
+            dataset=data,
         )
 
     block = 256
@@ -669,13 +696,22 @@ def fit_one_class_multihost(
 
     from .kernel_functions import DISTANCE_KERNELS
 
-    pallas_candidate = csvm.backend == BackendType.PALLAS and (
-        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    use_explicit = csvm._use_explicit_solver(n_total, d, kind, n_dev)
+    pallas_candidate = (
+        not use_explicit
+        and csvm.backend == BackendType.PALLAS
+        and (uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS)
     )
     d_pad = ((d + 127) // 128) * 128 if pallas_candidate else d
     chunk = n_dev * 128
     m_pad = max(-(-n_total // chunk) * chunk, chunk)
-    impl = csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
+    impl = (
+        "xla" if use_explicit
+        else csvm._sharded_impl(kind, (m_pad, d_pad), n_dev)
+    )
+    add_tracking_entry(
+        "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
+    )
 
     # this host's row window of the padded row axis
     civ = _one_class_civ(params.cost.value, sample_weight, n_total, dt)
@@ -727,7 +763,7 @@ def fit_one_class_multihost(
     common = dict(
         mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
-        weighted=civ is not None,
+        weighted=civ is not None, explicit=use_explicit,
     )
     if civ is None:
         civ_arg = jnp.asarray(1.0 / params.cost.value, dtype=dt)
@@ -735,13 +771,19 @@ def fit_one_class_multihost(
         civ_arg = jax.make_array_from_process_local_data(
             row1, civ_local, global_shape=(m_pad,)
         )
+    gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dt)
+    coef0_v = jnp.asarray(params.coef0.value, dtype=dt)
     base_args = (
-        X_g, mask_g,
-        jnp.asarray(params.resolved_gamma(d), dtype=dt),
-        jnp.asarray(params.coef0.value, dtype=dt),
-        civ_arg,
+        X_g, mask_g, gamma_v, coef0_v, civ_arg,
         jnp.asarray(epsilon, dtype=dt),
     )
+    if use_explicit:
+        # row-sharded explicit K over the GLOBAL mesh (no DataSet to
+        # memoize on — each multihost fit builds once)
+        K_g = csvm._build_explicit_k_sharded(
+            mesh, None, X_g, gamma_v, coef0_v, kind, params.degree.value
+        )
+        base_args = (K_g,) + base_args
 
     def solve_once(seg_end):
         return build_sharded_one_class_solver(**common)(*base_args, seg_end)

@@ -594,6 +594,7 @@ def build_sharded_one_class_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     scalars: str = "plain", gram_precision: str = "f32",
     weighted: bool = False, warm: bool = False, resume: bool = False,
+    explicit: bool = False,
 ):
     """A jitted, shard_map'ped one-class ridge CG over ``mesh``.
 
@@ -622,10 +623,18 @@ def build_sharded_one_class_solver(
     ``(x, g, r, d, delta, delta0, iterations)`` with x/g/r/d row-sharded —
     ``g`` is the training-score vector ``K @ a`` the nu-quantile threshold
     needs, r/d the live CG state a checkpoint persists.
+
+    ``explicit=True`` takes the ROW-SHARDED pre-built kernel matrix K
+    prepended to the argument list (``(K, X, mask, gamma, coef0,
+    cost_inv, eps, max_iter, ...)`` — built by
+    :func:`build_sharded_kernel_matrix_fn`); the per-iteration matvec is
+    one ``all_gather`` of the search direction followed by the local
+    (m/P, m) @ (m,) matmul, the one-class analog of
+    :func:`build_sharded_explicit_solver`.
     """
     key = (
         mesh, kind, degree, impl, scalars, gram_precision, weighted,
-        warm, resume,
+        warm, resume, explicit,
     )
     cached = _ONE_CLASS_CACHE.get(key)
     if cached is not None:
@@ -634,8 +643,16 @@ def build_sharded_one_class_solver(
     from ..solver.cg import ridge_cg_core
 
     num_devices = mesh.devices.size
+    prec = (
+        jax.lax.Precision.HIGHEST if gram_precision == "highest" else None
+    )
 
-    def local_solve(X, mask, gamma, coef0, cost_inv, eps, max_iter, *rest):
+    def local_solve(*args):
+        if explicit:
+            K, X, mask, gamma, coef0, cost_inv, eps, max_iter, *rest = args
+        else:
+            X, mask, gamma, coef0, cost_inv, eps, max_iter, *rest = args
+            K = None
         # the one-class civ vector rides the cost_inv slot, so the
         # trailing protocol carries only x_init and the resume state
         _w, _wl, x_init, init_state = _unpack_trailing(rest, False, warm)
@@ -648,11 +665,21 @@ def build_sharded_one_class_solver(
             def dot(a, b):
                 return jax.lax.psum(jnp.dot(a, b), ROW_AXIS)
 
-        sq = jnp.sum(X * X, axis=1)
-        if kind == KernelFunctionType.LINEAR:
+        if explicit:
+            def kernel_mv(v):
+                v_full = jax.lax.all_gather(v, ROW_AXIS, tiled=True)
+                return jax.lax.dot_general(
+                    K, v_full.astype(K.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=X.dtype,
+                )
+        elif kind == KernelFunctionType.LINEAR:
             def kernel_mv(v):
                 return linear_sharded_matvec(X, v, ROW_AXIS)
         else:
+            sq = jnp.sum(X * X, axis=1)
+
             def kernel_mv(v):
                 return ring_kernel_matvec(
                     X, sq, v, gamma, coef0,
@@ -678,6 +705,8 @@ def build_sharded_one_class_solver(
         P(ROW_AXIS, None), row, rep, rep,
         row if weighted else rep, rep, rep,
     )
+    if explicit:
+        in_specs = (P(ROW_AXIS, None),) + in_specs
     if warm:
         in_specs = in_specs + (row,)
     if resume:

@@ -694,3 +694,62 @@ def test_nystroem_one_class_chi_squared_rejects_negative():
     with pytest.raises(InvalidParameterError, match="non-negative"):
         nystroem_fit_one_class(svm, DataSet(X, dtype=np.float64),
                                n_landmarks=16)
+
+
+def test_one_class_sharded_explicit_matches_implicit(tmp_path):
+    """solver='cg_explicit' on the 8-device mesh: the row-sharded K
+    (all_gather + local matmul per iteration) lands on the implicit ring's
+    answer (round-7: one-class solver types now apply on meshes)."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X = np.abs(np.random.default_rng(41).normal(size=(220, 6)))
+    ds = DataSet(X, dtype=np.float64)
+    kw = dict(kernel_type="rbf", gamma=0.15, cost=30.0, devices=devs[:8])
+    imp = fit_one_class(_svm(solver="cg_implicit", **kw), ds,
+                        nu=0.2, epsilon=1e-10)
+    exp = fit_one_class(_svm(solver="cg_explicit", **kw), ds,
+                        nu=0.2, epsilon=1e-10)
+    np.testing.assert_allclose(exp.alpha, imp.alpha, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(exp.rho, imp.rho, rtol=1e-8)
+
+    # explicit + checkpointing compose on the mesh
+    ck = os.fspath(tmp_path / "oce.ckpt")
+    seg = fit_one_class(
+        _svm(solver="cg_explicit", **kw), ds, nu=0.2, epsilon=1e-10,
+        checkpoint_path=ck, checkpoint_interval=7,
+    )
+    assert seg.n_iter == exp.n_iter
+    np.testing.assert_allclose(seg.alpha, exp.alpha, rtol=1e-9, atol=1e-12)
+    assert not os.path.exists(ck)
+
+
+def test_one_class_multihost_explicit_matches_implicit(tmp_path):
+    """fit_one_class_multihost under solver='cg_explicit' (global-mesh
+    row-sharded K) equals the implicit multihost fit at process_count()==1."""
+    from plssvm_tpu import fit_one_class_multihost
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X = np.abs(np.random.default_rng(42).normal(size=(190, 5)))
+    f = os.fspath(tmp_path / "oce_mh.libsvm")
+    write_libsvm_file(f, X, np.ones(X.shape[0]))
+    kw = dict(kernel_type="rbf", gamma=0.2, cost=20.0, devices=devs[:8])
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+    try:
+        imp = fit_one_class_multihost(
+            _svm(solver="cg_implicit", **kw), f, nu=0.2, epsilon=1e-10
+        )
+        exp = fit_one_class_multihost(
+            _svm(solver="cg_explicit", **kw), f, nu=0.2, epsilon=1e-10
+        )
+    finally:
+        mh.global_row_mesh = orig
+    np.testing.assert_allclose(exp.alpha, imp.alpha, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(exp.rho, imp.rho, rtol=1e-8)
