@@ -276,6 +276,51 @@ def parse_arff_file(
     return parse_arff_lines(lines, dtype=dtype)
 
 
+def parse_arff_file_window(
+    filename: str, row_begin: int, row_end: int, dtype: np.dtype = np.float64
+) -> Optional[Tuple[np.ndarray, Optional[List[str]], int, int]]:
+    """Windowed ARFF ingest: features ONLY for rows [row_begin, row_end).
+
+    The multihost per-host reader (parallel.multihost) — O(window * d)
+    data memory at any file size.  The header streams in Python
+    (metadata-scale), the data section goes through the native windowed
+    parser, which still validates EVERY row and returns the full label
+    column (global metadata needed for a consistent cross-host mapping).
+    Returns ``(X_window, labels_all_or_None, n_total, num_features)``, or
+    ``None`` when the native library is unavailable or bails (the caller
+    falls back to the full-file parse, which raises the exact reference
+    error messages).  ``row_end=0`` with ``row_begin=0`` is the pure
+    metadata scan.
+    """
+    streamed = _read_arff_header_and_offset(filename)
+    if streamed is None:
+        return None
+    header_lines, data_offset = streamed
+    try:
+        num_features, _, unique_labels, label_idx = parse_arff_header(
+            header_lines + ["<data-row>"]
+        )
+    except InvalidFileFormatError:
+        return None
+    if not num_features:
+        return None
+    from ..native import parse_arff_window_native
+
+    native = parse_arff_window_native(
+        filename, data_offset, num_features, label_idx,
+        bool(unique_labels), row_begin, row_end, dtype,
+    )
+    if native is None:
+        return None
+    data, labels, n_total = native
+    if unique_labels and not np.isin(
+        np.asarray(labels), np.asarray(unique_labels)
+    ).all():
+        # out-of-header label: rerun the Python path for the exact error
+        return None
+    return data, (labels if unique_labels else None), n_total, num_features
+
+
 def write_arff_file(
     filename: str, data: np.ndarray, labels: Optional[np.ndarray] = None
 ) -> None:

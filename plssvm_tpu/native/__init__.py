@@ -9,6 +9,7 @@ layer (include/plssvm/detail/io/{file_reader,libsvm_parsing}.hpp).
 from .loader import (
     native_available,
     parse_arff_data_native,
+    parse_arff_window_native,
     parse_libsvm_native,
     parse_model_svs_native,
     write_arff_native,
@@ -19,6 +20,7 @@ from .loader import (
 __all__ = [
     "native_available",
     "parse_arff_data_native",
+    "parse_arff_window_native",
     "parse_libsvm_native",
     "parse_model_svs_native",
     "write_arff_native",

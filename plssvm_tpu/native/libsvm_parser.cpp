@@ -697,11 +697,17 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
 // equivalent io/arff.py::parse_arff_lines).  Comment lines start with '%'.
 // Returns 0 on success, 2 on IO error, 3 on ANY content anomaly — the
 // caller falls back to the Python parser for the exact error message.
-int plssvm_parse_arff_data(const char* path, int64_t offset,
-                           int64_t num_features, int64_t label_idx,
-                           int32_t has_label, PlssvmParseResult* out) {
+// Parse the ARFF data section starting at byte `offset`, materializing
+// features ONLY for rows [row_begin, row_end) (row_end < 0 = all rows).
+// Every row is still fully validated and the label column is returned for
+// the WHOLE section (global metadata, mirroring plssvm_parse_libsvm_window)
+// — the windowed per-host ingest of io/arff.py::parse_arff_file_window.
+int plssvm_parse_arff_window(const char* path, int64_t offset,
+                             int64_t num_features, int64_t label_idx,
+                             int32_t has_label, int64_t row_begin,
+                             int64_t row_end, PlssvmParseResult* out) {
     memset(out, 0, sizeof(*out));
-    if (num_features <= 0) return 3;
+    if (num_features <= 0 || row_begin < 0) return 3;
     const int64_t num_attributes = num_features + (has_label ? 1 : 0);
 
     int fd = open(path, O_RDONLY);
@@ -751,9 +757,18 @@ int plssvm_parse_arff_data(const char* path, int64_t offset,
         cleanup();
         return 3;
     }
+    const size_t wb = std::min(static_cast<size_t>(row_begin), n);
+    const size_t we =
+        row_end < 0 ? n : std::min(static_cast<size_t>(row_end), n);
+    if (wb > we) {
+        cleanup();
+        return 3;
+    }
+    const size_t window_n = we - wb;
 
-    double* data = static_cast<double*>(
-        calloc(n * static_cast<size_t>(num_features), sizeof(double)));
+    // +1 keeps the allocation non-null for empty (metadata-only) windows
+    double* data = static_cast<double*>(calloc(
+        window_n * static_cast<size_t>(num_features) + 1, sizeof(double)));
     std::vector<Line> label_tokens(n, {nullptr, nullptr});
     if (data == nullptr) {
         cleanup();
@@ -762,10 +777,17 @@ int plssvm_parse_arff_data(const char* path, int64_t offset,
 
     std::atomic<bool> bad{false};
     parallel_for_lines(n, [&](size_t lo, size_t hi) {
+        // rows outside the window are fully validated but their features
+        // land in a per-chunk scratch row and are discarded
+        std::vector<double> scratch(static_cast<size_t>(num_features));
         for (size_t i = lo; i < hi; ++i) {
             if (bad.load(std::memory_order_relaxed)) return;
             const Line& ln = lines[i];
-            double* row = data + i * static_cast<size_t>(num_features);
+            const bool in_window = i >= wb && i < we;
+            double* row =
+                in_window
+                    ? data + (i - wb) * static_cast<size_t>(num_features)
+                    : scratch.data();
             if (*ln.begin == '@') {
                 bad.store(true, std::memory_order_relaxed);
                 return;
@@ -893,11 +915,18 @@ int plssvm_parse_arff_data(const char* path, int64_t offset,
     out->data = data;
     out->labels = labels_buf;
     out->labels_bytes = labels_bytes;
-    out->n = static_cast<int64_t>(n);
+    out->n = static_cast<int64_t>(window_n);
     out->n_total = static_cast<int64_t>(n);
     out->d = num_features;
     out->has_labels = has_label ? 1 : 0;
     return 0;
+}
+
+int plssvm_parse_arff_data(const char* path, int64_t offset,
+                           int64_t num_features, int64_t label_idx,
+                           int32_t has_label, PlssvmParseResult* out) {
+    return plssvm_parse_arff_window(path, offset, num_features, label_idx,
+                                    has_label, 0, -1, out);
 }
 
 // Write an ARFF data file: `header` verbatim (through the "@DATA" line),

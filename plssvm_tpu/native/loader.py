@@ -125,6 +125,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(_ParseResult),
             ]
             lib.plssvm_parse_arff_data.restype = ctypes.c_int
+            lib.plssvm_parse_arff_window.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(_ParseResult),
+            ]
+            lib.plssvm_parse_arff_window.restype = ctypes.c_int
             lib.plssvm_write_arff.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_char_p,
@@ -355,30 +361,52 @@ def parse_arff_data_native(
     filename: str, offset: int, num_features: int, label_idx: int,
     has_label: bool, dtype=np.float64,
 ) -> Optional[Tuple[np.ndarray, Optional[List[str]]]]:
-    """Parse an ARFF data section starting at byte ``offset``.
+    """Parse a full ARFF data section starting at byte ``offset``.
 
     Returns ``(data, labels_or_None)`` or ``None`` meaning 'fall back to the
     Python parser' (native bails out on any content anomaly so the Python
     path can raise the exact reference error message).
     """
+    win = parse_arff_window_native(
+        filename, offset, num_features, label_idx, has_label, 0, -1, dtype
+    )
+    if win is None:
+        return None
+    data, labels, _n_total = win
+    return data, labels
+
+
+def parse_arff_window_native(
+    filename: str, offset: int, num_features: int, label_idx: int,
+    has_label: bool, row_begin: int, row_end: int, dtype=np.float64,
+) -> Optional[Tuple[np.ndarray, Optional[List[str]], int]]:
+    """Windowed ARFF data-section parse — features ONLY for rows
+    [row_begin, row_end) (``row_end < 0`` = all rows), labels for the
+    WHOLE section (global metadata, like ``parse_libsvm_native_window``).
+
+    Returns ``(X_window, labels_all_or_None, n_total)`` or ``None``
+    meaning 'fall back to the Python parser'.
+    """
     lib = _get_lib()
     if lib is None:
         return None
     res = _ParseResult()
-    rc = lib.plssvm_parse_arff_data(
+    rc = lib.plssvm_parse_arff_window(
         filename.encode(), int(offset), int(num_features), int(label_idx),
-        1 if has_label else 0, ctypes.byref(res),
+        1 if has_label else 0, int(row_begin), int(row_end),
+        ctypes.byref(res),
     )
     if rc != 0:
         return None
     try:
         n, d = int(res.n), int(res.d)
+        n_total = int(res.n_total)
         data = np.ctypeslib.as_array(res.data, shape=(n, d)).astype(dtype, copy=True)
         labels: Optional[List[str]] = None
         if res.has_labels:
             raw = ctypes.string_at(res.labels, int(res.labels_bytes))
-            labels = raw.decode(errors="replace").split("\x00")[:n]
-        return data, labels
+            labels = raw.decode(errors="replace").split("\x00")[:n_total]
+        return data, labels, n_total
     finally:
         lib.plssvm_free_result(ctypes.byref(res))
 

@@ -677,11 +677,24 @@ def fit_one_class_multihost(
     dt = csvm.dtype
     _ensure_x64_if_needed(dt)
 
-    # metadata scan: n_total, d (labels are ignored by one-class training)
-    meta = parse_libsvm_native_window(filename, 0, 0, dtype=dt)
+    # metadata scan: n_total, d (labels are ignored by one-class training);
+    # ARFF streams through its own windowed parser (extension dispatch,
+    # like the reference's data_set — data_set.hpp:494-498)
+    from .io.arff import parse_arff_file_window
+
+    is_arff = filename.lower().endswith(".arff")
+    if is_arff:
+        meta = parse_arff_file_window(filename, 0, 0, dtype=dt)
+    else:
+        meta = parse_libsvm_native_window(filename, 0, 0, dtype=dt)
     if meta is not None:
         _, _, n_total, d = meta
         X_all = None
+    elif is_arff:
+        from .io.arff import parse_arff_file
+
+        X_all, _ = parse_arff_file(filename, dtype=dt)
+        n_total, d = X_all.shape
     else:
         from .io.libsvm import parse_libsvm_file
 
@@ -728,6 +741,10 @@ def fit_one_class_multihost(
     if real_end > begin:
         if X_all is not None:
             Xw = X_all[begin:real_end]
+        elif is_arff:
+            Xw, _, _, _ = parse_arff_file_window(
+                filename, begin, real_end, dtype=dt
+            )
         else:
             Xw, _, _, _ = parse_libsvm_native_window(
                 filename, begin, real_end, dtype=dt
@@ -864,9 +881,16 @@ def fit_one_class_multihost(
     elif X_all is not None:
         X_full = X_all
     else:
-        win = parse_libsvm_native_window(filename, 0, n_total, dtype=dt)
+        if is_arff:
+            win = parse_arff_file_window(filename, 0, n_total, dtype=dt)
+        else:
+            win = parse_libsvm_native_window(filename, 0, n_total, dtype=dt)
         if win is not None:
             X_full = win[0]
+        elif is_arff:
+            from .io.arff import parse_arff_file
+
+            X_full, _ = parse_arff_file(filename, dtype=dt)
         else:
             from .io.libsvm import parse_libsvm_file
 

@@ -369,6 +369,7 @@ def fit_multihost(
     from ..utils.logger import VerbosityLevel, log
     from ..utils.tracker import add_tracking_entry
     from .sharded import build_sharded_solver
+    from ..io.arff import parse_arff_file_window
     from ..native.loader import (
         libsvm_line_spans,
         parse_libsvm_native_rows,
@@ -385,14 +386,26 @@ def fit_multihost(
     _ensure_x64_if_needed(dtype)
 
     # ---- metadata scan: n_total, d, the full label column ----
-    meta = parse_libsvm_native_window(filename, 0, 0, dtype=dtype)
+    # ARFF files stream through their own windowed native parser
+    # (io/arff.py::parse_arff_file_window) — format detection by extension,
+    # like the reference's data_set (data_set.hpp:494-498)
+    is_arff = filename.lower().endswith(".arff")
+    if is_arff:
+        meta = parse_arff_file_window(filename, 0, 0, dtype=dtype)
+    else:
+        meta = parse_libsvm_native_window(filename, 0, 0, dtype=dtype)
     if meta is not None:
         _, raw_labels, n_total, d = meta
         X_all = None
     else:  # native parser unavailable: fall back to a full parse
-        from ..io.libsvm import parse_libsvm_file
+        if is_arff:
+            from ..io.arff import parse_arff_file
 
-        X_all, raw_labels = parse_libsvm_file(filename, dtype=dtype)
+            X_all, raw_labels = parse_arff_file(filename, dtype=dtype)
+        else:
+            from ..io.libsvm import parse_libsvm_file
+
+            X_all, raw_labels = parse_libsvm_file(filename, dtype=dtype)
         n_total, d = X_all.shape
     if raw_labels is None:
         raise InvalidParameterError(
@@ -473,7 +486,10 @@ def fit_multihost(
     # The consistency verdict must be COLLECTIVE (like the chi-squared
     # check below): one host raising alone would leave the others hanging
     # in the first collective.
-    spans = None if X_all is not None else libsvm_line_spans(filename)
+    spans = (
+        None if (X_all is not None or is_arff)
+        else libsvm_line_spans(filename)
+    )
     spans_rows = -1 if spans is None else int(spans.shape[0])
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -498,6 +514,10 @@ def fit_multihost(
             Xw = parse_libsvm_native_rows(
                 filename, spans[begin:real_end], d, dtype=dtype
             )
+        elif is_arff:
+            Xw, _, _, _ = parse_arff_file_window(
+                filename, begin, real_end, dtype=dtype
+            )
         else:
             Xw, _, _, _ = parse_libsvm_native_window(
                 filename, begin, real_end, dtype=dtype
@@ -515,6 +535,11 @@ def fit_multihost(
         x_last_row = parse_libsvm_native_rows(
             filename, spans[dept:dept + 1], d, dtype=dtype
         )[0]
+    elif is_arff:
+        x_last_row, _, _, _ = parse_arff_file_window(
+            filename, dept, dept + 1, dtype=dtype
+        )
+        x_last_row = x_last_row[0]
     else:
         x_last_row, _, _, _ = parse_libsvm_native_window(
             filename, dept, dept + 1, dtype=dtype

@@ -646,10 +646,16 @@ def nystroem_fit_from_file(
         parse_libsvm_native_window,
     )
 
-    meta = parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    # the byte-span index is LIBSVM-grammar-specific; ARFF files (typically
+    # metadata-scale) load through the host-resident path below
+    is_arff = filename.lower().endswith(".arff")
+    meta = (
+        None if is_arff
+        else parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    )
     spans = libsvm_line_spans(filename) if meta is not None else None
     if meta is None or spans is None:
-        # native parser unavailable: host-resident fallback
+        # native parser unavailable (or ARFF): host-resident fallback
         from .data_set import DataSet as _DS
 
         data = _DS(
@@ -861,15 +867,24 @@ def nystroem_fit_one_class_from_file(
         raise InvalidParameterError(
             f"nu must be in (0, 1), but is {nu}!"
         )
-    meta = parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    is_arff = filename.lower().endswith(".arff")
+    meta = (
+        None if is_arff
+        else parse_libsvm_native_window(filename, 0, 0, dtype=csvm.dtype)
+    )
     spans = libsvm_line_spans(filename) if meta is not None else None
     if meta is None or spans is None:
         # one-class ignores labels entirely, and one-class files may carry
         # a single class or string labels that DataSet's classification /
         # regression loaders would reject — parse X directly instead
-        from .io.libsvm import parse_libsvm_file
+        if is_arff:
+            from .io.arff import parse_arff_file
 
-        X_all, _ = parse_libsvm_file(filename, dtype=csvm.dtype)
+            X_all, _ = parse_arff_file(filename, dtype=csvm.dtype)
+        else:
+            from .io.libsvm import parse_libsvm_file
+
+            X_all, _ = parse_libsvm_file(filename, dtype=csvm.dtype)
         return nystroem_fit_one_class(
             csvm, DataSet(X_all, dtype=csvm.dtype),
             n_landmarks=n_landmarks, nu=nu,

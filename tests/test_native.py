@@ -402,3 +402,67 @@ def test_native_arff_write_byte_identical(tmp_path, monkeypatch):
     data, labels = parse_arff_file(f_nat)
     np.testing.assert_allclose(data, X, rtol=1e-10)
     assert labels == list(y)
+
+
+class TestArffWindow:
+    """Windowed native ARFF ingest (round 7 — streaming ARFF)."""
+
+    def test_window_matches_full_parse(self, data_dir, reference_data_dir):
+        import os
+
+        from plssvm_tpu.io.arff import (
+            parse_arff_file, parse_arff_file_window,
+        )
+
+        files = [
+            os.path.join(data_dir, "arff", "6x3.arff"),
+            os.path.join(data_dir, "arff", "6x3_sparse.arff"),
+            os.path.join(reference_data_dir, "arff", "5x4.arff"),
+            os.path.join(reference_data_dir, "arff", "5x4_sparse.arff"),
+        ]
+        for f in files:
+            full, labels_full = parse_arff_file(f)
+            n, d = full.shape
+            # metadata scan: zero rows materialized, full label column
+            meta = parse_arff_file_window(f, 0, 0)
+            if meta is None:
+                pytest.skip("native library unavailable")
+            Xm, labs, n_total, nf = meta
+            assert Xm.shape == (0, d) and (n_total, nf) == (n, d)
+            if labels_full is None:
+                assert labs is None
+            else:
+                assert labs == labels_full
+            # interior window
+            Xw, labs2, n2, _ = parse_arff_file_window(f, 1, n - 1)
+            assert n2 == n
+            np.testing.assert_allclose(Xw, full[1:n - 1])
+            # window past the end clamps
+            Xe, _, _, _ = parse_arff_file_window(f, n - 1, n + 5)
+            np.testing.assert_allclose(Xe, full[n - 1:])
+
+    def test_streaming_nystroem_arff_fallback(self, tmp_path):
+        """nystroem_fit_from_file on an .arff file routes to the
+        host-resident path (the byte-span index is LIBSVM-specific) and
+        matches the in-memory fit exactly."""
+        import plssvm_tpu
+        from plssvm_tpu import DataSet, nystroem_fit, nystroem_fit_from_file
+        from plssvm_tpu.io.arff import write_arff_file
+
+        rng = np.random.default_rng(35)
+        X = rng.normal(size=(90, 4))
+        y = (X[:, 0] > 0).astype(np.int64)
+        f = str(tmp_path / "ny.arff")
+        write_arff_file(f, X, y)
+        svm = plssvm_tpu.CSVM(backend="xla", dtype=np.float64,
+                              kernel_type="rbf", gamma=0.3)
+        m_file = nystroem_fit_from_file(
+            svm, f, n_landmarks=16, random_state=3
+        )
+        m_mem = nystroem_fit(
+            svm, DataSet(f, dtype=np.float64), n_landmarks=16,
+            random_state=3,
+        )
+        np.testing.assert_allclose(m_file.alpha, m_mem.alpha,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(m_file.rho, m_mem.rho, rtol=1e-10)
