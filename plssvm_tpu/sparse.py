@@ -223,6 +223,88 @@ def _kmm_inv_sqrt(K_mm: np.ndarray, rcond: float) -> np.ndarray:
     return (V * inv_sqrt[None, :]) @ V.T
 
 
+def _landmark_basis(Zd, kind, gamma, coef0, degree, rcond, dt):
+    """The m-landmark Nystroem basis pieces (one rule for every fit path).
+
+    Returns ``(sqZ, inv_sqrt, ivr)``: the landmark squared norms, the f64
+    host ``K_mm^{-1/2}`` (eigenvalue-clipped at ``rcond``), and its
+    device copy in the compute dtype.  Call inside the CSVM's device
+    context.
+    """
+    sqZ = jnp.sum(Zd * Zd, axis=1)
+    K_mm = np.asarray(
+        jax.device_get(
+            kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma),
+                         dt.type(coef0), degree)
+        ),
+        dtype=np.float64,
+    )
+    inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
+    return sqZ, inv_sqrt, jnp.asarray(inv_sqrt, dtype=dt)
+
+
+def _phi_block_accumulate(
+    A, u, Xblk, sblk, Z, sqZ, inv_sqrt, kind, gamma, coef0, degree
+):
+    """One Phi-projection normal-equation update (the shared core of every
+    Nystroem reduction): ``A += Phi' S Phi``, ``u += Phi' S 1`` with
+    ``Phi = k(X_blk, Z) K_mm^{-1/2}``.  Returns ``(A, u, Phi_s)`` so
+    callers with targets also add ``Phi' S Y`` from the weighted block.
+    """
+    sq = jnp.sum(Xblk * Xblk, axis=1)
+    Kbm = kernel_block(Xblk, Z, sq, sqZ, kind, gamma, coef0, degree)
+    Phi = Kbm @ inv_sqrt                      # (block, m) MXU
+    Phi_s = Phi * sblk[:, None]
+    A = A + jax.lax.dot_general(
+        Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=A.dtype,
+    )
+    u = u + Phi_s.sum(axis=0)
+    return A, u, Phi_s
+
+
+def _bordered_solve(A, c, u, s, Y, cost, inv_sqrt):
+    """Solve the bordered (m+1) x (m+1) normal equations on host in f64::
+
+        [A + I/C   u ] [w]   [c ]
+        [u'        s1] [b] = [sy]
+
+    Returns ``(alpha, b)`` with ``alpha = K_mm^{-1/2} w`` the (m, C)
+    landmark dual block (one rule — the in-memory and streamed fits
+    previously carried identical copies of this solve).
+    """
+    m = A.shape[0]
+    s1 = float(np.sum(s))
+    sy = (s[:, None] * Y).sum(axis=0)
+    H = np.empty((m + 1, m + 1), dtype=np.float64)
+    H[:m, :m] = A + np.eye(m) / cost
+    H[:m, m] = u
+    H[m, :m] = u
+    H[m, m] = s1
+    rhs = np.concatenate([c, sy[None, :]], axis=0)
+    sol = np.linalg.solve(H, rhs)
+    return inv_sqrt @ sol[:m], sol[m]
+
+
+def _nystroem_model(params, Z, sub_labels, alpha, b, dt, regression):
+    """Assemble the ordinary m-SV Model from the Nystroem primal solution
+    (binary / one-vs-all / regression layouts — one rule for both the
+    in-memory and the streamed fit)."""
+    if regression:
+        sub = DataSet(Z, dtype=dt)
+        model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
+        model.is_regression = True
+    else:
+        sub = DataSet(Z, sub_labels, dtype=dt)
+        if alpha.shape[1] == 1:
+            model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
+        else:
+            model = Model(params, sub, alpha=alpha, rho=-b)
+            model.classification = ClassificationType.OAA
+    model.n_iter = 0  # direct (non-iterative) solve
+    return model
+
+
 def _nystroem_reduce(
     Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block,
     vary_axis=None,
@@ -247,19 +329,13 @@ def _nystroem_reduce(
     def body(carry, inp):
         A, c, u = carry
         Xblk, sblk, Yblk = inp
-        sq = jnp.sum(Xblk * Xblk, axis=1)
-        Kbm = kernel_block(Xblk, Z, sq, sqZ, kind, gamma, coef0, degree)
-        Phi = Kbm @ inv_sqrt                      # (block, m) MXU
-        Phi_s = Phi * sblk[:, None]
-        A = A + jax.lax.dot_general(
-            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=A.dtype,
+        A, u, Phi_s = _phi_block_accumulate(
+            A, u, Xblk, sblk, Z, sqZ, inv_sqrt, kind, gamma, coef0, degree
         )
         c = c + jax.lax.dot_general(
             Phi_s, Yblk, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=c.dtype,
         )
-        u = u + Phi_s.sum(axis=0)
         return (A, c, u), None
 
     dt = Xp.dtype
@@ -438,15 +514,9 @@ def nystroem_fit(
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        sqZ = jnp.sum(Zd * Zd, axis=1)
-        K_mm = np.asarray(
-            jax.device_get(
-                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
-                             dt.type(coef0_v), degree_v)
-            ),
-            dtype=np.float64,
+        sqZ, inv_sqrt, _ = _landmark_basis(
+            Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
-        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
         if n_dev > 1:
             from .parallel.sharded import make_row_mesh
 
@@ -465,37 +535,16 @@ def nystroem_fit(
                 degree=degree_v, block=block,
             )
 
-    # bordered (m+1) x (m+1) normal equations, solved on host in f64:
-    #   [A + I/C   u ] [w]   [c ]
-    #   [u'        s1] [b] = [sy]
+    # bordered (m+1) x (m+1) normal equations, solved on host in f64
     A = np.asarray(jax.device_get(A), dtype=np.float64)
     c = np.asarray(jax.device_get(c), dtype=np.float64)
     u = np.asarray(jax.device_get(u), dtype=np.float64)
-    s1 = float(np.sum(s))
-    sy = (s[:, None] * Y).sum(axis=0)
-    H = np.empty((m + 1, m + 1), dtype=np.float64)
-    H[:m, :m] = A + np.eye(m) / cost
-    H[:m, m] = u
-    H[m, :m] = u
-    H[m, m] = s1
-    rhs = np.concatenate([c, sy[None, :]], axis=0)
-    sol = np.linalg.solve(H, rhs)
-    w = sol[:m]                       # (m, C) basis weights
-    b = sol[m]                        # (C,) biases
-    alpha = inv_sqrt @ w              # (m, C) landmark dual weights
-
-    if data.is_regression:
-        sub = DataSet(Z, dtype=dt)
-        model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
-        model.is_regression = True
-    else:
-        sub = DataSet(Z, np.asarray(data.labels)[idx], dtype=dt)
-        if C_classes == 1:
-            model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b[0]))
-        else:
-            model = Model(params, sub, alpha=alpha, rho=-b)
-            model.classification = ClassificationType.OAA
-    model.n_iter = 0  # direct (non-iterative) solve
+    alpha, b = _bordered_solve(A, c, u, s, Y, cost, inv_sqrt)
+    model = _nystroem_model(
+        params, Z,
+        None if data.is_regression else np.asarray(data.labels)[idx],
+        alpha, b, dt, data.is_regression,
+    )
     if return_indices:
         return model, idx
     return model
@@ -742,33 +791,20 @@ def nystroem_fit_from_file(
     )
     def block_update(A, c, u, Xblk, sblk, Yblk, Zd, sqZ, ivr,
                      gamma, coef0, kind, degree):
-        sq = jnp.sum(Xblk * Xblk, axis=1)
-        Kbm = kernel_block(Xblk, Zd, sq, sqZ, kind, gamma, coef0, degree)
-        Phi = Kbm @ ivr
-        Phi_s = Phi * sblk[:, None]
-        A = A + jax.lax.dot_general(
-            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=A.dtype,
+        A, u, Phi_s = _phi_block_accumulate(
+            A, u, Xblk, sblk, Zd, sqZ, ivr, kind, gamma, coef0, degree
         )
         c = c + jax.lax.dot_general(
             Phi_s, Yblk, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=c.dtype,
         )
-        u = u + Phi_s.sum(axis=0)
         return A, c, u
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        sqZ = jnp.sum(Zd * Zd, axis=1)
-        K_mm = np.asarray(
-            jax.device_get(
-                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
-                             dt.type(coef0_v), degree_v)
-            ),
-            dtype=np.float64,
+        sqZ, inv_sqrt, ivr = _landmark_basis(
+            Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
-        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
-        ivr = jnp.asarray(inv_sqrt, dtype=dt)
         A = jnp.zeros((m, m), dt)
         c = jnp.zeros((m, C_classes), dt)
         u = jnp.zeros((m,), dt)
@@ -800,33 +836,11 @@ def nystroem_fit_from_file(
         u = np.asarray(jax.device_get(u), dtype=np.float64)
 
     # bordered (m+1) x (m+1) normal equations — identical to nystroem_fit
-    s1 = float(np.sum(s))
-    sy = (s[:, None] * Y).sum(axis=0)
-    H = np.empty((m + 1, m + 1), dtype=np.float64)
-    H[:m, :m] = A + np.eye(m) / cost
-    H[:m, m] = u
-    H[m, :m] = u
-    H[m, m] = s1
-    rhs = np.concatenate([c, sy[None, :]], axis=0)
-    sol = np.linalg.solve(H, rhs)
-    w = sol[:m]
-    b_sol = sol[m]
-    alpha = inv_sqrt @ w
-
-    if regression:
-        sub = DataSet(Z, dtype=dt)
-        model = Model(params, sub, alpha=alpha[:, 0], rho=-float(b_sol[0]))
-        model.is_regression = True
-    else:
-        sub = DataSet(Z, labels[idx], dtype=dt)
-        if C_classes == 1:
-            model = Model(
-                params, sub, alpha=alpha[:, 0], rho=-float(b_sol[0])
-            )
-        else:
-            model = Model(params, sub, alpha=alpha, rho=-b_sol)
-            model.classification = ClassificationType.OAA
-    model.n_iter = 0
+    alpha, b_sol = _bordered_solve(A, c, u, s, Y, cost, inv_sqrt)
+    model = _nystroem_model(
+        params, Z, None if regression else labels[idx],
+        alpha, b_sol, dt, regression,
+    )
     if return_indices:
         return model, idx
     return model
@@ -929,15 +943,10 @@ def nystroem_fit_one_class_from_file(
     )
     def block_update(A, c, Xblk, sblk, Zd, sqZ, ivr, gamma, coef0,
                      kind, degree):
-        sq = jnp.sum(Xblk * Xblk, axis=1)
-        Kbm = kernel_block(Xblk, Zd, sq, sqZ, kind, gamma, coef0, degree)
-        Phi = Kbm @ ivr
-        Phi_s = Phi * sblk[:, None]
-        A = A + jax.lax.dot_general(
-            Phi, Phi_s, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=A.dtype,
+        # the one-class rhs c = Phi' 1 IS the bordered system's u vector
+        A, c, _ = _phi_block_accumulate(
+            A, c, Xblk, sblk, Zd, sqZ, ivr, kind, gamma, coef0, degree
         )
-        c = c + (Phi_s.sum(axis=0))
         return A, c
 
     @partial(jax.jit, static_argnames=("kind", "degree"))
@@ -965,16 +974,9 @@ def nystroem_fit_one_class_from_file(
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        sqZ = jnp.sum(Zd * Zd, axis=1)
-        K_mm = np.asarray(
-            jax.device_get(
-                kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
-                             dt.type(coef0_v), degree_v)
-            ),
-            dtype=np.float64,
+        sqZ, inv_sqrt, ivr = _landmark_basis(
+            Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
-        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
-        ivr = jnp.asarray(inv_sqrt, dtype=dt)
         A = jnp.zeros((m, m), dt)
         c = jnp.zeros((m,), dt)
         g_ = dt.type(gamma_v)
@@ -1125,8 +1127,6 @@ def nystroem_fit_one_class(
     scores under the compact expansion.  Row-shards over multi-device
     CSVMs like :func:`nystroem_fit` (psum'd normal-equation partials).
     """
-    from .kernel_functions import kernel_block as _kernel_block
-
     n = data.num_data_points
     d = data.num_features
     if not 0.0 < nu < 1.0:
@@ -1207,15 +1207,9 @@ def nystroem_fit_one_class(
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        sqZ = jnp.sum(Zd * Zd, axis=1)
-        K_mm = np.asarray(
-            jax.device_get(
-                _kernel_block(Zd, Zd, sqZ, sqZ, kind, dt.type(gamma_v),
-                              dt.type(coef0_v), degree_v)
-            ),
-            dtype=np.float64,
+        _sqZ, inv_sqrt, _ = _landmark_basis(
+            Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
-        inv_sqrt = _kmm_inv_sqrt(K_mm, rcond)
         if n_dev > 1:
             from .parallel.sharded import make_row_mesh
 
