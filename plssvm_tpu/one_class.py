@@ -742,9 +742,18 @@ def fit_one_class_multihost(
         if X_all is not None:
             Xw = X_all[begin:real_end]
         elif is_arff:
-            Xw, _, _, _ = parse_arff_file_window(
+            win = parse_arff_file_window(
                 filename, begin, real_end, dtype=dt
             )
+            if win is None:
+                from .exceptions import InvalidFileFormatError
+
+                # the metadata scan parsed this same file cleanly
+                raise InvalidFileFormatError(
+                    f"windowed re-read of '{filename}' failed — file "
+                    "changed mid-read?"
+                )
+            Xw = win[0]
         else:
             Xw, _, _, _ = parse_libsvm_native_window(
                 filename, begin, real_end, dtype=dt

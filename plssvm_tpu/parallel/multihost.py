@@ -515,9 +515,18 @@ def fit_multihost(
                 filename, spans[begin:real_end], d, dtype=dtype
             )
         elif is_arff:
-            Xw, _, _, _ = parse_arff_file_window(
+            win = parse_arff_file_window(
                 filename, begin, real_end, dtype=dtype
             )
+            if win is None:
+                from ..exceptions import InvalidFileFormatError
+
+                # the metadata scan parsed this same file cleanly
+                raise InvalidFileFormatError(
+                    f"windowed re-read of '{filename}' failed — file "
+                    "changed mid-read?"
+                )
+            Xw = win[0]
         else:
             Xw, _, _, _ = parse_libsvm_native_window(
                 filename, begin, real_end, dtype=dtype
@@ -536,10 +545,15 @@ def fit_multihost(
             filename, spans[dept:dept + 1], d, dtype=dtype
         )[0]
     elif is_arff:
-        x_last_row, _, _, _ = parse_arff_file_window(
-            filename, dept, dept + 1, dtype=dtype
-        )
-        x_last_row = x_last_row[0]
+        win = parse_arff_file_window(filename, dept, dept + 1, dtype=dtype)
+        if win is None:
+            from ..exceptions import InvalidFileFormatError
+
+            raise InvalidFileFormatError(
+                f"windowed re-read of '{filename}' failed — file changed "
+                "mid-read?"
+            )
+        x_last_row = win[0][0]
     else:
         x_last_row, _, _, _ = parse_libsvm_native_window(
             filename, dept, dept + 1, dtype=dtype
