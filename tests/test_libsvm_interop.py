@@ -290,3 +290,35 @@ def test_binary_writer_emits_positive_class_first(tmp_path):
     np.testing.assert_array_equal(
         svm.predict(reloaded, ds), svm.predict(model, ds)
     )
+
+
+def test_binary_predict_proba_matches_real_libsvm(tmp_path):
+    """Binary probability: the probA/probB sigmoid is defined against the
+    FILE's decision orientation (f > 0 -> label[0]); our loader must emit
+    sklearn-identical sorted-order probability columns either way."""
+    X, y = _blobs(n_per=40, d=4, n_classes=2, seed=21, labels=[2, 7])
+    gamma = 0.3
+    clf = sk_svm.SVC(
+        kernel="rbf", gamma=gamma, C=10.0, probability=True,
+        random_state=0,
+    ).fit(X, y)
+    path = str(tmp_path / "sk_bin_prob.model")
+    write_sklearn_svc_model(clf, path, "rbf", gamma)
+
+    model = Model.load(path, label_type=int)
+    assert model.prob_a is not None and model.prob_a.size == 1
+    plssvm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+    values = plssvm.predict_values(model, DataSet(X[:30]))
+    ours = predict_probabilities(model, values)
+    theirs = clf.predict_proba(X[:30])  # columns in classes_ (sorted) order
+    # libsvm runs multiclass_probability even for k = 2; its fixpoint IS
+    # the raw sigmoid (which we evaluate exactly) but the iteration stops
+    # within eps = 0.005/2 of it — so agreement is to that tolerance
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.argmax(ours, axis=1), np.argmax(theirs, axis=1)
+    )
+    # orientation (not just magnitude): the positive-class column tracks
+    # positive decision values exactly
+    pos_col = list(np.sort(np.unique(y))).index(model.label_order[0])
+    assert bool(np.all((ours[:, pos_col] > 0.5) == (values > 0)))
