@@ -232,6 +232,50 @@ def _format_params(args, kernel: KernelFunctionType, model_filename: str) -> str
     return "\n".join(lines)
 
 
+def _expand_class_weights(per_class_weights, labels_arr) -> np.ndarray:
+    """-wi per-class weights -> the per-point sample_weight vector.
+
+    LIBSVM prints a warning for a -wi label matching no training class;
+    unlisted classes get weight 1.0 (libsvm's -wi semantics).
+    """
+    present = {str(lab) for lab in labels_arr}
+    for lab in per_class_weights:
+        if lab not in present:
+            print(
+                f"WARNING: class label {lab} specified in "
+                "weight is not found",
+                file=sys.stderr,
+            )
+    return np.asarray(
+        [per_class_weights.get(str(lab), 1.0) for lab in labels_arr],
+        dtype=np.float64,
+    )
+
+
+def _read_label_column(filename: str):
+    """The full label column of a training file (metadata-scale read).
+
+    Uses the same windowed native readers the multihost ingest uses
+    (zero-row window = labels + shape only, no feature materialization);
+    falls back to the Python parsers.  None for unlabeled files.
+    """
+    if filename.lower().endswith(".arff"):
+        from ..io.arff import parse_arff_file, parse_arff_file_window
+
+        meta = parse_arff_file_window(filename, 0, 0)
+        if meta is not None:
+            return meta[1]
+        return parse_arff_file(filename)[1]
+    from ..native.loader import parse_libsvm_native_window
+
+    meta = parse_libsvm_native_window(filename, 0, 0)
+    if meta is not None:
+        return meta[1]
+    from ..io.libsvm import parse_libsvm_file
+
+    return parse_libsvm_file(filename)[1]
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -279,10 +323,10 @@ def main(argv=None) -> int:
         )
         per_class_weights = None
         if args.weight:
-            if args.multihost or args.svm_type != "c_svc":
+            if args.svm_type != "c_svc":
                 print(
-                    "--weight is only supported for single-host "
-                    "classification training!",
+                    "--weight is only supported for classification "
+                    "training!",
                     file=sys.stderr,
                 )
                 return 1
@@ -406,6 +450,22 @@ def main(argv=None) -> int:
         if args.multihost:
             svm = CSVM(devices="all", **svm_kwargs)
 
+            if per_class_weights is not None:
+                # expand -wi per-class weights into the per-point vector
+                # fit_multihost takes: the label column is metadata-scale
+                # and comes from the same windowed readers the fit uses
+                labels_all = _read_label_column(args.input)
+                if labels_all is None:
+                    print(
+                        "--weight with --multihost needs a labeled "
+                        "training file!",
+                        file=sys.stderr,
+                    )
+                    return 1
+                fit_kwargs["sample_weight"] = _expand_class_weights(
+                    per_class_weights, np.asarray(labels_all)
+                )
+
             if args.svm_type == "one_class":
                 def run_fit():
                     from ..one_class import fit_one_class_multihost
@@ -446,23 +506,8 @@ def main(argv=None) -> int:
             )
             svm = CSVM(**svm_kwargs)
             if per_class_weights is not None:
-                labels_arr = np.asarray(data.labels)
-                present = {str(lab) for lab in labels_arr}
-                for lab in per_class_weights:
-                    if lab not in present:
-                        # LIBSVM prints the same warning for a -wi label
-                        # that matches no training class
-                        print(
-                            f"WARNING: class label {lab} specified in "
-                            "weight is not found",
-                            file=sys.stderr,
-                        )
-                fit_kwargs["sample_weight"] = np.asarray(
-                    [
-                        per_class_weights.get(str(lab), 1.0)
-                        for lab in labels_arr
-                    ],
-                    dtype=np.float64,
+                fit_kwargs["sample_weight"] = _expand_class_weights(
+                    per_class_weights, np.asarray(data.labels)
                 )
 
             if (

@@ -358,3 +358,50 @@ def test_one_class_multihost_arff(tmp_path):
                         nu=0.2, epsilon=1e-10)
     np.testing.assert_allclose(m.alpha, ref.alpha, rtol=1e-6, atol=1e-9)
     assert m.rho == pytest.approx(ref.rho, rel=1e-8)
+
+
+def test_cli_weight_multihost_composes(tmp_path):
+    """plssvm-train --weight LABEL=W --multihost (round-7: previously
+    rejected): the per-class weights expand from the metadata-scale label
+    column and the multihost fit matches the single-host weighted CLI fit."""
+    import subprocess
+    import sys
+
+    import plssvm_tpu
+    from plssvm_tpu import DataSet, Model
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    X, y = make_blobs(120, 4, seed=41)
+    y = np.where(y > 0, 1, -1)
+    f = str(tmp_path / "wmh.libsvm")
+    write_libsvm_file(f, X, y)
+
+    m_ref = str(tmp_path / "ref.model")
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+         "--weight=-1=3.0", "--weight", "1=1.5", f, m_ref]
+    )
+    assert rc == 0
+
+    m_mh = str(tmp_path / "mh.model")
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        rc = cli_train.main(
+            ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+             "--weight=-1=3.0", "--weight", "1=1.5", "--multihost",
+             f, m_mh]
+        )
+    finally:
+        mh.global_row_mesh = orig
+    assert rc == 0
+
+    ref = Model.load(m_ref, label_type=int)
+    got = Model.load(m_mh, label_type=int)
+    np.testing.assert_allclose(
+        np.asarray(got.alpha), np.asarray(ref.alpha), rtol=1e-5, atol=1e-7
+    )
+    assert float(got.rho) == pytest.approx(float(ref.rho), rel=1e-6)
