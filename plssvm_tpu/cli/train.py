@@ -415,7 +415,6 @@ def main(argv=None) -> int:
             # --checkpoint also COMPOSES (one-class CG-state
             # checkpointing, one_class._run_ridge_segments)
             for flag, name in (
-                (args.warm_start, "--warm_start"),
                 (args.cross_validation, "--cross_validation"),
                 (args.probability, "--probability"),
                 (args.weight, "--weight"),
@@ -427,14 +426,20 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     return 1
+            # (--warm_start composes: fit_one_class(initial_model=) warm-
+            # starts single- and multi-device refits; the compact and
+            # multihost combinations are rejected below/above)
             # (--multihost with --max_sv/--nystroem is already rejected by
             # the generic compact-flag block above; --multihost --checkpoint
             # composes via fit_one_class_multihost(checkpoint_path=))
         if args.warm_start is not None:
-            if args.multihost:
+            if args.multihost and args.svm_type == "one_class":
+                # fit_one_class_multihost has no initial_model (windowed
+                # per-host ingest; warm alpha realignment is label-free
+                # there but the entry point does not thread it yet)
                 print(
-                    "--warm_start is not supported together with "
-                    "--multihost!",
+                    "-s one_class --multihost is not supported together "
+                    "with --warm_start!",
                     file=sys.stderr,
                 )
                 return 1
@@ -565,6 +570,10 @@ def main(argv=None) -> int:
                         oc_kwargs["checkpoint_path"] = args.checkpoint
                         oc_kwargs["checkpoint_interval"] = (
                             args.checkpoint_interval
+                        )
+                    if "initial_model" in fit_kwargs:
+                        oc_kwargs["initial_model"] = (
+                            fit_kwargs["initial_model"]
                         )
                     return fit_one_class(
                         svm, data, nu=args.nu,

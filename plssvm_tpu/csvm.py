@@ -1058,6 +1058,7 @@ class CSVM:
         classification: Union[str, ClassificationType] = ClassificationType.OAA,
         regression: bool = False,
         sample_weight=None,
+        initial_model: Optional[Model] = None,
     ) -> Model:
         """Multi-host fit from a LIBSVM file on shared storage.
 
@@ -1074,6 +1075,12 @@ class CSVM:
         checkpointing, as in :meth:`fit`: process 0 persists the gathered
         global solver state every ``checkpoint_interval`` iterations and an
         interrupted run resumes from the file on every host.
+
+        ``initial_model`` warm-starts CG from a previous fit on the same
+        file (re-aligned from the model file's class-grouped row order
+        exactly like :meth:`fit`; the stop target stays cold-anchored, so
+        a converged model refits in 0 iterations).  Each host places its
+        row window of the aligned alpha.
         """
         from .parallel.multihost import fit_multihost as _fit_multihost
 
@@ -1096,11 +1103,18 @@ class CSVM:
                 f"checkpoint_interval must be at least 1, but is "
                 f"{checkpoint_interval}!"
             )
+        if initial_model is not None and checkpoint_path is not None:
+            # same rule as fit(): the checkpoint already carries the state
+            raise InvalidParameterError(
+                "initial_model cannot be combined with CG-state "
+                "checkpointing (the checkpoint already carries the "
+                "solver state)!"
+            )
         return _fit_multihost(
             self, filename, epsilon=epsilon, max_iter=max_iter,
             label_type=label_type, checkpoint_path=checkpoint_path,
             checkpoint_interval=checkpoint_interval, regression=regression,
-            sample_weight=sample_weight,
+            sample_weight=sample_weight, initial_model=initial_model,
         )
 
     def _device_ctx(self):

@@ -338,6 +338,7 @@ def fit_multihost(
     checkpoint_interval: int = 1000,
     regression: bool = False,
     sample_weight=None,
+    initial_model=None,
 ):
     """End-to-end multi-host LS-SVM fit from a LIBSVM file on shared storage.
 
@@ -614,6 +615,39 @@ def fit_multihost(
         from ..solver.checkpoint import weights_digest_suffix
 
         params_repr += weights_digest_suffix(sample_weight)
+    warm = initial_model is not None
+    warm_args = ()
+    if warm:
+        if initial_model.num_support_vectors != n_total:
+            raise InvalidParameterError(
+                f"initial_model has {initial_model.num_support_vectors} "
+                f"support vectors but the data set has {n_total} points!"
+            )
+        from types import SimpleNamespace
+
+        # the realignment (model files store SVs class-grouped) needs only
+        # the label column — metadata the scan above already read, so the
+        # per-host memory story is untouched
+        view = SimpleNamespace(
+            is_regression=regression,
+            labels=labels,
+            different_labels=None if regression else mapper.labels(),
+        )
+        alpha0 = np.asarray(
+            csvm._warm_start_alpha(initial_model, view), dtype=dtype
+        )
+        x_shape = (m_pad,) + alpha0.shape[1:]
+        x_full = np.zeros(x_shape, dtype=dtype)
+        x_full[:dept] = alpha0[:dept]
+        row_sh = NamedSharding(
+            mesh, P(ROW_AXIS, None) if multiclass else P(ROW_AXIS)
+        )
+        warm_args = (
+            jax.make_array_from_process_local_data(
+                row_sh, np.ascontiguousarray(x_full[begin:end]),
+                global_shape=x_shape,
+            ),
+        )
     gamma_v = jnp.asarray(params.resolved_gamma(d), dtype=dtype)
     coef0_v = jnp.asarray(params.coef0.value, dtype=dtype)
     cost_v = jnp.asarray(params.cost.value, dtype=dtype)
@@ -641,7 +675,7 @@ def fit_multihost(
             preconditioner=csvm.preconditioner,
             scalars=csvm.scalar_precision,
             precision=csvm.gram_precision, multi=multiclass,
-            weighted=weighted,
+            weighted=weighted, warm=warm,
         )
     else:
         if jax.process_index() == 0:
@@ -653,10 +687,12 @@ def fit_multihost(
             preconditioner=csvm.preconditioner,
             scalars=csvm.scalar_precision,
             gram_precision=csvm.gram_precision, weighted=weighted,
+            warm=warm,
         )
     if checkpoint_path is None:
         result = build()(
-            *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32), *wargs
+            *sharded, *scalar_args, jnp.asarray(max_iter, jnp.int32),
+            *wargs, *warm_args,
         )
     else:
         result = _run_segments_multihost(

@@ -405,3 +405,80 @@ def test_cli_weight_multihost_composes(tmp_path):
         np.asarray(got.alpha), np.asarray(ref.alpha), rtol=1e-5, atol=1e-7
     )
     assert float(got.rho) == pytest.approx(float(ref.rho), rel=1e-6)
+
+
+def test_fit_multihost_warm_start(tmp_path):
+    """fit_multihost(initial_model=) warm-starts to 0 iterations from a
+    converged model (round-7; previously single-host only).  Covers the
+    model-file realignment: the warm model is re-LOADED from its
+    class-grouped file, not reused in memory."""
+    import plssvm_tpu
+    from plssvm_tpu import Model
+    from plssvm_tpu.exceptions import InvalidParameterError
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    X, y = make_blobs(160, 5, seed=51)
+    ds = plssvm_tpu.DataSet(X, y)
+    f = str(tmp_path / "wmh.libsvm")
+    ds.save(f)
+
+    svm = plssvm_tpu.CSVM(
+        backend="xla", dtype=np.float64, kernel_type="rbf",
+        devices=jax.devices("cpu")[:8],
+    )
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        cold = svm.fit_multihost(f, epsilon=1e-9)
+        assert cold.n_iter > 3
+        mfile = str(tmp_path / "wmh.model")
+        cold.save(mfile)
+        warm = svm.fit_multihost(
+            f, epsilon=1e-9, initial_model=Model.load(mfile, label_type=int)
+        )
+        assert warm.n_iter == 0
+        np.testing.assert_allclose(warm.alpha, cold.alpha, rtol=1e-10)
+        assert warm.rho == pytest.approx(cold.rho, rel=1e-10)
+        with pytest.raises(InvalidParameterError, match="initial_model"):
+            svm.fit_multihost(
+                f, initial_model=cold,
+                checkpoint_path=str(tmp_path / "c.ckpt"),
+            )
+    finally:
+        mh.global_row_mesh = orig
+
+
+def test_cli_warm_start_multihost_composes(tmp_path):
+    """plssvm-train --warm_start MODEL --multihost (round-7; previously
+    rejected): a converged model refits in 0 iterations over the mesh."""
+    import plssvm_tpu
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    X, y = make_blobs(100, 4, seed=52)
+    f = str(tmp_path / "cw.libsvm")
+    write_libsvm_file(f, X, np.where(y > 0, 1, -1))
+    m1 = str(tmp_path / "cw1.model")
+    m2 = str(tmp_path / "cw2.model")
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(jax.devices("cpu")[:8])
+    try:
+        assert cli_train.main(
+            ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+             "--multihost", f, m1]
+        ) == 0
+        assert cli_train.main(
+            ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+             "--multihost", "--warm_start", m1, f, m2]
+        ) == 0
+    finally:
+        mh.global_row_mesh = orig
+    from plssvm_tpu import Model
+
+    a1 = np.asarray(Model.load(m1, label_type=int).alpha)
+    a2 = np.asarray(Model.load(m2, label_type=int).alpha)
+    np.testing.assert_allclose(a2, a1, rtol=1e-9, atol=1e-12)

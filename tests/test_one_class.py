@@ -753,3 +753,27 @@ def test_one_class_multihost_explicit_matches_implicit(tmp_path):
         mh.global_row_mesh = orig
     np.testing.assert_allclose(exp.alpha, imp.alpha, rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(exp.rho, imp.rho, rtol=1e-8)
+
+
+def test_cli_one_class_warm_start_composes(tmp_path):
+    """-s one_class --warm_start (round-7; previously rejected): a
+    converged one-class model refits in 0 CG iterations."""
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X = _cloud(n=80, d=4, seed=9)
+    f = os.fspath(tmp_path / "ocw.libsvm")
+    write_libsvm_file(f, X, np.ones(80, dtype=np.int64))
+    m1 = os.fspath(tmp_path / "ocw1.model")
+    m2 = os.fspath(tmp_path / "ocw2.model")
+    assert cli_train.main(
+        ["-q", "--use_double_as_real_type", "-s", "one_class",
+         "-n", "0.2", "-t", "2", "-g", "0.3", f, m1]
+    ) == 0
+    assert cli_train.main(
+        ["-q", "--use_double_as_real_type", "-s", "one_class",
+         "-n", "0.2", "-t", "2", "-g", "0.3", "--warm_start", m1, f, m2]
+    ) == 0
+    a1 = np.asarray(Model.load(m1).alpha)
+    a2 = np.asarray(Model.load(m2).alpha)
+    np.testing.assert_allclose(a2, a1, rtol=1e-9, atol=1e-12)
