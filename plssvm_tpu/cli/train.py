@@ -433,16 +433,6 @@ def main(argv=None) -> int:
             # the generic compact-flag block above; --multihost --checkpoint
             # composes via fit_one_class_multihost(checkpoint_path=))
         if args.warm_start is not None:
-            if args.multihost and args.svm_type == "one_class":
-                # fit_one_class_multihost has no initial_model (windowed
-                # per-host ingest; warm alpha realignment is label-free
-                # there but the entry point does not thread it yet)
-                print(
-                    "-s one_class --multihost is not supported together "
-                    "with --warm_start!",
-                    file=sys.stderr,
-                )
-                return 1
             from ..model import Model
 
             fit_kwargs["initial_model"] = Model.load(
@@ -480,6 +470,10 @@ def main(argv=None) -> int:
                         oc_mh_kwargs["checkpoint_path"] = args.checkpoint
                         oc_mh_kwargs["checkpoint_interval"] = (
                             args.checkpoint_interval
+                        )
+                    if "initial_model" in fit_kwargs:
+                        oc_mh_kwargs["initial_model"] = (
+                            fit_kwargs["initial_model"]
                         )
                     return fit_one_class_multihost(
                         svm, args.input, nu=args.nu,

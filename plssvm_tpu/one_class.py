@@ -631,6 +631,7 @@ def fit_one_class_multihost(
     sample_weight=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 1000,
+    initial_model: Optional[Model] = None,
 ) -> Model:
     """Multi-host one-class fit from a LIBSVM file on shared storage.
 
@@ -649,6 +650,12 @@ def fit_one_class_multihost(
     by construction — the fingerprint hashes only globally replicated
     metadata, every host re-places its row window of the saved global
     state at resume, and only process 0 writes checkpoint files.
+
+    ``initial_model`` warm-starts the ridge CG from a previous one-class
+    fit on the same file — one-class model files keep the ORIGINAL row
+    order (no class grouping), so the alpha needs no realignment; each
+    host places its row window.  Rejected together with
+    ``checkpoint_path`` (the checkpoint already carries the state).
     """
     import time as _time
 
@@ -670,6 +677,12 @@ def fit_one_class_multihost(
         raise InvalidParameterError(
             f"checkpoint_interval must be at least 1, but is "
             f"{checkpoint_interval}!"
+        )
+    if initial_model is not None and checkpoint_path is not None:
+        raise InvalidParameterError(
+            "initial_model cannot be combined with CG-state "
+            "checkpointing (the checkpoint already carries the "
+            "solver state)!"
         )
     initialize_distributed()
     mesh = global_row_mesh()
@@ -810,9 +823,27 @@ def fit_one_class_multihost(
             mesh, None, X_g, gamma_v, coef0_v, kind, params.degree.value
         )
         base_args = (K_g,) + base_args
+    warm = initial_model is not None
+    warm_args = ()
+    if warm:
+        if initial_model.num_support_vectors != n_total:
+            raise InvalidParameterError(
+                f"initial_model has {initial_model.num_support_vectors} "
+                f"support vectors but the data set has {n_total} points!"
+            )
+        x0_full = np.zeros(m_pad, dtype=dt)
+        x0_full[:n_total] = np.asarray(initial_model.alpha, dtype=dt)
+        warm_args = (
+            jax.make_array_from_process_local_data(
+                row1, np.ascontiguousarray(x0_full[begin:end]),
+                global_shape=(m_pad,),
+            ),
+        )
 
     def solve_once(seg_end):
-        return build_sharded_one_class_solver(**common)(*base_args, seg_end)
+        return build_sharded_one_class_solver(warm=warm, **common)(
+            *base_args, seg_end, *warm_args
+        )
 
     if checkpoint_path is None:
         res = solve_once(jnp.asarray(max_iter, jnp.int32))

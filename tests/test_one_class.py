@@ -777,3 +777,43 @@ def test_cli_one_class_warm_start_composes(tmp_path):
     a1 = np.asarray(Model.load(m1).alpha)
     a2 = np.asarray(Model.load(m2).alpha)
     np.testing.assert_allclose(a2, a1, rtol=1e-9, atol=1e-12)
+
+
+def test_one_class_multihost_warm_start(tmp_path):
+    """fit_one_class_multihost(initial_model=): 0 iterations from a
+    converged model (one-class files keep original row order — no
+    realignment); rejected with checkpoint_path."""
+    from plssvm_tpu import fit_one_class_multihost
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X = np.abs(np.random.default_rng(71).normal(size=(140, 5)))
+    f = os.fspath(tmp_path / "ocwmh.libsvm")
+    write_libsvm_file(f, X, np.ones(140))
+    svm8 = _svm(kernel_type="rbf", gamma=0.2, cost=20.0, devices=devs[:8])
+
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+    try:
+        cold = fit_one_class_multihost(svm8, f, nu=0.2, epsilon=1e-10)
+        assert cold.n_iter > 3
+        # round-trip through the model FILE (original row order preserved)
+        mf = os.fspath(tmp_path / "ocwmh.model")
+        cold.save(mf)
+        warm = fit_one_class_multihost(
+            svm8, f, nu=0.2, epsilon=1e-10, initial_model=Model.load(mf)
+        )
+        assert warm.n_iter == 0
+        np.testing.assert_allclose(warm.alpha, cold.alpha, rtol=1e-10)
+        assert warm.rho == pytest.approx(cold.rho, rel=1e-10)
+        with pytest.raises(InvalidParameterError, match="initial_model"):
+            fit_one_class_multihost(
+                svm8, f, initial_model=cold,
+                checkpoint_path=os.fspath(tmp_path / "c.ckpt"),
+            )
+    finally:
+        mh.global_row_mesh = orig
