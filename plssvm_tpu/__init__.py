@@ -78,6 +78,7 @@ from .sklearn import SVC, SVR, OneClassSVM
 from .sparse import (
     nystroem_fit,
     nystroem_fit_from_file,
+    nystroem_fit_multihost,
     nystroem_fit_one_class,
     nystroem_fit_one_class_from_file,
     pruned_fit,
@@ -121,6 +122,7 @@ __all__ = [
     "pruned_fit_one_class",
     "nystroem_fit",
     "nystroem_fit_from_file",
+    "nystroem_fit_multihost",
     "nystroem_fit_one_class",
     "nystroem_fit_one_class_from_file",
     "predict_probabilities",

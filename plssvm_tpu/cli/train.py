@@ -357,12 +357,17 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 return 1
-            for flag, name in (
-                (args.multihost, "--multihost"),
+            rejects = [
                 (args.warm_start, "--warm_start"),
                 (args.checkpoint, "--checkpoint"),
                 (args.cross_validation, "--cross_validation"),
-            ):
+            ]
+            if args.max_sv is not None or args.svm_type == "one_class":
+                # pruning needs iterative full refits (single-host), and
+                # the one-class compact fits have no multihost variant;
+                # --nystroem --multihost composes (nystroem_fit_multihost)
+                rejects.append((args.multihost, "--multihost"))
+            for flag, name in rejects:
                 if flag:
                     print(
                         f"{which} is not supported together with {name}!",
@@ -386,6 +391,16 @@ def main(argv=None) -> int:
         if args.streaming:
             if args.nystroem is None:
                 print("--streaming requires --nystroem!", file=sys.stderr)
+                return 1
+            if args.multihost:
+                # the multihost ingest IS windowed; accepting --streaming
+                # would silently drop it
+                print(
+                    "--streaming is not supported together with "
+                    "--multihost (the multihost ingest is already "
+                    "windowed per host)!",
+                    file=sys.stderr,
+                )
                 return 1
             if args.probability:
                 # calibration needs CV refits over the materialized data,
@@ -461,7 +476,17 @@ def main(argv=None) -> int:
                     per_class_weights, np.asarray(labels_all)
                 )
 
-            if args.svm_type == "one_class":
+            if args.nystroem is not None:
+                def run_fit():
+                    from ..sparse import nystroem_fit_multihost
+
+                    return nystroem_fit_multihost(
+                        svm, args.input, n_landmarks=args.nystroem,
+                        label_type=resolve_label_type(args),
+                        regression=args.svm_type in ("epsilon_svr", "svr"),
+                        sample_weight=fit_kwargs.get("sample_weight"),
+                    )
+            elif args.svm_type == "one_class":
                 def run_fit():
                     from ..one_class import fit_one_class_multihost
 

@@ -352,18 +352,12 @@ def _nystroem_reduce(
     return A, c, u
 
 
-def _nystroem_reduce_sharded(
-    mesh, Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block
-):
-    """Row-sharded Nystroem reduction over a 1-D device mesh.
-
-    Each device streams its own row shard through :func:`_nystroem_reduce`
-    and the (m, m)/(m, C)/(m,) partial normal equations are ``psum``-reduced
-    over ICI — the multi-chip analog of SURVEY.md §2.4 P3, with O(m^2)
-    traffic total (independent of n).  Row counts must divide evenly:
-    callers pad to a multiple of ``block * num_devices``.
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _nystroem_reduce_sharded_fn(mesh, kind, gamma, coef0, degree, block):
+    """The jitted shard_map'ped Nystroem reduction over a 1-D device mesh
+    (operands expected already placed: X/s/Y row-sharded, Z/inv_sqrt
+    replicated).  Factored out so the multi-host variant can place its
+    per-process windows via make_array_from_process_local_data."""
+    from jax.sharding import PartitionSpec as P
 
     from .parallel.sharded import ROW_AXIS
 
@@ -380,13 +374,32 @@ def _nystroem_reduce_sharded(
             jax.lax.psum(u, ROW_AXIS),
         )
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(row, row, row, rep, rep),
             out_specs=(rep, rep, rep),
         )
     )
+
+
+def _nystroem_reduce_sharded(
+    mesh, Xp, s, Yp, Z, inv_sqrt, kind, gamma, coef0, degree, block
+):
+    """Row-sharded Nystroem reduction over a 1-D device mesh.
+
+    Each device streams its own row shard through :func:`_nystroem_reduce`
+    and the (m, m)/(m, C)/(m,) partial normal equations are ``psum``-reduced
+    over ICI — the multi-chip analog of SURVEY.md §2.4 P3, with O(m^2)
+    traffic total (independent of n).  Row counts must divide evenly:
+    callers pad to a multiple of ``block * num_devices``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.sharded import ROW_AXIS
+
+    row, rep = P(ROW_AXIS), P()
+    fn = _nystroem_reduce_sharded_fn(mesh, kind, gamma, coef0, degree, block)
     Xp = jax.device_put(Xp, NamedSharding(mesh, row))
     s = jax.device_put(s, NamedSharding(mesh, row))
     Yp = jax.device_put(Yp, NamedSharding(mesh, row))
@@ -840,6 +853,218 @@ def nystroem_fit_from_file(
     model = _nystroem_model(
         params, Z, None if regression else labels[idx],
         alpha, b_sol, dt, regression,
+    )
+    if return_indices:
+        return model, idx
+    return model
+
+
+def nystroem_fit_multihost(
+    csvm,
+    filename: str,
+    *,
+    n_landmarks: int,
+    label_type=None,
+    regression: bool = False,
+    random_state=0,
+    sample_weight=None,
+    rcond: float = 1e-10,
+    row_block: int = 65536,
+    return_indices: bool = False,
+):
+    """Multi-host fixed-size (Nystroem) fit from a file on shared storage.
+
+    Each host materializes ONLY its row window of the training data
+    (windowed native LIBSVM parse — O(n d / #hosts) data memory) and
+    streams it through the row-sharded normal-equation reduction over the
+    GLOBAL device mesh: the (m, m)/(m, C)/(m,) partials psum over ICI/DCN
+    (O(m^2) traffic, independent of n).  Every piece of host-side work is
+    HOST-IDENTICAL by construction — landmark selection is seeded
+    stratified sampling on the replicated label column, all hosts parse
+    the m landmark rows (one O(m d) selected-row read) and solve the
+    bordered system locally in f64 — so every host returns the same
+    model.  Works unchanged at ``process_count() == 1``, where it equals
+    :func:`nystroem_fit` on the same landmark set.
+
+    ARFF files (typically metadata-scale — the byte-span index that
+    enables O(selected) reads is LIBSVM-grammar-specific) are read
+    host-resident instead.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .data_set import LabelMapper, _infer_label_array
+    from .native.loader import (
+        check_line_spans,
+        libsvm_line_spans,
+        parse_libsvm_native_window,
+    )
+    from .parallel.multihost import (
+        global_row_mesh,
+        host_row_range,
+        initialize_distributed,
+    )
+    from .parallel.sharded import ROW_AXIS
+
+    from .csvm import _ensure_x64_if_needed
+
+    initialize_distributed()
+    mesh = global_row_mesh()
+    n_dev = mesh.devices.size
+    dt = csvm.dtype
+    _ensure_x64_if_needed(dt)
+
+    # ---- metadata scan: n, d, full label column ----
+    is_arff = filename.lower().endswith(".arff")
+    X_all = None
+    spans = None
+    if is_arff:
+        from .io.arff import parse_arff_file
+
+        X_all, raw_labels = parse_arff_file(filename, dtype=dt)
+        n, d = X_all.shape
+    else:
+        meta = parse_libsvm_native_window(filename, 0, 0, dtype=dt)
+        if meta is not None:
+            _, raw_labels, n, d = meta
+            spans = libsvm_line_spans(filename)
+            if spans is not None:
+                check_line_spans(spans, n)
+        if meta is None or spans is None:
+            # native parser unavailable: host-resident fallback
+            from .io.libsvm import parse_libsvm_file
+
+            X_all, raw_labels = parse_libsvm_file(filename, dtype=dt)
+            n, d = X_all.shape
+    if raw_labels is None:
+        raise InvalidParameterError(
+            "No labels given for training! Maybe the data is only usable "
+            "for prediction?"
+        )
+    if not 1 <= n_landmarks <= n:
+        raise InvalidParameterError(
+            f"n_landmarks must be in [1, {n}], but is {n_landmarks}!"
+        )
+
+    rng = np.random.default_rng(random_state)
+    if regression:
+        labels = np.asarray(
+            _infer_label_array(list(raw_labels), float), dtype=np.float64
+        )
+        Y = labels[:, None]
+        idx = np.sort(rng.choice(n, size=int(n_landmarks), replace=False))
+    else:
+        labels = _infer_label_array(list(raw_labels), label_type)
+        mapper = LabelMapper(labels)
+        if mapper.num_mappings > 2:
+            Y = mapper.oaa_targets(labels, dtype=np.float64)
+        else:
+            Y = mapper.map_labels(labels, dtype=np.float64)[:, None]
+        idx = _stratified_landmarks(labels, n, int(n_landmarks), rng)
+    C_classes = Y.shape[1]
+    m = idx.shape[0]
+
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n,):
+            raise InvalidParameterError(
+                f"sample_weight must have one entry per data point ({n}), "
+                f"but has shape {sample_weight.shape}!"
+            )
+        if not np.all(sample_weight > 0.0):
+            raise InvalidParameterError(
+                "sample_weight entries must all be positive!"
+            )
+        s = sample_weight
+    else:
+        s = np.ones(n, dtype=np.float64)
+
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    kind = params.kernel_type.value
+    gamma_v = params.resolved_gamma(d)
+    coef0_v = params.coef0.value
+    degree_v = params.degree.value
+    cost = params.cost.value
+
+    # ---- landmark rows: every host gathers the same O(m d) block ----
+    if X_all is not None:
+        Z = np.ascontiguousarray(np.asarray(X_all, dtype=dt)[idx])
+    else:
+        Z = _parse_rows_checked(filename, spans[idx], d, dt)
+
+    # ---- this host's row window of the padded row axis ----
+    block = int(min(row_block, max(8, -(-n // n_dev))))
+    n_pad = int(-(-n // (block * n_dev)) * (block * n_dev))
+    begin, end = host_row_range(n_pad)
+    real_end = min(end, n)
+    rows_local = end - begin
+    X_local = np.zeros((rows_local, d), dtype=dt)
+    s_local = np.zeros((rows_local,), dtype=dt)
+    Y_local = np.zeros((rows_local, C_classes), dtype=dt)
+    if real_end > begin:
+        if X_all is not None:
+            Xw = np.asarray(X_all, dtype=dt)[begin:real_end]
+        else:
+            Xw = _parse_rows_checked(
+                filename, spans[begin:real_end], d, dt
+            )
+        X_local[: real_end - begin] = Xw
+        s_local[: real_end - begin] = s[begin:real_end]
+        Y_local[: real_end - begin] = Y[begin:real_end]
+
+    if kind == KernelFunctionType.CHI_SQUARED:
+        # global verdict — every host must agree before the first
+        # collective (one host raising alone would hang the others)
+        local_min = float(min(
+            X_local.min() if X_local.size else 0.0, Z.min()
+        ))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            mins = np.asarray(
+                multihost_utils.process_allgather(np.asarray([local_min]))
+            )
+            local_min = float(mins.min())
+        if local_min < 0.0:
+            raise InvalidParameterError(
+                "chi-squared kernel requires non-negative data!"
+            )
+
+    row2 = NamedSharding(mesh, P(ROW_AXIS, None))
+    row1 = NamedSharding(mesh, P(ROW_AXIS))
+    X_g = jax.make_array_from_process_local_data(
+        row2, X_local, global_shape=(n_pad, d)
+    )
+    s_g = jax.make_array_from_process_local_data(
+        row1, s_local, global_shape=(n_pad,)
+    )
+    Y_g = jax.make_array_from_process_local_data(
+        row2, Y_local, global_shape=(n_pad, C_classes)
+    )
+    Zd = jnp.asarray(Z)
+    _sqZ, inv_sqrt, ivr = _landmark_basis(
+        Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
+    )
+    A, c, u = _nystroem_reduce_sharded_fn(
+        mesh, kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block
+    )(X_g, s_g, Y_g, Zd, ivr)
+
+    def _host_copy(arr):
+        # the psum'd outputs are REPLICATED: every local device holds the
+        # full value, so one addressable shard is the global array (no
+        # cross-host gather needed — unlike the row-sharded solver state)
+        return np.asarray(
+            jax.device_get(arr.addressable_data(0)), dtype=np.float64
+        )
+
+    A = _host_copy(A)
+    c = _host_copy(c)
+    u = _host_copy(u)
+    alpha, b = _bordered_solve(A, c, u, s, Y, cost, inv_sqrt)
+    model = _nystroem_model(
+        params, np.asarray(Z), None if regression else labels[idx],
+        alpha, b, dt, regression,
     )
     if return_indices:
         return model, idx

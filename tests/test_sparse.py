@@ -8,6 +8,8 @@ predict/model-file paths.
 
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -605,3 +607,129 @@ def test_cli_streaming_probability_rejected(streaming_file, tmp_path, capsys):
     )
     assert rc == 1
     assert "--probability" in capsys.readouterr().err
+
+
+class TestNystroemMultihost:
+    """nystroem_fit_multihost (round-7): windowed per-host ingest + the
+    row-sharded reduction over the GLOBAL mesh, host-identical landmarks."""
+
+    def _mesh8(self):
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        from plssvm_tpu.parallel.sharded import make_row_mesh
+
+        return lambda: make_row_mesh(devs[:8]), devs[:8]
+
+    def test_matches_in_memory_fit(self, tmp_path):
+        from plssvm_tpu import nystroem_fit, nystroem_fit_multihost
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+        from plssvm_tpu.parallel import multihost as mh
+
+        mesh_fn, devs = self._mesh8()
+        rng = np.random.default_rng(81)
+        X = rng.normal(size=(300, 6))
+        y = (X[:, 0] + X[:, 1] > 0).astype(np.int64)
+        f = str(tmp_path / "nymh.libsvm")
+        write_libsvm_file(f, X, y)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   gamma=0.3, cost=10.0)
+
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = mesh_fn
+        try:
+            m_mh, idx = nystroem_fit_multihost(
+                svm, f, n_landmarks=32, random_state=3,
+                return_indices=True,
+            )
+        finally:
+            mh.global_row_mesh = orig
+        m_ref = nystroem_fit(
+            svm, DataSet(f, dtype=np.float64), landmarks=idx
+        )
+        np.testing.assert_allclose(m_mh.alpha, m_ref.alpha,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(m_mh.rho, m_ref.rho, rtol=1e-8)
+        assert m_mh.num_support_vectors == 32 and m_mh.n_iter == 0
+
+    def test_regression_and_weights(self, tmp_path):
+        from plssvm_tpu import nystroem_fit, nystroem_fit_multihost
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+        from plssvm_tpu.parallel import multihost as mh
+
+        mesh_fn, devs = self._mesh8()
+        rng = np.random.default_rng(82)
+        X = rng.normal(size=(200, 5))
+        t = X @ rng.normal(size=5) + 0.1 * rng.normal(size=200)
+        f = str(tmp_path / "nymhr.libsvm")
+        write_libsvm_file(f, X, t)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   gamma=0.3, cost=10.0)
+
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = mesh_fn
+        try:
+            m_mh, idx = nystroem_fit_multihost(
+                svm, f, n_landmarks=24, regression=True, random_state=5,
+                return_indices=True,
+            )
+            # weighted classification variant
+            y = (X[:, 0] > 0).astype(np.int64)
+            fc = str(tmp_path / "nymhw.libsvm")
+            write_libsvm_file(fc, X, y)
+            s = rng.uniform(0.5, 2.0, size=200)
+            m_w, idx_w = nystroem_fit_multihost(
+                svm, fc, n_landmarks=24, random_state=5,
+                sample_weight=s, return_indices=True,
+            )
+        finally:
+            mh.global_row_mesh = orig
+        m_ref = nystroem_fit(
+            svm, DataSet(f, dtype=np.float64, regression=True,
+                         label_type=float),
+            landmarks=idx,
+        )
+        assert m_mh.is_regression
+        np.testing.assert_allclose(m_mh.alpha, m_ref.alpha,
+                                   rtol=1e-8, atol=1e-10)
+        m_wref = nystroem_fit(
+            svm, DataSet(fc, dtype=np.float64), landmarks=idx_w,
+            sample_weight=s,
+        )
+        np.testing.assert_allclose(m_w.alpha, m_wref.alpha,
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_cli_nystroem_multihost(self, tmp_path, capsys):
+        from plssvm_tpu.cli import train as cli_train
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+        from plssvm_tpu.parallel import multihost as mh
+
+        mesh_fn, devs = self._mesh8()
+        rng = np.random.default_rng(83)
+        X = rng.normal(size=(120, 4))
+        y = (X[:, 0] > 0).astype(np.int64)
+        f = str(tmp_path / "cliny.libsvm")
+        write_libsvm_file(f, X, y)
+        m = str(tmp_path / "cliny.model")
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = mesh_fn
+        try:
+            rc = cli_train.main(
+                ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+                 "--nystroem", "16", "--multihost", f, m]
+            )
+        finally:
+            mh.global_row_mesh = orig
+        assert rc == 0
+        from plssvm_tpu import Model
+
+        assert Model.load(m, label_type=int).num_support_vectors == 16
+        # pruning and streaming still reject --multihost
+        rc = cli_train.main(
+            ["-q", "--max_sv", "8", "--multihost", f]
+        )
+        assert rc == 1 and "--multihost" in capsys.readouterr().err
+        rc = cli_train.main(
+            ["-q", "--nystroem", "16", "--streaming", "--multihost", f]
+        )
+        assert rc == 1 and "--streaming" in capsys.readouterr().err
