@@ -360,8 +360,10 @@ def main(argv=None) -> int:
             rejects = [
                 (args.warm_start, "--warm_start"),
                 (args.checkpoint, "--checkpoint"),
-                (args.cross_validation, "--cross_validation"),
             ]
+            # (--cross_validation COMPOSES: the CV folds train with the
+            # same compact procedure via sparse.compact_fold_fit_fn, so
+            # the reported accuracy reflects the deployed compact model)
             if args.max_sv is not None or args.svm_type == "one_class":
                 # pruning needs iterative full refits (single-host), and
                 # the one-class compact fits have no multihost variant;
@@ -414,6 +416,15 @@ def main(argv=None) -> int:
             if args.weight:
                 print(
                     "--streaming is not supported together with --weight!",
+                    file=sys.stderr,
+                )
+                return 1
+            if args.cross_validation:
+                # CV folds need the materialized data --streaming never
+                # loads
+                print(
+                    "--streaming is not supported together with "
+                    "--cross_validation!",
                     file=sys.stderr,
                 )
                 return 1
@@ -641,12 +652,21 @@ def main(argv=None) -> int:
                 return 1
             from ..probability import cross_validate
 
+            cv_fit_fn = None
+            if args.max_sv is not None or args.nystroem is not None:
+                from ..sparse import compact_fold_fit_fn
+
+                cv_fit_fn = compact_fold_fit_fn(
+                    svm, n_landmarks=args.nystroem, max_sv=args.max_sv,
+                    epsilon=args.epsilon, max_iter=args.max_iter,
+                )
             result = cross_validate(
                 svm, data,
                 n_folds=args.cross_validation,
                 epsilon=args.epsilon, max_iter=args.max_iter,
                 classification=args.classification,
                 sample_weight=fit_kwargs.get("sample_weight"),
+                fit_fn=cv_fit_fn,
             )
             if "accuracy" in result:
                 log(

@@ -214,6 +214,7 @@ def cross_validate(
     max_iter: Optional[int] = None,
     classification: str = "oaa",
     sample_weight=None,
+    fit_fn=None,
 ) -> dict:
     """N-fold cross-validation (svm-train's ``-v n`` mode — EXTENSION; the
     reference has no CV support).
@@ -223,6 +224,13 @@ def cross_validate(
     Regression data (``DataSet(..., regression=True)``): plain folds,
     returns ``{"mse": float, "scc": float, "predictions": (n,) values}``
     (LIBSVM's mean squared error / squared correlation coefficient).
+
+    ``fit_fn(fold_data, fold_sample_weight) -> Model`` overrides the fold
+    training procedure (same hook as
+    :func:`cross_validated_decision_values`) — compact fits report THEIR
+    deployment accuracy, not the exact fit's
+    (sparse.compact_fold_fit_fn; CLI ``--cross_validation`` with
+    ``--max_sv``/``--nystroem``).
     """
     from .data_set import DataSet
 
@@ -258,12 +266,19 @@ def cross_validate(
             degenerate.append(k)
             continue
         fold_data = DataSet(X[train_idx], train_targets, regression=regression)
-        kwargs = {} if max_iter is None else {"max_iter": max_iter}
-        if sample_weight is not None:
-            kwargs["sample_weight"] = np.asarray(sample_weight)[train_idx]
-        if not regression:
-            kwargs["classification"] = classification
-        model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
+        fold_sw = (
+            np.asarray(sample_weight)[train_idx]
+            if sample_weight is not None else None
+        )
+        if fit_fn is not None:
+            model = fit_fn(fold_data, fold_sw)
+        else:
+            kwargs = {} if max_iter is None else {"max_iter": max_iter}
+            if fold_sw is not None:
+                kwargs["sample_weight"] = fold_sw
+            if not regression:
+                kwargs["classification"] = classification
+            model = csvm.fit(fold_data, epsilon=epsilon, **kwargs)
         predictions[test_idx] = csvm.predict(model, DataSet(X[test_idx]))
     if degenerate:
         import warnings

@@ -96,3 +96,57 @@ def test_cli_cv_mode(tmp_path):
     assert "Cross Validation Accuracy = " in out.stdout + out.stderr
     # svm-train -v writes no model file
     assert not os.path.exists(str(tmp_path / "cv.libsvm.model"))
+
+
+def test_compact_cv(tmp_path):
+    """cross_validate(fit_fn=compact_fold_fit_fn(...)): the folds train
+    with the DEPLOYED compact procedure (round-7 composition)."""
+    from plssvm_tpu.sparse import compact_fold_fit_fn
+
+    X, y = _binary(n=120, seed=5)
+    svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+               gamma=0.3)
+    result = cross_validate(
+        svm, DataSet(X, y), n_folds=4, random_state=0,
+        fit_fn=compact_fold_fit_fn(svm, n_landmarks=24, random_state=0),
+    )
+    assert 0.7 <= result["accuracy"] <= 1.0
+    assert result["predictions"].shape == (120,)
+
+
+def test_cli_cv_compact(tmp_path, capsys):
+    """plssvm-train --cross_validation N --nystroem M / --max_sv N
+    (round-7; previously rejected): prints the CV line, writes NO model."""
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X, y = _binary(n=80, seed=6)
+    f = str(tmp_path / "cvc.libsvm")
+    write_libsvm_file(f, X, y)
+    model_file = str(tmp_path / "cvc.model")
+    rc = cli_train.main(
+        ["--use_double_as_real_type", "--verbosity", "libsvm",
+         "-t", "2", "-g", "0.3", "--cross_validation", "3",
+         "--nystroem", "16", f, model_file]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Cross Validation Accuracy" in out
+    assert not os.path.exists(model_file)
+
+    rc = cli_train.main(
+        ["--use_double_as_real_type", "--verbosity", "libsvm",
+         "-t", "2", "-g", "0.3", "--cross_validation", "3",
+         "--max_sv", "20", f, model_file]
+    )
+    assert rc == 0
+    assert "Cross Validation Accuracy" in capsys.readouterr().out
+    assert not os.path.exists(model_file)
+
+    # CV + streaming stays rejected (no materialized data for folds)
+    rc = cli_train.main(
+        ["-q", "--cross_validation", "3", "--nystroem", "16",
+         "--streaming", f]
+    )
+    assert rc == 1
+    assert "--cross_validation" in capsys.readouterr().err
