@@ -45,12 +45,103 @@ def build_parser() -> argparse.ArgumentParser:
              "point); requires a model trained with probability calibration "
              "(plssvm-train --probability)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host prediction over all hosts in the job: each host "
+             "reads and scores only its row block of the test file "
+             "(windowed native parse); process 0 writes the output file",
+    )
     add_sycl_compat_options(parser)
     add_common_options(parser)
     parser.add_argument("test", metavar="test_file")
     parser.add_argument("model", metavar="model_file")
     parser.add_argument("output", metavar="output_file", nargs="?", default=None)
     return parser
+
+
+def _main_multihost(args, predict_filename: str, start: float) -> int:
+    """--multihost prediction: windowed per-host scoring over the job's
+    hosts (parallel.multihost.predict_multihost); process 0 writes the
+    output file and prints the accuracy/regression metrics."""
+    import jax
+
+    from ..data_set import _infer_label_array
+    from ..parallel.multihost import initialize_distributed, predict_multihost
+
+    initialize_distributed()
+    model = Model.load(
+        args.model,
+        label_type=resolve_label_type(args),
+        dtype=resolve_dtype(args),
+    )
+    svm = CSVM(
+        backend=args.backend, target=args.target_platform,
+        dtype=resolve_dtype(args), devices="all",
+    )
+    predicted, raw_labels, n = predict_multihost(svm, model, args.test)
+    is_writer = jax.process_index() == 0
+
+    if is_writer:
+        write_start = time.perf_counter()
+        with open(predict_filename, "w", encoding="utf-8") as fh:
+            if model.is_regression:
+                fh.write(
+                    "\n".join(format(v, ".10g") for v in predicted)
+                )
+            else:
+                fh.write("\n".join(str(lab) for lab in predicted))
+        write_ms = (time.perf_counter() - write_start) * 1000.0
+        log(
+            VerbosityLevel.FULL | VerbosityLevel.TIMING,
+            "Write {} predictions in {:.2f}ms to the file '{}'.\n",
+            len(predicted), write_ms, predict_filename,
+        )
+
+    if raw_labels is not None and is_writer:
+        if model.is_regression:
+            targets = np.asarray(
+                _infer_label_array(list(raw_labels), float),
+                dtype=np.float64,
+            )
+            values = np.asarray(predicted, dtype=np.float64)
+            mse = float(np.mean((values - targets) ** 2))
+            vt = targets - targets.mean()
+            vv = values - values.mean()
+            denom = float(np.sum(vt * vt) * np.sum(vv * vv))
+            scc = (
+                float(np.sum(vt * vv)) ** 2 / denom if denom > 0 else 0.0
+            )
+            log(
+                VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+                "Mean squared error = {} (regression)\n"
+                "Squared correlation coefficient = {} (regression)\n",
+                mse, scc,
+            )
+        else:
+            if getattr(model, "is_one_class", False):
+                targets = _infer_label_array(list(raw_labels), int)
+            else:
+                targets = _infer_label_array(
+                    list(raw_labels), resolve_label_type(args)
+                )
+            correct = int(
+                np.sum(np.asarray(predicted) == np.asarray(targets))
+            )
+            log(
+                VerbosityLevel.FULL | VerbosityLevel.LIBSVM,
+                "Accuracy = {}% ({}/{}) (classification)\n",
+                correct / n * 100.0, correct, n,
+            )
+
+    total_ms = (time.perf_counter() - start) * 1000.0
+    log(
+        VerbosityLevel.FULL | VerbosityLevel.TIMING,
+        "\nTotal runtime: {:.2f}ms\n", total_ms,
+    )
+    if args.performance_tracking is not None and is_writer:
+        add_tracking_entry("", "total_time", total_ms)
+        global_tracker.save(args.performance_tracking)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -78,7 +169,20 @@ def main(argv=None) -> int:
         args.test, args.model, predict_filename,
     )
 
+    if args.multihost and args.probability:
+        print(
+            "--probability is not supported together with --multihost!",
+            file=sys.stderr,
+        )
+        return 1
+
     start = time.perf_counter()
+    if args.multihost:
+        try:
+            return _main_multihost(args, predict_filename, start)
+        except PLSSVMError as exc:
+            print(exc, file=sys.stderr)
+            return 1
     try:
         model = Model.load(
             args.model,

@@ -817,3 +817,111 @@ def parse_libsvm_rows_for_host(
     X_local = X[begin:end]
     labels_local = labels[begin:end] if labels is not None else None
     return X_local, labels_local, n, X.shape[1]
+
+
+def predict_multihost(csvm, model, filename: str, *, dtype=None):
+    """Multi-host windowed prediction from a test file on shared storage.
+
+    Prediction is embarrassingly parallel: each host materializes ONLY its
+    contiguous row block of the test file (windowed native parse — LIBSVM
+    or ARFF by extension, like ``fit_multihost``), predicts it locally
+    through the model's bounded-memory predict path, and the per-host
+    blocks allgather so every host returns the identical full ``(n,)``
+    prediction vector.  Test-file labels are ignored (callers read them
+    from the metadata scan for accuracy reporting).  Works unchanged at
+    ``process_count() == 1``, where it equals
+    ``csvm.predict(model, DataSet(filename))``.
+
+    Returns ``(predictions, labels_all_or_None, n)``.
+    """
+    from ..data_set import DataSet
+    from ..io.arff import parse_arff_file_window
+    from ..native.loader import parse_libsvm_native_window
+
+    initialize_distributed()
+    dtype = csvm.dtype if dtype is None else dtype
+
+    is_arff = filename.lower().endswith(".arff")
+    X_all = None
+    if is_arff:
+        meta = parse_arff_file_window(filename, 0, 0, dtype=dtype)
+    else:
+        meta = parse_libsvm_native_window(filename, 0, 0, dtype=dtype)
+    if meta is not None:
+        _, raw_labels, n, d = meta
+    else:  # native parser unavailable: host-resident fallback
+        if is_arff:
+            from ..io.arff import parse_arff_file
+
+            X_all, raw_labels = parse_arff_file(filename, dtype=dtype)
+        else:
+            from ..io.libsvm import parse_libsvm_file
+
+            X_all, raw_labels = parse_libsvm_file(filename, dtype=dtype)
+        n, d = X_all.shape
+
+    nproc = jax.process_count()
+    rank = jax.process_index()
+    begin = n * rank // nproc
+    end = n * (rank + 1) // nproc
+    if X_all is not None:
+        Xw = X_all[begin:end]
+    elif end > begin:
+        if is_arff:
+            win = parse_arff_file_window(filename, begin, end, dtype=dtype)
+            if win is None:
+                from ..exceptions import InvalidFileFormatError
+
+                raise InvalidFileFormatError(
+                    f"windowed re-read of '{filename}' failed — file "
+                    "changed mid-read?"
+                )
+            Xw = win[0]
+        else:
+            Xw, _, _, _ = parse_libsvm_native_window(
+                filename, begin, end, dtype=dtype
+            )
+    else:
+        Xw = np.zeros((0, d), dtype=dtype)
+
+    if Xw.shape[0] > 0:
+        preds_local = np.asarray(
+            csvm.predict(model, DataSet(np.asarray(Xw, dtype=dtype),
+                                        dtype=dtype))
+        )
+    else:
+        preds_local = None
+
+    if nproc == 1:
+        return preds_local, raw_labels, n
+
+    # transport: numeric payloads allgather directly; classification
+    # labels ride as CLASS-ORDER indices and map back after the gather
+    from jax.experimental import multihost_utils
+
+    is_numeric = model.is_regression or getattr(model, "is_one_class", False)
+    order = None if is_numeric else model.class_order()
+    cap = -(-n // nproc)
+    buf = np.full((cap,), np.nan, dtype=np.float64)
+    if preds_local is not None:
+        if is_numeric:
+            buf[: end - begin] = np.asarray(preds_local, dtype=np.float64)
+        else:
+            index_of = {str(lab): i for i, lab in enumerate(order)}
+            buf[: end - begin] = [
+                index_of[str(p)] for p in preds_local
+            ]
+    gathered = np.asarray(
+        multihost_utils.process_allgather(buf)
+    ).reshape(nproc, cap)
+    parts = []
+    for r in range(nproc):
+        b, e = n * r // nproc, n * (r + 1) // nproc
+        parts.append(gathered[r, : e - b])
+    flat = np.concatenate(parts) if parts else np.empty(0)
+    if is_numeric:
+        if getattr(model, "is_one_class", False):
+            return flat.astype(np.int64), raw_labels, n
+        return flat, raw_labels, n
+    labels_arr = np.asarray(order)
+    return labels_arr[flat.astype(np.intp)], raw_labels, n

@@ -482,3 +482,84 @@ def test_cli_warm_start_multihost_composes(tmp_path):
     a1 = np.asarray(Model.load(m1, label_type=int).alpha)
     a2 = np.asarray(Model.load(m2, label_type=int).alpha)
     np.testing.assert_allclose(a2, a1, rtol=1e-9, atol=1e-12)
+
+
+def test_predict_multihost_single_process(tmp_path):
+    """predict_multihost at process_count()==1 equals csvm.predict for
+    classification, regression, and one-class models (round-7 serving
+    path: windowed per-host scoring)."""
+    import plssvm_tpu
+    from plssvm_tpu import DataSet, fit_one_class
+    from plssvm_tpu.parallel.multihost import predict_multihost
+
+    rng = np.random.default_rng(91)
+    X, y = make_blobs(120, 4, seed=91)
+    ftest = str(tmp_path / "pt.libsvm")
+    plssvm_tpu.DataSet(X, y).save(ftest)
+    svm = plssvm_tpu.CSVM(backend="xla", dtype=np.float64,
+                          kernel_type="rbf")
+    model = svm.fit(plssvm_tpu.DataSet(X, y), epsilon=1e-8)
+    preds, labels_all, n = predict_multihost(svm, model, ftest)
+    assert n == 120 and labels_all is not None
+    np.testing.assert_array_equal(
+        preds, svm.predict(model, DataSet(ftest))
+    )
+
+    # regression
+    t = X @ rng.normal(size=4)
+    freg = str(tmp_path / "pr.libsvm")
+    plssvm_tpu.DataSet(X, t, regression=True).save(freg)
+    m_reg = svm.fit(plssvm_tpu.DataSet(X, t, regression=True),
+                    epsilon=1e-8)
+    preds_r, _, _ = predict_multihost(svm, m_reg, freg)
+    np.testing.assert_allclose(
+        preds_r,
+        svm.predict(m_reg, DataSet(freg, regression=True,
+                                   label_type=float)),
+        rtol=1e-12,
+    )
+
+    # one-class
+    Xa = np.abs(X)
+    foc = str(tmp_path / "po.libsvm")
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    write_libsvm_file(foc, Xa, np.ones(120))
+    m_oc = fit_one_class(svm, DataSet(Xa, dtype=np.float64), nu=0.2)
+    preds_o, _, _ = predict_multihost(svm, m_oc, foc)
+    np.testing.assert_array_equal(
+        preds_o, svm.predict(m_oc, DataSet(Xa, dtype=np.float64))
+    )
+
+
+def test_cli_predict_multihost(tmp_path, capsys):
+    """plssvm-predict --multihost: same output file and accuracy line as
+    the single-host CLI run; --probability rejected."""
+    import plssvm_tpu
+    from plssvm_tpu.cli import predict as cli_predict
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    X, y = make_blobs(100, 4, seed=92)
+    f = str(tmp_path / "cp.libsvm")
+    write_libsvm_file(f, X, np.where(y > 0, 1, -1))
+    m = str(tmp_path / "cp.model")
+    assert cli_train.main(
+        ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3", f, m]
+    ) == 0
+
+    out1 = str(tmp_path / "cp1.predict")
+    out2 = str(tmp_path / "cp2.predict")
+    assert cli_predict.main(
+        ["-q", "--use_double_as_real_type", f, m, out1]
+    ) == 0
+    assert cli_predict.main(
+        ["-q", "--use_double_as_real_type", "--multihost", f, m, out2]
+    ) == 0
+    assert open(out1).read() == open(out2).read()
+
+    rc = cli_predict.main(
+        ["-q", "--probability", "--multihost", f, m]
+    )
+    assert rc == 1
+    assert "--multihost" in capsys.readouterr().err
