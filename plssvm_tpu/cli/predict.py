@@ -84,12 +84,13 @@ def _main_multihost(args, predict_filename: str, start: float) -> int:
     if is_writer:
         write_start = time.perf_counter()
         with open(predict_filename, "w", encoding="utf-8") as fh:
+            # one value per line, trailing '\n' (main_predict.cpp:53-84)
             if model.is_regression:
-                fh.write(
-                    "\n".join(format(v, ".10g") for v in predicted)
-                )
+                for v in predicted:
+                    fh.write(format(v, ".10g") + "\n")
             else:
-                fh.write("\n".join(str(lab) for lab in predicted))
+                for lab in predicted:
+                    fh.write(str(lab) + "\n")
         write_ms = (time.perf_counter() - write_start) * 1000.0
         log(
             VerbosityLevel.FULL | VerbosityLevel.TIMING,
@@ -249,20 +250,25 @@ def main(argv=None) -> int:
     write_start = time.perf_counter()
     with open(predict_filename, "w", encoding="utf-8") as fh:
         if model.is_regression:
-            # one predicted value per line (svm-predict's regression output)
-            fh.write("\n".join(format(v, ".10g") for v in predicted))
+            # one predicted value per line (svm-predict's regression output),
+            # each terminated by '\n' (src/main_predict.cpp:53-84 writes
+            # `label << '\n'` per point — the file ends with a newline)
+            for v in predicted:
+                fh.write(format(v, ".10g") + "\n")
         elif probabilities is None:
-            fh.write("\n".join(str(lab) for lab in predicted))
+            for lab in predicted:
+                fh.write(str(lab) + "\n")
         else:
             # svm-predict -b 1 format: 'labels <classes>' header, then one
             # 'label P(c1) P(c2) ...' line per point in header class order
             fh.write(
                 "labels " + " ".join(str(c) for c in model.class_order())
+                + "\n"
             )
             for lab, row in zip(predicted, probabilities):
                 fh.write(
-                    "\n" + str(lab) + " "
-                    + " ".join(format(p, ".10g") for p in row)
+                    str(lab) + " "
+                    + " ".join(format(p, ".10g") for p in row) + "\n"
                 )
     write_ms = (time.perf_counter() - write_start) * 1000.0
     log(

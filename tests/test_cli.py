@@ -87,6 +87,32 @@ class TestPredictCLI:
         rc = cli_predict.main(["-q", train_file, "/nonexistent/m.model"])
         assert rc != 0
 
+    @pytest.mark.parametrize("kern", ["linear", "polynomial", "rbf"])
+    def test_predict_output_byte_identical_to_reference(
+        self, reference_data_dir, tmp_path, kern
+    ):
+        """The predictions file must be BYTE-identical to the reference's
+        own fixture (tests/data/predict/500x200.libsvm.predict): one label
+        per line, every line '\\n'-terminated including the last
+        (src/main_predict.cpp:53-84)."""
+        out_file = str(tmp_path / "out.predict")
+        rc = cli_predict.main([
+            "-q", "--use_double_as_real_type",
+            os.path.join(reference_data_dir, "predict", "500x200_test.libsvm"),
+            os.path.join(
+                reference_data_dir, "predict", f"500x200_{kern}.libsvm.model"
+            ),
+            out_file,
+        ])
+        assert rc == 0
+        with open(os.path.join(
+            reference_data_dir, "predict", "500x200.libsvm.predict"
+        ), "rb") as fh:
+            expected = fh.read()
+        with open(out_file, "rb") as fh:
+            got = fh.read()
+        assert got == expected
+
 
 class TestScaleCLI:
     def test_scale_to_file(self, train_file, tmp_path):

@@ -202,7 +202,6 @@ def test_symmetric_ring_pallas_impl_interpret(ndev, matmat):
             in_specs=(P(ROW_AXIS, None), P(ROW_AXIS),
                       P(ROW_AXIS, None) if matmat else P(ROW_AXIS)),
             out_specs=P(ROW_AXIS, None) if matmat else P(ROW_AXIS),
-            check_vma=False,
         )
     )
     Xs = jax.device_put(jnp.asarray(X), NamedSharding(small_mesh, P(ROW_AXIS, None)))
@@ -366,8 +365,10 @@ def test_sharded_pallas_ring_interpret(mesh):
     """The impl='pallas' ring path (used on real TPU meshes) must match the
     jnp ring, exercised here via Pallas interpret mode on the CPU mesh.
 
-    Regression: pallas_call inside shard_map requires check_vma=False
-    (its outputs carry no varying-mesh-axes metadata)."""
+    Since round 4 every pallas_call out_shape declares its varying mesh
+    axes (vma=), so this runs under the default shard_map replication
+    checker (check_vma=True) like the production builders — pinned by
+    test_check_vma_enabled_on_all_sharded_builders."""
     from jax.experimental.pallas import tpu as pltpu
 
     devs = jax.devices("cpu")[:4]
