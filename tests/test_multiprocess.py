@@ -1,0 +1,405 @@
+"""TRUE multi-process multihost verification: 2 processes x 4 CPU devices.
+
+Every other multihost test runs at ``process_count() == 1``; this module
+launches ``tests/multiprocess_worker.py`` as 2 REAL subprocesses joined
+into one ``jax.distributed`` process group (Gloo CPU collectives), so the
+code that only exists across process boundaries actually executes:
+
+- ``initialize_distributed(coordinator, num_processes, process_id)``
+  before any XLA-backend touch (the ordering the round-4 self-review
+  found a pod-critical bug in by reading alone),
+- per-host windowed ingest with PROVEN-disjoint row windows (the worker
+  records the rows each process's native parse actually requested),
+- ``jax.make_array_from_process_local_data`` with genuinely local shards
+  (each process holds only 4 of the 8 device shards),
+- process-0 checkpoint gating + fingerprint replication under real
+  barriers (the worker counts ``save_checkpoint`` calls per process and
+  drives a deterministic interrupt/resume through the shared file),
+- multi-process ``process_allgather`` result gathering.
+
+Goldens are the same fits run single-process over an 8-virtual-device
+mesh in THIS process — the global mesh has the identical size/layout, so
+results must agree to f64 CG tolerance.
+
+Reference seam being exceeded: include/plssvm/backends/gpu_csvm.hpp:449-475
+(single-process multi-GPU with host-staged reduction; no multi-host).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+import plssvm_tpu
+from plssvm_tpu.parallel import multihost as mh
+from plssvm_tpu.parallel.sharded import make_row_mesh
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "multiprocess_worker.py")
+REPO = os.path.dirname(HERE)
+
+NPROC = 2
+DEV_PER_PROC = 4
+N, D = 600, 16
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PLSSVM_TEST_MULTIPROCESS", "1") == "0",
+    reason="multi-process harness disabled via PLSSVM_TEST_MULTIPROCESS=0",
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_data(workdir: str) -> None:
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(N, D))
+    y = np.where(X[:, 0] + 0.3 * X[:, 1] > 0, 1, -1)
+    write_libsvm_file(os.path.join(workdir, "train_binary.libsvm"), X, y)
+
+    centers = np.zeros((3, D))
+    centers[0, 0] = 3.0
+    centers[1, 1] = 3.0
+    centers[2, 2] = 3.0
+    cm = rng.integers(0, 3, size=N)
+    Xm = rng.normal(size=(N, D)) + centers[cm]
+    write_libsvm_file(os.path.join(workdir, "train_multi.libsvm"), Xm, cm)
+
+    Xt = rng.normal(size=(100, D))
+    yt = np.where(Xt[:, 0] + 0.3 * Xt[:, 1] > 0, 1, -1)
+    write_libsvm_file(os.path.join(workdir, "test_binary.libsvm"), Xt, yt)
+
+
+def _worker_env() -> dict:
+    """Minimal env: CPU platform, 4 virtual devices, NO axon plugin site
+    (JAX_PLATFORMS=cpu is unreliable while the plugin is importable)."""
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (
+            f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
+        ),
+    }
+    for var in ("TMPDIR", "LANG", "LC_ALL"):
+        if var in os.environ:
+            env[var] = os.environ[var]
+    return env
+
+
+@pytest.fixture(scope="module")
+def mp_run(tmp_path_factory):
+    """Launch the 2-process group once; all tests assert on its outputs."""
+    workdir = str(tmp_path_factory.mktemp("mp"))
+    _write_data(workdir)
+    port = _free_port()
+    env = _worker_env()
+    procs = []
+    for pid in range(NPROC):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, WORKER,
+                    "--process-id", str(pid),
+                    "--num-processes", str(NPROC),
+                    "--port", str(port),
+                    "--workdir", workdir,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=workdir,
+            )
+        )
+    outs = []
+    for proc in procs:
+        try:
+            stdout, stderr = proc.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((proc.returncode, stdout, stderr))
+    results = []
+    for pid in range(NPROC):
+        rc, stdout, stderr = outs[pid]
+        jpath = os.path.join(workdir, f"out_p{pid}.json")
+        assert rc == 0 and os.path.isfile(jpath), (
+            f"worker {pid} failed (rc={rc})\n"
+            f"--- stdout ---\n{stdout[-3000:]}\n"
+            f"--- stderr ---\n{stderr[-3000:]}"
+        )
+        with open(jpath) as fh:
+            meta = json.load(fh)
+        assert meta["ok"], meta.get("error", "")
+        arrays = dict(np.load(os.path.join(workdir, f"out_p{pid}.npz")))
+        results.append((meta, arrays))
+    return workdir, results
+
+
+@pytest.fixture(scope="module")
+def goldens(mp_run):
+    """Single-process goldens over an 8-CPU-device mesh (same global
+    layout as the 2x4 process group)."""
+    workdir, _ = mp_run
+    devs = jax.devices("cpu")
+    if len(devs) < NPROC * DEV_PER_PROC:
+        pytest.skip("needs 8 virtual CPU devices")
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(
+        devs[: NPROC * DEV_PER_PROC]
+    )
+    try:
+        g = {}
+        svm = plssvm_tpu.CSVM(
+            kernel_type="rbf", gamma=0.1, cost=2.0, dtype=np.float64
+        )
+        f_bin = os.path.join(workdir, "train_binary.libsvm")
+        m = svm.fit_multihost(f_bin, epsilon=1e-8)
+        g["binary_rho"] = float(m.rho)
+        g["binary_alpha"] = np.asarray(m.alpha)
+        pred, _, _ = mh.predict_multihost(
+            svm, m, os.path.join(workdir, "test_binary.libsvm")
+        )
+        g["predictions"] = np.asarray(pred)
+
+        m_mc = svm.fit_multihost(
+            os.path.join(workdir, "train_multi.libsvm"), epsilon=1e-8
+        )
+        g["multi_rho"] = np.asarray(m_mc.rho, dtype=np.float64)
+        g["multi_alpha"] = np.asarray(m_mc.alpha)
+
+        m_oc = plssvm_tpu.fit_one_class_multihost(
+            svm, f_bin, nu=0.2, epsilon=1e-8
+        )
+        g["oneclass_rho"] = float(m_oc.rho)
+        g["oneclass_alpha"] = np.asarray(m_oc.alpha)
+
+        m_ny, idx = plssvm_tpu.nystroem_fit_multihost(
+            svm, f_bin, n_landmarks=64, random_state=0, return_indices=True
+        )
+        g["nystroem_rho"] = float(m_ny.rho)
+        g["nystroem_alpha"] = np.asarray(m_ny.alpha)
+        g["nystroem_idx"] = np.asarray(idx)
+        return g
+    finally:
+        mh.global_row_mesh = orig
+
+
+def test_process_group_topology(mp_run):
+    _, results = mp_run
+    for pid, (meta, _) in enumerate(results):
+        assert meta["pid"] == pid
+        assert meta["num_processes"] == NPROC
+        assert meta["local_devices"] == DEV_PER_PROC
+        assert meta["global_devices"] == NPROC * DEV_PER_PROC
+
+
+def test_ingest_windows_disjoint_and_covering(mp_run):
+    """Each process's native windowed parse must read ONLY its own row
+    window; together the windows cover every real training row exactly
+    once (multihost.py:125-143, 474-539)."""
+    _, results = mp_run
+    if not all(meta["native"] for meta, _ in results):
+        pytest.skip("native parser unavailable in workers")
+    dept = N - 1
+    # per-file row sets actually ingested by the windowed TRAINING parse.
+    # fit_multihost also reads the single folded-out last row (row dept)
+    # on every host, and predict reads the test file — separate them out.
+    # only the plain-fit window reads carry the disjointness claim — the
+    # Nystroem scenario legitimately reads the M landmark rows on EVERY
+    # host (host-identical selection), so filter by scenario tag
+    for fname, scenario in (
+        ("train_binary.libsvm", "binary"),
+        ("train_multi.libsvm", "multiclass"),
+    ):
+        window_rows = []
+        for meta, _ in results:
+            mine = set()
+            for rec in meta["ingest"]:
+                if rec["file"] != fname or rec["scenario"] != scenario:
+                    continue
+                rows = rec["rows"]
+                if rows == [dept]:
+                    continue  # the replicated folded-out last row
+                mine.update(rows)
+            window_rows.append(mine)
+        inter = window_rows[0] & window_rows[1]
+        assert inter == set(), f"{fname}: overlapping ingest rows {inter}"
+        union = window_rows[0] | window_rows[1]
+        assert union == set(range(dept)), (
+            f"{fname}: ingest windows do not cover [0, {dept})"
+        )
+        # block layout in process order (host_row_range)
+        assert max(window_rows[0]) < min(window_rows[1])
+
+
+def test_results_identical_across_processes(mp_run):
+    """Every host must return the SAME model (gathered via real
+    multi-process process_allgather)."""
+    _, results = mp_run
+    (m0, a0), (m1, a1) = results
+    for key in ("binary_rho", "oneclass_rho", "nystroem_rho", "resume_rho"):
+        assert m0[key] == pytest.approx(m1[key], rel=1e-12, abs=1e-12), key
+    for key in sorted(set(a0) & set(a1)):
+        np.testing.assert_allclose(
+            a0[key], a1[key], rtol=1e-12, atol=1e-12, err_msg=key
+        )
+
+
+def test_binary_fit_matches_single_process(mp_run, goldens):
+    _, results = mp_run
+    meta, arrays = results[0]
+    # CG stops on the eps^2*delta0 residual target; the 2-process and
+    # single-process runs reduce in different orders, so they agree to CG
+    # tolerance (epsilon=1e-8), not bitwise
+    assert meta["binary_rho"] == pytest.approx(
+        goldens["binary_rho"], rel=1e-5, abs=1e-7
+    )
+    np.testing.assert_allclose(
+        arrays["binary_alpha"], goldens["binary_alpha"],
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_warm_start_zero_iterations(mp_run):
+    """Warm start from the converged model across REAL process
+    boundaries: the warm alpha is placed per-host and CG stops at 0."""
+    _, results = mp_run
+    for meta, _ in results:
+        assert meta["warm_iter"] == 0
+        assert meta["warm_rho"] == pytest.approx(
+            meta["binary_rho"], rel=1e-9
+        )
+
+
+def test_predict_matches_single_process(mp_run, goldens):
+    _, results = mp_run
+    _, arrays = results[0]
+    np.testing.assert_array_equal(
+        arrays["predictions"], goldens["predictions"]
+    )
+
+
+def test_multiclass_fit_matches_single_process(mp_run, goldens):
+    _, results = mp_run
+    _, arrays = results[0]
+    np.testing.assert_allclose(
+        arrays["multi_rho"], goldens["multi_rho"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        arrays["multi_alpha"], goldens["multi_alpha"],
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_one_class_fit_matches_single_process(mp_run, goldens):
+    _, results = mp_run
+    meta, arrays = results[0]
+    assert meta["oneclass_rho"] == pytest.approx(
+        goldens["oneclass_rho"], rel=1e-5, abs=1e-7
+    )
+    np.testing.assert_allclose(
+        arrays["oneclass_alpha"], goldens["oneclass_alpha"],
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_nystroem_fit_matches_single_process(mp_run, goldens):
+    """Host-identical landmark selection + psum'd normal equations across
+    process boundaries must equal the single-process reduction."""
+    _, results = mp_run
+    meta, arrays = results[0]
+    np.testing.assert_array_equal(
+        arrays["nystroem_idx"], goldens["nystroem_idx"]
+    )
+    assert meta["nystroem_rho"] == pytest.approx(
+        goldens["nystroem_rho"], rel=1e-7, abs=1e-9
+    )
+    np.testing.assert_allclose(
+        arrays["nystroem_alpha"], goldens["nystroem_alpha"],
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_checkpoint_gating_and_resume(mp_run, goldens):
+    """Only process 0 writes checkpoints; after a deterministic interrupt
+    every host resumes from the SHARED file (re-placing its row window of
+    the saved global state) and reaches the plain fit's answer."""
+    _, results = mp_run
+    (m0, a0), (m1, a1) = results
+    # the interrupted run saved exactly one checkpoint, from process 0
+    assert m0["checkpoint_interrupted"] and m1["checkpoint_interrupted"]
+    assert m0["checkpoint_saves_interrupted_run"] == 1
+    assert m1["checkpoint_saves_interrupted_run"] == 0
+    assert m1["save_calls_total"] == 0  # gating held for the WHOLE run
+    assert m0["checkpoint_file_exists"] and m1["checkpoint_file_exists"]
+    # resume converged to the plain fit's answer and cleaned the file
+    for meta, arrays in results:
+        assert meta["resume_iter"] > 3  # actually continued past iter 3
+        assert meta["resume_rho"] == pytest.approx(
+            meta["binary_rho"], rel=1e-9, abs=1e-11
+        )
+        np.testing.assert_allclose(
+            arrays["resume_alpha"], arrays["binary_alpha"],
+            rtol=1e-5, atol=1e-8,
+        )
+        assert meta["checkpoint_file_cleaned"]
+    np.testing.assert_allclose(
+        a0["resume_alpha"], goldens["binary_alpha"], rtol=1e-5, atol=1e-7
+    )
+
+
+def test_scaling_sweep_multihost_rehearsal(tmp_path):
+    """Pod dress rehearsal: tools/scaling_sweep.py --multihost runs
+    end-to-end under the 2-process CPU group and emits its tracker-YAML
+    schema — the day a pod is available, the measurement script is
+    known-good rather than first-run (BASELINE.md's >=80% scaling line;
+    the CPU-harness efficiency number itself is meaningless — Gloo
+    localhost latency dominates tiny shapes)."""
+    port = _free_port()
+    env = _worker_env()
+    yaml_path = str(tmp_path / "sweep.yaml")
+    sweep = os.path.join(REPO, "tools", "scaling_sweep.py")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, sweep, "--multihost",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(NPROC), "--process-id", str(pid),
+                "--n", "1024", "--d", "32", "--iters", "5",
+            ]
+            + (["--performance_tracking", yaml_path] if pid == 0 else []),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=str(tmp_path),
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for pid, (proc, (stdout, stderr)) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, (
+            f"sweep worker {pid} failed (rc={proc.returncode})\n"
+            f"{stderr[-2000:]}"
+        )
+    # process 0 printed the report line and wrote the YAML schema
+    assert "scaling efficiency" in outs[0][0]
+    text = open(yaml_path).read()
+    for key in (
+        "num_processes: 2", "num_devices:", "efficiency_percent:",
+        "cg_iterations_per_second:", "kernel_type: rbf",
+    ):
+        assert key in text, key
