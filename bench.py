@@ -150,9 +150,18 @@ def _run_ladder_artifact(headline: dict) -> None:
     print("[bench] running the BASELINE config ladder (rungs 1-5)...",
           file=sys.stderr, flush=True)
     results = baseline_ladder.run_ladder(scale=1.0, wanted=(1, 2, 3, 4, 5))
-    regressions = baseline_ladder.gate_against_best(
-        results, os.path.join(here, "tools", "ladder_best.json")
-    )
+    best_path = os.path.join(here, "tools", "ladder_best.json")
+    regressions = baseline_ladder.gate_against_best(results, best_path)
+    if regressions:
+        # self-adjudicating gate: re-run each flagged rung in a fresh idle
+        # subprocess and record {in_ladder, retry, verdict} so the artifact
+        # distinguishes real regressions from the documented tunnel
+        # transfer variance without hand re-runs
+        regressions = baseline_ladder.retry_flagged(regressions, best_path)
+    confirmed = [
+        r for r in regressions
+        if r.get("verdict") not in ("variance",)
+    ]
     artifact = {
         "round": _next_round_number(),
         "headline_matvec_tflops": {
@@ -160,6 +169,7 @@ def _run_ladder_artifact(headline: dict) -> None:
         },
         "rungs": results,
         "regressions": regressions,
+        "confirmed_regressions": len(confirmed),
         "ladder_seconds": round(time.perf_counter() - t0, 1),
     }
     path = os.path.join(here, f"LADDER_r{artifact['round']:02d}.json")
@@ -167,7 +177,9 @@ def _run_ladder_artifact(headline: dict) -> None:
         json.dump(artifact, fh, indent=1)
         fh.write("\n")
     status = (
-        f"{len(regressions)} REGRESSION(S)" if regressions else "all clear"
+        f"{len(confirmed)} CONFIRMED regression(s), "
+        f"{len(regressions) - len(confirmed)} adjudicated as variance"
+        if regressions else "all clear"
     )
     print(
         f"[bench] ladder done in {artifact['ladder_seconds']}s -> {path} "

@@ -112,3 +112,91 @@ def test_scaling_projection_collective_counts():
     for row in rows:
         # the BASELINE north-star >= 80% bar, with margin, even serialized
         assert row["scaling_efficiency_serialized"] >= 0.9
+
+
+def test_baseline_ladder_json_out(tmp_path):
+    """--json-out (the retry_flagged adjudication channel) writes the rung
+    results as JSON."""
+    if not os.path.isfile("/root/reference/tests/data/libsvm/5x4.libsvm"):
+        pytest.skip("reference data not available")
+    import json
+
+    out_path = str(tmp_path / "rungs.json")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "baseline_ladder.py"),
+         "--configs", "1", "--json-out", out_path],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0
+    rungs = json.load(open(out_path))
+    assert rungs[0]["config"] == "tiny-linear"
+    assert rungs[0]["accuracy"] == 1.0
+
+
+class TestLadderRetryAdjudication:
+    """The self-adjudicating gate: a flagged rung is re-run in a fresh
+    subprocess and only a confirmed retry counts as a regression
+    (round-4 verdict: the artifact must not need hand adjudication)."""
+
+    def _call(self, monkeypatch, tmp_path, retry_value, returncode=0):
+        import json
+        from types import SimpleNamespace
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        try:
+            import baseline_ladder
+        finally:
+            sys.path.pop(0)
+
+        best_path = str(tmp_path / "best.json")
+        with open(best_path, "w") as fh:
+            json.dump({"rbf-10240x200": 3.0}, fh)
+
+        def fake_run(cmd, capture_output, text, timeout):
+            out_path = cmd[cmd.index("--json-out") + 1]
+            with open(out_path, "w") as fh:
+                json.dump(
+                    [{"config": "rbf-10240x200", "it_per_s": retry_value}],
+                    fh,
+                )
+            return SimpleNamespace(returncode=returncode, stdout="",
+                                   stderr="")
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        flagged = [{
+            "config": "rbf-10240x200", "metric": "it_per_s",
+            "value": 1.0, "best": 3.0, "ratio": 0.333,
+        }]
+        out = baseline_ladder.retry_flagged(flagged, best_path)
+        return out, best_path
+
+    def test_retry_inside_band_is_variance(self, monkeypatch, tmp_path):
+        out, _ = self._call(monkeypatch, tmp_path, retry_value=2.9)
+        (rec,) = out
+        assert rec["verdict"] == "variance"
+        assert rec["in_ladder"] == 1.0
+        assert rec["retry"] == 2.9
+        assert rec["retry_ratio"] == pytest.approx(2.9 / 3.0, abs=1e-3)
+
+    def test_retry_below_band_is_confirmed(self, monkeypatch, tmp_path):
+        out, _ = self._call(monkeypatch, tmp_path, retry_value=1.1)
+        (rec,) = out
+        assert rec["verdict"] == "confirmed_regression"
+        assert rec["retry"] == 1.1
+
+    def test_retry_failure_recorded(self, monkeypatch, tmp_path):
+        out, _ = self._call(monkeypatch, tmp_path, retry_value=2.9,
+                            returncode=1)
+        (rec,) = out
+        assert rec["verdict"] == "retry_failed"
+        assert "retry" not in rec
+
+    def test_retry_beating_best_improves_best_file(
+        self, monkeypatch, tmp_path
+    ):
+        import json
+
+        out, best_path = self._call(monkeypatch, tmp_path, retry_value=3.5)
+        (rec,) = out
+        assert rec["verdict"] == "variance"
+        assert json.load(open(best_path))["rbf-10240x200"] == 3.5

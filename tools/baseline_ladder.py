@@ -252,6 +252,110 @@ def gate_against_best(results, best_path) -> list:
     return regressions
 
 
+#: rung-name -> config number, for re-running a flagged rung standalone
+#: (scale-1.0 names — the per-round artifact always runs at scale 1)
+_RETRY_CONFIG_NUM = {
+    "rbf-10240x200": 2,
+    "poly-scaled-51200x500": 3,
+    "rbf-204800x1024": 4,
+    "rbf-1048576x1024-singlechip": 5,
+}
+
+
+def retry_flagged(regressions, best_path, timeout=2400) -> list:
+    """Adjudicate gate flags: re-run each flagged rung in a FRESH idle
+    subprocess and record both readings, so the artifact needs no hand
+    adjudication (round 4's did: 1.87 it/s in-ladder -> 2.81 standalone).
+
+    A regression is ``confirmed`` only when the retry ALSO lands below the
+    tolerance band; a retry back inside the band is ``variance`` (the
+    documented tunnel transfer state, BENCHMARKS.md).  Returns the
+    regression records augmented with ``{in_ladder, retry, retry_ratio,
+    verdict}``.
+    """
+    import subprocess
+    import tempfile
+
+    try:
+        with open(best_path) as fh:
+            best = json.load(fh)
+    except (OSError, ValueError):
+        best = {}
+
+    adjudicated = []
+    for rec in regressions:
+        name = rec.get("config")
+        num = _RETRY_CONFIG_NUM.get(name)
+        if num is None or "error" in rec:
+            adjudicated.append({**rec, "verdict": "error"})
+            continue
+        key, higher_better = GATE_METRICS[name]
+        print(
+            f"[ladder] adjudicating flagged rung {name}: re-running "
+            f"config {num} in a fresh subprocess...",
+            file=sys.stderr, flush=True,
+        )
+        fd, out_path = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        retry_value = None
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--configs", str(num), "--json-out", out_path,
+                ],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if proc.returncode == 0:
+                with open(out_path) as fh:
+                    rungs = json.load(fh)
+                for rung in rungs:
+                    if rung.get("config") == name and key in rung:
+                        retry_value = rung[key]
+        except (subprocess.TimeoutExpired, OSError, ValueError) as exc:
+            print(f"[ladder] retry of {name} failed: {exc}",
+                  file=sys.stderr, flush=True)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+
+        record = {**rec, "in_ladder": rec["value"]}
+        if retry_value is None:
+            record.update(verdict="retry_failed")
+        else:
+            prev = rec["best"]
+            ratio = (
+                retry_value / prev if higher_better else prev / retry_value
+            )
+            record.update(
+                retry=retry_value,
+                retry_ratio=round(ratio, 3),
+                verdict=(
+                    "variance" if ratio >= 1.0 - REGRESSION_TOLERANCE
+                    else "confirmed_regression"
+                ),
+            )
+            # an adjudication run that beats the recorded best improves it,
+            # same only-ever-improves rule as gate_against_best
+            if higher_better and retry_value > prev:
+                best[name] = retry_value
+            elif not higher_better and retry_value < prev:
+                best[name] = retry_value
+        adjudicated.append(record)
+        print(
+            f"[ladder] {name}: in-ladder {rec['value']} / retry "
+            f"{retry_value} vs best {rec['best']} -> {record['verdict']}",
+            file=sys.stderr, flush=True,
+        )
+    if adjudicated and best:
+        with open(best_path, "w") as fh:
+            json.dump(best, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    return adjudicated
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", type=float, default=1.0,
@@ -259,9 +363,18 @@ def main() -> int:
     parser.add_argument("--configs", default="1,2,3,4")
     parser.add_argument("--gate", action="store_true",
                         help="compare against tools/ladder_best.json")
+    parser.add_argument(
+        "--json-out", metavar="FILE", default=None,
+        help="write the rung results as JSON to FILE (used by the "
+        "retry_flagged adjudication subprocess)",
+    )
     args = parser.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
     results = run_ladder(scale=args.scale, wanted=wanted)
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(results, fh, indent=1)
+            fh.write("\n")
     if args.gate:
         best_path = os.path.join(os.path.dirname(__file__), "ladder_best.json")
         regressions = gate_against_best(results, best_path)
