@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "multi-pass full-f32 dots (reference-grade accuracy "
                         "at ~1/3 the rate); the convergence-deciding exact "
                         "residuals always run at full precision")
+    parser.add_argument("--debug", action="store_true",
+                        help="enable checkify NaN/Inf guards on the CG "
+                        "state: a numeric blowup aborts with the failing "
+                        "iteration instead of silently converging to a "
+                        "garbage model (single-device solves)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")
@@ -309,6 +314,7 @@ def main(argv=None) -> int:
             preconditioner=args.preconditioner,
             gram_precision=args.gram_precision,
             solver=args.solver,
+            debug=args.debug,
             kernel_type=kernel,
             degree=args.degree,
             gamma=args.gamma,
@@ -720,6 +726,15 @@ def main(argv=None) -> int:
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)
         return 1
+    except Exception as exc:
+        # --debug numeric guard (checkify.JaxRuntimeError): report the
+        # located failure cleanly instead of a JAX traceback
+        from jax.experimental.checkify import JaxRuntimeError
+
+        if isinstance(exc, JaxRuntimeError):
+            print(f"numeric check failed: {exc}", file=sys.stderr)
+            return 1
+        raise
 
     total_ms = (time.perf_counter() - start) * 1000.0
     log(VerbosityLevel.FULL | VerbosityLevel.TIMING, "\nTotal runtime: {:.2f}ms\n", total_ms)

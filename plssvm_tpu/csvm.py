@@ -129,6 +129,7 @@ class CSVM:
         gram_precision: str = "f32",
         solver: str = "automatic",
         oao_batch: str = "auto",
+        debug: bool = False,
         **named_params,
     ):
         backend = BackendType.from_string(backend)
@@ -208,6 +209,15 @@ class CSVM:
                 "'cg_explicit' or 'cg_implicit')!"
             )
         self.solver = solver
+        # opt-in checkify NaN/Inf guards on the CG state (delta, step
+        # size, iterate) with iteration context: a poisoned input or a
+        # numeric blowup raises a located error instead of silently
+        # "converging" to garbage (NaN > target is False, so the loop
+        # would exit immediately).  Single-device solves (implicit +
+        # explicit, binary/multiclass, incl. checkpointed segments) run
+        # the guards; sharded/multihost solves warn and run unchecked.
+        # Extends SURVEY §5's sanitizer row — the reference has nothing.
+        self.debug = bool(debug)
         # one-vs-one training strategy: "batched" solves ALL C(C-1)/2 pair
         # machines as ONE batched CG (solver/cg.py::solve_ls_svm_pairs —
         # batched MXU Gram matmuls, one dispatch chain instead of one per
@@ -864,27 +874,21 @@ class CSVM:
         """Whether this OAO fit runs the batched pair-machine solve.
 
         ``oao_batch="batched"`` forces it (and rejects configurations the
-        batched core cannot honor); "auto" batches when the (P, m_pad, d)
-        operand stack fits the device budget — the many-small-machines
-        regime where per-machine dispatch chains dominate.  Per-machine
-        checkpointing and multi-device meshes always run sequentially (each
-        machine gets the full binary fit path there).
+        batched core cannot honor); "auto" batches when the per-device
+        (P_local, m_pad, d) operand stack fits the device budget — the
+        many-small-machines regime where per-machine dispatch chains
+        dominate.  On multi-device meshes the MACHINE axis shards (round
+        5; parallel.sharded.build_sharded_pairs_solver — each device
+        solves its own machines with zero collectives), so many-class OAO
+        stops paying P sequential dispatch chains on exactly the hardware
+        that had the most to lose.  Per-machine checkpointing always runs
+        sequentially (each machine gets the full binary fit path there).
         """
         P = len(pairs)
-        unbatchable = (
-            self.devices is not None
-            or checkpoint_path is not None
-            or P < 2
-        )
+        unbatchable = checkpoint_path is not None or P < 2
         if self.oao_batch == "sequential":
             return False
         if self.oao_batch == "batched":
-            if self.devices is not None:
-                raise InvalidParameterError(
-                    "oao_batch='batched' requires a single device (the "
-                    "batched pair solve does not row-shard; use "
-                    "oao_batch='sequential' on meshes)!"
-                )
             if checkpoint_path is not None:
                 raise InvalidParameterError(
                     "oao_batch='batched' cannot checkpoint per machine — "
@@ -893,13 +897,15 @@ class CSVM:
             return True
         if unbatchable:
             return False
+        n_dev = 1 if self.devices is None else len(self.devices)
         dmax = max(len(r) - 1 for r in rows_list)
         m_pad = max(_round_up(dmax, 256 if dmax > 256 else 8), 8)
         budget = int(
             float(os.environ.get("PLSSVM_OAO_BATCH_BUDGET_GB", "2.0"))
             * (1 << 30)
         )
-        stack_bytes = P * m_pad * X.shape[1] * self.dtype.itemsize
+        p_local = -(-P // n_dev)  # machines per device after padding
+        stack_bytes = p_local * m_pad * X.shape[1] * self.dtype.itemsize
         return stack_bytes <= budget
 
     def _fit_oao_batched(
@@ -978,38 +984,100 @@ class CSVM:
         coef0_v = jnp.asarray(params.coef0.value, dtype=self.dtype)
         cost_v = jnp.asarray(params.cost.value, dtype=self.dtype)
         eps_v = jnp.asarray(epsilon, dtype=self.dtype)
-        # row block bounded so the scan's (P, rb, m_pad) kernel slab stays
-        # under ~1 GiB on top of the operand stack
+        n_dev = 1 if self.devices is None else len(self.devices)
+        p_local = -(-P // n_dev)
+        # row block bounded so the scan's (P_local, rb, m_pad) kernel slab
+        # stays under ~1 GiB on top of the operand stack
         rb = min(self.row_block, m_pad)
-        while rb > 8 and P * rb * m_pad * self.dtype.itemsize > (1 << 30):
+        while rb > 8 and p_local * rb * m_pad * self.dtype.itemsize > (1 << 30):
             rb //= 2
 
-        with self._device_ctx():
-            X_aug = jnp.asarray(X_aug_h)
-            Xb = jnp.take(X_aug, jnp.asarray(idx_b), axis=0)
-            x_last_b = jnp.take(X_aug, jnp.asarray(last_idx), axis=0)
-            result = solve_ls_svm_pairs(
-                Xb, x_last_b, jnp.asarray(yb), jnp.asarray(y_last_b),
-                jnp.asarray(maskb), gamma_v, coef0_v, cost_v, eps_v,
-                jnp.asarray(max_iter_b),
-                kind=kind, degree=degree, row_block=rb,
+        if n_dev > 1:
+            # machine-axis sharding (round 5): pad P to a device multiple
+            # with dummy machines (all-zero mask -> delta0 = 0 -> frozen
+            # from iteration 0; weights padded with ones so the dummy
+            # QA_cost stays finite), shard every per-machine stack on the
+            # machine mesh, and run the zero-collective sharded solve
+            from .parallel.sharded import (
+                build_sharded_pairs_solver,
+                make_machine_mesh,
+                shard_pairs_arrays,
+            )
+
+            P_pad = p_local * n_dev
+            if P_pad > P:
+                pad = P_pad - P
+
+                def _pad0(a, fill=0):
+                    shape = (pad,) + a.shape[1:]
+                    return np.concatenate(
+                        [a, np.full(shape, fill, dtype=a.dtype)]
+                    )
+
+                idx_b = _pad0(idx_b, zero_row)
+                yb = _pad0(yb)
+                maskb = _pad0(maskb)
+                y_last_b = _pad0(y_last_b)
+                last_idx = _pad0(last_idx, zero_row)
+                max_iter_b = _pad0(max_iter_b)
+                if weights_b is not None:
+                    weights_b = _pad0(weights_b, 1)
+                    weight_last_b = _pad0(weight_last_b, 1)
+                if x_init_b is not None:
+                    x_init_b = _pad0(x_init_b)
+            mesh = make_machine_mesh(self.devices)
+            solver = build_sharded_pairs_solver(
+                mesh, kind=kind, degree=degree, row_block=rb,
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
-                x_init=(
-                    None if x_init_b is None else jnp.asarray(x_init_b)
-                ),
-                weights=(
-                    None if weights_b is None else jnp.asarray(weights_b)
-                ),
-                weight_last=(
-                    None if weight_last_b is None
-                    else jnp.asarray(weight_last_b)
-                ),
+                weighted=weights_b is not None,
+                warm=x_init_b is not None,
             )
+            # host gather (no single device ever holds the full stack)
+            sharded = shard_pairs_arrays(
+                mesh,
+                X_aug_h[idx_b],          # (P_pad, m_pad, d)
+                X_aug_h[last_idx],       # (P_pad, d)
+                yb, y_last_b, maskb,
+            )
+            extra = ()
+            if weights_b is not None:
+                extra += shard_pairs_arrays(mesh, weights_b, weight_last_b)
+            if x_init_b is not None:
+                extra += shard_pairs_arrays(mesh, x_init_b)
+            (max_iter_s,) = shard_pairs_arrays(mesh, max_iter_b)
+            result = solver(
+                *sharded, gamma_v, coef0_v, cost_v, eps_v, max_iter_s,
+                *extra,
+            )
+        else:
+            with self._device_ctx():
+                X_aug = jnp.asarray(X_aug_h)
+                Xb = jnp.take(X_aug, jnp.asarray(idx_b), axis=0)
+                x_last_b = jnp.take(X_aug, jnp.asarray(last_idx), axis=0)
+                result = solve_ls_svm_pairs(
+                    Xb, x_last_b, jnp.asarray(yb), jnp.asarray(y_last_b),
+                    jnp.asarray(maskb), gamma_v, coef0_v, cost_v, eps_v,
+                    jnp.asarray(max_iter_b),
+                    kind=kind, degree=degree, row_block=rb,
+                    preconditioner=self.preconditioner,
+                    scalars=self.scalar_precision,
+                    x_init=(
+                        None if x_init_b is None else jnp.asarray(x_init_b)
+                    ),
+                    weights=(
+                        None if weights_b is None else jnp.asarray(weights_b)
+                    ),
+                    weight_last=(
+                        None if weight_last_b is None
+                        else jnp.asarray(weight_last_b)
+                    ),
+                )
         x_sol = np.asarray(jax.device_get(result.x))
         rho_b = np.asarray(jax.device_get(result.rho), dtype=np.float64)
         alpha_last = np.asarray(jax.device_get(result.alpha_last))
-        itpp = np.asarray(jax.device_get(result.iterations_per_pair))
+        # trim any dummy padding machines from the mesh path
+        itpp = np.asarray(jax.device_get(result.iterations_per_pair))[:P]
 
         sv_coef = np.zeros((n, C - 1), dtype=self.dtype)
         rho = np.zeros(P, dtype=np.float64)
@@ -1414,8 +1482,9 @@ class CSVM:
                 solve_kwargs, x_init, weights, weight_last
             )
             if checkpoint_path is None:
-                return solve_ls_svm_explicit(
-                    *solve_args, max_iter_v, **solve_kwargs
+                return self._solve_call(
+                    solve_ls_svm_explicit, *solve_args, max_iter_v,
+                    **solve_kwargs,
                 )
             return self._fit_with_checkpointing(
                 solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -1491,7 +1560,9 @@ class CSVM:
                 solve_kwargs, x_init, weights, weight_last
             )
             if checkpoint_path is None:
-                result = solve_ls_svm(*solve_args, max_iter_v, **solve_kwargs)
+                result = self._solve_call(
+                    solve_ls_svm, *solve_args, max_iter_v, **solve_kwargs
+                )
             else:
                 result = self._fit_with_checkpointing(
                     solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -1582,8 +1653,9 @@ class CSVM:
                 solve_kwargs, x_init, weights, weight_last
             )
             if checkpoint_path is None:
-                return solve_ls_svm_explicit_multi(
-                    *solve_args, max_iter_v, **solve_kwargs
+                return self._solve_call(
+                    solve_ls_svm_explicit_multi, *solve_args, max_iter_v,
+                    **solve_kwargs,
                 )
             return self._fit_with_checkpointing_multi(
                 solve_args, solve_kwargs, Xp, yp, epsilon,
@@ -1656,7 +1728,9 @@ class CSVM:
             solve_kwargs, x_init, weights, weight_last
         )
         if checkpoint_path is None:
-            return solve_ls_svm_multi(*solve_args, max_iter_v, **solve_kwargs)
+            return self._solve_call(
+                solve_ls_svm_multi, *solve_args, max_iter_v, **solve_kwargs
+            )
         return self._fit_with_checkpointing_multi(
             solve_args, solve_kwargs, Xp, yp, epsilon,
             int(max_iter), checkpoint_path, int(checkpoint_interval),
@@ -1701,13 +1775,15 @@ class CSVM:
         while True:
             if ckpt is None:
                 segment_end = min(checkpoint_interval, max_iter)
-                result = solve_fn(
+                result = self._solve_call(
+                    solve_fn,
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     **solve_kwargs,
                 )
             else:
                 segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
-                result = resume_fn(
+                result = self._solve_call(
+                    resume_fn,
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
                     jnp.asarray(ckpt.d),
@@ -1749,6 +1825,15 @@ class CSVM:
             pass
         return result
 
+    def _solve_call(self, solve_fn, *args, **kwargs):
+        """Dispatch a single-device CG solver call, checkified when
+        ``debug=True`` (solver.cg.solve_checked)."""
+        if self.debug:
+            from .solver.cg import solve_checked
+
+            return solve_checked(solve_fn, *args, **kwargs)
+        return solve_fn(*args, **kwargs)
+
     def _fit_with_checkpointing(
         self, solve_args, solve_kwargs, Xp, yp, epsilon,
         max_iter: int, checkpoint_path: str, checkpoint_interval: int,
@@ -1788,13 +1873,15 @@ class CSVM:
         while True:
             if ckpt is None:
                 segment_end = min(checkpoint_interval, max_iter)
-                result = solve_fn(
+                result = self._solve_call(
+                    solve_fn,
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     **solve_kwargs,
                 )
             else:
                 segment_end = min(ckpt.iteration + checkpoint_interval, max_iter)
-                result = resume_fn(
+                result = self._solve_call(
+                    resume_fn,
                     *solve_args, jnp.asarray(segment_end, jnp.int32),
                     jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
                     jnp.asarray(ckpt.d),

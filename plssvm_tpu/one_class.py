@@ -54,14 +54,14 @@ from .exceptions import InvalidParameterError
 from .kernel_functions import KernelFunctionType
 from .model import Model
 from .parameter import BackendType
-from .solver.cg import _make_kernel_matvec, ridge_cg_core
+from .solver.cg import _make_kernel_matvec, ridge_cg_core, solve_checked
 from .utils.logger import VerbosityLevel, log
 
 
-@partial(jax.jit, static_argnames=("precision", "warm", "resume"))
+@partial(jax.jit, static_argnames=("precision", "warm", "resume", "debug"))
 def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
                        precision="f32", warm=False, x_init=None,
-                       resume=False, init_state=None):
+                       resume=False, init_state=None, debug=False):
     """CG on ``(K + diag(civ)) x = 1`` against a MATERIALIZED kernel matrix.
 
     The one-class analog of the classifier's cg_explicit solver type
@@ -82,17 +82,17 @@ def _ridge_cg_explicit(K, mask, cost_inv, eps, max_iter,
     x, r, d, delta, delta0, it = ridge_cg_core(
         mask, matvec, eps=eps, max_iter=max_iter,
         x_init=x_init if warm else None,
-        init_state=init_state if resume else None,
+        init_state=init_state if resume else None, debug=debug,
     )
     g = kv_fn(None, None, x, None, None) * mask
     return x, g, r, d, delta, delta0, it
 
 
 @partial(jax.jit, static_argnames=("kind", "degree", "impl", "precision",
-                                   "warm", "resume"))
+                                   "warm", "resume", "debug"))
 def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
               kind, degree, impl="xla", precision="f32", warm=False,
-              x_init=None, resume=False, init_state=None):
+              x_init=None, resume=False, init_state=None, debug=False):
     """CG on ``(K + I/C) x = 1`` (masked rows) on one device.
 
     Same convergence contract as the classifier's CG (solver/cg.py):
@@ -117,7 +117,7 @@ def _ridge_cg(X, sq, mask, gamma, coef0, cost_inv, eps, max_iter,
     x, r, d, delta, delta0, it = ridge_cg_core(
         mask, matvec, eps=eps, max_iter=max_iter,
         x_init=x_init if warm else None,
-        init_state=init_state if resume else None,
+        init_state=init_state if resume else None, debug=debug,
     )
     # training scores g = K @ alpha (for the nu-quantile threshold)
     g = kv_fn(X, sq, x, gamma, coef0) * mask
@@ -539,6 +539,15 @@ def fit_one_class(
         "cg", "solver", "cg_explicit" if use_explicit else "cg_implicit"
     )
 
+    # CSVM(debug=True): run the ridge solves under the checkified NaN/Inf
+    # guards (solver.cg.solve_checked) — same contract as the classifier
+    if getattr(csvm, "debug", False):
+        def _call(f, *a, **k):
+            return solve_checked(f, *a, **k)
+    else:
+        def _call(f, *a, **k):
+            return f(*a, **k)
+
     with csvm._device_ctx():
         mask_d = jnp.asarray(mask)
         if use_explicit:
@@ -549,7 +558,8 @@ def fit_one_class(
             )
 
             def solve_once(seg_end):
-                return _ridge_cg_explicit(
+                return _call(
+                    _ridge_cg_explicit,
                     K, mask_d,
                     civ_arg, dt.type(epsilon),
                     seg_end, precision=csvm.gram_precision,
@@ -557,7 +567,8 @@ def fit_one_class(
                 )
 
             def resume_once(seg_end, state):
-                return _ridge_cg_explicit(
+                return _call(
+                    _ridge_cg_explicit,
                     K, mask_d,
                     civ_arg, dt.type(epsilon),
                     seg_end, precision=csvm.gram_precision,
@@ -572,7 +583,8 @@ def fit_one_class(
             prec = getattr(csvm, "gram_precision", "f32")
 
             def solve_once(seg_end):
-                return _ridge_cg(
+                return _call(
+                    _ridge_cg,
                     Xd, sq, mask_d,
                     dt.type(params.resolved_gamma(d)),
                     dt.type(params.coef0.value),
@@ -583,7 +595,8 @@ def fit_one_class(
                 )
 
             def resume_once(seg_end, state):
-                return _ridge_cg(
+                return _call(
+                    _ridge_cg,
                     Xd, sq, mask_d,
                     dt.type(params.resolved_gamma(d)),
                     dt.type(params.coef0.value),

@@ -232,6 +232,7 @@ def cg_ls_svm_core(
     weights=None,          # optional (m_local,) per-sample weights s_i and
     weight_last=None,      # the folded-out last row's weight — Suykens'
                            # weighted LS-SVM: the regularizer is 1/(C s_i)
+    debug: bool = False,   # checkify NaN/Inf guards on the CG state
 ) -> CGResult:
     """The CG algorithm, agnostic to single-chip vs sharded execution.
 
@@ -257,6 +258,15 @@ def cg_ls_svm_core(
     reduced-precision iterations breaks CG's conjugacy and stalls (see the
     precision-consistency note above ``solve_ls_svm_multi``); only pass a
     different operator from solver variants designed for it.
+
+    ``debug=True`` inserts ``checkify.check`` NaN/Inf guards on the CG
+    state (delta, the step size rz/d.Ad, the iterate x) with iteration
+    context.  Without the guard, a poisoned input silently terminates the
+    loop "converged" (the stop test ``NaN > target`` is False) and the
+    fit returns garbage; with it the caller's ``checkify.checkify``
+    wrapper raises a located error instead (CSVM(debug=True) /
+    ``solve_checked``).  Extends SURVEY §5's sanitizer row — the
+    reference has no runtime numeric guard at all.
     """
     dtype = X.dtype
     cost_inv = 1.0 / cost
@@ -344,9 +354,22 @@ def cg_ls_svm_core(
     def cond(s: State):
         return jnp.logical_and(s.it < max_iter, s.delta > target)
 
+    if debug:
+        from jax.experimental import checkify
+
+        # a NaN initial residual would make cond() False immediately (NaN >
+        # target is False) and the "converged" result would be garbage —
+        # guard before the loop ever runs
+        checkify.check(
+            jnp.isfinite(delta_init),
+            "initial CG residual |r0|^2 is non-finite — the training data, "
+            "labels or kernel parameters contain NaN/Inf",
+        )
+
     def body(s: State) -> State:
         Ad = matvec(s.d)
-        alpha_cd = s.rz / dot(s.d, Ad)
+        dAd = dot(s.d, Ad)
+        alpha_cd = s.rz / dAd
         x = s.x + alpha_cd * s.d
         # every 50th iteration: exact residual r = b - A x (gpu_csvm.hpp:595-609)
         r = jax.lax.cond(
@@ -355,6 +378,24 @@ def cg_ls_svm_core(
             lambda: s.r - alpha_cd * Ad,
         )
         delta = dot(r, r)
+        if debug:
+            checkify.check(
+                jnp.isfinite(alpha_cd),
+                "CG step size rz/d.Ad became non-finite at iteration {it} "
+                "(d.Ad = {dad}) — singular/indefinite system or numeric "
+                "blowup",
+                it=s.it, dad=dAd,
+            )
+            checkify.check(
+                jnp.isfinite(delta),
+                "CG residual |r|^2 became non-finite at iteration {it}",
+                it=s.it,
+            )
+            checkify.check(
+                jnp.all(jnp.isfinite(x)),
+                "CG iterate x contains non-finite values at iteration {it}",
+                it=s.it,
+            )
         if use_pcg:
             z = precond(r)
             rz = dot(r, z)
@@ -395,6 +436,7 @@ def ridge_cg_core(
     max_iter,
     x_init=None,           # optional warm start (pruning refits)
     init_state=None,       # optional (x, r, d, delta, delta0, it) to resume
+    debug: bool = False,   # checkify NaN/Inf guards (see cg_ls_svm_core)
 ):
     """Plain ridge CG ``A x = b``, agnostic to single-chip vs sharded runs.
 
@@ -435,10 +477,20 @@ def ridge_cg_core(
         x, r, d, delta, it = state
         return jnp.logical_and(it < max_iter, delta > target)
 
+    if debug:
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.isfinite(delta),
+            "initial ridge-CG residual |r0|^2 is non-finite — the training "
+            "data or kernel parameters contain NaN/Inf",
+        )
+
     def body(state):
         x, r, d, delta, it = state
         Ad = matvec(d)
-        a = delta / dot(d, Ad)
+        dAd = dot(d, Ad)
+        a = delta / dAd
         x = x + a * d
         r = jax.lax.cond(
             (it % EXACT_RESIDUAL_INTERVAL) == (EXACT_RESIDUAL_INTERVAL - 1),
@@ -446,6 +498,25 @@ def ridge_cg_core(
             lambda: r - a * Ad,
         )
         delta_new = dot(r, r)
+        if debug:
+            checkify.check(
+                jnp.isfinite(a),
+                "ridge-CG step size became non-finite at iteration {it} "
+                "(d.Ad = {dad})",
+                it=it, dad=dAd,
+            )
+            checkify.check(
+                jnp.isfinite(delta_new),
+                "ridge-CG residual |r|^2 became non-finite at iteration "
+                "{it}",
+                it=it,
+            )
+            checkify.check(
+                jnp.all(jnp.isfinite(x)),
+                "ridge-CG iterate contains non-finite values at iteration "
+                "{it}",
+                it=it,
+            )
         beta = delta_new / delta
         d = r + beta * d
         return x, r, d, delta_new, it + 1
@@ -461,6 +532,26 @@ def _scalar_reductions(scalars: str):
     if scalars == "compensated":
         return compensated_dot, compensated_sum
     return jnp.dot, jnp.sum
+
+
+def solve_checked(solve_fn, *args, **kwargs):
+    """Run a CG solver wrapper under checkify with the NaN/Inf guards on.
+
+    Forces ``debug=True`` (the cores' checkify.check guards on delta /
+    step size / iterate), functionalizes the error state through the
+    jitted while_loop, and discharges it on the host: a numeric blowup
+    raises ``checkify.JaxRuntimeError`` carrying the failing-iteration
+    message instead of returning a silently-"converged" garbage model.
+    Used by ``CSVM(debug=True)`` / ``fit_one_class(..., debug=True)``.
+    """
+    from jax.experimental import checkify
+
+    kwargs = dict(kwargs, debug=True)
+    err, result = checkify.checkify(
+        functools.partial(solve_fn, **kwargs)
+    )(*args)
+    err.throw()
+    return result
 
 
 class MultiCGResult(NamedTuple):
@@ -499,6 +590,7 @@ def cg_ls_svm_multi_core(
     x_init=None,           # optional (m, C) warm-start block (replaces x0 = 1)
     weights=None,          # optional per-sample weights (see cg_ls_svm_core)
     weight_last=None,
+    debug: bool = False,   # checkify NaN/Inf guards (see cg_ls_svm_core)
 ) -> MultiCGResult:
     """One-vs-all multiclass LS-SVM: C binary systems solved as ONE block CG.
 
@@ -613,6 +705,15 @@ def cg_ls_svm_multi_core(
     def cond(s: State):
         return jnp.logical_and(s.it < max_iter, jnp.any(s.delta > target))
 
+    if debug:
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(jnp.isfinite(delta_init)),
+            "initial block-CG residuals contain non-finite values — the "
+            "training data, labels or kernel parameters contain NaN/Inf",
+        )
+
     def body(s: State) -> State:
         active = s.delta > target                       # (C,) frozen classes
         Ad = matmat(s.d)
@@ -625,6 +726,26 @@ def cg_ls_svm_multi_core(
             lambda: s.r - alpha_cd[None, :] * Ad,
         )
         delta = colsum(r * r)
+        if debug:
+            checkify.check(
+                jnp.all(jnp.isfinite(alpha_cd)),
+                "block-CG step sizes contain non-finite values at "
+                "iteration {it} — singular/indefinite system or numeric "
+                "blowup",
+                it=s.it,
+            )
+            checkify.check(
+                jnp.all(jnp.isfinite(delta)),
+                "block-CG residuals contain non-finite values at "
+                "iteration {it}",
+                it=s.it,
+            )
+            checkify.check(
+                jnp.all(jnp.isfinite(x)),
+                "block-CG iterate contains non-finite values at "
+                "iteration {it}",
+                it=s.it,
+            )
         if use_pcg:
             z = precond(r)
             rz = colsum(r * z)
@@ -889,8 +1010,12 @@ def cg_ls_svm_pairs_core(
         )
 
     rz_init = bdot(r0, precond(r0)) if use_pcg else delta_init
+    # zeros_like(max_iter_b), not zeros((P,)): under the machine-sharded
+    # shard_map (parallel.sharded.build_sharded_pairs_solver) the carry
+    # must start with the same varying-mesh-axes type the body produces,
+    # and max_iter_b carries the machine axis
     init = State(
-        jnp.asarray(0, jnp.int32), jnp.zeros((P,), jnp.int32),
+        jnp.asarray(0, jnp.int32), jnp.zeros_like(max_iter_b),
         x0, r0, d_init, delta_init, rz_init,
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -986,7 +1111,7 @@ def solve_ls_svm_pairs(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
-        "gram_precision",
+        "gram_precision", "debug",
     ),
 )
 def solve_ls_svm_multi(
@@ -1011,6 +1136,7 @@ def solve_ls_svm_multi(
     x_init=None,
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> MultiCGResult:
     """Single-device one-vs-all multiclass LS-SVM block-CG solve.
 
@@ -1029,7 +1155,7 @@ def solve_ls_svm_multi(
         X, x_last, Y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
         preconditioner=preconditioner, x_init=x_init,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
@@ -1037,7 +1163,7 @@ def solve_ls_svm_multi(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
-        "gram_precision",
+        "gram_precision", "debug",
     ),
 )
 def solve_ls_svm_multi_resume(
@@ -1068,6 +1194,7 @@ def solve_ls_svm_multi_resume(
     gram_precision: str = "f32",
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> MultiCGResult:
     """Continue a checkpointed one-vs-all block-CG solve."""
     kernel_mm = _make_kernel_matmat(
@@ -1081,7 +1208,7 @@ def solve_ls_svm_multi_resume(
         kind=kind, degree=degree, kernel_mm=kernel_mm, colsum=colsum,
         preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0, itpc0),
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
@@ -1089,7 +1216,7 @@ def solve_ls_svm_multi_resume(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
-        "gram_precision",
+        "gram_precision", "debug",
     ),
 )
 def solve_ls_svm(
@@ -1114,6 +1241,7 @@ def solve_ls_svm(
     x_init=None,
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> CGResult:
     """Run the full LS-SVM CG solve on a single device.
 
@@ -1142,7 +1270,7 @@ def solve_ls_svm(
         X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
         kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         preconditioner=preconditioner, x_init=x_init,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
@@ -1150,7 +1278,7 @@ def solve_ls_svm(
     jax.jit,
     static_argnames=(
         "kind", "degree", "impl", "row_block", "preconditioner", "scalars",
-        "gram_precision",
+        "gram_precision", "debug",
     ),
 )
 def solve_ls_svm_resume(
@@ -1180,6 +1308,7 @@ def solve_ls_svm_resume(
     gram_precision: str = "f32",
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> CGResult:
     """Continue a checkpointed LS-SVM CG solve (see solver.checkpoint)."""
     kernel_mv = _make_kernel_matvec(
@@ -1191,5 +1320,5 @@ def solve_ls_svm_resume(
         kind=kind, degree=degree, kernel_mv=kernel_mv, dot=dot, vsum=vsum,
         init_state=(x0, r0, d0, delta, delta0, it0),
         preconditioner=preconditioner,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )

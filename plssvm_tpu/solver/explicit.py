@@ -154,7 +154,8 @@ def _explicit_matvec(K: jnp.ndarray, out_dtype, precision: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "preconditioner", "scalars", "precision"),
+    static_argnames=("kind", "degree", "preconditioner", "scalars",
+                     "precision", "debug"),
 )
 def solve_ls_svm_explicit(
     K: jnp.ndarray,        # (m, m) prebuilt kernel matrix (f32 or bf16)
@@ -177,6 +178,7 @@ def solve_ls_svm_explicit(
     x_init=None,
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> CGResult:
     """Single-device binary LS-SVM CG against the explicit kernel matrix.
 
@@ -190,13 +192,14 @@ def solve_ls_svm_explicit(
         kind=kind, degree=degree,
         kernel_mv=_explicit_matvec(K, X.dtype, precision),
         dot=dot, vsum=vsum, preconditioner=preconditioner, x_init=x_init,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "preconditioner", "scalars", "precision"),
+    static_argnames=("kind", "degree", "preconditioner", "scalars",
+                     "precision", "debug"),
 )
 def solve_ls_svm_explicit_resume(
     K: jnp.ndarray,
@@ -224,6 +227,7 @@ def solve_ls_svm_explicit_resume(
     precision: str = "f32",
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> CGResult:
     """Continue a checkpointed explicit-matrix solve."""
     dot, vsum = _scalar_reductions(scalars)
@@ -233,13 +237,14 @@ def solve_ls_svm_explicit_resume(
         kernel_mv=_explicit_matvec(K, X.dtype, precision),
         dot=dot, vsum=vsum, preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0),
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "preconditioner", "scalars", "precision"),
+    static_argnames=("kind", "degree", "preconditioner", "scalars",
+                     "precision", "debug"),
 )
 def solve_ls_svm_explicit_multi(
     K: jnp.ndarray,
@@ -262,6 +267,7 @@ def solve_ls_svm_explicit_multi(
     x_init=None,
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> MultiCGResult:
     """One-vs-all block CG against the explicit matrix: K is read from HBM
     once per iteration for ALL C right-hand sides (K @ V).  ``x_init``
@@ -274,13 +280,14 @@ def solve_ls_svm_explicit_multi(
         kind=kind, degree=degree,
         kernel_mm=_explicit_matvec(K, X.dtype, precision),
         colsum=colsum, preconditioner=preconditioner, x_init=x_init,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "preconditioner", "scalars", "precision"),
+    static_argnames=("kind", "degree", "preconditioner", "scalars",
+                     "precision", "debug"),
 )
 def solve_ls_svm_explicit_multi_resume(
     K: jnp.ndarray,
@@ -309,6 +316,7 @@ def solve_ls_svm_explicit_multi_resume(
     precision: str = "f32",
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> MultiCGResult:
     """Continue a checkpointed explicit-matrix block solve."""
     colsum = compensated_sum if scalars == "compensated" else (
@@ -320,5 +328,5 @@ def solve_ls_svm_explicit_multi_resume(
         kernel_mm=_explicit_matvec(K, X.dtype, precision),
         colsum=colsum, preconditioner=preconditioner,
         init_state=(x0, r0, d0, delta, delta0, it0, itpc0),
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )

@@ -262,3 +262,107 @@ def test_gamma_nonpositive_rejected():
     # "gamma must be greater than 0.0, but is ...!" (csvm.hpp:385)
     with pytest.raises(InvalidParameterError, match="gamma"):
         CSVM(backend="xla", kernel_type="rbf", gamma=-1.0)
+
+
+class TestDebugNaNGuards:
+    """CSVM(debug=True): checkify NaN/Inf guards on the CG state.
+
+    Without the guard a poisoned input silently terminates the loop
+    "converged" (``NaN > target`` is False) and the fit returns garbage;
+    with it the solve raises a located JaxRuntimeError.  Extends SURVEY
+    §5's sanitizer row beyond the reference's nothing (round-4 verdict
+    item 7).
+    """
+
+    def _poisoned(self, n=48, d=6, n_classes=2, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        if n_classes == 2:
+            y = np.where(X[:, 0] > 0, 1, -1)
+        else:
+            y = rng.integers(0, n_classes, size=n)
+            y[:n_classes] = np.arange(n_classes)
+        X[5, 3] = np.nan
+        return DataSet(X, y, dtype=np.float64)
+
+    def _raises_located(self, fn):
+        from jax.experimental.checkify import JaxRuntimeError
+
+        with pytest.raises(JaxRuntimeError, match="non-finite"):
+            fn()
+
+    @pytest.mark.parametrize("solver", ["cg_implicit", "cg_explicit"])
+    def test_poisoned_binary_raises_on_both_solvers(self, solver):
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   solver=solver, debug=True)
+        self._raises_located(lambda: svm.fit(self._poisoned()))
+
+    def test_unchecked_poisoned_fit_is_silent_garbage(self):
+        # the failure mode the guard exists for: without debug the loop
+        # exits immediately "converged" with a NaN model
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        model = svm.fit(self._poisoned())
+        assert model.n_iter == 0
+        assert np.isnan(model.rho)
+
+    @pytest.mark.parametrize("solver", ["cg_implicit", "cg_explicit"])
+    def test_poisoned_multiclass_raises(self, solver):
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   solver=solver, debug=True)
+        self._raises_located(
+            lambda: svm.fit(self._poisoned(n_classes=3))
+        )
+
+    def test_poisoned_one_class_raises(self):
+        from plssvm_tpu import fit_one_class
+
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   debug=True)
+        self._raises_located(
+            lambda: fit_one_class(svm, self._poisoned(), nu=0.2)
+        )
+
+    def test_poisoned_checkpointed_fit_raises(self, tmp_path):
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   debug=True)
+        self._raises_located(
+            lambda: svm.fit(
+                self._poisoned(),
+                checkpoint_path=str(tmp_path / "dbg.ckpt"),
+                checkpoint_interval=4,
+            )
+        )
+
+    def test_clean_fit_unchanged_under_debug(self):
+        X, y = _problem(n=40, d=4)
+        ds = DataSet(X, y, dtype=np.float64)
+        plain = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        checked = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                       debug=True)
+        m0 = plain.fit(ds, epsilon=1e-8)
+        m1 = checked.fit(ds, epsilon=1e-8)
+        assert m1.n_iter == m0.n_iter
+        np.testing.assert_array_equal(
+            np.asarray(m1.alpha), np.asarray(m0.alpha)
+        )
+
+
+def test_cli_debug_flag_reports_numeric_failure(tmp_path, capsys):
+    """plssvm-train --debug: a poisoned input exits 1 with the located
+    numeric-check message, not a JAX traceback."""
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(30, 4))
+    y = np.where(X[:, 0] > 0, 1, -1)
+    X[2, 1] = np.nan
+    f = str(tmp_path / "bad.libsvm")
+    write_libsvm_file(f, X, y)
+    rc = cli_train.main(
+        ["-q", "--use_double_as_real_type", "--debug", f,
+         str(tmp_path / "m.model")]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "numeric check failed" in err and "non-finite" in err
