@@ -355,6 +355,59 @@ def _pick_dual_dk(d: int) -> int:
     raise ValueError(f"Pallas matvec needs features padded to a multiple of 128, got {d}")
 
 
+#: measured per-shape tile table (tools/tile_autotune.py sweep output,
+#: committed as package data).  None until first lookup; {} if the file is
+#: absent/invalid.  PLSSVM_TILE_TABLE overrides the path (empty string
+#: disables the table entirely — pure heuristic picks).
+_TILE_TABLE = None
+
+
+def _load_tile_table() -> dict:
+    global _TILE_TABLE
+    if _TILE_TABLE is None:
+        import json
+        import os
+
+        path = os.environ.get("PLSSVM_TILE_TABLE")
+        if path == "":
+            _TILE_TABLE = {}
+            return _TILE_TABLE
+        if path is None:
+            path = os.path.join(os.path.dirname(__file__), "tile_table.json")
+        try:
+            with open(path) as fh:
+                _TILE_TABLE = json.load(fh)
+        except (OSError, ValueError):
+            _TILE_TABLE = {}
+    return _TILE_TABLE
+
+
+def _tuned_dual_tiles(mr: int, mc: int, d: int, precision: str):
+    """(dk, tile) for the dual-contraction kernel: the MEASURED table
+    first (tools/tile_autotune.py — XLA's compile cache makes re-sweeps
+    cheap), the hand-budgeted heuristic otherwise.
+
+    Table entries are validated like heuristic picks (divisibility + the
+    VMEM budget) so a stale table from different hardware degrades to the
+    heuristic instead of a Mosaic error.  Reference analog: the
+    CMake-tunable PLSSVM_THREAD_BLOCK_SIZE / INTERNAL_BLOCK_SIZE
+    (include/plssvm/constants.hpp:22-40) — but measured per shape rather
+    than fixed per build.
+    """
+    entry = _load_tile_table().get(f"dual:{mr}x{mc}x{d}:{precision}")
+    if entry is not None:
+        dk, t = int(entry["dk"]), int(entry["tile"])
+        # same feasibility rule as _pick_dual_tile, with the true mc
+        vmem = 2 * t * dk * 4 + 2 * t * t * 4 + mc * 4 + 6 * t * 4
+        if (
+            d % dk == 0 and mr % t == 0 and mc % t == 0
+            and vmem <= _VMEM_LIMIT_BYTES - (8 << 20)
+        ):
+            return dk, t
+    dk = _pick_dual_dk(d)
+    return dk, _pick_dual_tile(mr, mc, dk)
+
+
 def _vma_set(vma):
     """Normalize a varying-mesh-axes spec for pallas_call out_shapes.
 
@@ -370,7 +423,9 @@ def _vma_set(vma):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "degree", "precision", "symmetric", "vma"),
+    static_argnames=(
+        "kind", "degree", "precision", "symmetric", "vma", "tile", "dk",
+    ),
 )
 def kernel_matvec_pallas_dual(
     X: jnp.ndarray,          # (mr, d) rows of the kernel block
@@ -387,6 +442,8 @@ def kernel_matvec_pallas_dual(
     precision: str = "f32",
     symmetric: bool = False,
     vma=None,
+    tile: int = None,        # explicit tile override (tools/tile_autotune.py)
+    dk: int = None,          # explicit feature-block override
 ):
     """Dual contraction of one kernel block: ``(K @ v_y, K^T @ v_x)``.
 
@@ -396,13 +453,22 @@ def kernel_matvec_pallas_dual(
     atomicAdd scatter (svm_kernel.cu:26,74,85): half the MXU work and HBM
     traffic, no atomics, no HBM partials.  ``vma`` declares the mesh axes
     the outputs vary over when called inside a checked shard_map.
+
+    ``tile``/``dk`` force a specific (row-tile, feature-block) config —
+    the autotune sweep's measurement hook; the default consults the
+    measured per-shape table, then the hand-budgeted heuristic
+    (``_tuned_dual_tiles``).
     """
     mr, d = X.shape
     mc = Y.shape[0]
     in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    dk = _pick_dual_dk(d)
+    if tile is None or dk is None:
+        dk_auto, t_auto = _tuned_dual_tiles(mr, mc, d, precision)
+        dk = dk if dk is not None else dk_auto
+        t = tile if tile is not None else t_auto
+    else:
+        t = tile
     nk = d // dk
-    t = _pick_dual_tile(mr, mc, dk)
     if t is None:
         raise ValueError(
             f"no Pallas tile for shape ({mr}, {mc}, {d}); rows must be "

@@ -791,3 +791,91 @@ def test_pallas_distance_matmat_interpret(kind):
         Kxy.T @ np.asarray(Vx, np.float64)[:C].T,
         rtol=5e-5, atol=5e-5,
     )
+
+
+class TestTileTable:
+    """The measured per-shape tile table (tools/tile_autotune.py) consulted
+    by _tuned_dual_tiles before the hand-budgeted heuristic (round 5;
+    reference analog: the CMake-tunable PLSSVM_THREAD_BLOCK_SIZE /
+    INTERNAL_BLOCK_SIZE, constants.hpp:22-40)."""
+
+    def _with_table(self, monkeypatch, tmp_path, table):
+        import json
+
+        import plssvm_tpu.ops.pallas_matvec as pm
+
+        path = str(tmp_path / "table.json")
+        with open(path, "w") as fh:
+            json.dump(table, fh)
+        monkeypatch.setenv("PLSSVM_TILE_TABLE", path)
+        monkeypatch.setattr(pm, "_TILE_TABLE", None)
+        return pm
+
+    def test_table_entry_overrides_heuristic(self, monkeypatch, tmp_path):
+        pm = self._with_table(
+            monkeypatch, tmp_path,
+            {"dual:1024x1024x256:f32": {"dk": 128, "tile": 512}},
+        )
+        assert pm._tuned_dual_tiles(1024, 1024, 256, "f32") == (128, 512)
+        # un-tabled shapes keep the heuristic
+        dk, t = pm._tuned_dual_tiles(2048, 2048, 256, "f32")
+        assert (dk, t) == (256, pm._pick_dual_tile(2048, 2048, 256))
+
+    def test_stale_entry_falls_back(self, monkeypatch, tmp_path):
+        """A table from different hardware/shapes must degrade to the
+        heuristic, not produce an infeasible pallas_call."""
+        pm = self._with_table(
+            monkeypatch, tmp_path,
+            {
+                # tile does not divide the rows
+                "dual:1024x1024x256:f32": {"dk": 256, "tile": 768},
+                # dk does not divide d
+                "dual:512x512x256:f32": {"dk": 192, "tile": 256},
+            },
+        )
+        assert pm._tuned_dual_tiles(1024, 1024, 256, "f32") == (
+            256, pm._pick_dual_tile(1024, 1024, 256)
+        )
+        assert pm._tuned_dual_tiles(512, 512, 256, "f32") == (
+            256, pm._pick_dual_tile(512, 512, 256)
+        )
+
+    def test_missing_or_disabled_table(self, monkeypatch):
+        import plssvm_tpu.ops.pallas_matvec as pm
+
+        monkeypatch.setenv("PLSSVM_TILE_TABLE", "")
+        monkeypatch.setattr(pm, "_TILE_TABLE", None)
+        dk, t = pm._tuned_dual_tiles(1024, 1024, 256, "f32")
+        assert (dk, t) == (256, pm._pick_dual_tile(1024, 1024, 256))
+
+    @pytest.mark.parametrize("cfg", [(128, 256), (256, 128)])
+    def test_forced_tile_config_is_correct(self, cfg):
+        """kernel_matvec_pallas_dual(tile=, dk=): every feasible forced
+        config must produce the oracle result (the sweep measures real
+        configs, so a wrong-but-fast config must be impossible)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from plssvm_tpu.ops.pallas_matvec import kernel_matvec_pallas_dual
+
+        dk, t = cfg
+        m, d = 512, 256
+        rng = np.random.default_rng(13)
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
+        v = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma, coef0 = jnp.float32(1.0 / d), jnp.float32(0.0)
+        with pltpu.force_tpu_interpret_mode():
+            outr, outc = kernel_matvec_pallas_dual(
+                X, X, sq, sq, v, v,
+                kind=KINDS["rbf"], gamma=gamma, coef0=coef0, degree=3,
+                symmetric=True, tile=t, dk=dk,
+            )
+        got = np.asarray(outr) + np.asarray(outc)
+        K = np.exp(
+            -float(gamma) * (
+                np.asarray(sq)[:, None] + np.asarray(sq)[None, :]
+                - 2.0 * np.asarray(X) @ np.asarray(X).T
+            )
+        )
+        np.testing.assert_allclose(got, K @ np.asarray(v),
+                                   rtol=2e-5, atol=2e-5)
