@@ -33,6 +33,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .sharded import ROW_AXIS
 
 
+def _multi_process_env() -> bool:
+    """Whether the environment indicates a multi-process (pod) launch.
+
+    Env-only by design: `jax.distributed.initialize` must run before any
+    JAX call that initializes the XLA backend, so probing device state
+    here is not an option (see initialize_distributed).
+    """
+    import os
+
+    # explicit coordinator configuration always counts
+    if any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    ):
+        return True
+    # TPU VMs set TPU_WORKER_HOSTNAMES even on single-worker slices —
+    # only a comma-separated multi-host list indicates a pod launch.
+    # Deliberately NO generic SLURM/MPI heuristics: N *independent*
+    # single-process trainings under one SLURM job would be force-fused
+    # into one wrong multi-host group; on such launchers set
+    # JAX_COORDINATOR_ADDRESS (or pass explicit args) instead.
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -53,27 +81,6 @@ def initialize_distributed(
     pass `coordinator_address`/`num_processes`/`process_id` explicitly or
     export ``JAX_COORDINATOR_ADDRESS``.
     """
-    import os
-
-    def _multi_process_env() -> bool:
-        # explicit coordinator configuration always counts
-        if any(
-            os.environ.get(v)
-            for v in (
-                "JAX_COORDINATOR_ADDRESS",
-                "COORDINATOR_ADDRESS",
-                "MEGASCALE_COORDINATOR_ADDRESS",
-            )
-        ):
-            return True
-        # TPU VMs set TPU_WORKER_HOSTNAMES even on single-worker slices —
-        # only a comma-separated multi-host list indicates a pod launch.
-        # Deliberately NO generic SLURM/MPI heuristics: N *independent*
-        # single-process trainings under one SLURM job would be force-fused
-        # into one wrong multi-host group; on such launchers set
-        # JAX_COORDINATOR_ADDRESS (or pass explicit args) instead.
-        return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
-
     if (
         coordinator_address is None
         and num_processes is None

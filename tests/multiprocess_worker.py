@@ -46,7 +46,8 @@ def main() -> int:
     ap.add_argument("--workdir", required=True)
     ap.add_argument(
         "--scenarios",
-        default="binary,warm,predict,multiclass,oneclass,nystroem,checkpoint",
+        default="binary,warm,predict,multiclass,oneclass,nystroem,"
+        "checkpoint,explicit,regression",
         help="comma-separated subset to run (binary is always run first "
         "when predict/warm/checkpoint need its model)",
     )
@@ -98,6 +99,7 @@ def main() -> int:
     f_bin = os.path.join(wd, "train_binary.libsvm")
     f_multi = os.path.join(wd, "train_multi.libsvm")
     f_test = os.path.join(wd, "test_binary.libsvm")
+    f_reg = os.path.join(wd, "train_reg.libsvm")
 
     # ---- instrument the windowed ingest: record the row spans each
     # process actually reads, to prove per-host disjointness.  Tagged by
@@ -193,6 +195,28 @@ def main() -> int:
             arrays["nystroem_alpha"] = np.asarray(m_ny.alpha)
             arrays["nystroem_idx"] = np.asarray(idx)
             out["nystroem_rho"] = float(m_ny.rho)
+
+        if "explicit" in scen:
+            # solver='cg_explicit' across processes: the one-time K build
+            # all_gathers X over the GLOBAL mesh (Gloo across hosts), then
+            # iterations are local matmuls + an all_gather of the
+            # direction — the other solver type's process-boundary path
+            current_scenario["name"] = "explicit"
+            svm_ex = p.CSVM(kernel_type="rbf", gamma=0.1, cost=2.0,
+                            dtype=np.float64, solver="cg_explicit")
+            m_ex = svm_ex.fit_multihost(f_bin, epsilon=1e-8)
+            arrays["explicit_alpha"] = np.asarray(m_ex.alpha)
+            out["explicit_rho"] = float(m_ex.rho)
+
+        if "regression" in scen:
+            # LS-SVR rides the binary multihost solve with continuous
+            # targets (no label mapping)
+            current_scenario["name"] = "regression"
+            svm_r = p.CSVM(kernel_type="rbf", gamma=0.1, cost=2.0,
+                           dtype=np.float64)
+            m_r = svm_r.fit_multihost(f_reg, epsilon=1e-8, regression=True)
+            arrays["regression_alpha"] = np.asarray(m_r.alpha)
+            out["regression_rho"] = float(m_r.rho)
 
         if "checkpoint" in scen:
             current_scenario["name"] = "checkpoint"

@@ -563,3 +563,60 @@ def test_cli_predict_multihost(tmp_path, capsys):
     )
     assert rc == 1
     assert "--multihost" in capsys.readouterr().err
+
+
+class TestMultiProcessEnvDetection:
+    """initialize_distributed's env-only pod-launch detection
+    (multihost.py::_multi_process_env) — env-only BY DESIGN: probing
+    jax.process_count() would initialize the XLA backend before the
+    process group, which is unrecoverable on a real pod."""
+
+    def _clean(self, monkeypatch):
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                  "SLURM_NTASKS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"):
+            monkeypatch.delenv(v, raising=False)
+
+    def test_plain_env_is_single_process(self, monkeypatch):
+        from plssvm_tpu.parallel.multihost import _multi_process_env
+
+        self._clean(monkeypatch)
+        assert not _multi_process_env()
+
+    @pytest.mark.parametrize("var", [
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ])
+    def test_coordinator_vars_trigger(self, monkeypatch, var):
+        from plssvm_tpu.parallel.multihost import _multi_process_env
+
+        self._clean(monkeypatch)
+        monkeypatch.setenv(var, "host0:1234")
+        assert _multi_process_env()
+
+    def test_single_worker_tpu_vm_does_not_trigger(self, monkeypatch):
+        # TPU VMs set TPU_WORKER_HOSTNAMES even on single-worker slices
+        from plssvm_tpu.parallel.multihost import _multi_process_env
+
+        self._clean(monkeypatch)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "t1v-n-abc-w-0")
+        assert not _multi_process_env()
+
+    def test_pod_worker_list_triggers(self, monkeypatch):
+        from plssvm_tpu.parallel.multihost import _multi_process_env
+
+        self._clean(monkeypatch)
+        monkeypatch.setenv(
+            "TPU_WORKER_HOSTNAMES", "t1v-n-abc-w-0,t1v-n-abc-w-1"
+        )
+        assert _multi_process_env()
+
+    def test_slurm_alone_does_not_trigger(self, monkeypatch):
+        # N INDEPENDENT single-process trainings under one SLURM job must
+        # not be force-fused into one wrong multi-host group
+        from plssvm_tpu.parallel.multihost import _multi_process_env
+
+        self._clean(monkeypatch)
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        monkeypatch.setenv("SLURM_JOB_ID", "12345")
+        assert not _multi_process_env()

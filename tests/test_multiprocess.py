@@ -81,6 +81,10 @@ def _write_data(workdir: str) -> None:
     yt = np.where(Xt[:, 0] + 0.3 * Xt[:, 1] > 0, 1, -1)
     write_libsvm_file(os.path.join(workdir, "test_binary.libsvm"), Xt, yt)
 
+    Xr = rng.normal(size=(N, D))
+    yr = Xr @ rng.normal(size=D) + 0.1 * rng.normal(size=N)
+    write_libsvm_file(os.path.join(workdir, "train_reg.libsvm"), Xr, yr)
+
 
 def _worker_env() -> dict:
     """Minimal env: CPU platform, 4 virtual devices, NO axon plugin site
@@ -195,6 +199,21 @@ def goldens(mp_run):
         g["nystroem_rho"] = float(m_ny.rho)
         g["nystroem_alpha"] = np.asarray(m_ny.alpha)
         g["nystroem_idx"] = np.asarray(idx)
+
+        svm_ex = plssvm_tpu.CSVM(
+            kernel_type="rbf", gamma=0.1, cost=2.0, dtype=np.float64,
+            solver="cg_explicit",
+        )
+        m_ex = svm_ex.fit_multihost(f_bin, epsilon=1e-8)
+        g["explicit_rho"] = float(m_ex.rho)
+        g["explicit_alpha"] = np.asarray(m_ex.alpha)
+
+        m_r = svm.fit_multihost(
+            os.path.join(workdir, "train_reg.libsvm"),
+            epsilon=1e-8, regression=True,
+        )
+        g["regression_rho"] = float(m_r.rho)
+        g["regression_alpha"] = np.asarray(m_r.alpha)
         return g
     finally:
         mh.global_row_mesh = orig
@@ -403,3 +422,87 @@ def test_scaling_sweep_multihost_rehearsal(tmp_path):
         "cg_iterations_per_second:", "kernel_type: rbf",
     ):
         assert key in text, key
+
+
+def test_explicit_solver_matches_single_process(mp_run, goldens):
+    """solver='cg_explicit' across real process boundaries: the one-time
+    row-sharded K build all_gathers X over the global mesh (Gloo), then
+    iterates local matmuls — and must agree with the implicit solve on
+    the same data to CG tolerance AND with its single-process golden."""
+    _, results = mp_run
+    meta, arrays = results[0]
+    assert meta["explicit_rho"] == pytest.approx(
+        goldens["explicit_rho"], rel=1e-4, abs=1e-6
+    )
+    np.testing.assert_allclose(
+        arrays["explicit_alpha"], goldens["explicit_alpha"],
+        rtol=1e-4, atol=1e-6,
+    )
+    # cross-solver consistency on the identical problem
+    assert meta["explicit_rho"] == pytest.approx(
+        meta["binary_rho"], rel=1e-4, abs=1e-6
+    )
+
+
+def test_regression_matches_single_process(mp_run, goldens):
+    """LS-SVR through the 2-process multihost path (continuous targets,
+    no label mapping)."""
+    _, results = mp_run
+    meta, arrays = results[0]
+    assert meta["regression_rho"] == pytest.approx(
+        goldens["regression_rho"], rel=1e-5, abs=1e-7
+    )
+    np.testing.assert_allclose(
+        arrays["regression_alpha"], goldens["regression_alpha"],
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_four_process_topology(tmp_path):
+    """4 processes x 2 devices each (same 8-device global mesh, different
+    process topology): host_row_range block-partitions into quarters and
+    every process returns the identical model."""
+    _write_data(str(tmp_path))
+    port = _free_port()
+    env = _worker_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, WORKER,
+                "--process-id", str(pid), "--num-processes", "4",
+                "--port", str(port), "--workdir", str(tmp_path),
+                "--scenarios", "binary,warm",
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=str(tmp_path),
+        )
+        for pid in range(4)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    metas = []
+    for pid, (proc, (stdout, stderr)) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, (
+            f"worker {pid} rc={proc.returncode}\n{stderr[-2000:]}"
+        )
+        with open(os.path.join(str(tmp_path), f"out_p{pid}.json")) as fh:
+            metas.append(json.load(fh))
+    assert all(m["ok"] for m in metas)
+    assert all(m["local_devices"] == 2 for m in metas)
+    assert all(m["global_devices"] == 8 for m in metas)
+    rhos = {m["binary_rho"] for m in metas}
+    assert len(rhos) == 1, rhos
+    assert all(m["warm_iter"] == 0 for m in metas)
+    # the four ingest windows are disjoint quarters in process order
+    windows = []
+    for m in metas:
+        rows = set()
+        for rec in m["ingest"]:
+            if rec["scenario"] == "binary" and rec["rows"] != [N - 1]:
+                rows.update(rec["rows"])
+        windows.append(rows)
+    all_rows = set()
+    for w in windows:
+        assert not (w & all_rows)
+        all_rows |= w
+    assert all_rows == set(range(N - 1))

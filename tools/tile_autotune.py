@@ -209,6 +209,7 @@ def main() -> int:
         heur_rate = rates.get(heur)
         entry = {
             "shape": f"{m}x{d}",
+            "precision": args.precision,
             "heuristic": {"dk": heur[0], "tile": heur[1],
                           "tflops": round(heur_rate, 1) if heur_rate else None},
             "best": {"dk": best_cfg[0], "tile": best_cfg[1],
@@ -233,8 +234,22 @@ def main() -> int:
 
     if args.dry_run:
         return 0
+    # merge into existing evidence (keyed by shape+precision) so a bf16
+    # re-sweep does not erase the f32 record
+    existing = []
+    if os.path.isfile(RESULTS_PATH):
+        try:
+            with open(RESULTS_PATH) as fh:
+                existing = json.load(fh)
+        except ValueError:
+            existing = []
+    new_keys = {(e["shape"], e.get("precision", "f32")) for e in results}
+    merged = [
+        e for e in existing
+        if (e["shape"], e.get("precision", "f32")) not in new_keys
+    ] + results
     with open(RESULTS_PATH, "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(merged, fh, indent=1)
         fh.write("\n")
     print(f"evidence -> {RESULTS_PATH}")
     if not args.no_write:
