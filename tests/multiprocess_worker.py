@@ -47,7 +47,7 @@ def main() -> int:
     ap.add_argument(
         "--scenarios",
         default="binary,warm,predict,multiclass,oneclass,nystroem,"
-        "checkpoint,explicit,regression",
+        "checkpoint,explicit,regression,arff,oneclass_checkpoint",
         help="comma-separated subset to run (binary is always run first "
         "when predict/warm/checkpoint need its model)",
     )
@@ -100,6 +100,7 @@ def main() -> int:
     f_multi = os.path.join(wd, "train_multi.libsvm")
     f_test = os.path.join(wd, "test_binary.libsvm")
     f_reg = os.path.join(wd, "train_reg.libsvm")
+    f_arff = os.path.join(wd, "train_binary.arff")
 
     # ---- instrument the windowed ingest: record the row spans each
     # process actually reads, to prove per-host disjointness.  Tagged by
@@ -265,6 +266,64 @@ def main() -> int:
             out["resume_rho"] = float(m_res.rho)
             out["resume_iter"] = int(m_res.n_iter)
             out["checkpoint_file_cleaned"] = not os.path.isfile(ckpt_path)
+
+        if "arff" in scen:
+            # ARFF streams through its own windowed native parser
+            # (io/arff.parse_arff_file_window) — identical data to the
+            # LIBSVM file, so results must match the binary fit bitwise
+            current_scenario["name"] = "arff"
+            svm_a = p.CSVM(kernel_type="rbf", gamma=0.1, cost=2.0,
+                           dtype=np.float64)
+            m_a = svm_a.fit_multihost(f_arff, epsilon=1e-8)
+            out["arff_rho"] = float(m_a.rho)
+            arrays["arff_alpha"] = np.asarray(m_a.alpha)
+
+        if "oneclass_checkpoint" in scen:
+            # the one-class multihost checkpoint seam (one_class.py
+            # _segments with is_writer gating): same deterministic
+            # interrupt as the classifier scenario
+            current_scenario["name"] = "oneclass_checkpoint"
+            ckpt_path_oc = os.path.join(wd, "mp_oc.ckpt")
+            svm_occ = p.CSVM(kernel_type="rbf", gamma=0.1, cost=2.0,
+                             dtype=np.float64)
+            orig_ctor_oc = ckpt_mod.CGCheckpoint
+            ctor_oc = {"n": 0}
+
+            def exploding_ctor_oc(*a, **kw):
+                ctor_oc["n"] += 1
+                if ctor_oc["n"] >= 2:
+                    raise _Interrupt()
+                return orig_ctor_oc(*a, **kw)
+
+            ckpt_mod.CGCheckpoint = exploding_ctor_oc
+            saves_before_oc = save_calls["n"]
+            try:
+                fit_one_class_multihost(
+                    svm_occ, f_bin, nu=0.2, epsilon=1e-10,
+                    checkpoint_path=ckpt_path_oc, checkpoint_interval=3,
+                )
+                out["oc_ckpt_interrupted"] = False
+            except _Interrupt:
+                out["oc_ckpt_interrupted"] = True
+            finally:
+                ckpt_mod.CGCheckpoint = orig_ctor_oc
+            out["oc_ckpt_file_exists"] = os.path.isfile(ckpt_path_oc)
+            out["oc_ckpt_saves_interrupted"] = (
+                save_calls["n"] - saves_before_oc
+            )
+            m_ocr = fit_one_class_multihost(
+                svm_occ, f_bin, nu=0.2, epsilon=1e-10,
+                checkpoint_path=ckpt_path_oc, checkpoint_interval=100000,
+            )
+            arrays["oc_resume_alpha"] = np.asarray(m_ocr.alpha)
+            out["oc_resume_rho"] = float(m_ocr.rho)
+            out["oc_ckpt_file_cleaned"] = not os.path.isfile(ckpt_path_oc)
+            # plain (uncheckpointed) fit for comparison
+            m_ocp = fit_one_class_multihost(
+                svm_occ, f_bin, nu=0.2, epsilon=1e-10
+            )
+            arrays["oc_plain_alpha"] = np.asarray(m_ocp.alpha)
+            out["oc_plain_rho"] = float(m_ocp.rho)
 
         out["save_calls_total"] = save_calls["n"]
         out["ingest"] = ingest_rows

@@ -85,6 +85,12 @@ def _write_data(workdir: str) -> None:
     yr = Xr @ rng.normal(size=D) + 0.1 * rng.normal(size=N)
     write_libsvm_file(os.path.join(workdir, "train_reg.libsvm"), Xr, yr)
 
+    from plssvm_tpu.io.arff import write_arff_file
+
+    # the SAME binary data in ARFF form (streams through the windowed
+    # native ARFF parser across processes)
+    write_arff_file(os.path.join(workdir, "train_binary.arff"), X, y)
+
 
 def _worker_env() -> dict:
     """Minimal env: CPU platform, 4 virtual devices, NO axon plugin site
@@ -506,3 +512,39 @@ def test_four_process_topology(tmp_path):
         assert not (w & all_rows)
         all_rows |= w
     assert all_rows == set(range(N - 1))
+
+
+def test_arff_streaming_matches_libsvm(mp_run):
+    """fit_multihost('*.arff') across 2 processes (windowed native ARFF
+    parse per host) must equal the LIBSVM fit of the identical data."""
+    _, results = mp_run
+    for meta, arrays in results:
+        assert meta["arff_rho"] == pytest.approx(
+            meta["binary_rho"], rel=1e-9, abs=1e-11
+        )
+        np.testing.assert_allclose(
+            arrays["arff_alpha"], arrays["binary_alpha"],
+            rtol=1e-8, atol=1e-10,
+        )
+
+
+def test_one_class_checkpoint_gating_and_resume(mp_run):
+    """The one-class multihost checkpoint seam (one_class._segments with
+    is_writer gating) under real barriers: process 0 wrote exactly one
+    checkpoint before the interrupt, process 1 wrote none, and the
+    resumed solve reaches the plain fit's answer."""
+    _, results = mp_run
+    (m0, a0), (m1, a1) = results
+    assert m0["oc_ckpt_interrupted"] and m1["oc_ckpt_interrupted"]
+    assert m0["oc_ckpt_saves_interrupted"] == 1
+    assert m1["oc_ckpt_saves_interrupted"] == 0
+    assert m0["oc_ckpt_file_exists"] and m1["oc_ckpt_file_exists"]
+    for meta, arrays in results:
+        assert meta["oc_resume_rho"] == pytest.approx(
+            meta["oc_plain_rho"], rel=1e-7, abs=1e-9
+        )
+        np.testing.assert_allclose(
+            arrays["oc_resume_alpha"], arrays["oc_plain_alpha"],
+            rtol=1e-6, atol=1e-8,
+        )
+        assert meta["oc_ckpt_file_cleaned"]
