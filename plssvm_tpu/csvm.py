@@ -1055,7 +1055,8 @@ class CSVM:
                 X_aug = jnp.asarray(X_aug_h)
                 Xb = jnp.take(X_aug, jnp.asarray(idx_b), axis=0)
                 x_last_b = jnp.take(X_aug, jnp.asarray(last_idx), axis=0)
-                result = solve_ls_svm_pairs(
+                result = self._solve_call(
+                    solve_ls_svm_pairs,
                     Xb, x_last_b, jnp.asarray(yb), jnp.asarray(y_last_b),
                     jnp.asarray(maskb), gamma_v, coef0_v, cost_v, eps_v,
                     jnp.asarray(max_iter_b),

@@ -879,6 +879,7 @@ def cg_ls_svm_pairs_core(
     x_init=None,            # optional (P, m) warm-start block
     weights=None,           # optional (P, m) per-sample weights and
     weight_last=None,       # (P,) folded-out last weights (Suykens)
+    debug: bool = False,    # checkify NaN/Inf guards (see cg_ls_svm_core)
 ) -> PairsCGResult:
     """All C(C-1)/2 one-vs-one machines solved as ONE batched CG.
 
@@ -985,6 +986,15 @@ def cg_ls_svm_pairs_core(
     def cond(s: State):
         return jnp.any(active_of(s))
 
+    if debug:
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(jnp.isfinite(delta_init)),
+            "initial pair-CG residuals contain non-finite values — the "
+            "training data, labels or kernel parameters contain NaN/Inf",
+        )
+
     def body(s: State) -> State:
         active = active_of(s)
         Ad = matvec(s.d)
@@ -997,6 +1007,19 @@ def cg_ls_svm_pairs_core(
             lambda: s.r - alpha_cd[:, None] * Ad,
         )
         delta = bdot(r, r)
+        if debug:
+            checkify.check(
+                jnp.all(jnp.isfinite(alpha_cd)),
+                "pair-CG step sizes contain non-finite values at "
+                "iteration {it}",
+                it=s.it,
+            )
+            checkify.check(
+                jnp.all(jnp.isfinite(delta)),
+                "pair-CG residuals contain non-finite values at "
+                "iteration {it}",
+                it=s.it,
+            )
         if use_pcg:
             z = precond(r)
             rz = bdot(r, z)
@@ -1036,7 +1059,7 @@ def cg_ls_svm_pairs_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kind", "degree", "row_block", "preconditioner", "scalars",
+        "kind", "degree", "row_block", "preconditioner", "scalars", "debug",
     ),
 )
 def solve_ls_svm_pairs(
@@ -1059,6 +1082,7 @@ def solve_ls_svm_pairs(
     x_init=None,
     weights=None,
     weight_last=None,
+    debug: bool = False,
 ) -> PairsCGResult:
     """Single-device batched one-vs-one LS-SVM CG solve.
 
@@ -1088,7 +1112,7 @@ def solve_ls_svm_pairs(
         Xb, x_last_b, Yb, y_last_b, maskb, gamma, coef0, cost, eps,
         max_iter_b, kind=kind, degree=degree, kernel_bmv=kernel_bmv,
         bdot=bdot, bsum=bsum, preconditioner=preconditioner, x_init=x_init,
-        weights=weights, weight_last=weight_last,
+        weights=weights, weight_last=weight_last, debug=debug,
     )
 
 

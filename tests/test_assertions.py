@@ -313,6 +313,16 @@ class TestDebugNaNGuards:
             lambda: svm.fit(self._poisoned(n_classes=3))
         )
 
+    def test_poisoned_oao_batched_raises(self):
+        # the batched pair solve (solver.cg.solve_ls_svm_pairs) guards too
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   oao_batch="batched", debug=True)
+        self._raises_located(
+            lambda: svm.fit(
+                self._poisoned(n_classes=3), classification="oao"
+            )
+        )
+
     def test_poisoned_one_class_raises(self):
         from plssvm_tpu import fit_one_class
 
