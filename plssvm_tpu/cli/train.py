@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="enable checkify NaN/Inf guards on the CG "
                         "state: a numeric blowup aborts with the failing "
                         "iteration instead of silently converging to a "
-                        "garbage model (single-device solves)")
+                        "garbage model (every solver tier incl. meshes "
+                        "and --multihost)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the fit to DIR "
                         "(view with TensorBoard / xprof)")

@@ -213,10 +213,12 @@ class CSVM:
         # size, iterate) with iteration context: a poisoned input or a
         # numeric blowup raises a located error instead of silently
         # "converging" to garbage (NaN > target is False, so the loop
-        # would exit immediately).  Single-device solves (implicit +
-        # explicit, binary/multiclass, incl. checkpointed segments) run
-        # the guards; sharded/multihost solves warn and run unchecked.
-        # Extends SURVEY §5's sanitizer row — the reference has nothing.
+        # would exit immediately).  EVERY solver tier runs the guards:
+        # implicit + explicit, binary/multiclass/OAO-batched/one-class,
+        # checkpointed segments, sharded meshes and multihost (checkify
+        # functionalizes through shard_map — parallel.sharded
+        # ._finalize_solver).  Extends SURVEY §5's sanitizer row — the
+        # reference has nothing.
         self.debug = bool(debug)
         # one-vs-one training strategy: "batched" solves ALL C(C-1)/2 pair
         # machines as ONE batched CG (solver/cg.py::solve_ls_svm_pairs —
@@ -1032,6 +1034,7 @@ class CSVM:
                 scalars=self.scalar_precision,
                 weighted=weights_b is not None,
                 warm=x_init_b is not None,
+                debug=self.debug,
             )
             # host gather (no single device ever holds the full stack)
             sharded = shard_pairs_arrays(
@@ -1442,7 +1445,7 @@ class CSVM:
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     precision=self.gram_precision, weighted=weighted,
-                    warm=warm,
+                    warm=warm, debug=self.debug,
                 )
                 warm_args = (
                     (shard_warm_start(mesh, x_init, self.dtype),)
@@ -1521,7 +1524,7 @@ class CSVM:
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     gram_precision=self.gram_precision, weighted=weighted,
-                    warm=warm,
+                    warm=warm, debug=self.debug,
                 )
                 warm_args = (
                     (shard_warm_start(mesh, x_init, self.dtype),)
@@ -1613,7 +1616,7 @@ class CSVM:
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     precision=self.gram_precision, multi=True,
-                    weighted=weighted, warm=warm,
+                    weighted=weighted, warm=warm, debug=self.debug,
                 )
                 warm_args = (
                     (shard_warm_start(mesh, x_init, self.dtype),)
@@ -1691,7 +1694,7 @@ class CSVM:
                     preconditioner=self.preconditioner,
                     scalars=self.scalar_precision,
                     gram_precision=self.gram_precision, weighted=weighted,
-                    warm=warm,
+                    warm=warm, debug=self.debug,
                 )
                 warm_args = (
                     (shard_warm_start(mesh, x_init, self.dtype),)
@@ -1960,7 +1963,7 @@ class CSVM:
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
                 precision=self.gram_precision, multi=multi,
-                weighted=weighted,
+                weighted=weighted, debug=self.debug,
             )
             solver = build_sharded_explicit_solver(mesh, **common)
             solver_resume = build_sharded_explicit_solver(
@@ -1975,6 +1978,7 @@ class CSVM:
                 preconditioner=self.preconditioner,
                 scalars=self.scalar_precision,
                 gram_precision=self.gram_precision, weighted=weighted,
+                debug=self.debug,
             )
             solver = build(mesh, **common)
             solver_resume = build(mesh, resume=True, **common)

@@ -227,6 +227,7 @@ def _fit_one_class_sharded(
         mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
         weighted=civ is not None, explicit=use_explicit,
+        debug=getattr(csvm, "debug", False),
     )
     if civ is None:
         civ_arg = jax.device_put(
@@ -816,6 +817,7 @@ def fit_one_class_multihost(
         mesh=mesh, kind=kind, degree=params.degree.value, impl=impl,
         scalars=csvm.scalar_precision, gram_precision=csvm.gram_precision,
         weighted=civ is not None, explicit=use_explicit,
+        debug=getattr(csvm, "debug", False),
     )
     if civ is None:
         civ_arg = jnp.asarray(1.0 / params.cost.value, dtype=dt)

@@ -683,6 +683,7 @@ def fit_multihost(
             scalars=csvm.scalar_precision,
             precision=csvm.gram_precision, multi=multiclass,
             weighted=weighted, warm=warm,
+            debug=getattr(csvm, "debug", False),
         )
     else:
         if jax.process_index() == 0:
@@ -695,6 +696,7 @@ def fit_multihost(
             scalars=csvm.scalar_precision,
             gram_precision=csvm.gram_precision, weighted=weighted,
             warm=warm,
+            debug=getattr(csvm, "debug", False),
         )
     if checkpoint_path is None:
         result = build()(

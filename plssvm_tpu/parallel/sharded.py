@@ -377,6 +377,34 @@ def _unpack_trailing(rest, weighted, warm):
     return weights, weight_last, x_init, tuple(rest)
 
 
+def _finalize_solver(local_solve, mesh, in_specs, out_specs, debug):
+    """jit the shard_map'ped solver; with ``debug=True`` functionalize the
+    cores' checkify NaN/Inf guards through it and discharge on the host
+    (checkify composes with shard_map — the error state threads through
+    the psum'd while_loop like any other carry), so a numeric blowup on
+    ANY shard raises a located error instead of a silently wrong model.
+    The replication checker stays ON either way: pallas_call outputs
+    declare their varying mesh axes via the out_shape vma
+    (ops/pallas_matvec._vma_set), so a mis-specced collective in the
+    hand-rolled ring is caught at trace time everywhere."""
+    inner = jax.shard_map(
+        local_solve, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=True,
+    )
+    if not debug:
+        return jax.jit(inner)
+    from jax.experimental import checkify
+
+    checked = jax.jit(checkify.checkify(inner))
+
+    def solve(*args):
+        err, result = checked(*args)
+        err.throw()
+        return result
+
+    return solve
+
+
 _SOLVER_CACHE: dict = {}
 
 
@@ -384,7 +412,7 @@ def build_sharded_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     preconditioner: str = "none", scalars: str = "plain",
     resume: bool = False, gram_precision: str = "f32",
-    weighted: bool = False, warm: bool = False,
+    weighted: bool = False, warm: bool = False, debug: bool = False,
 ):
     """A jitted, shard_map'ped LS-SVM CG solve over ``mesh``.
 
@@ -418,7 +446,7 @@ def build_sharded_solver(
     """
     key = (
         mesh, kind, degree, impl, preconditioner, scalars, resume,
-        gram_precision, weighted, warm,
+        gram_precision, weighted, warm, debug,
     )
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
@@ -466,6 +494,7 @@ def build_sharded_solver(
             preconditioner=preconditioner,
             init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
+            debug=debug,
         )
 
     row = P(ROW_AXIS)
@@ -478,22 +507,14 @@ def build_sharded_solver(
         in_specs = in_specs + (row,)
     if resume:
         in_specs = in_specs + (row, row, row, rep, rep, rep)
-    solve = jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=CGResult(
-                x=row, rho=rep, alpha_last=rep,
-                iterations=rep, delta=rep, delta0=rep,
-                r=row, d=row,
-            ),
-            # the replication checker runs on BOTH impls: pallas_call
-            # outputs declare their varying mesh axes via the out_shape vma
-            # (ops/pallas_matvec._vma_set), so a mis-specced collective in
-            # the hand-rolled ring is caught at trace time everywhere
-            check_vma=True,
-        )
+    solve = _finalize_solver(
+        local_solve, mesh, in_specs,
+        CGResult(
+            x=row, rho=rep, alpha_last=rep,
+            iterations=rep, delta=rep, delta0=rep,
+            r=row, d=row,
+        ),
+        debug,
     )
     _SOLVER_CACHE[key] = solve
     return solve
@@ -506,6 +527,7 @@ def build_sharded_pairs_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     row_block: int = 256, preconditioner: str = "none",
     scalars: str = "plain", weighted: bool = False, warm: bool = False,
+    debug: bool = False,
 ):
     """Machine-axis-sharded batched one-vs-one solve over ``mesh``.
 
@@ -534,7 +556,7 @@ def build_sharded_pairs_solver(
     """
     key = (
         mesh, kind, degree, row_block, preconditioner, scalars, weighted,
-        warm,
+        warm, debug,
     )
     cached = _PAIRS_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -567,6 +589,7 @@ def build_sharded_pairs_solver(
             max_iter_b, kind=kind, degree=degree, kernel_bmv=kernel_bmv,
             bdot=bdot, bsum=bsum, preconditioner=preconditioner,
             x_init=x_init, weights=weights, weight_last=weight_last,
+            debug=debug,
         )
         # per-shard loop counts differ (that's the point); report the
         # global maximum, replicated
@@ -582,18 +605,14 @@ def build_sharded_pairs_solver(
         in_specs = in_specs + (mach2, mach)
     if warm:
         in_specs = in_specs + (mach2,)
-    solve = jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=PairsCGResult(
-                x=mach2, rho=mach, alpha_last=mach,
-                iterations=rep, iterations_per_pair=mach,
-                delta=mach, delta0=mach,
-            ),
-            check_vma=True,
-        )
+    solve = _finalize_solver(
+        local_solve, mesh, in_specs,
+        PairsCGResult(
+            x=mach2, rho=mach, alpha_last=mach,
+            iterations=rep, iterations_per_pair=mach,
+            delta=mach, delta0=mach,
+        ),
+        debug,
     )
     _PAIRS_SOLVER_CACHE[key] = solve
     return solve
@@ -618,7 +637,7 @@ def build_sharded_multi_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     impl: str = "xla", resume: bool = False, gram_precision: str = "f32",
-    weighted: bool = False, warm: bool = False,
+    weighted: bool = False, warm: bool = False, debug: bool = False,
 ):
     """A jitted, shard_map'ped one-vs-all multiclass block-CG solve.
 
@@ -640,7 +659,7 @@ def build_sharded_multi_solver(
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, impl, resume,
-        gram_precision, weighted, warm,
+        gram_precision, weighted, warm, debug,
     )
     cached = _MULTI_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -682,6 +701,7 @@ def build_sharded_multi_solver(
             preconditioner=preconditioner,
             init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
+            debug=debug,
         )
 
     row2 = P(ROW_AXIS, None)
@@ -694,21 +714,15 @@ def build_sharded_multi_solver(
         in_specs = in_specs + (row2,)
     if resume:
         in_specs = in_specs + (row2, row2, row2, rep, rep, rep, rep)
-    solve = jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=MultiCGResult(
-                x=row2, rho=rep, alpha_last=rep,
-                iterations=rep, iterations_per_class=rep,
-                delta=rep, delta0=rep,
-                r=row2, d=row2,
-            ),
-            # replication checker ON for both impls (see
-            # build_sharded_solver — pallas outputs declare vma)
-            check_vma=True,
-        )
+    solve = _finalize_solver(
+        local_solve, mesh, in_specs,
+        MultiCGResult(
+            x=row2, rho=rep, alpha_last=rep,
+            iterations=rep, iterations_per_class=rep,
+            delta=rep, delta0=rep,
+            r=row2, d=row2,
+        ),
+        debug,
     )
     _MULTI_SOLVER_CACHE[key] = solve
     return solve
@@ -721,7 +735,7 @@ def build_sharded_one_class_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int, impl: str = "xla",
     scalars: str = "plain", gram_precision: str = "f32",
     weighted: bool = False, warm: bool = False, resume: bool = False,
-    explicit: bool = False,
+    explicit: bool = False, debug: bool = False,
 ):
     """A jitted, shard_map'ped one-class ridge CG over ``mesh``.
 
@@ -761,7 +775,7 @@ def build_sharded_one_class_solver(
     """
     key = (
         mesh, kind, degree, impl, scalars, gram_precision, weighted,
-        warm, resume, explicit,
+        warm, resume, explicit, debug,
     )
     cached = _ONE_CLASS_CACHE.get(key)
     if cached is not None:
@@ -821,7 +835,7 @@ def build_sharded_one_class_solver(
         x, r, d, delta, delta0, it = ridge_cg_core(
             mask, matvec, dot, eps=eps, max_iter=max_iter,
             x_init=x_init,
-            init_state=init_state if resume else None,
+            init_state=init_state if resume else None, debug=debug,
         )
         g = kernel_mv(x) * mask
         return x, g, r, d, delta, delta0, it
@@ -838,16 +852,10 @@ def build_sharded_one_class_solver(
         in_specs = in_specs + (row,)
     if resume:
         in_specs = in_specs + (row, row, row, rep, rep, rep)
-    solve = jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=(row, row, row, row, rep, rep, rep),
-            # replication checker ON for both impls (see
-            # build_sharded_solver — pallas outputs declare vma)
-            check_vma=True,
-        )
+    solve = _finalize_solver(
+        local_solve, mesh, in_specs,
+        (row, row, row, row, rep, rep, rep),
+        debug,
     )
     _ONE_CLASS_CACHE[key] = solve
     return solve
@@ -902,7 +910,7 @@ def build_sharded_explicit_solver(
     mesh: Mesh, *, kind: KernelFunctionType, degree: int,
     preconditioner: str = "none", scalars: str = "plain",
     precision: str = "f32", multi: bool = False, resume: bool = False,
-    weighted: bool = False, warm: bool = False,
+    weighted: bool = False, warm: bool = False, debug: bool = False,
 ):
     """A jitted, shard_map'ped CG solve against a ROW-SHARDED explicit K.
 
@@ -923,7 +931,7 @@ def build_sharded_explicit_solver(
     """
     key = (
         mesh, kind, degree, preconditioner, scalars, precision, multi, resume,
-        weighted, warm,
+        weighted, warm, debug,
     )
     cached = _EXPLICIT_SOLVER_CACHE.get(key)
     if cached is not None:
@@ -975,6 +983,7 @@ def build_sharded_explicit_solver(
                 preconditioner=preconditioner,
                 init_state=init_state if resume else None,
                 weights=weights, weight_last=weight_last, x_init=x_init,
+                debug=debug,
             )
         return cg_ls_svm_core(
             X, x_last, y, y_last, mask, gamma, coef0, cost, eps, max_iter,
@@ -982,6 +991,7 @@ def build_sharded_explicit_solver(
             preconditioner=preconditioner,
             init_state=init_state if resume else None,
             weights=weights, weight_last=weight_last, x_init=x_init,
+            debug=debug,
         )
 
     row = P(ROW_AXIS)
@@ -1011,9 +1021,7 @@ def build_sharded_explicit_solver(
             iterations=rep, delta=rep, delta0=rep, r=row, d=row,
         )
     )
-    solve = jax.jit(
-        jax.shard_map(local_solve, mesh=mesh, in_specs=in_specs, out_specs=out)
-    )
+    solve = _finalize_solver(local_solve, mesh, in_specs, out, debug)
     _EXPLICIT_SOLVER_CACHE[key] = solve
     return solve
 

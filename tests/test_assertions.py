@@ -332,6 +332,40 @@ class TestDebugNaNGuards:
             lambda: fit_one_class(svm, self._poisoned(), nu=0.2)
         )
 
+    def test_poisoned_sharded_fit_raises(self):
+        """checkify functionalizes through shard_map: the SAME guards run
+        on multi-device meshes (parallel.sharded._finalize_solver)."""
+        import jax
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs 4 virtual CPU devices")
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                   devices=devs[:4], debug=True)
+        self._raises_located(lambda: svm.fit(self._poisoned()))
+
+    def test_poisoned_multihost_fit_raises(self, tmp_path):
+        import jax
+
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+        from plssvm_tpu.parallel import multihost as mh
+        from plssvm_tpu.parallel.sharded import make_row_mesh
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs 4 virtual CPU devices")
+        ds = self._poisoned()
+        f = str(tmp_path / "bad.libsvm")
+        write_libsvm_file(f, np.asarray(ds.data), np.asarray(ds.labels))
+        orig = mh.global_row_mesh
+        mh.global_row_mesh = lambda: make_row_mesh(devs[:4])
+        try:
+            svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
+                       debug=True)
+            self._raises_located(lambda: svm.fit_multihost(f))
+        finally:
+            mh.global_row_mesh = orig
+
     def test_poisoned_checkpointed_fit_raises(self, tmp_path):
         svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf",
                    debug=True)
