@@ -723,7 +723,12 @@ def main(argv=None) -> int:
                 sample_weight=fit_kwargs.get("sample_weight"),
                 fit_fn=fit_fn,
             )
-        model.save(model_filename)
+        # multihost: exactly ONE process writes the (shared-storage) model
+        # file — every host holds the identical model, and concurrent
+        # buffered writes to one path would interleave (same rule as the
+        # checkpoint writes, parallel/multihost.py:311-319)
+        if not args.multihost or _process_index() == 0:
+            model.save(model_filename)
     except PLSSVMError as exc:
         print(exc, file=sys.stderr)
         return 1
@@ -740,9 +745,19 @@ def main(argv=None) -> int:
     total_ms = (time.perf_counter() - start) * 1000.0
     log(VerbosityLevel.FULL | VerbosityLevel.TIMING, "\nTotal runtime: {:.2f}ms\n", total_ms)
     add_tracking_entry("", "total_time", total_ms)
-    if args.performance_tracking is not None:
+    if args.performance_tracking is not None and (
+        not args.multihost or _process_index() == 0
+    ):
         global_tracker.save(args.performance_tracking)
     return 0
+
+
+def _process_index() -> int:
+    """jax.process_index(), imported lazily (the CLI parses/validates
+    before touching the JAX backend)."""
+    import jax
+
+    return jax.process_index()
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ def main() -> int:
     ap.add_argument(
         "--scenarios",
         default="binary,warm,predict,multiclass,oneclass,nystroem,"
-        "checkpoint,explicit,regression,arff,oneclass_checkpoint",
+        "checkpoint,explicit,regression,arff,oneclass_checkpoint,cli",
         help="comma-separated subset to run (binary is always run first "
         "when predict/warm/checkpoint need its model)",
     )
@@ -324,6 +324,42 @@ def main() -> int:
             )
             arrays["oc_plain_alpha"] = np.asarray(m_ocp.alpha)
             out["oc_plain_rho"] = float(m_ocp.rho)
+
+        if "cli" in scen:
+            # plssvm-train --multihost end-to-end inside the process
+            # group: exactly ONE process may write the model file
+            # (cli/train.py process-0 gating — concurrent buffered writes
+            # to one shared-storage path would interleave)
+            current_scenario["name"] = "cli"
+            from jax.experimental import multihost_utils
+
+            from plssvm_tpu import model as model_mod
+            from plssvm_tpu.cli import train as cli_train
+
+            model_saves = {"n": 0}
+            orig_model_save = model_mod.Model.save
+
+            def counting_model_save(self_, path_, *a, **k):
+                model_saves["n"] += 1
+                return orig_model_save(self_, path_, *a, **k)
+
+            model_mod.Model.save = counting_model_save
+            model_path = os.path.join(wd, "cli_mh.model")
+            try:
+                rc = cli_train.main([
+                    "-q", "--use_double_as_real_type", "--multihost",
+                    "-t", "2", "-g", "0.1", "-c", "2.0", "-e", "1e-8",
+                    f_bin, model_path,
+                ])
+            finally:
+                model_mod.Model.save = orig_model_save
+            # barrier: don't probe the file before process 0 wrote it
+            multihost_utils.process_allgather(np.asarray([rc]))
+            out["cli_rc"] = int(rc)
+            out["cli_model_saves"] = model_saves["n"]
+            out["cli_model_exists"] = os.path.isfile(model_path)
+            m_cli = model_mod.Model.load(model_path)
+            out["cli_model_rho"] = float(m_cli.rho)
 
         out["save_calls_total"] = save_calls["n"]
         out["ingest"] = ingest_rows

@@ -548,3 +548,19 @@ def test_one_class_checkpoint_gating_and_resume(mp_run):
             rtol=1e-6, atol=1e-8,
         )
         assert meta["oc_ckpt_file_cleaned"]
+
+
+def test_cli_multihost_single_writer(mp_run):
+    """plssvm-train --multihost inside the REAL process group: both
+    processes exit 0, but only process 0 writes the model file (and the
+    written model is loadable on every host with the expected rho)."""
+    _, results = mp_run
+    (m0, _), (m1, _) = results
+    assert m0["cli_rc"] == 0 and m1["cli_rc"] == 0
+    assert m0["cli_model_saves"] == 1
+    assert m1["cli_model_saves"] == 0
+    assert m0["cli_model_exists"] and m1["cli_model_exists"]
+    for m in (m0, m1):
+        assert m["cli_model_rho"] == pytest.approx(
+            m["binary_rho"], rel=1e-9, abs=1e-11
+        )
