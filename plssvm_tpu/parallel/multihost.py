@@ -893,13 +893,29 @@ def predict_multihost(csvm, model, filename: str, *, dtype=None):
     else:
         Xw = np.zeros((0, d), dtype=dtype)
 
-    if Xw.shape[0] > 0:
-        preds_local = np.asarray(
-            csvm.predict(model, DataSet(np.asarray(Xw, dtype=dtype),
-                                        dtype=dtype))
-        )
-    else:
-        preds_local = None
+    # per-host scoring must run on THIS host's devices: the point windows
+    # differ per process, so a global-mesh CSVM (e.g. devices="all" inside
+    # a multi-process job) would place per-host-different values under a
+    # replicated global sharding — jax rejects that (assert_equal) and the
+    # semantics would be wrong anyway.  Re-scope to local devices for the
+    # duration of the local predict.
+    orig_devices = csvm.devices
+    if jax.process_count() > 1 and orig_devices is not None:
+        local = [
+            d for d in orig_devices
+            if getattr(d, "process_index", 0) == jax.process_index()
+        ]
+        csvm.devices = local if len(local) >= 2 else None
+    try:
+        if Xw.shape[0] > 0:
+            preds_local = np.asarray(
+                csvm.predict(model, DataSet(np.asarray(Xw, dtype=dtype),
+                                            dtype=dtype))
+            )
+        else:
+            preds_local = None
+    finally:
+        csvm.devices = orig_devices
 
     if nproc == 1:
         return preds_local, raw_labels, n

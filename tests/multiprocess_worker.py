@@ -361,6 +361,21 @@ def main() -> int:
             m_cli = model_mod.Model.load(model_path)
             out["cli_model_rho"] = float(m_cli.rho)
 
+            # plssvm-predict --multihost on the written model: windowed
+            # per-host scoring, process-0 writes the predictions file
+            from plssvm_tpu.cli import predict as cli_predict
+
+            pred_path = os.path.join(wd, "cli_mh.predict")
+            rc_p = cli_predict.main([
+                "-q", "--use_double_as_real_type", "--multihost",
+                f_test, model_path, pred_path,
+            ])
+            multihost_utils.process_allgather(np.asarray([rc_p]))
+            out["cli_predict_rc"] = int(rc_p)
+            out["cli_predict_exists"] = os.path.isfile(pred_path)
+            with open(pred_path) as fh:
+                out["cli_predict_lines"] = sum(1 for _ in fh)
+
         out["save_calls_total"] = save_calls["n"]
         out["ingest"] = ingest_rows
         out["ok"] = True

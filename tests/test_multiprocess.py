@@ -564,3 +564,14 @@ def test_cli_multihost_single_writer(mp_run):
         assert m["cli_model_rho"] == pytest.approx(
             m["binary_rho"], rel=1e-9, abs=1e-11
         )
+
+
+def test_cli_multihost_predict(mp_run):
+    """plssvm-predict --multihost inside the real process group: windowed
+    per-host scoring, one '\\n'-terminated label per test point written by
+    process 0, readable on every host."""
+    _, results = mp_run
+    for meta, _ in results:
+        assert meta["cli_predict_rc"] == 0
+        assert meta["cli_predict_exists"]
+        assert meta["cli_predict_lines"] == 100  # test file rows
