@@ -158,9 +158,17 @@ def _run_ladder_artifact(headline: dict) -> None:
         # distinguishes real regressions from the documented tunnel
         # transfer variance without hand re-runs
         regressions = baseline_ladder.retry_flagged(regressions, best_path)
+    # only a retry that ALSO landed below the band counts as confirmed
+    # (retry_flagged's contract); a failed/impossible retry is reported as
+    # unadjudicated, never as confirmed — an exclusive-TPU runtime where
+    # the subprocess cannot grab the device must not fabricate regressions
     confirmed = [
         r for r in regressions
-        if r.get("verdict") not in ("variance",)
+        if r.get("verdict") == "confirmed_regression"
+    ]
+    unadjudicated = [
+        r for r in regressions
+        if r.get("verdict") not in ("confirmed_regression", "variance")
     ]
     artifact = {
         "round": _next_round_number(),
@@ -170,17 +178,21 @@ def _run_ladder_artifact(headline: dict) -> None:
         "rungs": results,
         "regressions": regressions,
         "confirmed_regressions": len(confirmed),
+        "unadjudicated_flags": len(unadjudicated),
         "ladder_seconds": round(time.perf_counter() - t0, 1),
     }
     path = os.path.join(here, f"LADDER_r{artifact['round']:02d}.json")
     with open(path, "w") as fh:
         json.dump(artifact, fh, indent=1)
         fh.write("\n")
-    status = (
-        f"{len(confirmed)} CONFIRMED regression(s), "
-        f"{len(regressions) - len(confirmed)} adjudicated as variance"
-        if regressions else "all clear"
-    )
+    if regressions:
+        status = (
+            f"{len(confirmed)} CONFIRMED regression(s), "
+            f"{len(regressions) - len(confirmed) - len(unadjudicated)} "
+            f"adjudicated as variance, {len(unadjudicated)} unadjudicated"
+        )
+    else:
+        status = "all clear"
     print(
         f"[bench] ladder done in {artifact['ladder_seconds']}s -> {path} "
         f"({status})",

@@ -1036,12 +1036,35 @@ class CSVM:
                 warm=x_init_b is not None,
                 debug=self.debug,
             )
-            # host gather (no single device ever holds the full stack)
-            sharded = shard_pairs_arrays(
-                mesh,
-                X_aug_h[idx_b],          # (P_pad, m_pad, d)
-                X_aug_h[last_idx],       # (P_pad, d)
-                yb, y_last_b, maskb,
+            # device-side sharded gather: the parent operand replicates
+            # (O(n d) — small) and XLA partitions the take over the
+            # machine-sharded indices, so each device materializes ONLY
+            # its machines' stack and no single host/device ever holds
+            # the full (P_pad, m_pad, d) block
+            from jax.sharding import (
+                NamedSharding, PartitionSpec as _PSpec,
+            )
+
+            X_aug_dev = jax.device_put(
+                jnp.asarray(X_aug_h), NamedSharding(mesh, _PSpec())
+            )
+            idx_s, last_s = shard_pairs_arrays(mesh, idx_b, last_idx)
+            from .parallel.sharded import MACHINE_AXIS
+
+            mach_stack = NamedSharding(
+                mesh, _PSpec(MACHINE_AXIS, None, None)
+            )
+            mach_rows = NamedSharding(mesh, _PSpec(MACHINE_AXIS, None))
+            Xb_s = jax.jit(
+                lambda Xa, i: jnp.take(Xa, i, axis=0),
+                out_shardings=mach_stack,
+            )(X_aug_dev, idx_s)
+            xl_s = jax.jit(
+                lambda Xa, i: jnp.take(Xa, i, axis=0),
+                out_shardings=mach_rows,
+            )(X_aug_dev, last_s)
+            sharded = (Xb_s, xl_s) + shard_pairs_arrays(
+                mesh, yb, y_last_b, maskb,
             )
             extra = ()
             if weights_b is not None:

@@ -54,7 +54,7 @@ from .exceptions import InvalidParameterError
 from .kernel_functions import KernelFunctionType
 from .model import Model
 from .parameter import BackendType
-from .solver.cg import _make_kernel_matvec, ridge_cg_core, solve_checked
+from .solver.cg import _make_kernel_matvec, ridge_cg_core
 from .utils.logger import VerbosityLevel, log
 
 
@@ -541,13 +541,8 @@ def fit_one_class(
     )
 
     # CSVM(debug=True): run the ridge solves under the checkified NaN/Inf
-    # guards (solver.cg.solve_checked) — same contract as the classifier
-    if getattr(csvm, "debug", False):
-        def _call(f, *a, **k):
-            return solve_checked(f, *a, **k)
-    else:
-        def _call(f, *a, **k):
-            return f(*a, **k)
+    # guards — ONE dispatch rule, shared with every classifier tier
+    _call = csvm._solve_call
 
     with csvm._device_ctx():
         mask_d = jnp.asarray(mask)

@@ -462,12 +462,33 @@ def kernel_matvec_pallas_dual(
     mr, d = X.shape
     mc = Y.shape[0]
     in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    if tile is None or dk is None:
-        dk_auto, t_auto = _tuned_dual_tiles(mr, mc, d, precision)
-        dk = dk if dk is not None else dk_auto
-        t = tile if tile is not None else t_auto
+    if tile is None and dk is None:
+        dk, t = _tuned_dual_tiles(mr, mc, d, precision)
     else:
-        t = tile
+        # explicit override(s): validate like the auto-pick would — a
+        # non-dividing tile would silently skip rows past grid*t, and a
+        # partially-forced config must re-derive (not reuse) the other
+        # half so the pairing stays feasible
+        if dk is None:
+            dk = _pick_dual_dk(d)
+        elif d % dk != 0:
+            raise ValueError(
+                f"forced dk={dk} does not divide the feature axis {d}"
+            )
+        if tile is None:
+            t = _pick_dual_tile(mr, mc, dk)
+        else:
+            t = tile
+            vmem = 2 * t * dk * 4 + 2 * t * t * 4 + mc * 4 + 6 * t * 4
+            if (
+                mr % t != 0 or mc % t != 0
+                or vmem > _VMEM_LIMIT_BYTES - (8 << 20)
+            ):
+                raise ValueError(
+                    f"forced tile config (dk={dk}, tile={t}) is infeasible "
+                    f"for shape ({mr}, {mc}, {d}): the tile must divide the "
+                    "padded rows and fit the VMEM budget"
+                )
     nk = d // dk
     if t is None:
         raise ValueError(

@@ -110,6 +110,44 @@ def _worker_env() -> dict:
     return env
 
 
+def _spawn_workers(cmds, env, workdir):
+    """Launch the process group with per-worker log FILES (no pipes)."""
+    procs = []
+    for pid, cmd in enumerate(cmds):
+        logf = open(os.path.join(workdir, f"worker{pid}.log"), "w")
+        procs.append(
+            (subprocess.Popen(
+                cmd, env=env, stdout=logf, stderr=subprocess.STDOUT,
+                text=True, cwd=workdir,
+            ), logf)
+        )
+    return procs
+
+
+def _wait_workers(procs, timeout):
+    rcs = []
+    try:
+        for proc, logf in procs:
+            try:
+                rcs.append(proc.wait(timeout=timeout))
+            except subprocess.TimeoutExpired:
+                for q, _ in procs:
+                    q.kill()
+                raise
+    finally:
+        for _, logf in procs:
+            logf.close()
+    return rcs
+
+
+def _log_tail(workdir, pid, n=3000):
+    try:
+        with open(os.path.join(workdir, f"worker{pid}.log")) as fh:
+            return fh.read()[-n:]
+    except OSError:
+        return "<no log>"
+
+
 @pytest.fixture(scope="module")
 def mp_run(tmp_path_factory):
     """Launch the 2-process group once; all tests assert on its outputs."""
@@ -117,41 +155,31 @@ def mp_run(tmp_path_factory):
     _write_data(workdir)
     port = _free_port()
     env = _worker_env()
-    procs = []
-    for pid in range(NPROC):
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable, WORKER,
-                    "--process-id", str(pid),
-                    "--num-processes", str(NPROC),
-                    "--port", str(port),
-                    "--workdir", workdir,
-                ],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-                cwd=workdir,
-            )
-        )
-    outs = []
-    for proc in procs:
-        try:
-            stdout, stderr = proc.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((proc.returncode, stdout, stderr))
+    # worker output goes to FILES, not PIPEs: the workers are one
+    # jax.distributed group, so a sequential communicate() that drains
+    # only one worker's pipes can deadlock the whole group if another
+    # worker fills its 64 KB pipe buffer mid-collective
+    procs = _spawn_workers(
+        [
+            [
+                sys.executable, WORKER,
+                "--process-id", str(pid),
+                "--num-processes", str(NPROC),
+                "--port", str(port),
+                "--workdir", workdir,
+            ]
+            for pid in range(NPROC)
+        ],
+        env, workdir,
+    )
+    rcs = _wait_workers(procs, timeout=900)
     results = []
     for pid in range(NPROC):
-        rc, stdout, stderr = outs[pid]
+        rc = rcs[pid]
         jpath = os.path.join(workdir, f"out_p{pid}.json")
         assert rc == 0 and os.path.isfile(jpath), (
             f"worker {pid} failed (rc={rc})\n"
-            f"--- stdout ---\n{stdout[-3000:]}\n"
-            f"--- stderr ---\n{stderr[-3000:]}"
+            f"--- log tail ---\n{_log_tail(workdir, pid)}"
         )
         with open(jpath) as fh:
             meta = json.load(fh)
@@ -400,28 +428,27 @@ def test_scaling_sweep_multihost_rehearsal(tmp_path):
     env = _worker_env()
     yaml_path = str(tmp_path / "sweep.yaml")
     sweep = os.path.join(REPO, "tools", "scaling_sweep.py")
-    procs = [
-        subprocess.Popen(
+    procs = _spawn_workers(
+        [
             [
                 sys.executable, sweep, "--multihost",
                 "--coordinator", f"localhost:{port}",
                 "--num-processes", str(NPROC), "--process-id", str(pid),
                 "--n", "1024", "--d", "32", "--iters", "5",
             ]
-            + (["--performance_tracking", yaml_path] if pid == 0 else []),
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, cwd=str(tmp_path),
-        )
-        for pid in range(NPROC)
-    ]
-    outs = [p.communicate(timeout=600) for p in procs]
-    for pid, (proc, (stdout, stderr)) in enumerate(zip(procs, outs)):
-        assert proc.returncode == 0, (
-            f"sweep worker {pid} failed (rc={proc.returncode})\n"
-            f"{stderr[-2000:]}"
+            + (["--performance_tracking", yaml_path] if pid == 0 else [])
+            for pid in range(NPROC)
+        ],
+        env, str(tmp_path),
+    )
+    rcs = _wait_workers(procs, timeout=600)
+    for pid, rc in enumerate(rcs):
+        assert rc == 0, (
+            f"sweep worker {pid} failed (rc={rc})\n"
+            f"{_log_tail(str(tmp_path), pid)}"
         )
     # process 0 printed the report line and wrote the YAML schema
-    assert "scaling efficiency" in outs[0][0]
+    assert "scaling efficiency" in _log_tail(str(tmp_path), 0)
     text = open(yaml_path).read()
     for key in (
         "num_processes: 2", "num_devices:", "efficiency_percent:",
@@ -472,24 +499,23 @@ def test_four_process_topology(tmp_path):
     port = _free_port()
     env = _worker_env()
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    procs = [
-        subprocess.Popen(
+    procs = _spawn_workers(
+        [
             [
                 sys.executable, WORKER,
                 "--process-id", str(pid), "--num-processes", "4",
                 "--port", str(port), "--workdir", str(tmp_path),
                 "--scenarios", "binary,warm",
-            ],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, cwd=str(tmp_path),
-        )
-        for pid in range(4)
-    ]
-    outs = [p.communicate(timeout=900) for p in procs]
+            ]
+            for pid in range(4)
+        ],
+        env, str(tmp_path),
+    )
+    rcs = _wait_workers(procs, timeout=900)
     metas = []
-    for pid, (proc, (stdout, stderr)) in enumerate(zip(procs, outs)):
-        assert proc.returncode == 0, (
-            f"worker {pid} rc={proc.returncode}\n{stderr[-2000:]}"
+    for pid, rc in enumerate(rcs):
+        assert rc == 0, (
+            f"worker {pid} rc={rc}\n{_log_tail(str(tmp_path), pid)}"
         )
         with open(os.path.join(str(tmp_path), f"out_p{pid}.json")) as fh:
             metas.append(json.load(fh))

@@ -272,6 +272,12 @@ def retry_flagged(regressions, best_path, timeout=2400) -> list:
     documented tunnel transfer state, BENCHMARKS.md).  Returns the
     regression records augmented with ``{in_ladder, retry, retry_ratio,
     verdict}``.
+
+    The retry subprocess initializes the SAME accelerator the parent
+    still holds — fine on shared/tunneled runtimes (verified on this
+    machine), but on an exclusive-lock libtpu runtime the child cannot
+    grab the device and the flag records ``verdict="retry_failed"``;
+    bench.py reports those as UNADJUDICATED, never as confirmed.
     """
     import subprocess
     import tempfile
