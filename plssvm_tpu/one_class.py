@@ -357,14 +357,18 @@ def _run_ridge_segments(
                 int(ckpt.iteration) + int(checkpoint_interval),
                 int(max_iter),
             )
+            # hand the HOST state through: each resume_once places its
+            # own slice/device copy (the multihost variant slices its row
+            # window first — a jnp.asarray here would round-trip the full
+            # global vectors through the default device on every host)
             res = resume_once(
                 jnp.asarray(seg_end, jnp.int32),
                 (
-                    jnp.asarray(ckpt.x), jnp.asarray(ckpt.r),
-                    jnp.asarray(ckpt.d),
-                    jnp.asarray(ckpt.delta, dtype=state_dtype),
-                    jnp.asarray(ckpt.delta0, dtype=state_dtype),
-                    jnp.asarray(ckpt.iteration, jnp.int32),
+                    np.asarray(ckpt.x), np.asarray(ckpt.r),
+                    np.asarray(ckpt.d),
+                    np.asarray(ckpt.delta, dtype=state_dtype),
+                    np.asarray(ckpt.delta0, dtype=state_dtype),
+                    np.asarray(ckpt.iteration, dtype=np.int32),
                 ),
             )
         x, g, r, d, delta, delta0, it = res
@@ -497,20 +501,34 @@ def fit_one_class(
             dataset=data,
         )
 
-    block = 256
-    n_pad = int(-(-n // block) * block)
     # the Pallas kernels need 128-multiple feature counts (csvm.fit pads
     # the same way, csvm.py:469); zero feature columns are exact no-ops
     # for every kernel (|0-0| = 0, 0*0 = 0, 0/0-limit = 0)
     from .kernel_functions import DISTANCE_KERNELS, uses_pallas_kernels
 
+    pallas_kernel = csvm.backend == BackendType.PALLAS and (
+        uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS
+    )
     d_pad = (
         ((d + 127) // 128) * 128
-        if csvm.backend == BackendType.PALLAS
-        and (uses_pallas_kernels(kind) or kind in DISTANCE_KERNELS)
-        and d > 128
+        if pallas_kernel and d > 128
         else d
     )
+    if pallas_kernel:
+        # rows pad to preferred_row_multiple like CSVM.fit (csvm.py:489):
+        # past the per-call operand range, kernel_matvec_pallas_big's
+        # chunk-divisor search needs evenly splittable 128-multiple
+        # chunks — a plain 256-multiple at large prime-ish n could fall
+        # through to ONE oversized pallas_call past the 32-bit in-kernel
+        # offset fault threshold
+        from .ops.pallas_matvec import preferred_row_multiple
+
+        block = max(
+            preferred_row_multiple(n, d_pad, np.dtype(dt).itemsize), 256
+        )
+    else:
+        block = 256
+    n_pad = int(-(-n // block) * block)
     Xp = np.zeros((n_pad, d_pad), dtype=dt)
     Xp[:n, :d] = X
     mask = np.zeros(n_pad, dtype=dt)
@@ -865,11 +883,33 @@ def fit_one_class_multihost(
             from .solver.checkpoint import weights_digest_suffix
 
             params_repr += weights_digest_suffix(sample_weight)
-        # the one-class system has no folded row / label column — hash
-        # zero placeholders so the shared fingerprint helper applies
+        # the one-class system has no folded row / label column, but the
+        # fingerprint MUST still bind the data: hash this host's window
+        # bytes and allgather the per-host digests so every host derives
+        # the identical data-bound fingerprint — a stale checkpoint from
+        # a DIFFERENT same-shaped dataset must never resume (the
+        # classifier's multihost fingerprint binds via the label column
+        # + folded row; the single-host one-class path via the array
+        # itself, solver.checkpoint.problem_fingerprint)
+        import hashlib as _hashlib
+
+        local_digest = np.frombuffer(
+            _hashlib.sha256(
+                np.ascontiguousarray(X_local).tobytes()
+            ).digest(),
+            dtype=np.uint8,
+        ).astype(np.float64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            digests = np.asarray(
+                multihost_utils.process_allgather(local_digest)
+            ).reshape(-1)
+        else:
+            digests = local_digest
         fingerprint = _multihost_fingerprint(
             n_total, d, params_repr, epsilon,
-            np.zeros(1), np.zeros(1), m_pad,
+            digests, np.zeros(1), m_pad,
         )
         rep_sh = NamedSharding(mesh, P())
 
@@ -913,13 +953,16 @@ def fit_one_class_multihost(
         )[:n_total]
     iterations = int(jax.device_get(it))
 
-    _log_one_class_result(
-        iterations, max_iter, jax.device_get(delta), epsilon, nu
-    )
-    add_tracking_entry(
-        "cg", "total_runtime", (_time.perf_counter() - start) * 1000.0
-    )
-    add_tracking_entry("backend", "num_hosts", jax.process_count())
+    # one copy of the LIBSVM lines / tracking per pod, like the
+    # classifier's fit_multihost (parallel/multihost.py) — not per host
+    if jax.process_index() == 0:
+        _log_one_class_result(
+            iterations, max_iter, jax.device_get(delta), epsilon, nu
+        )
+        add_tracking_entry(
+            "cg", "total_runtime", (_time.perf_counter() - start) * 1000.0
+        )
+        add_tracking_entry("backend", "num_hosts", jax.process_count())
     rho = float(np.quantile(g, nu))
 
     # model assembly: the one-class model stores every training point.

@@ -623,6 +623,15 @@ def fit_multihost(
 
         params_repr += weights_digest_suffix(sample_weight)
     warm = initial_model is not None
+    if warm and checkpoint_path is not None:
+        # same rule as CSVM.fit/fit_multihost and the one-class paths: the
+        # checkpoint already carries the CG state, and the segments runner
+        # has no warm-argument slot — rejecting beats a shard_map arity
+        # crash for direct module-level callers
+        raise InvalidParameterError(
+            "initial_model cannot be combined with checkpoint_path (the "
+            "checkpoint already carries the solver state)!"
+        )
     warm_args = ()
     if warm:
         if initial_model.num_support_vectors != n_total:
@@ -782,10 +791,21 @@ def parse_libsvm_rows_for_host(
     global properties) but MATERIALIZES only its block of rows via the
     native windowed parser, bounding per-host data memory at O(n d / #hosts).
     Returns ``(X_local, labels_local, total_rows, num_features)``.
+
+    Row counts need NOT divide the process count: windows are the
+    balanced block split ``[n*p/P, n*(p+1)/P)`` (unlike
+    :func:`host_row_range`, which serves the PADDED training axis and
+    requires exact divisibility).
     """
+
+    def _window(n):
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        return n * pid // nproc, n * (pid + 1) // nproc
+
     begin_end = None
     if total_rows_hint is not None:
-        begin_end = host_row_range(total_rows_hint)
+        begin_end = _window(total_rows_hint)
 
     from ..native.loader import parse_libsvm_native_window
 
@@ -795,8 +815,7 @@ def parse_libsvm_rows_for_host(
         meta = parse_libsvm_native_window(filename, 0, 0, dtype=dtype)
         if meta is not None:
             _, labels_all, n, d = meta
-            begin, end = host_row_range(n)
-            begin, end = min(begin, n), min(end, n)
+            begin, end = _window(n)
             X_local, labels_all, n2, d2 = parse_libsvm_native_window(
                 filename, begin, end, dtype=dtype
             )
@@ -821,7 +840,7 @@ def parse_libsvm_rows_for_host(
 
     X, labels = parse_libsvm_file(filename, dtype=dtype)
     n = X.shape[0]
-    begin, end = host_row_range(total_rows_hint or n)
+    begin, end = _window(total_rows_hint or n)
     begin, end = min(begin, n), min(end, n)
     X_local = X[begin:end]
     labels_local = labels[begin:end] if labels is not None else None

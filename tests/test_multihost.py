@@ -620,3 +620,115 @@ class TestMultiProcessEnvDetection:
         monkeypatch.setenv("SLURM_NTASKS", "4")
         monkeypatch.setenv("SLURM_JOB_ID", "12345")
         assert not _multi_process_env()
+
+
+def test_parse_libsvm_rows_for_host_non_divisible_rows(tmp_path, monkeypatch):
+    """Row counts need not divide the process count: balanced block split
+    [n*p/P, n*(p+1)/P) (previously raised ValueError via host_row_range)."""
+    import jax as _jax
+
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel.multihost import parse_libsvm_rows_for_host
+
+    n, d = 10, 3
+    X = np.arange(n * d, dtype=np.float64).reshape(n, d)
+    y = np.where(np.arange(n) % 2 == 0, 1, -1)
+    f = str(tmp_path / "odd.libsvm")
+    write_libsvm_file(f, X, y)
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 4)
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+    X_local, labels_local, total, d_out = parse_libsvm_rows_for_host(f)
+    assert (total, d_out) == (n, d)
+    # process 1 of 4 over 10 rows: [10*1//4, 10*2//4) = [2, 5)
+    np.testing.assert_array_equal(X_local, X[2:5])
+    assert len(labels_local) == 3
+
+    # all four windows tile [0, n) exactly
+    rows = []
+    for pid in range(4):
+        monkeypatch.setattr(_jax, "process_index", lambda p=pid: p)
+        Xw, _, _, _ = parse_libsvm_rows_for_host(f)
+        rows.append(Xw.shape[0])
+    assert sum(rows) == n
+
+
+def test_fit_multihost_rejects_warm_plus_checkpoint(tmp_path):
+    """The module-level entry point must reject initial_model together
+    with checkpoint_path cleanly (previously a shard_map arity crash)."""
+    import plssvm_tpu
+    from plssvm_tpu.exceptions import InvalidParameterError
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    from conftest import make_blobs
+
+    X, y = make_blobs(64, 4, seed=3)
+    f = str(tmp_path / "wc.libsvm")
+    write_libsvm_file(f, X, y)
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+    try:
+        svm = plssvm_tpu.CSVM(kernel_type="rbf", dtype=np.float64)
+        model = svm.fit_multihost(f, epsilon=1e-6)
+        with pytest.raises(InvalidParameterError, match="checkpoint"):
+            mh.fit_multihost(
+                svm, f, epsilon=1e-6, initial_model=model,
+                checkpoint_path=str(tmp_path / "ck.ckpt"),
+            )
+    finally:
+        mh.global_row_mesh = orig
+
+
+def test_one_class_multihost_checkpoint_fingerprint_binds_data(
+    tmp_path, monkeypatch
+):
+    """The one-class multihost checkpoint fingerprint must BIND THE DATA:
+    two same-shaped datasets get different fingerprints (a stale
+    checkpoint from dataset A must never resume dataset B's solve), and
+    repeated runs on the same data agree (host-identical digests)."""
+    import plssvm_tpu
+    from plssvm_tpu import fit_one_class_multihost
+    from plssvm_tpu.io.libsvm import write_libsvm_file
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+
+    rng = np.random.default_rng(0)
+    n, d = 80, 6
+    fa = str(tmp_path / "a.libsvm")
+    fb = str(tmp_path / "b.libsvm")
+    write_libsvm_file(fa, rng.normal(size=(n, d)), np.ones(n, dtype=int))
+    write_libsvm_file(fb, rng.normal(size=(n, d)), np.ones(n, dtype=int))
+
+    captured = []
+    orig_fp = mh._multihost_fingerprint
+
+    def spy(*a, **k):
+        fp = orig_fp(*a, **k)
+        captured.append(fp)
+        return fp
+
+    monkeypatch.setattr(mh, "_multihost_fingerprint", spy)
+    orig_mesh = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+    try:
+        svm = plssvm_tpu.CSVM(kernel_type="rbf", dtype=np.float64)
+        for f in (fa, fb, fa):
+            fit_one_class_multihost(
+                svm, f, nu=0.2, epsilon=1e-8,
+                checkpoint_path=str(tmp_path / "oc.ckpt"),
+                checkpoint_interval=10_000,
+            )
+    finally:
+        mh.global_row_mesh = orig_mesh
+    assert len(captured) == 3
+    assert captured[0] != captured[1]  # different data -> different fp
+    assert captured[0] == captured[2]  # same data -> identical fp
