@@ -1020,6 +1020,12 @@ def cg_ls_svm_pairs_core(
                 "iteration {it}",
                 it=s.it,
             )
+            checkify.check(
+                jnp.all(jnp.isfinite(x)),
+                "pair-CG iterate contains non-finite values at "
+                "iteration {it}",
+                it=s.it,
+            )
         if use_pcg:
             z = precond(r)
             rz = bdot(r, z)

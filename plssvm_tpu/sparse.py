@@ -223,6 +223,40 @@ def _kmm_inv_sqrt(K_mm: np.ndarray, rcond: float) -> np.ndarray:
     return (V * inv_sqrt[None, :]) @ V.T
 
 
+def _validated_weights(sample_weight, n) -> np.ndarray:
+    """Suykens per-sample weights as a validated (n,) f64 vector (ones
+    when unweighted) — ONE rule for every sparse fit variant."""
+    if sample_weight is None:
+        return np.ones(n, dtype=np.float64)
+    s = np.asarray(sample_weight, dtype=np.float64)
+    if s.shape != (n,):
+        raise InvalidParameterError(
+            f"sample_weight must have one entry per data point ({n}), "
+            f"but has shape {s.shape}!"
+        )
+    if not np.all(s > 0.0):
+        raise InvalidParameterError(
+            "sample_weight entries must all be positive!"
+        )
+    return s
+
+
+def _resolve_kernel_params(csvm, d):
+    """(params, kind, gamma_v, coef0_v, degree_v, cost) with the gamma
+    default resolved against d — ONE rule for every sparse fit variant
+    (also enables x64 when the dtype needs it)."""
+    from .csvm import _ensure_x64_if_needed
+
+    _ensure_x64_if_needed(csvm.dtype)
+    params = csvm.params.copy()
+    if params.gamma.is_default():
+        params.gamma.value = 1.0 / d
+    return (
+        params, params.kernel_type.value, params.resolved_gamma(d),
+        params.coef0.value, params.degree.value, params.cost.value,
+    )
+
+
 def _landmark_basis(Zd, kind, gamma, coef0, degree, rcond, dt):
     """The m-landmark Nystroem basis pieces (one rule for every fit path).
 
@@ -352,18 +386,28 @@ def _nystroem_reduce(
     return A, c, u
 
 
-def _nystroem_reduce_sharded_fn(mesh, kind, gamma, coef0, degree, block):
+_NYSTROEM_SHARDED_CACHE: dict = {}
+
+
+def _nystroem_reduce_sharded_fn(mesh, kind, degree, block):
     """The jitted shard_map'ped Nystroem reduction over a 1-D device mesh
     (operands expected already placed: X/s/Y row-sharded, Z/inv_sqrt
-    replicated).  Factored out so the multi-host variant can place its
-    per-process windows via make_array_from_process_local_data."""
+    replicated; gamma/coef0 are TRACED trailing arguments).  Factored out
+    so the multi-host variant can place its per-process windows via
+    make_array_from_process_local_data.  Cached per (mesh, kind, degree,
+    block): CV/calibration folds call the fit repeatedly, and a fresh
+    closure per call would re-trace the reduction every fold."""
+    key = (mesh, kind, degree, block)
+    cached = _NYSTROEM_SHARDED_CACHE.get(key)
+    if cached is not None:
+        return cached
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharded import ROW_AXIS
 
     row, rep = P(ROW_AXIS), P()
 
-    def local(Xl, sl, Yl, Zr, ivr):
+    def local(Xl, sl, Yl, Zr, ivr, gamma, coef0):
         A, c, u = _nystroem_reduce(
             Xl, sl, Yl, Zr, ivr, kind, gamma, coef0, degree, block,
             vary_axis=ROW_AXIS,
@@ -374,13 +418,22 @@ def _nystroem_reduce_sharded_fn(mesh, kind, gamma, coef0, degree, block):
             jax.lax.psum(u, ROW_AXIS),
         )
 
-    return jax.jit(
+    fn = jax.jit(
         jax.shard_map(
             local, mesh=mesh,
-            in_specs=(row, row, row, rep, rep),
+            in_specs=(row, row, row, rep, rep, rep, rep),
             out_specs=(rep, rep, rep),
         )
     )
+    _NYSTROEM_SHARDED_CACHE[key] = fn
+    return fn
+
+
+#: module-level jit: CV folds / calibration refits share the trace cache
+#: (a fresh jax.jit wrapper per fit would re-trace every call)
+_nystroem_reduce_jit = jax.jit(
+    _nystroem_reduce, static_argnames=("kind", "degree", "block")
+)
 
 
 def _nystroem_reduce_sharded(
@@ -399,13 +452,15 @@ def _nystroem_reduce_sharded(
     from .parallel.sharded import ROW_AXIS
 
     row, rep = P(ROW_AXIS), P()
-    fn = _nystroem_reduce_sharded_fn(mesh, kind, gamma, coef0, degree, block)
+    fn = _nystroem_reduce_sharded_fn(mesh, kind, degree, block)
+    # device_put shards HOST arrays straight to their owners — callers
+    # pass numpy so no single device ever stages the full padded operand
     Xp = jax.device_put(Xp, NamedSharding(mesh, row))
     s = jax.device_put(s, NamedSharding(mesh, row))
     Yp = jax.device_put(Yp, NamedSharding(mesh, row))
     Z = jax.device_put(Z, NamedSharding(mesh, rep))
     inv_sqrt = jax.device_put(inv_sqrt, NamedSharding(mesh, rep))
-    return fn(Xp, s, Yp, Z, inv_sqrt)
+    return fn(Xp, s, Yp, Z, inv_sqrt, gamma, coef0)
 
 
 def nystroem_fit(
@@ -440,6 +495,21 @@ def nystroem_fit(
     """
     n = data.num_data_points
     d = data.num_features
+    if not data.is_regression:
+        # same front-door rules as CSVM.fit: unlabeled data and
+        # single-class data must fail cleanly, not deep in the target
+        # assembly (data.mapper is None without labels)
+        if not data.has_labels():
+            raise InvalidParameterError(
+                "No labels given for training! Maybe the data is only "
+                "usable for prediction?"
+            )
+        if data.num_different_labels < 2:
+            raise InvalidParameterError(
+                f"At least two classes are needed for classification, but "
+                f"the training data contains only "
+                f"{data.num_different_labels}!"
+            )
     if landmarks is not None:
         raw_idx = np.asarray(landmarks, dtype=np.int64)
         idx = np.unique(raw_idx)
@@ -479,32 +549,11 @@ def nystroem_fit(
         Y = data.mapper.oaa_targets(np.asarray(data.labels), dtype=np.float64)
     C_classes = Y.shape[1]
 
-    if sample_weight is not None:
-        sample_weight = np.asarray(sample_weight, dtype=np.float64)
-        if sample_weight.shape != (n,):
-            raise InvalidParameterError(
-                f"sample_weight must have one entry per data point ({n}), "
-                f"but has shape {sample_weight.shape}!"
-            )
-        if not np.all(sample_weight > 0.0):
-            raise InvalidParameterError(
-                "sample_weight entries must all be positive!"
-            )
-        s = sample_weight
-    else:
-        s = np.ones(n, dtype=np.float64)
+    s = _validated_weights(sample_weight, n)
 
-    from .csvm import _ensure_x64_if_needed
-
-    _ensure_x64_if_needed(csvm.dtype)
-    params = csvm.params.copy()
-    if params.gamma.is_default():
-        params.gamma.value = 1.0 / d
-    kind = params.kernel_type.value
-    gamma_v = params.resolved_gamma(d)
-    coef0_v = params.coef0.value
-    degree_v = params.degree.value
-    cost = params.cost.value
+    params, kind, gamma_v, coef0_v, degree_v, cost = (
+        _resolve_kernel_params(csvm, d)
+    )
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
@@ -527,23 +576,20 @@ def nystroem_fit(
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        sqZ, inv_sqrt, _ = _landmark_basis(
+        sqZ, inv_sqrt, ivr = _landmark_basis(
             Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
         if n_dev > 1:
             from .parallel.sharded import make_row_mesh
 
             A, c, u = _nystroem_reduce_sharded(
-                make_row_mesh(devices), jnp.asarray(Xp), jnp.asarray(sp),
-                jnp.asarray(Yp), Zd, jnp.asarray(inv_sqrt, dtype=dt),
+                make_row_mesh(devices), Xp, sp, Yp, Zd, ivr,
                 kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block,
             )
         else:
-            A, c, u = jax.jit(
-                _nystroem_reduce, static_argnames=("kind", "degree", "block")
-            )(
+            A, c, u = _nystroem_reduce_jit(
                 jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
-                jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
+                ivr, kind=kind,
                 gamma=dt.type(gamma_v), coef0=dt.type(coef0_v),
                 degree=degree_v, block=block,
             )
@@ -762,32 +808,11 @@ def nystroem_fit_from_file(
     C_classes = Y.shape[1]
     m = idx.shape[0]
 
-    if sample_weight is not None:
-        sample_weight = np.asarray(sample_weight, dtype=np.float64)
-        if sample_weight.shape != (n,):
-            raise InvalidParameterError(
-                f"sample_weight must have one entry per data point ({n}), "
-                f"but has shape {sample_weight.shape}!"
-            )
-        if not np.all(sample_weight > 0.0):
-            raise InvalidParameterError(
-                "sample_weight entries must all be positive!"
-            )
-        s = sample_weight
-    else:
-        s = np.ones(n, dtype=np.float64)
+    s = _validated_weights(sample_weight, n)
 
-    from .csvm import _ensure_x64_if_needed
-
-    _ensure_x64_if_needed(csvm.dtype)
-    params = csvm.params.copy()
-    if params.gamma.is_default():
-        params.gamma.value = 1.0 / d
-    kind = params.kernel_type.value
-    gamma_v = params.resolved_gamma(d)
-    coef0_v = params.coef0.value
-    degree_v = params.degree.value
-    cost = params.cost.value
+    params, kind, gamma_v, coef0_v, degree_v, cost = (
+        _resolve_kernel_params(csvm, d)
+    )
     dt = csvm.dtype
 
     # ---- pass 1: gather the landmark rows (one O(m d) selected parse) ----
@@ -963,29 +988,11 @@ def nystroem_fit_multihost(
     C_classes = Y.shape[1]
     m = idx.shape[0]
 
-    if sample_weight is not None:
-        sample_weight = np.asarray(sample_weight, dtype=np.float64)
-        if sample_weight.shape != (n,):
-            raise InvalidParameterError(
-                f"sample_weight must have one entry per data point ({n}), "
-                f"but has shape {sample_weight.shape}!"
-            )
-        if not np.all(sample_weight > 0.0):
-            raise InvalidParameterError(
-                "sample_weight entries must all be positive!"
-            )
-        s = sample_weight
-    else:
-        s = np.ones(n, dtype=np.float64)
+    s = _validated_weights(sample_weight, n)
 
-    params = csvm.params.copy()
-    if params.gamma.is_default():
-        params.gamma.value = 1.0 / d
-    kind = params.kernel_type.value
-    gamma_v = params.resolved_gamma(d)
-    coef0_v = params.coef0.value
-    degree_v = params.degree.value
-    cost = params.cost.value
+    params, kind, gamma_v, coef0_v, degree_v, cost = (
+        _resolve_kernel_params(csvm, d)
+    )
 
     # ---- landmark rows: every host gathers the same O(m d) block ----
     if X_all is not None:
@@ -1046,9 +1053,10 @@ def nystroem_fit_multihost(
     _sqZ, inv_sqrt, ivr = _landmark_basis(
         Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
     )
-    A, c, u = _nystroem_reduce_sharded_fn(
-        mesh, kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block
-    )(X_g, s_g, Y_g, Zd, ivr)
+    A, c, u = _nystroem_reduce_sharded_fn(mesh, kind, degree_v, block)(
+        X_g, s_g, Y_g, Zd, ivr,
+        jnp.asarray(gamma_v, dtype=dt), jnp.asarray(coef0_v, dtype=dt),
+    )
 
     def _host_copy(arr):
         # the psum'd outputs are REPLICATED: every local device holds the
@@ -1143,17 +1151,9 @@ def nystroem_fit_one_class_from_file(
     idx = np.sort(rng.choice(n, size=int(n_landmarks), replace=False))
     m = idx.shape[0]
 
-    from .csvm import _ensure_x64_if_needed
-
-    _ensure_x64_if_needed(csvm.dtype)
-    params = csvm.params.copy()
-    if params.gamma.is_default():
-        params.gamma.value = 1.0 / d
-    kind = params.kernel_type.value
-    gamma_v = params.resolved_gamma(d)
-    coef0_v = params.coef0.value
-    degree_v = params.degree.value
-    cost = params.cost.value
+    params, kind, gamma_v, coef0_v, degree_v, cost = (
+        _resolve_kernel_params(csvm, d)
+    )
     dt = csvm.dtype
 
     Z = _parse_rows_checked(filename, spans[idx], d, dt)
@@ -1384,17 +1384,9 @@ def nystroem_fit_one_class(
         idx = np.sort(rng.choice(n, size=int(n_landmarks), replace=False))
     m = idx.shape[0]
 
-    from .csvm import _ensure_x64_if_needed
-
-    _ensure_x64_if_needed(csvm.dtype)
-    params = csvm.params.copy()
-    if params.gamma.is_default():
-        params.gamma.value = 1.0 / d
-    kind = params.kernel_type.value
-    gamma_v = params.resolved_gamma(d)
-    coef0_v = params.coef0.value
-    degree_v = params.degree.value
-    cost = params.cost.value
+    params, kind, gamma_v, coef0_v, degree_v, cost = (
+        _resolve_kernel_params(csvm, d)
+    )
 
     dt = csvm.dtype
     X = np.asarray(data.data, dtype=dt)
@@ -1405,19 +1397,7 @@ def nystroem_fit_one_class(
     Z = X[idx]
     # the support-function target is the constant 1 (one_class.py)
     Y = np.ones((n, 1), dtype=np.float64)
-    if sample_weight is not None:
-        s = np.asarray(sample_weight, dtype=np.float64)
-        if s.shape != (n,):
-            raise InvalidParameterError(
-                f"sample_weight must have one entry per data point ({n}), "
-                f"but has shape {s.shape}!"
-            )
-        if not np.all(s > 0.0):
-            raise InvalidParameterError(
-                "sample_weight entries must all be positive!"
-            )
-    else:
-        s = np.ones(n, dtype=np.float64)
+    s = _validated_weights(sample_weight, n)
 
     devices = getattr(csvm, "devices", None)
     n_dev = len(devices) if devices else 1
@@ -1432,23 +1412,20 @@ def nystroem_fit_one_class(
 
     with csvm._device_ctx():
         Zd = jnp.asarray(Z)
-        _sqZ, inv_sqrt, _ = _landmark_basis(
+        _sqZ, inv_sqrt, ivr = _landmark_basis(
             Zd, kind, gamma_v, coef0_v, degree_v, rcond, dt
         )
         if n_dev > 1:
             from .parallel.sharded import make_row_mesh
 
             A, c, _u = _nystroem_reduce_sharded(
-                make_row_mesh(devices), jnp.asarray(Xp), jnp.asarray(sp),
-                jnp.asarray(Yp), Zd, jnp.asarray(inv_sqrt, dtype=dt),
+                make_row_mesh(devices), Xp, sp, Yp, Zd, ivr,
                 kind, dt.type(gamma_v), dt.type(coef0_v), degree_v, block,
             )
         else:
-            A, c, _u = jax.jit(
-                _nystroem_reduce, static_argnames=("kind", "degree", "block")
-            )(
+            A, c, _u = _nystroem_reduce_jit(
                 jnp.asarray(Xp), jnp.asarray(sp), jnp.asarray(Yp), Zd,
-                jnp.asarray(inv_sqrt, dtype=dt), kind=kind,
+                ivr, kind=kind,
                 gamma=dt.type(gamma_v), coef0=dt.type(coef0_v),
                 degree=degree_v, block=block,
             )
