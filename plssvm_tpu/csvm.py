@@ -2268,7 +2268,9 @@ class CSVM:
 
         multi = alpha.ndim == 2
         n_classes = alpha.shape[1] if multi else 1
-        cp = max(8, -(-n_classes // 8) * 8)
+        from .ops.pallas_matvec import class_pad
+
+        cp = class_pad(n_classes)
 
         n_pred, d_in = points.shape
         n_sv = sv.shape[0]

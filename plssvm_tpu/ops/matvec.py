@@ -83,8 +83,13 @@ def kernel_matvec_xla(
     m, _ = X.shape
     block = min(row_block, m)
     if m % block != 0:
-        # caller pads to a multiple of row_block; fall back to a single block
-        block = m
+        # caller pads to a multiple of row_block; otherwise keep memory
+        # bounded with the largest divisor <= row_block (a single (m, m)
+        # block would materialize the full kernel matrix — 160 GB at 200k
+        # rows — which this module exists to avoid)
+        from ..kernel_functions import _largest_divisor_leq
+
+        block = _largest_divisor_leq(m, block)
     nb = m // block
 
     Xb = X.reshape(nb, block, X.shape[1])
@@ -171,12 +176,24 @@ def assemble_matvec(
     cost_inv,
     mask: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Apply the rank-1 epilogue: A_hat @ v from K @ v.
+    """REFERENCE implementation of the rank-1 epilogue (golden checks):
 
         A_hat @ v = K@v + (QA_cost - q) * sum(v) - (q.v) * 1 + (1/C) * v
 
     ``mask`` zeroes padded output rows (1.0 on real rows, 0.0 on padding).
+    The solver cores (solver/cg.py ``_matvec_with``/``_matmat_with``)
+    inline this formula with INJECTED reductions (psum'd dot/sum on
+    meshes, compensated folds, per-column sums for the (m, C) block, the
+    weighted 1/(C s_i) term) — they cannot delegate here, so this stays
+    a single-vector reference the epilogue tests pin against the NumPy
+    goldens.  Binary vectors only by contract.
     """
+    if v.ndim != 1:
+        raise ValueError(
+            "assemble_matvec is the single-vector reference epilogue; "
+            "(m, C) blocks need per-column sums (solver/cg.py "
+            "_matmat_with)"
+        )
     s = jnp.sum(v)
     qv = jnp.dot(q, v)
     out = kernel_matvec_out + (QA_cost - q) * s - qv + cost_inv * v

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kernel_functions import DISTANCE_KERNELS
 from ..parameter import KernelFunctionType
 from .pallas_matvec import (
+    chunk_spans,
     _SYM_TILES,
     _VMEM_LIMIT_BYTES,
     _dual_index_maps,
@@ -507,12 +508,6 @@ def distance_matmat_pallas_big(
     Vt = pack_class_major(V)
     dk = _pick_dist_dk(d)
 
-    def _chunk_ok(nc_: int) -> bool:
-        if m % nc_ != 0 or (m // nc_) % 128 != 0:
-            return False
-        rows_ = m // nc_
-        return _pick_dist_tile_multi(rows_, rows_, dk, cp) is not None
-
     total = m * d * 4
     per_elem = 3 if kind == KernelFunctionType.LAPLACIAN else 6
     rows_max = max(128, int((_DIST_CHUNK_TARGET_OPS / (per_elem * d)) ** 0.5))
@@ -521,34 +516,37 @@ def distance_matmat_pallas_big(
         -(-total // CHUNK_TARGET_BYTES),
         -(-m // rows_max),
     )
-    # bounded divisor search — see distance_matvec_pallas_big
-    while nc <= min(m // 128, 128) and not _chunk_ok(nc):
-        nc += 1
-    if nc == 1 or nc > 128 or not _chunk_ok(nc):
+    rows_target = max(((-(-m // nc)) // 128) * 128, 128)
+    # the VMEM-resident (cp, rows) accumulator must also fit
+    while (
+        rows_target > 128
+        and _pick_dist_tile_multi(rows_target, rows_target, dk, cp) is None
+    ):
+        rows_target -= 128
+    if nc == 1 and _pick_dist_tile_multi(m, m, dk, cp) is not None:
         outr, outc = distance_matmat_pallas_dual(
             X, X, Vt, Vt, kind=kind, gamma=gamma, symmetric=True,
         )
         return (outr + outc).T[:, :C].astype(V.dtype)
 
-    rows = m // nc
-    Xc = X.reshape(nc, rows, d)
-    Vc = Vt.reshape(cp, nc, rows)
+    spans = chunk_spans(m, rows_target)
 
     outs = []
-    for ci in range(nc):
+    for a0, a1 in spans:
         r, c = distance_matmat_pallas_dual(
-            Xc[ci], Xc[ci], Vc[:, ci], Vc[:, ci],
+            X[a0:a1], X[a0:a1], Vt[:, a0:a1], Vt[:, a0:a1],
             kind=kind, gamma=gamma, symmetric=True,
         )
         outs.append(r + c)
-    for ci in range(nc):
-        for cj in range(ci + 1, nc):
+    for i, (a0, a1) in enumerate(spans):
+        for j in range(i + 1, len(spans)):
+            b0, b1 = spans[j]
             r, c = distance_matmat_pallas_dual(
-                Xc[ci], Xc[cj], Vc[:, cj], Vc[:, ci],
+                X[a0:a1], X[b0:b1], Vt[:, b0:b1], Vt[:, a0:a1],
                 kind=kind, gamma=gamma, symmetric=False,
             )
-            outs[ci] = outs[ci] + r
-            outs[cj] = outs[cj] + c
+            outs[i] = outs[i] + r
+            outs[j] = outs[j] + c
     return jnp.concatenate(
         outs, axis=1
     ).T[:, :C].astype(V.dtype)
@@ -582,37 +580,32 @@ def distance_matvec_pallas_big(
         -(-total // CHUNK_TARGET_BYTES),
         -(-m // rows_max),
     )
-    # bounded divisor search: m/128 can be prime, in which case the only
-    # exact chunking is m/128 chunks — a triangle of ~(m/256)^2 pallas
-    # calls that would hang compilation.  Past the cap, fall back to ONE
-    # call (the trace-time watchdog warning covers the runtime risk).
-    while nc <= min(m // 128, 128) and (
-        m % nc != 0 or (m // nc) % 128 != 0
-    ):
-        nc += 1
-    if nc == 1 or nc > 128 or m % nc != 0 or (m // nc) % 128 != 0:
+    if nc == 1:
         outr, outc = distance_matvec_pallas_dual(
             X, X, v, v, kind=kind, gamma=gamma, symmetric=True,
         )
         return (outr + outc).astype(X.dtype)
 
-    rows = m // nc
-    Xc = X.reshape(nc, rows, d)
-    vc = v.reshape(nc, rows)
+    # 128-aligned SPANS, not exact divisors (see
+    # pallas_matvec.chunk_spans): the byte AND ops caps hold for ANY
+    # padded row count — the old divisor search silently fell back to
+    # one oversized call at prime m/128, the documented worker-crash mode
+    spans = chunk_spans(m, -(-m // nc))
 
     outs = []
-    for ci in range(nc):
+    for a0, a1 in spans:
         r, c = distance_matvec_pallas_dual(
-            Xc[ci], Xc[ci], vc[ci], vc[ci],
+            X[a0:a1], X[a0:a1], v[a0:a1], v[a0:a1],
             kind=kind, gamma=gamma, symmetric=True,
         )
         outs.append(r + c)
-    for ci in range(nc):
-        for cj in range(ci + 1, nc):
+    for i, (a0, a1) in enumerate(spans):
+        for j in range(i + 1, len(spans)):
+            b0, b1 = spans[j]
             r, c = distance_matvec_pallas_dual(
-                Xc[ci], Xc[cj], vc[cj], vc[ci],
+                X[a0:a1], X[b0:b1], v[b0:b1], v[a0:a1],
                 kind=kind, gamma=gamma, symmetric=False,
             )
-            outs[ci] = outs[ci] + r
-            outs[cj] = outs[cj] + c
+            outs[i] = outs[i] + r
+            outs[j] = outs[j] + c
     return jnp.concatenate(outs).astype(X.dtype)

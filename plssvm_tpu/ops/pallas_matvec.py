@@ -562,6 +562,25 @@ def kernel_matvec_pallas_dual(
 CHUNK_TARGET_BYTES = 1 << 30
 
 
+def chunk_spans(m: int, rows_target: int):
+    """128-aligned row spans covering [0, m) with chunks <= ~rows_target.
+
+    Every span is a 128-multiple (m itself must be one); the last span
+    takes the remainder.  Unlike the former exact-divisor search this
+    NEVER degenerates to a single un-chunked call — a prime m/128 simply
+    gets one short remainder chunk, so the per-call byte/ops caps hold
+    for ANY padded row count.  The chunk count is bounded at ~128 (a
+    triangle of more calls would hang compilation); that bound only
+    binds for operands far past any real HBM.
+    """
+    step = max(-(-rows_target // 128) * 128, 128)
+    step = max(step, -(-(-(-m // 128)) // 128) * 128)  # <= ~128 chunks
+    bounds = list(range(0, m, step)) + [m]
+    if bounds[-2] == m:
+        bounds.pop(-2)
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
 def preferred_row_multiple(dept: int, d_pad: int, itemsize: int = 4) -> int:
     """Row-padding multiple CSVM.fit should use on the Pallas path.
 
@@ -599,15 +618,7 @@ def kernel_matvec_pallas_big(
     itemsize = 2 if precision == "bf16" else 4
     total = m * d * itemsize
     nc = max(1, -(-total // CHUNK_TARGET_BYTES))
-    # bounded divisor search: a prime m/128 would otherwise degenerate to
-    # m/128 chunks (a compilation-hanging triangle of calls); past the
-    # cap, one call (CSVM.fit's preferred_row_multiple padding makes the
-    # capped case unreachable from the standard front end)
-    while nc <= min(m // 128, 128) and (
-        m % nc != 0 or (m // nc) % 128 != 0
-    ):
-        nc += 1
-    if nc == 1 or nc > 128 or m % nc != 0 or (m // nc) % 128 != 0:
+    if nc == 1:
         outr, outc = kernel_matvec_pallas_dual(
             X, X, sq_norms, sq_norms, v, v,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
@@ -615,28 +626,32 @@ def kernel_matvec_pallas_big(
         )
         return (outr + outc).astype(X.dtype)
 
-    rows = m // nc
-    Xc = X.reshape(nc, rows, d)
-    sqc = sq_norms.reshape(nc, rows)
-    vc = v.reshape(nc, rows)
+    # 128-aligned SPANS, not exact divisors: any padded m chunks cleanly
+    # (a short remainder chunk at worst), so the per-call byte cap holds
+    # for every row count — the old divisor search silently fell back to
+    # ONE oversized call when m/128 was prime
+    spans = chunk_spans(m, -(-m // nc))
 
     outs = []
-    for ci in range(nc):
+    for a0, a1 in spans:
         r, c = kernel_matvec_pallas_dual(
-            Xc[ci], Xc[ci], sqc[ci], sqc[ci], vc[ci], vc[ci],
+            X[a0:a1], X[a0:a1], sq_norms[a0:a1], sq_norms[a0:a1],
+            v[a0:a1], v[a0:a1],
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
             precision=precision, symmetric=True,
         )
         outs.append(r + c)
-    for ci in range(nc):
-        for cj in range(ci + 1, nc):
+    for i, (a0, a1) in enumerate(spans):
+        for j in range(i + 1, len(spans)):
+            b0, b1 = spans[j]
             r, c = kernel_matvec_pallas_dual(
-                Xc[ci], Xc[cj], sqc[ci], sqc[cj], vc[cj], vc[ci],
+                X[a0:a1], X[b0:b1], sq_norms[a0:a1], sq_norms[b0:b1],
+                v[b0:b1], v[a0:a1],
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
                 precision=precision, symmetric=False,
             )
-            outs[ci] = outs[ci] + r
-            outs[cj] = outs[cj] + c
+            outs[i] = outs[i] + r
+            outs[j] = outs[j] + c
     return jnp.concatenate(outs).astype(X.dtype)
 
 
@@ -922,23 +937,18 @@ def kernel_matmat_pallas_big(
     total = m * d * itemsize
     dk = _pick_dual_dk(d)
 
-    def _chunk_ok(nc_: int) -> bool:
-        # chunks must divide evenly into 128-multiples AND leave room for
-        # the VMEM-resident (cp, rows) column accumulator — many classes
-        # over tall chunks can exhaust the budget even when the operand
-        # itself is within the per-call byte range
-        if m % nc_ != 0 or (m // nc_) % 128 != 0:
-            return False
-        rows_ = m // nc_
-        return _pick_dual_tile_multi(rows_, rows_, dk, cp) is not None
-
     nc = max(1, -(-total // CHUNK_TARGET_BYTES))
-    # bounded divisor search — see kernel_matvec_pallas_big
-    while nc <= min(m // 128, 128) and not _chunk_ok(nc):
-        nc += 1
-    if nc == 1 or nc > 128 or not _chunk_ok(nc):
-        # one call (or no feasible chunking exists, in which case the dual
-        # kernel raises its descriptive tile error)
+    rows_target = -(-m // nc)
+    # the VMEM-resident (cp, rows) column accumulator must also fit —
+    # many classes over tall chunks can exhaust the budget even when the
+    # operand itself is within the per-call byte range
+    rows_target = max((rows_target // 128) * 128, 128)
+    while (
+        rows_target > 128
+        and _pick_dual_tile_multi(rows_target, rows_target, dk, cp) is None
+    ):
+        rows_target -= 128
+    if nc == 1 and _pick_dual_tile_multi(m, m, dk, cp) is not None:
         outr, outc = kernel_matmat_pallas_dual(
             X, X, sq_norms, sq_norms, Vt, Vt,
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
@@ -946,28 +956,28 @@ def kernel_matmat_pallas_big(
         )
         return (outr + outc).T[:, :C].astype(V.dtype)
 
-    rows = m // nc
-    Xc = X.reshape(nc, rows, d)
-    sqc = sq_norms.reshape(nc, rows)
-    Vc = Vt.reshape(cp, nc, rows)
+    spans = chunk_spans(m, rows_target)
 
     outs = []
-    for ci in range(nc):
+    for a0, a1 in spans:
         r, c = kernel_matmat_pallas_dual(
-            Xc[ci], Xc[ci], sqc[ci], sqc[ci], Vc[:, ci], Vc[:, ci],
+            X[a0:a1], X[a0:a1], sq_norms[a0:a1], sq_norms[a0:a1],
+            Vt[:, a0:a1], Vt[:, a0:a1],
             kind=kind, gamma=gamma, coef0=coef0, degree=degree,
             precision=precision, symmetric=True,
         )
         outs.append(r + c)
-    for ci in range(nc):
-        for cj in range(ci + 1, nc):
+    for i, (a0, a1) in enumerate(spans):
+        for j in range(i + 1, len(spans)):
+            b0, b1 = spans[j]
             r, c = kernel_matmat_pallas_dual(
-                Xc[ci], Xc[cj], sqc[ci], sqc[cj], Vc[:, cj], Vc[:, ci],
+                X[a0:a1], X[b0:b1], sq_norms[a0:a1], sq_norms[b0:b1],
+                Vt[:, b0:b1], Vt[:, a0:a1],
                 kind=kind, gamma=gamma, coef0=coef0, degree=degree,
                 precision=precision, symmetric=False,
             )
-            outs[ci] = outs[ci] + r
-            outs[cj] = outs[cj] + c
+            outs[i] = outs[i] + r
+            outs[j] = outs[j] + c
     out = jnp.concatenate(outs, axis=1)
     return out.T[:, :C].astype(V.dtype)
 

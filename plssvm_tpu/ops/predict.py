@@ -60,13 +60,20 @@ def predict_values(
     sq_sv = jnp.sum(support_vectors * support_vectors, axis=-1)
 
     if impl == "pallas":
-        from .pallas_matvec import kernel_matvec_pallas_rect
+        from ..kernel_functions import DISTANCE_KERNELS
 
-        out = kernel_matvec_pallas_rect(
-            predict_points, support_vectors, sq_pred, sq_sv, alpha,
-            kind=kind, gamma=gamma, coef0=coef0, degree=degree,
-        )
-        return out - rho
+        if alpha.ndim == 1 and kind not in DISTANCE_KERNELS:
+            from .pallas_matvec import kernel_matvec_pallas_rect
+
+            out = kernel_matvec_pallas_rect(
+                predict_points, support_vectors, sq_pred, sq_sv, alpha,
+                kind=kind, gamma=gamma, coef0=coef0, degree=degree,
+            )
+            return out - rho
+        # (n_sv, C) one-vs-all blocks and the distance kernels have their
+        # own fused paths in csvm._predict_values_pallas (class-major
+        # matmat / distance rect walks); this low-level helper falls back
+        # to the XLA block instead of crashing on a reshape at trace time
 
     K = kernel_block(
         predict_points, support_vectors, sq_pred, sq_sv,

@@ -879,3 +879,73 @@ class TestTileTable:
         )
         np.testing.assert_allclose(got, K @ np.asarray(v),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestChunkSpans:
+    """chunk_spans (round 8): 128-aligned row spans replace the exact-
+    divisor search, so the per-call byte/ops caps hold for ANY padded row
+    count — the old search silently fell back to ONE un-chunked call
+    when m/128 was prime (the documented worker-crash mode)."""
+
+    def test_spans_cover_and_align(self):
+        from plssvm_tpu.ops.pallas_matvec import chunk_spans
+
+        for m, target in (
+            (1024, 512), (640, 256), (128 * 101, 128 * 7),  # prime m/128
+            (128, 4096), (1048576, 262144),
+        ):
+            spans = chunk_spans(m, target)
+            assert spans[0][0] == 0 and spans[-1][1] == m
+            for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+                assert a1 == b0
+            for a0, a1 in spans:
+                assert (a1 - a0) % 128 == 0 and a1 > a0
+
+    def test_prime_row_count_still_chunks(self):
+        """The case the old divisor search could NOT chunk: m/128 prime
+        and the operand past the per-call target must still split."""
+        from plssvm_tpu.ops.pallas_matvec import chunk_spans
+
+        m = 128 * 101
+        spans = chunk_spans(m, 128 * 7)
+        assert len(spans) > 1
+        assert max(a1 - a0 for a0, a1 in spans) <= 128 * 7
+
+    def test_chunk_count_bounded(self):
+        from plssvm_tpu.ops.pallas_matvec import chunk_spans
+
+        # a triangle of more than ~128 chunks would hang compilation
+        assert len(chunk_spans(1048576, 128)) <= 129
+
+    def test_big_composition_prime_chunks_matches_oracle(self, monkeypatch):
+        """m = 640 with a 2-chunk byte target: 640/128 = 5 chunks of 128
+        would be the only exact divisor split at nc=2..4, which the old
+        code could not use — the span composition handles the uneven
+        (256, 256, 128) split and must equal the XLA oracle."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        import plssvm_tpu.ops.pallas_matvec as pm
+
+        rng = np.random.default_rng(23)
+        m, d = 640, 128
+        X = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.2)
+        v = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+        sq = jnp.sum(X * X, axis=-1)
+        gamma = jnp.float32(1.0 / d)
+        monkeypatch.setattr(pm, "CHUNK_TARGET_BYTES", 128 * 1024)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pm.kernel_matvec_pallas_big(
+                    X, sq, v, kind=KINDS["rbf"], gamma=gamma,
+                    coef0=jnp.float32(0.0), degree=3,
+                )
+            )
+        K = np.exp(
+            -float(gamma) * (
+                np.asarray(sq)[:, None] + np.asarray(sq)[None, :]
+                - 2.0 * np.asarray(X) @ np.asarray(X).T
+            )
+        )
+        np.testing.assert_allclose(
+            got, K @ np.asarray(v), rtol=2e-5, atol=2e-5
+        )
