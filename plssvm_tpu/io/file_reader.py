@@ -72,19 +72,27 @@ def stream_header_lines(
                 if not chunk:
                     return None
                 buf += chunk
+                start = 0
                 while True:
-                    nl = buf.find(b"\n")
+                    nl = buf.find(b"\n", start)
                     if nl < 0:
                         break
-                    raw = buf[:nl]
-                    buf = buf[nl + 1:]
-                    pos += nl + 1
+                    raw = buf[start:nl]
+                    pos += nl - start + 1
+                    start = nl + 1
                     s = raw.decode("utf-8", errors="replace").strip()
                     if s and not s.startswith(comment):
                         lines.append(s)
                         if is_terminator(s):
                             return lines, pos
-                if pos > max_bytes or (max_lines and len(lines) > max_lines):
+                buf = buf[start:]
+                # budget the BUFFERED bytes too: a newline-less (e.g.
+                # binary) prefix would otherwise accumulate without bound
+                # before the first complete line ever advances pos
+                if (
+                    pos + len(buf) > max_bytes
+                    or (max_lines and len(lines) > max_lines)
+                ):
                     return None
     except OSError:
         return None

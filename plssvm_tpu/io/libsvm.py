@@ -64,6 +64,13 @@ def parse_libsvm_lines(
 
     for i, line in enumerate(lines):
         tokens = line.split()
+        if not tokens:
+            # an all-zero unlabeled row (the model-file SV fallback feeds
+            # feature-only lines here, and an SV with no nonzero features
+            # is legal — the writer omits zeros).  Blank lines in actual
+            # training files never reach this parser (read_lines drops
+            # them), so file semantics are unchanged.
+            continue
         start = 0
         if _has_label(line):
             has_label = True
@@ -97,10 +104,24 @@ def parse_libsvm_lines(
                     f"is smaller or equal than {last_index}!"
                 )
             last_index = index
-            if not val_str:
+            # validate the value NOW (not in the end-of-parse batch):
+            # the native parser raises at the first bad line, and the two
+            # paths promise interchangeable errors.  Python's float() also
+            # accepts underscored literals ('1_5') that std::from_chars
+            # rejects — an accept/reject divergence, not just a message
+            # difference — so reject them explicitly.
+            if not val_str or "_" in val_str:
                 raise InvalidFileFormatError(
-                    f"Can't convert '' to a value of type real_type!"
+                    f"Can't convert '{val_str}' to a value of type "
+                    "real_type!"
                 )
+            try:
+                float(val_str)
+            except ValueError:
+                raise InvalidFileFormatError(
+                    f"Can't convert '{val_str}' to a value of type "
+                    "real_type!"
+                ) from None
             all_idx_tokens.append(idx_str)
             all_val_tokens.append(val_str)
             row_ids.append(i)
@@ -114,19 +135,19 @@ def parse_libsvm_lines(
     if not all_idx_tokens:
         raise InvalidFileFormatError("Can't parse file: no data points are given!")
 
-    indices = np.asarray(all_idx_tokens, dtype=np.int64)
     try:
-        values = np.asarray(all_val_tokens, dtype=dtype)
-    except ValueError:
-        # find the offending token for a precise error message
-        for tok in all_val_tokens:
-            try:
-                float(tok)
-            except ValueError:
+        indices = np.asarray(all_idx_tokens, dtype=np.int64)
+    except OverflowError:
+        # an index past int64 passed Python's unbounded int() above; the
+        # native parser reports it as an unconvertible index
+        for tok in all_idx_tokens:
+            if int(tok) > np.iinfo(np.int64).max:
                 raise InvalidFileFormatError(
-                    f"Can't convert '{tok}' to a value of type real_type!"
+                    f"Can't convert '{tok}' to a value of type unsigned "
+                    "long!"
                 ) from None
         raise
+    values = np.asarray(all_val_tokens, dtype=dtype)
     rows = np.asarray(row_ids, dtype=np.int64)
 
     num_features = int(indices.max())

@@ -89,8 +89,13 @@ def parse_model_header(lines: List[str]) -> ModelHeader:
         # libsvm itself tokenizes with fscanf, so tabs are legal)
         parts = lower.split(None, 1)
         value = parts[1].strip() if len(parts) > 1 else ""
+        # token-EXACT key matching (libsvm tokenizes with fscanf): a
+        # startswith would silently misparse unknown keys sharing a
+        # prefix ('gamma_x 0.5' must hit the unrecognized-entry error,
+        # not set gamma)
+        key = parts[0] if parts else ""
 
-        if lower.startswith("svm_type"):
+        if key == "svm_type":
             # c_svc = classification; epsilon_svr / nu_svr = regression
             # (EXTENSION: LS-SVR models are stored in LIBSVM's epsilon_svr
             # layout — the prediction function sum_i alpha_i k(x_i, x) - rho
@@ -107,7 +112,7 @@ def parse_model_header(lines: List[str]) -> ModelHeader:
                     f"as svm_type, but '{value}' was given!"
                 )
             svm_type = value
-        elif lower.startswith("kernel_type"):
+        elif key == "kernel_type":
             try:
                 params.kernel_type.value = KernelFunctionType.from_string(value)
             except Exception:
@@ -115,37 +120,37 @@ def parse_model_header(lines: List[str]) -> ModelHeader:
                     f"Unrecognized kernel type '{value}'!"
                 ) from None
             kernel_type_set = True
-        elif lower.startswith("gamma"):
+        elif key == "gamma":
             params.gamma.value = _to_float(value, "gamma")
-        elif lower.startswith("degree"):
+        elif key == "degree":
             params.degree.value = _to_int(value, "degree")
-        elif lower.startswith("coef0"):
+        elif key == "coef0":
             params.coef0.value = _to_float(value, "coef0")
-        elif lower.startswith("nr_class"):
+        elif key == "nr_class":
             nr_class = _to_int(value, "nr_class")
-        elif lower.startswith("total_sv"):
+        elif key == "total_sv":
             num_support_vectors = _to_int(value, "total_sv")
             if num_support_vectors == 0:
                 raise InvalidFileFormatError(
                     "The number of support vectors must be greater than 0!"
                 )
-        elif lower.startswith("rho"):
+        elif key == "rho":
             rho = np.asarray(
                 [_to_float(tok, "rho") for tok in value.split()], dtype=np.float64
             )
             if rho.size == 0:
                 raise InvalidFileFormatError("Missing rho value!")
-        elif lower.startswith("proba"):
+        elif key == "proba":
             prob_a = np.asarray(
                 [_to_float(tok, "probA") for tok in value.split()],
                 dtype=np.float64,
             )
-        elif lower.startswith("probb"):
+        elif key == "probb":
             prob_b = np.asarray(
                 [_to_float(tok, "probB") for tok in value.split()],
                 dtype=np.float64,
             )
-        elif lower.startswith("label"):
+        elif key == "label":
             # preserve the original case of the labels
             orig_parts = line.split(None, 1)
             labels = orig_parts[1].split() if len(orig_parts) > 1 else []
@@ -159,7 +164,7 @@ def parse_model_header(lines: List[str]) -> ModelHeader:
                     f"Provided {len(labels)} labels but only {len(set(labels))} "
                     "of them was/where unique!"
                 )
-        elif lower.startswith("nr_sv"):
+        elif key == "nr_sv":
             try:
                 nr_sv = [int(tok) for tok in value.split()]
             except ValueError:
@@ -648,6 +653,15 @@ def write_model_file(
         order = np.concatenate(
             [np.nonzero(labels == str(lab))[0] for lab in different_labels]
         )
+        if order.shape[0] != n_sv:
+            # a label outside different_labels would otherwise truncate
+            # the Python output (header promises total_sv rows) or read
+            # past the order buffer in the native writer
+            raise InvalidFileFormatError(
+                f"every support-vector label must appear in the model's "
+                f"class list: {order.shape[0]} of {n_sv} rows matched "
+                f"{list(different_labels)}!"
+            )
 
     # native fast path: threaded formatting, byte-identical output (the C
     # py_repr matches CPython's repr; features use the same "{:.10e}")

@@ -58,15 +58,25 @@ def parse_scaling_factors(
                 f"Each line must contain exactly three values, but {len(tokens)} were given!"
             )
         try:
-            feature = int(float(tokens[0]))
+            feature = int(tokens[0])
             f_min, f_max = float(tokens[1]), float(tokens[2])
         except ValueError:
+            # int() (not int(float())): a fractional index like '2.7'
+            # must be rejected, not silently truncated to 2
             raise InvalidFileFormatError(
                 f"Can't convert the scaling factors line '{line}'!"
             ) from None
         if feature == 0:
             raise InvalidFileFormatError(
                 "The scaling factors must be provided one-based, but are zero-based!"
+            )
+        if feature < 0:
+            # a negative entry would store a negative zero-based index
+            # that escapes the consumer's ascending max-check and silently
+            # rescales the wrong column via numpy negative indexing
+            raise InvalidFileFormatError(
+                f"The scaling factors must be provided one-based, but "
+                f"{feature} was given!"
             )
         rows.append((feature - 1, f_min, f_max))
 

@@ -331,3 +331,129 @@ class TestModelHeaderRobustness:
             )
         with pytest.raises(InvalidFileFormatError, match="probA"):
             parse_model_file(path)
+
+
+class TestIOReviewRegressions:
+    """Round-8 IO review findings, pinned."""
+
+    def _no_native(self, monkeypatch):
+        import plssvm_tpu.native as native_mod
+
+        def none(*a, **k):
+            return None
+
+        for fn in (
+            "parse_libsvm_native", "parse_model_svs_native",
+        ):
+            if hasattr(native_mod, fn):
+                monkeypatch.setattr(native_mod, fn, none)
+
+    def test_model_fallback_all_zero_sv_row(self, tmp_path, monkeypatch):
+        """A multiclass SV row with only alpha columns (an all-zero SV —
+        legal: the writer omits zero features) must parse in the Python
+        fallback like it does natively (was IndexError)."""
+        from plssvm_tpu.io.model_file import parse_model_file
+
+        content = (
+            "svm_type c_svc\nkernel_type linear\nnr_class 3\ntotal_sv 3\n"
+            "rho 0.1 0.2 0.3\nlabel 0 1 2\nnr_sv 1 1 1\nSV\n"
+            "0.5 -0.3 1:1.0 2:2.0\n"
+            "0.1 0.2\n"            # all-zero SV: alphas only
+            "-0.2 0.4 2:3.0\n"
+        )
+        f = str(tmp_path / "zero_sv.model")
+        open(f, "w").write(content)
+        native = parse_model_file(f, dtype=np.float64)
+        self._no_native(monkeypatch)
+        fallback = parse_model_file(f, dtype=np.float64)
+        np.testing.assert_array_equal(native[2], fallback[2])  # SVs
+        np.testing.assert_array_equal(native[3], fallback[3])  # alpha
+        assert fallback[2].shape == (3, 2)
+        np.testing.assert_array_equal(fallback[2][1], [0.0, 0.0])
+
+    def test_scaling_rejects_negative_and_fractional_index(self, tmp_path):
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.scaling_file import parse_scaling_factors
+
+        for bad_line in ("-1 0.0 1.0", "2.7 0.0 1.0"):
+            f = str(tmp_path / "bad.txt")
+            open(f, "w").write(f"x\n-1.0 1.0\n{bad_line}\n")
+            with pytest.raises(InvalidFileFormatError):
+                parse_scaling_factors(f)
+
+    def test_header_stream_bounds_newline_less_files(self, tmp_path):
+        """A newline-less prefix must respect the byte budget instead of
+        buffering the whole file (was unbounded)."""
+        from plssvm_tpu.io.file_reader import stream_header_lines
+
+        f = str(tmp_path / "oneline.bin")
+        open(f, "wb").write(b"x" * (4 << 20))  # 4 MB, no newline
+        out = stream_header_lines(
+            f, is_terminator=lambda s: s == "SV", comment="#",
+            max_bytes=1024,
+        )
+        assert out is None
+
+    def test_python_parser_error_order_matches_native(self, monkeypatch):
+        """The FIRST bad line wins (native from_chars order): a value
+        error on line 1 must not be shadowed by a structural error on
+        line 2 discovered during the loop."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.libsvm import parse_libsvm_lines
+
+        with pytest.raises(
+            InvalidFileFormatError, match="Can't convert 'abc'"
+        ):
+            parse_libsvm_lines(["1 1:abc", "1:5.0"], dtype=np.float64)
+
+    def test_python_parser_rejects_underscored_literals(self):
+        """std::from_chars rejects '1_5'; the Python fallback must too
+        (accept/reject divergence, not just message parity)."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.libsvm import parse_libsvm_lines
+
+        with pytest.raises(
+            InvalidFileFormatError, match="Can't convert '1_5'"
+        ):
+            parse_libsvm_lines(["1 1:1_5", "2 1:2.0"], dtype=np.float64)
+
+    def test_python_parser_huge_index_raises_format_error(self):
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.libsvm import parse_libsvm_lines
+
+        with pytest.raises(InvalidFileFormatError, match="unsigned long"):
+            parse_libsvm_lines(
+                ["1 1:1.0 99999999999999999999999999:2.0"],
+                dtype=np.float64,
+            )
+
+    def test_model_header_prefix_keys_rejected(self, tmp_path):
+        """'gamma_x 0.5' must hit the unrecognized-header error, not be
+        prefix-matched as gamma (token-exact fscanf semantics)."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.model_file import parse_model_file
+
+        content = (
+            "svm_type c_svc\nkernel_type rbf\ngamma_x 0.5\nnr_class 2\n"
+            "total_sv 1\nrho 0.1\nlabel 1 -1\nnr_sv 1 0\nSV\n"
+            "0.5 1:1.0\n"
+        )
+        f = str(tmp_path / "prefix.model")
+        open(f, "w").write(content)
+        with pytest.raises(InvalidFileFormatError):
+            parse_model_file(f, dtype=np.float64)
+
+    def test_write_model_rejects_label_outside_class_list(self, tmp_path):
+        """A shorter different_labels than the label set must raise (was
+        an OOB read natively / a truncated file in the fallback)."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.model_file import write_model_file
+        from plssvm_tpu.parameter import Parameter
+
+        with pytest.raises(InvalidFileFormatError, match="class list"):
+            write_model_file(
+                str(tmp_path / "trunc.model"), Parameter(), 0.0,
+                np.ones(3), np.ones((3, 2)),
+                labels=np.asarray(["a", "b", "c"]),
+                different_labels=["a", "b"],
+            )
