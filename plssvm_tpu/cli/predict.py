@@ -236,11 +236,12 @@ def main(argv=None) -> int:
             values = svm.predict_values(model, data)
             probabilities = predict_probabilities(model, values)
             # LIBSVM convention: the -b 1 prediction is the argmax of the
-            # calibrated probabilities (may differ from sign(f) near 0.5);
-            # probability columns follow the model's LAYOUT class order
-            # (the file's label-header order for loaded multiclass models)
-            classes = np.asarray(model.class_order())
-            predicted = classes[np.argmax(probabilities, axis=1)]
+            # calibrated probabilities (may differ from sign(f) near 0.5).
+            # predict_probabilities emits SORTED label columns (the
+            # library-wide convention); the output FILE below reorders to
+            # the model's label-header order like svm-predict
+            sorted_classes = np.asarray(model.data.different_labels)
+            predicted = sorted_classes[np.argmax(probabilities, axis=1)]
         else:
             predicted = svm.predict(model, data)
     except PLSSVMError as exc:
@@ -261,6 +262,10 @@ def main(argv=None) -> int:
         else:
             # svm-predict -b 1 format: 'labels <classes>' header, then one
             # 'label P(c1) P(c2) ...' line per point in header class order
+            # (predict_probabilities emits SORTED columns — reorder)
+            layout = [str(c) for c in model.class_order()]
+            sorted_labels = [str(c) for c in model.data.different_labels]
+            perm = [sorted_labels.index(c) for c in layout]
             fh.write(
                 "labels " + " ".join(str(c) for c in model.class_order())
                 + "\n"
@@ -268,7 +273,8 @@ def main(argv=None) -> int:
             for lab, row in zip(predicted, probabilities):
                 fh.write(
                     str(lab) + " "
-                    + " ".join(format(p, ".10g") for p in row) + "\n"
+                    + " ".join(format(row[p], ".10g") for p in perm)
+                    + "\n"
                 )
     write_ms = (time.perf_counter() - write_start) * 1000.0
     log(

@@ -352,7 +352,7 @@ class CSVM:
         """
         if epsilon <= 0.0:
             raise InvalidParameterError(
-                f"epsilon must be less than 0.0, but is {epsilon}!"
+                f"epsilon must be greater than 0.0, but is {epsilon}!"
             )
         if not data.has_labels():
             raise InvalidParameterError(
@@ -434,6 +434,13 @@ class CSVM:
                 raise InvalidParameterError(
                     "initial_model is not a binary model!"
                 )
+        if kind == KernelFunctionType.CHI_SQUARED:
+            # BEFORE the OAO dispatch: the batched pair solve goes
+            # straight to the kernel (no recursive fit() per machine), so
+            # negative data must be rejected here, not downstream
+            _check_chi_squared_data(
+                np.asarray(data.data), "training data"
+            )
         if multiclass and classification == ClassificationType.OAO:
             return self._fit_oao(
                 data, epsilon=epsilon, max_iter=max_iter,
@@ -444,8 +451,6 @@ class CSVM:
             )
 
         X = np.asarray(data.data, dtype=self.dtype)
-        if kind == KernelFunctionType.CHI_SQUARED:
-            _check_chi_squared_data(X, "training data")
         if multiclass:
             y = data.mapper.oaa_targets(data.labels, dtype=self.dtype)  # (n, C)
         else:
@@ -809,7 +814,10 @@ class CSVM:
             d_aug = (
                 _round_up(d, 128)
                 if self.backend == BackendType.PALLAS
-                and _uses_pallas_kernels(kind)
+                and (
+                    _uses_pallas_kernels(kind)
+                    or kind in DISTANCE_KERNELS
+                )
                 else d
             )
             X_aug_h = np.zeros((n + 1, d_aug), dtype=self.dtype)
@@ -970,9 +978,11 @@ class CSVM:
                     initial_model, data, rows, is_first, i, j
                 )
                 x_init_b[p, :dept] = alpha0[:dept]
-        # per-machine iteration caps — the binary fit's default is its own
-        # point count (csvm.hpp:268-269), so each machine stops exactly
-        # where its sequential fit would
+        # per-machine iteration caps.  fit() resolves max_iter=None to
+        # the PARENT's point count before dispatching here (matching the
+        # sequential path, whose sub-fits also receive the resolved
+        # parent cap), so the depts+1 default below is defensive only —
+        # it applies solely to direct _fit_oao callers
         max_iter_b = (
             depts + 1 if max_iter is None
             else np.full((P,), int(max_iter), dtype=np.int64)
@@ -1187,7 +1197,7 @@ class CSVM:
             )
         if epsilon <= 0.0:
             raise InvalidParameterError(
-                f"epsilon must be less than 0.0, but is {epsilon}!"
+                f"epsilon must be greater than 0.0, but is {epsilon}!"
             )
         if max_iter is not None and max_iter <= 0:
             raise InvalidParameterError(
@@ -2133,8 +2143,14 @@ class CSVM:
             _check_chi_squared_data(np.asarray(data.data), "predict points")
         with self._device_ctx():
             # memoize the device-resident SVs/alpha on the model: repeated
-            # predicts (scoring sweeps) skip re-transfer
-            sv_key = (str(self.dtype), str(self._pin_device))
+            # predicts (scoring sweeps) skip re-transfer.  Keyed on the
+            # alpha/SV OBJECT identities like the OAO shadow caches — a
+            # refit writing new arrays into the same Model must never be
+            # served stale device copies
+            sv_key = (
+                str(self.dtype), str(self._pin_device),
+                id(model.support_vectors), id(model.alpha),
+            )
             sv_cache = getattr(model, "_sv_cache", None)
             if sv_cache is not None and sv_cache[0] == sv_key:
                 sv, alpha = sv_cache[1]

@@ -379,6 +379,23 @@ class DataSet:
             cols = factors[:, 0].astype(np.int64)
             f_min = factors[:, 1].astype(X.dtype)
             f_max = factors[:, 2].astype(X.dtype)
+            constant = np.flatnonzero(f_max == f_min)
+            if constant.size > 0:
+                # reference-compatible behavior (data_set.hpp:692-695 only
+                # skips min==max==0): (x - c)/(c - c) fills the column
+                # with NaN, which would make CG exit instantly "converged"
+                # on a garbage model — at least say so loudly
+                import warnings
+
+                warnings.warn(
+                    f"min-max scaling: feature(s) "
+                    f"{[int(cols[i]) for i in constant[:5]]} are constant "
+                    "and nonzero (min == max != 0) — scaling divides by "
+                    "zero and fills the column with NaN (the reference "
+                    "does the same); drop the constant feature or skip "
+                    "its scaling factor.",
+                    stacklevel=3,
+                )
             X[:, cols] = lower + (upper - lower) * (X[:, cols] - f_min) / (f_max - f_min)
 
         elapsed_ms = (time.perf_counter() - start) * 1000.0

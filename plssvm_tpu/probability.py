@@ -374,6 +374,17 @@ def calibrate_model(
         # binary: positive class is different_labels[1] (the +1 mapping)
         positive = labels == different[1]
         A, B = fit_sigmoid(decisions, positive)
+        # store (A, B) in the MODEL's own decision orientation: the CV
+        # fold decisions follow the mapper (+1 = sorted different[1]),
+        # but a loaded model whose header leads with the sorted-low class
+        # produces NEGATED decision values — predict_probabilities reads
+        # the sigmoid as P(label_order[0] | f_model), and
+        # P(neg_m | -f_m) = sigma(A f_model - B), so the flip negates B
+        label_order = getattr(model, "label_order", None)
+        if label_order is not None and str(label_order[0]) != str(
+            different[1]
+        ):
+            B = -B
         prob_a = np.asarray([A], dtype=np.float64)
         prob_b = np.asarray([B], dtype=np.float64)
     else:
@@ -538,6 +549,21 @@ def calibrate_svr_noise(
     return sigma
 
 
+def _to_sorted_columns(model, P: np.ndarray) -> np.ndarray:
+    """Reorder multiclass probability columns from the model's LAYOUT
+    order (decision-column order — the file's label-header order for
+    loaded models) to SORTED label order, the library-wide column
+    convention every consumer (sklearn classes_, the CLI) relies on.
+    In-memory models have layout == sorted and pass through unchanged.
+    """
+    layout = [str(lab) for lab in model.class_order()]
+    sorted_labels = [str(lab) for lab in model.data.different_labels]
+    if layout == sorted_labels:
+        return P
+    perm = [layout.index(lab) for lab in sorted_labels]
+    return P[:, perm]
+
+
 def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
     """(n, C) class-probability matrix from decision values.
 
@@ -590,7 +616,9 @@ def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
             ],
             axis=1,
         )
-        return pairwise_coupling(r, model.num_classes)
+        return _to_sorted_columns(
+            model, pairwise_coupling(r, model.num_classes)
+        )
     cols = [
         sigmoid_probability(values[:, c], model.prob_a[c], model.prob_b[c])
         for c in range(values.shape[1])
@@ -598,4 +626,4 @@ def predict_probabilities(model, decision_values: np.ndarray) -> np.ndarray:
     P = np.stack(cols, axis=1)
     total = np.sum(P, axis=1, keepdims=True)
     # degenerate all-zero rows (cannot happen with finite sigmoids) guard
-    return P / np.where(total > 0, total, 1.0)
+    return _to_sorted_columns(model, P / np.where(total > 0, total, 1.0))

@@ -132,8 +132,14 @@ class SVC:
             # (sklearn.cpp:67).
             if gamma == "auto":
                 self._gamma_scale = False
+                # clear any previously-set numeric (or fit-resolved
+                # 'scale') value so the 1/n_features default applies —
+                # set_params would otherwise silently keep the old gamma
+                # while get_params reports 'auto'
+                self._svm.params.gamma.reset()
             elif gamma == "scale":
                 self._gamma_scale = True
+                self._svm.params.gamma.reset()
             else:
                 self._gamma_scale = False
                 self._svm.set_params(gamma=float(gamma))
@@ -691,8 +697,14 @@ class SVR:
             gamma = kwargs["gamma"]
             if gamma == "auto":
                 self._gamma_scale = False
+                # clear any previously-set numeric (or fit-resolved
+                # 'scale') value so the 1/n_features default applies —
+                # set_params would otherwise silently keep the old gamma
+                # while get_params reports 'auto'
+                self._svm.params.gamma.reset()
             elif gamma == "scale":
                 self._gamma_scale = True
+                self._svm.params.gamma.reset()
             else:
                 self._gamma_scale = False
                 self._svm.set_params(gamma=float(gamma))
@@ -947,8 +959,10 @@ class OneClassSVM:
             gamma = kwargs["gamma"]
             if gamma == "scale":
                 self._gamma_scale = True
+                self._svm.params.gamma.reset()  # see SVC.set_params
             elif gamma == "auto":
                 self._gamma_scale = False
+                self._svm.params.gamma.reset()
             else:
                 self._gamma_scale = False
                 self._svm.set_params(gamma=float(gamma))

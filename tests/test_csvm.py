@@ -184,3 +184,52 @@ class TestReferenceParity:
         svm = make_csvm(backend="xla", dtype=np.float64)
         pred = svm.predict(model, test)
         assert np.array_equal(np.asarray(pred, dtype=int), np.asarray(expected))
+
+
+class TestAPIReviewRegressions:
+    """Round-8 API review findings, pinned."""
+
+    def test_predict_cache_invalidates_on_alpha_replacement(self):
+        """The device SV/alpha cache keys on the array OBJECTS (like the
+        OAO shadow caches): replacing model.alpha must change the
+        decision values (was: stale cache served the old weights)."""
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(40, 4))
+        y = np.where(X[:, 0] > 0, 1, -1)
+        ds = DataSet(X, y, dtype=np.float64)
+        svm = CSVM(backend="xla", dtype=np.float64, kernel_type="rbf")
+        model = svm.fit(ds, epsilon=1e-8)
+        v1 = np.asarray(svm.predict_values(model, ds))
+        model.alpha = np.zeros_like(np.asarray(model.alpha))
+        model.w = None  # the linear fast-path cache follows alpha
+        v2 = np.asarray(svm.predict_values(model, ds))
+        assert not np.allclose(v1, v2)
+        np.testing.assert_allclose(v2, -float(model.rho), atol=1e-12)
+
+    def test_oao_batched_rejects_negative_chi_squared(self):
+        """chi-squared validation must run BEFORE the OAO dispatch: the
+        batched pair solve has no recursive per-machine fit to catch it."""
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(60, 4))  # contains negatives
+        y = rng.integers(0, 3, size=60)
+        y[:3] = [0, 1, 2]
+        svm = CSVM(backend="xla", dtype=np.float64,
+                   kernel_type="chi_squared", oao_batch="batched")
+        with pytest.raises(InvalidParameterError, match="non-negative"):
+            svm.fit(DataSet(np.abs(X) - 0.5, y), classification="oao")
+
+    def test_epsilon_validation_message(self):
+        svm = CSVM(backend="xla", dtype=np.float64)
+        X = np.random.default_rng(0).normal(size=(10, 2))
+        y = np.where(X[:, 0] > 0, 1, -1)
+        with pytest.raises(
+            InvalidParameterError, match="greater than 0.0"
+        ):
+            svm.fit(DataSet(X, y), epsilon=0.0)
+
+    def test_constant_nonzero_feature_scaling_warns(self):
+        X = np.random.default_rng(2).normal(size=(20, 3))
+        X[:, 1] = 4.2  # constant nonzero
+        y = np.where(X[:, 0] > 0, 1, -1)
+        with pytest.warns(UserWarning, match="constant"):
+            DataSet(X, y, scaling=(-1.0, 1.0))

@@ -212,3 +212,90 @@ class TestDegenerateClasses:
         P = clf.predict_proba(X)
         assert P.shape == (81, 3)
         np.testing.assert_allclose(P.sum(axis=1), 1.0)
+
+
+class TestProbabilityOrientationRegressions:
+    """Round-8 API review: binary probability columns and sigmoid
+    orientation for LOADED models (our writer leads with the +1-mapped
+    class, so class_order != sorted after save/load)."""
+
+    def _calibrated(self):
+        rng = np.random.default_rng(0)
+        n, d = 160, 5
+        X = rng.normal(size=(n, d))
+        y = np.where(X[:, 0] + 0.2 * rng.normal(size=n) > 0, 1, -1)
+        ds = p.DataSet(X, y)
+        svm = p.CSVM(
+            kernel_type="rbf", gamma=0.3, dtype=np.float64
+        )
+        model = svm.fit(ds, epsilon=1e-8)
+        calibrate_model(svm, model, ds)
+        return svm, model, ds, y
+
+    def test_loaded_binary_probabilities_match_in_memory(self, tmp_path):
+        """Saved+reloaded binary models must produce the SAME sorted-order
+        probability columns (was: columns swapped through the CLI's
+        layout-order assumption — argmax accuracy 0.01 vs 0.99)."""
+        svm, model, ds, y = self._calibrated()
+        P1 = predict_probabilities(model, svm.predict_values(model, ds))
+        f = str(tmp_path / "b.model")
+        model.save(f)
+        loaded = p.Model.load(f)
+        assert list(loaded.class_order()) != list(
+            loaded.data.different_labels
+        )  # the case under test: layout != sorted
+        P2 = predict_probabilities(
+            loaded, svm.predict_values(loaded, ds)
+        )
+        np.testing.assert_allclose(P1, P2, atol=1e-9)
+        sorted_classes = np.asarray(loaded.data.different_labels)
+        pred = sorted_classes[np.argmax(P2, axis=1)].astype(int)
+        assert (pred == y).mean() > 0.9
+
+    def test_calibrate_model_orients_to_flipped_models(self, tmp_path):
+        """calibrate_model on a LOADED model whose header leads with the
+        sorted-low class (decision sign opposite to the mapper) must
+        store (A, B) in the model's own orientation (was: B applied with
+        the wrong sign — probabilities off by up to 0.11)."""
+        svm, model, ds, y = self._calibrated()
+        P_native = predict_probabilities(
+            model, svm.predict_values(model, ds)
+        )
+        src = str(tmp_path / "src.model")
+        model.save(src)
+        lines = open(src).read().splitlines()
+        out = []
+        nr_sv = None
+        for line in lines:
+            if line.startswith("label "):
+                out.append(
+                    "label " + " ".join(line.split()[1:][::-1])
+                )
+            elif line.startswith("nr_sv "):
+                nr_sv = [int(v) for v in line.split()[1:]]
+                out.append("nr_sv " + " ".join(line.split()[1:][::-1]))
+            elif line.startswith("rho "):
+                out.append(
+                    "rho " + format(-float(line.split()[1]), ".17g")
+                )
+            elif line.startswith("probA") or line.startswith("probB"):
+                continue  # recalibrated below
+            else:
+                out.append(line)
+        sv_at = out.index("SV")
+        header, svs = out[: sv_at + 1], out[sv_at + 1:]
+        neg = []
+        for r in svs:
+            t = r.split()
+            t[0] = format(-float(t[0]), ".17g")
+            neg.append(" ".join(t))
+        flipped_rows = neg[nr_sv[0]:] + neg[: nr_sv[0]]
+        fpath = str(tmp_path / "flipped.model")
+        open(fpath, "w").write("\n".join(header + flipped_rows) + "\n")
+        flipped = p.Model.load(fpath)
+        vF = np.asarray(svm.predict_values(flipped, ds))
+        vN = np.asarray(svm.predict_values(model, ds))
+        np.testing.assert_allclose(vF, -vN, atol=1e-8)  # sign-opposite
+        calibrate_model(svm, flipped, ds)
+        P_flipped = predict_probabilities(flipped, vF)
+        np.testing.assert_allclose(P_flipped, P_native, atol=1e-9)

@@ -353,3 +353,25 @@ def test_compact_probability_tiny_folds_no_crash():
     clf.fit(X, y)  # 5-fold on 8 points -> tiny folds; must not raise
     proba = clf.predict_proba(X)
     np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_set_params_gamma_auto_resets_numeric():
+    """set_params(gamma='auto'|'scale') must clear a previously-set
+    numeric (or fit-resolved 'scale') gamma — the old value silently won
+    while get_params reported the new mode (GridSearchCV over
+    [2.5, 'auto'] evaluated 2.5 twice)."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 4))
+    y = np.where(X[:, 0] > 0, 1, -1)
+
+    clf = SVC(gamma=2.5)
+    clf.set_params(gamma="auto")
+    clf.fit(X, y)
+    assert clf._svm.params.resolved_gamma(4) == pytest.approx(0.25)
+
+    # 'scale' resolved at fit time must not leak into a later 'auto' fit
+    clf2 = SVC(gamma="scale")
+    clf2.fit(X, y)
+    clf2.set_params(gamma="auto")
+    clf2.fit(X, y)
+    assert clf2._svm.params.resolved_gamma(4) == pytest.approx(0.25)
