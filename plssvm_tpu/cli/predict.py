@@ -194,10 +194,15 @@ def main(argv=None) -> int:
             args.test,
             label_type=resolve_label_type(args),
             dtype=resolve_dtype(args),
-            # a one-class test file may carry a single label class (+1) or
-            # none at all — bypass the >=2-classes label mapping; labels
-            # are only compared against the +-1 predictions for accuracy
-            regression=getattr(model, "is_one_class", False),
+            # regression/one-class test files bypass the >=2-classes
+            # label mapping: SVR targets are continuous (a classification
+            # LabelMapper over n distinct values would do O(n^2) work and
+            # reject constant placeholder labels), and a one-class file
+            # may carry a single label class (+1) or none at all
+            regression=(
+                getattr(model, "is_regression", False)
+                or getattr(model, "is_one_class", False)
+            ),
         )
         svm = CSVM(
             backend=args.backend,

@@ -87,12 +87,25 @@ def main(argv=None) -> int:
             scaling = Scaling(restore_filename=args.restore_filename)
         else:
             scaling = Scaling(args.lower, args.upper)
-        data = DataSet(
-            args.input,
-            scaling=scaling,
-            label_type=resolve_label_type(args),
-            dtype=resolve_dtype(args),
-        )
+        try:
+            data = DataSet(
+                args.input,
+                scaling=scaling,
+                label_type=resolve_label_type(args),
+                dtype=resolve_dtype(args),
+            )
+        except PLSSVMError as exc:
+            if "At least two different labels" not in str(exc):
+                raise
+            # single-class files (e.g. one-class training data, all '+1')
+            # scale fine under svm-scale — bypass the >=2-classes label
+            # mapping; numeric labels round-trip through float inference
+            data = DataSet(
+                args.input,
+                scaling=scaling,
+                dtype=resolve_dtype(args),
+                regression=True,
+            )
         if args.scaled is not None:
             data.save(args.scaled, file_format=args.format)
         else:

@@ -346,13 +346,38 @@ def main(argv=None) -> int:
                     )
                     return 1
                 lab, w = spec.split("=", 1)
-                per_class_weights[lab.strip()] = float(w)
+                try:
+                    weight_value = float(w)
+                except ValueError:
+                    print(
+                        f"--weight expects a numeric W, got '{w}'!",
+                        file=sys.stderr,
+                    )
+                    return 1
+                if weight_value <= 0.0:
+                    # LIBSVM requires -wi weight > 0; w=0 would produce an
+                    # inf per-point regularizer and a silent NaN model
+                    print(
+                        f"--weight values must be positive, got "
+                        f"{weight_value}!",
+                        file=sys.stderr,
+                    )
+                    return 1
+                per_class_weights[lab.strip()] = weight_value
         if args.probability and args.multihost:
             # reject BEFORE building the multihost CSVM — constructing it
             # on a pod initializes (and blocks on) the process group
             print(
                 "--probability is not supported together with --multihost "
                 "(the cross-validation fits are single-host)!",
+                file=sys.stderr,
+            )
+            return 1
+        if args.cross_validation is not None and args.multihost:
+            # same construct-after-validate rule as --probability above
+            print(
+                "--cross_validation is not supported together with "
+                "--multihost!",
                 file=sys.stderr,
             )
             return 1
@@ -476,6 +501,13 @@ def main(argv=None) -> int:
             fit_kwargs["checkpoint_path"] = args.checkpoint
             fit_kwargs["checkpoint_interval"] = args.checkpoint_interval
         if args.multihost:
+            # the process group MUST come up before anything touches the
+            # XLA backend — CSVM.__init__ calls jax.devices(), and
+            # jax.distributed.initialize after that is unrecoverable on a
+            # pod (multihost.py:64-124; predict.py uses the same order)
+            from ..parallel.multihost import initialize_distributed
+
+            initialize_distributed()
             svm = CSVM(devices="all", **svm_kwargs)
 
             if per_class_weights is not None:
@@ -490,6 +522,14 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     return 1
+                # the windowed reader returns RAW label strings; infer
+                # like DataSet does so '+1'-style labels match the same
+                # --weight keys as the single-host path
+                from ..data_set import _infer_label_array
+
+                labels_all = _infer_label_array(
+                    list(labels_all), resolve_label_type(args)
+                )
                 fit_kwargs["sample_weight"] = _expand_class_weights(
                     per_class_weights, np.asarray(labels_all)
                 )

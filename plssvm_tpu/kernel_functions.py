@@ -236,18 +236,32 @@ def distance_to_point(
     *,
     row_block: int = 4096,
 ):
-    """``dist(x_i, point)`` for all rows of ``X`` -> (m,), row-blocked."""
+    """``dist(x_i, point)`` for all rows of ``X`` -> (m,), row-blocked.
+
+    Row counts with no usable divisor (e.g. a prime m, where the largest
+    divisor <= row_block is 1 — an m-iteration sequential scan) zero-pad
+    to the next block multiple instead, like :func:`pairwise_distance`;
+    padded distance rows are simply dropped.
+    """
     m, d = X.shape
     rb = _largest_divisor_leq(m, row_block)
     if rb == m:
         return _distance_tile(X, point[None, :], kind)[:, 0]
-    Xb = X.reshape(m // rb, rb, d)
+    if rb < min(row_block, m) // 8:
+        rb = min(row_block, m)
+        m_pad = -(-m // rb) * rb
+        X = jnp.concatenate(
+            [jnp.asarray(X), jnp.zeros((m_pad - m, d), X.dtype)]
+        )
+    else:
+        m_pad = m
+    Xb = jnp.asarray(X).reshape(m_pad // rb, rb, d)
 
     def body(_, blk):
         return None, _distance_tile(blk, point[None, :], kind)[:, 0]
 
     _, out = jax.lax.scan(body, None, Xb)
-    return out.reshape(m)
+    return out.reshape(m_pad)[:m]
 
 
 def kernel_block(

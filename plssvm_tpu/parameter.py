@@ -374,6 +374,13 @@ class Parameter:
             raise InvalidParameterError(
                 f"gamma must be greater than 0.0, but is {self.gamma.value}!"
             )
+        if self.cost.value <= 0.0:
+            # LIBSVM's svm-train rejects C <= 0 up front; here C = 0
+            # would divide by zero in the 1/C regularizer and a negative
+            # C yields an indefinite system CG silently "solves"
+            raise InvalidParameterError(
+                f"cost must be greater than 0.0, but is {self.cost.value}!"
+            )
 
     def resolved_gamma(self, num_features: int) -> float:
         """gamma, defaulting to 1/num_features (reference: csvm.hpp:304-307)."""

@@ -211,3 +211,64 @@ class TestProbabilityCLI:
         )
         assert rc != 0
         assert "--multihost" in capsys.readouterr().err
+
+
+class TestCLIReviewRegressions:
+    """Round-8 CLI/parameter review findings, pinned."""
+
+    def test_weight_non_numeric_and_nonpositive_rejected(
+        self, train_file, tmp_path, capsys
+    ):
+        for spec in ("1=abc", "1=0", "1=-2"):
+            rc = cli_train.main(
+                ["-q", "--weight", spec, train_file,
+                 str(tmp_path / "m.model")]
+            )
+            assert rc == 1, spec
+            assert "--weight" in capsys.readouterr().err
+
+    def test_cost_nonpositive_rejected(self, train_file, tmp_path, capsys):
+        for c in ("0", "-1"):
+            rc = cli_train.main(
+                ["-q", "-c", c, train_file, str(tmp_path / "m.model")]
+            )
+            assert rc == 1, c
+            assert "cost" in capsys.readouterr().err
+
+    def test_scale_single_class_file(self, tmp_path, capsys):
+        """svm-scale handles one-class training files (all '+1'); the
+        label mapper's >=2-classes rule must not apply to scaling."""
+        f = str(tmp_path / "oneclass.libsvm")
+        with open(f, "w") as fh:
+            for i in range(6):
+                fh.write(f"+1 1:{i}.0 2:{i + 1}.0\n")
+        out = str(tmp_path / "scaled.libsvm")
+        rc = cli_scale.main(["-q", "-l", "-1", "-u", "1", f, out])
+        assert rc == 0
+        content = open(out).read()
+        assert content.count("\n") == 6
+
+    def test_predict_svr_single_value_labels(self, tmp_path, capsys):
+        """SVR test files often carry a constant placeholder label
+        column; prediction must not build a classification mapper over
+        it (was: 'At least two different labels' DataSetError)."""
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(30, 3))
+        yv = X @ np.ones(3)
+        from plssvm_tpu.io.libsvm import write_libsvm_file
+
+        ftrain = str(tmp_path / "r.libsvm")
+        write_libsvm_file(ftrain, X, yv)
+        model_file = str(tmp_path / "r.model")
+        assert cli_train.main(
+            ["-q", "--use_double_as_real_type", "-s", "epsilon_svr",
+             ftrain, model_file]
+        ) == 0
+        ftest = str(tmp_path / "rtest.libsvm")
+        write_libsvm_file(ftest, X[:10], np.zeros(10))  # constant labels
+        out = str(tmp_path / "r.predict")
+        rc = cli_predict.main(
+            ["-q", "--use_double_as_real_type", ftest, model_file, out]
+        )
+        assert rc == 0
+        assert len(open(out).read().split()) == 10
