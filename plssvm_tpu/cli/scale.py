@@ -100,12 +100,18 @@ def main(argv=None) -> int:
             # single-class files (e.g. one-class training data, all '+1')
             # scale fine under svm-scale — bypass the >=2-classes label
             # mapping; numeric labels round-trip through float inference
-            data = DataSet(
-                args.input,
-                scaling=scaling,
-                dtype=resolve_dtype(args),
-                regression=True,
-            )
+            try:
+                data = DataSet(
+                    args.input,
+                    scaling=scaling,
+                    dtype=resolve_dtype(args),
+                    regression=True,
+                )
+            except ValueError:
+                # non-numeric single-class labels: report the original
+                # label-mapping error cleanly instead of a float() trace
+                print(exc, file=sys.stderr)
+                return 1
         if args.scaled is not None:
             data.save(args.scaled, file_format=args.format)
         else:

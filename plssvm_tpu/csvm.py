@@ -2144,20 +2144,26 @@ class CSVM:
         with self._device_ctx():
             # memoize the device-resident SVs/alpha on the model: repeated
             # predicts (scoring sweeps) skip re-transfer.  Keyed on the
-            # alpha/SV OBJECT identities like the OAO shadow caches — a
-            # refit writing new arrays into the same Model must never be
-            # served stale device copies
-            sv_key = (
-                str(self.dtype), str(self._pin_device),
-                id(model.support_vectors), id(model.alpha),
-            )
+            # alpha/SV OBJECTS (held alive IN the cache and compared with
+            # `is` — an id() key alone would be vulnerable to CPython id
+            # recycling after the original arrays are freed): a refit
+            # writing new arrays into the same Model is never served
+            # stale device copies
+            sv_key = (str(self.dtype), str(self._pin_device))
             sv_cache = getattr(model, "_sv_cache", None)
-            if sv_cache is not None and sv_cache[0] == sv_key:
-                sv, alpha = sv_cache[1]
+            if (
+                sv_cache is not None
+                and sv_cache[0] == sv_key
+                and sv_cache[1] is model.support_vectors
+                and sv_cache[2] is model.alpha
+            ):
+                sv, alpha = sv_cache[3]
             else:
                 sv = jnp.asarray(model.support_vectors, dtype=self.dtype)
                 alpha = jnp.asarray(model.alpha, dtype=self.dtype)
-                model._sv_cache = (sv_key, (sv, alpha))
+                model._sv_cache = (
+                    sv_key, model.support_vectors, model.alpha, (sv, alpha)
+                )
             points = jnp.asarray(data.data, dtype=self.dtype)
             gamma = jnp.asarray(
                 params.resolved_gamma(model.num_features), dtype=self.dtype
@@ -2165,10 +2171,17 @@ class CSVM:
             coef0 = jnp.asarray(params.coef0.value, dtype=self.dtype)
 
             if kind == KernelFunctionType.LINEAR:
-                if model.w is None:
+                # w derives from alpha — invalidate the cached weights
+                # when alpha was replaced (same refit contract as the SV
+                # cache above)
+                if (
+                    model.w is None
+                    or getattr(model, "_w_alpha", None) is not model.alpha
+                ):
                     # compute & cache w once (gpu_csvm.hpp:696-705,
                     # model.hpp:162-166); (d,) binary or (d, C) multiclass
                     model.w = np.asarray(calculate_w(sv, alpha))
+                    model._w_alpha = model.alpha
                 w = jnp.asarray(model.w, dtype=self.dtype)
             else:
                 w = jnp.zeros((sv.shape[1],), dtype=self.dtype)

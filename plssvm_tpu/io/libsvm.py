@@ -5,11 +5,14 @@ reference: include/plssvm/detail/io/libsvm_parsing.hpp —
 feature indices; label presence must be all-or-nothing across rows; the
 writer omits zero-valued features and formats values as ``{:.10e}``.
 
-The parser is NumPy-backed: tokenization happens once per file, values are
-converted with vectorized ``np.asarray(..., dtype)`` batches rather than a
-per-token Python float() loop, and the dense (n, d) matrix is scattered in
-one fancy-indexing store.  (The reference parallelizes the same work with
-OpenMP threads, libsvm_parsing.hpp:117-221.)
+The parser is NumPy-backed: tokenization happens once per file, value
+CONVERSION runs as one vectorized ``np.asarray(..., dtype)`` batch, and
+the dense (n, d) matrix is scattered in one fancy-indexing store.  Value
+VALIDATION is per token during the line loop — the error-order contract
+with the native parser (first bad line wins, like std::from_chars)
+requires it; the batch conversion then re-parses validated tokens.
+(The reference parallelizes the same work with OpenMP threads,
+libsvm_parsing.hpp:117-221.)
 """
 
 from __future__ import annotations
@@ -88,12 +91,15 @@ def parse_libsvm_lines(
                 )
             idx_str = tok[:colon]
             val_str = tok[colon + 1 :]
-            try:
-                index = int(idx_str)
-            except ValueError:
+            # digits only, like std::from_chars on an unsigned type:
+            # Python's int() also accepts '+5', '-5' and '1_5', which the
+            # native parser rejects — an accept/reject divergence
+            if not idx_str.isdigit():
                 raise InvalidFileFormatError(
-                    f"Can't convert '{idx_str}' to a value of type unsigned long!"
-                ) from None
+                    f"Can't convert '{idx_str}' to a value of type "
+                    "unsigned long!"
+                )
+            index = int(idx_str)
             if index == 0:
                 raise InvalidFileFormatError(
                     "LIBSVM assumes a 1-based feature indexing scheme, but 0 was given!"

@@ -82,18 +82,34 @@ def kernel_matvec_xla(
 
     m, _ = X.shape
     block = min(row_block, m)
+    m_pad = m
     if m % block != 0:
         # caller pads to a multiple of row_block; otherwise keep memory
-        # bounded with the largest divisor <= row_block (a single (m, m)
-        # block would materialize the full kernel matrix — 160 GB at 200k
-        # rows — which this module exists to avoid)
+        # bounded with the largest usable divisor (a single (m, m) block
+        # would materialize the full kernel matrix — 160 GB at 200k rows
+        # — which this module exists to avoid).  Badly-factored counts
+        # (e.g. prime m, where the only divisor is 1 — an m-iteration
+        # sequential scan) zero-pad the BLOCKED axis instead; the padded
+        # output rows are dropped
         from ..kernel_functions import _largest_divisor_leq
 
-        block = _largest_divisor_leq(m, block)
-    nb = m // block
+        div = _largest_divisor_leq(m, block)
+        if div >= block // 8:
+            block = div
+        else:
+            m_pad = -(-m // block) * block
+    nb = m_pad // block
 
-    Xb = X.reshape(nb, block, X.shape[1])
-    sb = sq_norms.reshape(nb, block)
+    if m_pad != m:
+        pad = m_pad - m
+        X_blocked = jnp.concatenate(
+            [X, jnp.zeros((pad, X.shape[1]), X.dtype)]
+        )
+        sq_blocked = jnp.concatenate([sq_norms, jnp.zeros(pad, sq_norms.dtype)])
+    else:
+        X_blocked, sq_blocked = X, sq_norms
+    Xb = X_blocked.reshape(nb, block, X.shape[1])
+    sb = sq_blocked.reshape(nb, block)
 
     def body(_, inp):
         X_blk, s_blk = inp
@@ -105,7 +121,7 @@ def kernel_matvec_xla(
         return None, K_blk @ v
 
     _, out = jax.lax.scan(body, None, (Xb, sb))
-    return out.reshape((m,) + v.shape[1:])
+    return out.reshape((m_pad,) + v.shape[1:])[:m]
 
 
 def distance_kernel_matvec_sym(

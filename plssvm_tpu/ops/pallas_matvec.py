@@ -576,8 +576,6 @@ def chunk_spans(m: int, rows_target: int):
     step = max(-(-rows_target // 128) * 128, 128)
     step = max(step, -(-(-(-m // 128)) // 128) * 128)  # <= ~128 chunks
     bounds = list(range(0, m, step)) + [m]
-    if bounds[-2] == m:
-        bounds.pop(-2)
     return list(zip(bounds[:-1], bounds[1:]))
 
 
