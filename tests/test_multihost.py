@@ -732,3 +732,50 @@ def test_one_class_multihost_checkpoint_fingerprint_binds_data(
     assert len(captured) == 3
     assert captured[0] != captured[1]  # different data -> different fp
     assert captured[0] == captured[2]  # same data -> identical fp
+
+
+def test_cli_weight_multihost_plus_label_format(tmp_path, capsys):
+    """--weight 1=W --multihost with '+1'-style raw labels: the windowed
+    reader returns raw strings, which must be INFERRED like DataSet does
+    before matching --weight keys (was: '+1' != '1' -> weights silently
+    dropped with only a warning)."""
+    import plssvm_tpu
+    from plssvm_tpu.cli import train as cli_train
+    from plssvm_tpu.parallel import multihost as mh
+    from plssvm_tpu.parallel.sharded import make_row_mesh
+
+    from conftest import make_blobs
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    X, y = make_blobs(80, 5, seed=9)
+    f = str(tmp_path / "plus.libsvm")
+    with open(f, "w") as fh:
+        for row, lab in zip(X, y):
+            head = "+1" if lab > 0 else "-1"
+            feats = " ".join(f"{j+1}:{v:.10e}" for j, v in enumerate(row))
+            fh.write(f"{head} {feats}\n")
+    orig = mh.global_row_mesh
+    mh.global_row_mesh = lambda: make_row_mesh(devs[:8])
+    try:
+        model_file = str(tmp_path / "w.model")
+        rc = cli_train.main(
+            ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+             "--weight", "1=10", "--multihost", f, model_file]
+        )
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "not found" not in err  # the weight must NOT be dropped
+
+        # the weighted multihost fit must differ from the unweighted one
+        m_w = plssvm_tpu.Model.load(model_file)
+        rc = cli_train.main(
+            ["-q", "--use_double_as_real_type", "-t", "2", "-g", "0.3",
+             "--multihost", f, model_file]
+        )
+        assert rc == 0
+        m_u = plssvm_tpu.Model.load(model_file)
+        assert abs(float(m_w.rho) - float(m_u.rho)) > 1e-12
+    finally:
+        mh.global_row_mesh = orig
