@@ -601,3 +601,39 @@ def test_cli_multihost_predict(mp_run):
         assert meta["cli_predict_rc"] == 0
         assert meta["cli_predict_exists"]
         assert meta["cli_predict_lines"] == 100  # test file rows
+
+
+def test_three_process_odd_ring_topology(tmp_path):
+    """3 processes x 1 device each: a 3-device global mesh exercises the
+    symmetric ring's ODD-P path (dual + ppermute-back, no antipodal
+    half-step) with every hop crossing a REAL process boundary (Gloo) —
+    the 2x4/4x2 runs both have even global device counts."""
+    _write_data(str(tmp_path))
+    port = _free_port()
+    env = _worker_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = _spawn_workers(
+        [
+            [
+                sys.executable, WORKER,
+                "--process-id", str(pid), "--num-processes", "3",
+                "--port", str(port), "--workdir", str(tmp_path),
+                "--scenarios", "binary,warm",
+            ]
+            for pid in range(3)
+        ],
+        env, str(tmp_path),
+    )
+    rcs = _wait_workers(procs, timeout=900)
+    metas = []
+    for pid, rc in enumerate(rcs):
+        assert rc == 0, (
+            f"worker {pid} rc={rc}\n{_log_tail(str(tmp_path), pid)}"
+        )
+        with open(os.path.join(str(tmp_path), f"out_p{pid}.json")) as fh:
+            metas.append(json.load(fh))
+    assert all(m["ok"] for m in metas)
+    assert all(m["global_devices"] == 3 for m in metas)
+    rhos = {m["binary_rho"] for m in metas}
+    assert len(rhos) == 1, rhos
+    assert all(m["warm_iter"] == 0 for m in metas)
