@@ -91,10 +91,15 @@ def parse_libsvm_lines(
                 )
             idx_str = tok[:colon]
             val_str = tok[colon + 1 :]
-            # digits only, like std::from_chars on an unsigned type:
-            # Python's int() also accepts '+5', '-5' and '1_5', which the
-            # native parser rejects — an accept/reject divergence
-            if not idx_str.isdigit():
+            # optional leading '+' then digits — EXACTLY what the native
+            # parser accepts (parse_index strips one '+' for Python
+            # compatibility, then std::from_chars on an unsigned type):
+            # Python's bare int() would also take '-5' and '1_5', an
+            # accept/reject divergence between the two paths
+            idx_digits = (
+                idx_str[1:] if idx_str.startswith("+") else idx_str
+            )
+            if not idx_digits.isdigit():
                 raise InvalidFileFormatError(
                     f"Can't convert '{idx_str}' to a value of type "
                     "unsigned long!"

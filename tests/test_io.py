@@ -417,6 +417,19 @@ class TestIOReviewRegressions:
         ):
             parse_libsvm_lines(["1 1:1_5", "2 1:2.0"], dtype=np.float64)
 
+    def test_plus_prefixed_index_accepted_like_native(self):
+        """The native parse_index strips ONE leading '+' (Python-compat
+        by design) — the fallback must accept '+5:' too; '++5'/'-5'
+        stay rejected."""
+        from plssvm_tpu.exceptions import InvalidFileFormatError
+        from plssvm_tpu.io.libsvm import parse_libsvm_lines
+
+        data, _ = parse_libsvm_lines(["1 +5:1.0", "2 1:2.0"])
+        assert data.shape == (2, 5)
+        for bad in ("++5", "-5"):
+            with pytest.raises(InvalidFileFormatError):
+                parse_libsvm_lines([f"1 {bad}:1.0"])
+
     def test_python_parser_huge_index_raises_format_error(self):
         from plssvm_tpu.exceptions import InvalidFileFormatError
         from plssvm_tpu.io.libsvm import parse_libsvm_lines
