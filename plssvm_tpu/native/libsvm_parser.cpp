@@ -191,6 +191,77 @@ static void set_error(PlssvmParseResult* out, const std::string& msg) {
     snprintf(out->error, sizeof(out->error), "%s", msg.c_str());
 }
 
+// RAII open/fstat/mmap shared by every reader entry point (the per-entry
+// error WORDING and empty-window semantics stay at the call sites —
+// they deliberately differ; this deduplicates only the scaffold).
+// status: 0 ok, 2 io error; fail names the failed syscall for call sites
+// that report it ("open" | "stat" | "mmap").
+struct MappedFile {
+    int fd = -1;
+    const char* base = nullptr;
+    size_t size = 0;
+    int status = 0;
+    const char* fail = nullptr;
+
+    explicit MappedFile(const char* path) {
+        fd = open(path, O_RDONLY);
+        if (fd < 0) {
+            status = 2;
+            fail = "open";
+            return;
+        }
+        struct stat st;
+        if (fstat(fd, &st) != 0) {
+            status = 2;
+            fail = "stat";
+            return;
+        }
+        size = static_cast<size_t>(st.st_size);
+        if (size > 0) {
+            void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+            if (map == MAP_FAILED) {
+                status = 2;
+                fail = "mmap";
+                base = nullptr;
+                return;
+            }
+            base = static_cast<const char*>(map);
+        }
+    }
+    ~MappedFile() {
+        if (base) munmap(const_cast<char*>(base), size);
+        if (fd >= 0) close(fd);
+    }
+    MappedFile(const MappedFile&) = delete;
+    MappedFile& operator=(const MappedFile&) = delete;
+
+    void set_io_error(PlssvmParseResult* out, const char* path) const {
+        set_error(out, std::string("Couldn't ") + (fail ? fail : "read") +
+                           " file: '" + path + "'!");
+    }
+};
+
+// trimmed, non-empty, non-comment lines of [base + offset, base + size)
+static std::vector<Line> split_lines(const MappedFile& mf, size_t offset,
+                                     char comment, size_t reserve_div) {
+    std::vector<Line> lines;
+    lines.reserve((mf.size - offset) / reserve_div + 1);
+    const char* p = mf.base + offset;
+    const char* file_end = mf.base + mf.size;
+    while (p < file_end) {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(file_end - p)));
+        const char* line_end = nl ? nl : file_end;
+        const char* b = p;
+        const char* e = line_end;
+        while (b < e && is_space(*b)) ++b;
+        while (e > b && is_space(*(e - 1))) --e;
+        if (b < e && *b != comment) lines.push_back({b, e});
+        p = nl ? nl + 1 : file_end;
+    }
+    return lines;
+}
+
 void plssvm_free_result(PlssvmParseResult* out) {
     free(out->data);
     free(out->labels);
@@ -212,50 +283,17 @@ int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
                                int64_t row_end, PlssvmParseResult* out) {
     memset(out, 0, sizeof(*out));
 
-    int fd = open(path, O_RDONLY);
-    if (fd < 0) {
-        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+    MappedFile mf(path);
+    if (mf.status != 0) {
+        mf.set_io_error(out, path);
         return 2;
-    }
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        close(fd);
-        set_error(out, std::string("Couldn't stat file: '") + path + "'!");
-        return 2;
-    }
-    const size_t size = static_cast<size_t>(st.st_size);
-    const char* base = nullptr;
-    if (size > 0) {
-        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (map == MAP_FAILED) {
-            close(fd);
-            set_error(out, std::string("Couldn't mmap file: '") + path + "'!");
-            return 2;
-        }
-        base = static_cast<const char*>(map);
     }
 
     // ---- split into trimmed, non-empty, non-comment lines ----
-    std::vector<Line> lines;
-    lines.reserve(size / 64 + 1);
-    const char* p = base;
-    const char* file_end = base + size;
-    while (p < file_end) {
-        const char* nl = static_cast<const char*>(
-            memchr(p, '\n', static_cast<size_t>(file_end - p)));
-        const char* line_end = nl ? nl : file_end;
-        const char* b = p;
-        const char* e = line_end;
-        while (b < e && is_space(*b)) ++b;
-        while (e > b && is_space(*(e - 1))) --e;
-        if (b < e && *b != '#') lines.push_back({b, e});
-        p = nl ? nl + 1 : file_end;
-    }
+    std::vector<Line> lines = split_lines(mf, 0, '#', 64);
 
     const size_t n = lines.size();
     if (n == 0) {
-        if (base) munmap(const_cast<char*>(base), size);
-        close(fd);
         set_error(out, "Can't parse file: no data points are given!");
         return 1;
     }
@@ -339,26 +377,18 @@ int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
         }
     });
 
-    auto cleanup = [&]() {
-        if (base) munmap(const_cast<char*>(base), size);
-        close(fd);
-    };
-
     if (err.has_error()) {
-        cleanup();
         set_error(out, err.message);
         return 1;
     }
     const bool got_labels = any_label.load();
     if (got_labels && any_no_label.load()) {
-        cleanup();
         set_error(out,
                   "Inconsistent label specification found "
                   "(some data points are labeled, others are not)!");
         return 1;
     }
     if (!any_feature.load()) {
-        cleanup();
         set_error(out, "Can't parse file: no data points are given!");
         return 1;
     }
@@ -378,7 +408,6 @@ int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
     double* data = static_cast<double*>(
         calloc(std::max<size_t>(nl, 1) * static_cast<size_t>(d), sizeof(double)));
     if (data == nullptr) {
-        cleanup();
         set_error(out, "Out of memory allocating the data matrix!");
         return 2;
     }
@@ -421,7 +450,6 @@ int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
         labels_buf = static_cast<char*>(malloc(total));
         if (labels_buf == nullptr) {
             free(data);
-            cleanup();
             set_error(out, "Out of memory allocating the labels buffer!");
             return 2;
         }
@@ -436,7 +464,6 @@ int plssvm_parse_libsvm_window(const char* path, int64_t row_begin,
         labels_bytes = static_cast<int64_t>(total);
     }
 
-    cleanup();
     out->data = data;
     out->labels = labels_buf;
     out->labels_bytes = labels_bytes;
@@ -455,12 +482,13 @@ int plssvm_parse_libsvm(const char* path, PlssvmParseResult* out) {
 // (reference libsvm_parsing.hpp:243-300).  labels == NULL writes no label
 // column; labels otherwise points at n concatenated NUL-terminated strings.
 // returns 0 on success, 2 on IO error.
-int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
-                        int64_t d, const char* labels) {
-    FILE* fh = fopen(path, "w");
-    if (fh == nullptr) return 2;
+}  // extern "C" — the write helpers below are C++ internals (a
+   // template cannot carry C linkage); the public entry points reopen
+   // the block right after
 
-    // precompute label offsets (sequential scan of the concat buffer)
+// offsets into a NUL-concatenated label buffer (one sequential scan)
+static std::vector<const char*> label_offsets(const char* labels,
+                                              int64_t n) {
     std::vector<const char*> label_ptr;
     if (labels != nullptr) {
         label_ptr.resize(static_cast<size_t>(n));
@@ -470,10 +498,31 @@ int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
             q += strlen(q) + 1;
         }
     }
+    return label_ptr;
+}
 
-    // format rows in parallel into per-thread buffers, write sequentially
+// The shared writer scaffold: open, optional header, rows formatted in
+// parallel into per-thread buffers (format_row appends ONE row, index i,
+// to its buffer), then one sequential fwrite pass — byte-identical to a
+// sequential writer.  Returns 0 on success, 2 on IO error.
+template <typename RowFn>
+static int threaded_write(const char* path, const char* header,
+                          int64_t n, size_t reserve_per_row,
+                          RowFn&& format_row) {
+    FILE* fh = fopen(path, "w");
+    if (fh == nullptr) return 2;
+    if (header != nullptr) {
+        const size_t header_len = strlen(header);
+        if (header_len > 0 &&
+            fwrite(header, 1, header_len, fh) != header_len) {
+            fclose(fh);
+            return 2;
+        }
+    }
+
     const size_t nt = num_threads_for(static_cast<size_t>(n));
-    const int64_t chunk = (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
+    const int64_t chunk =
+        (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
     std::vector<std::string> buffers(nt);
     std::vector<std::thread> threads;
     for (size_t t = 0; t < nt; ++t) {
@@ -482,36 +531,48 @@ int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
         if (lo >= hi) break;
         threads.emplace_back([&, t, lo, hi] {
             std::string& buf = buffers[t];
-            buf.reserve(static_cast<size_t>((hi - lo) * d * 8));
-            char tmp[64];
-            for (int64_t i = lo; i < hi; ++i) {
-                if (labels != nullptr) {
-                    buf += label_ptr[static_cast<size_t>(i)];
-                    buf += ' ';
-                }
-                const double* row = data + i * d;
-                for (int64_t j = 0; j < d; ++j) {
-                    if (row[j] != 0.0) {
-                        const int len = snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
-                                                 static_cast<long long>(j + 1), row[j]);
-                        buf.append(tmp, static_cast<size_t>(len));
-                    }
-                }
-                buf += '\n';
-            }
+            buf.reserve(static_cast<size_t>(hi - lo) * reserve_per_row);
+            for (int64_t i = lo; i < hi; ++i) format_row(buf, i);
         });
     }
     for (auto& th : threads) th.join();
 
     int rc = 0;
     for (const std::string& buf : buffers) {
-        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
+        if (!buf.empty() &&
+            fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
             rc = 2;
             break;
         }
     }
     if (fclose(fh) != 0) rc = 2;
     return rc;
+}
+
+extern "C" {
+
+int plssvm_write_libsvm(const char* path, const double* data, int64_t n,
+                        int64_t d, const char* labels) {
+    std::vector<const char*> label_ptr = label_offsets(labels, n);
+    return threaded_write(
+        path, nullptr, n, static_cast<size_t>(d) * 8,
+        [&](std::string& buf, int64_t i) {
+            char tmp[64];
+            if (labels != nullptr) {
+                buf += label_ptr[static_cast<size_t>(i)];
+                buf += ' ';
+            }
+            const double* row = data + i * d;
+            for (int64_t j = 0; j < d; ++j) {
+                if (row[j] != 0.0) {
+                    const int len =
+                        snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
+                                 static_cast<long long>(j + 1), row[j]);
+                    buf.append(tmp, static_cast<size_t>(len));
+                }
+            }
+            buf += '\n';
+        });
 }
 
 // Parse the SV block of a LIBSVM model file starting at byte `offset`
@@ -528,54 +589,23 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
     memset(out, 0, sizeof(*out));
     if (n_lead < 1) return 3;
 
-    int fd = open(path, O_RDONLY);
-    if (fd < 0) {
-        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+    MappedFile mf(path);
+    if (mf.status != 0) {
+        if (mf.fail && std::string(mf.fail) == "open") {
+            set_error(out,
+                      std::string("Couldn't open file: '") + path + "'!");
+        }
         return 2;
     }
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        close(fd);
-        return 2;
-    }
-    const size_t size = static_cast<size_t>(st.st_size);
-    if (offset < 0 || static_cast<size_t>(offset) > size) {
-        close(fd);
+    if (offset < 0 || static_cast<size_t>(offset) > mf.size) {
         return 3;
     }
-    const char* base = nullptr;
-    if (size > 0) {
-        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (map == MAP_FAILED) {
-            close(fd);
-            return 2;
-        }
-        base = static_cast<const char*>(map);
-    }
-    auto cleanup = [&]() {
-        if (base) munmap(const_cast<char*>(base), size);
-        close(fd);
-    };
 
-    std::vector<Line> lines;
-    lines.reserve((size - static_cast<size_t>(offset)) / 64 + 1);
-    const char* p = base + offset;
-    const char* file_end = base + size;
-    while (p < file_end) {
-        const char* nl = static_cast<const char*>(
-            memchr(p, '\n', static_cast<size_t>(file_end - p)));
-        const char* line_end = nl ? nl : file_end;
-        const char* b = p;
-        const char* e = line_end;
-        while (b < e && is_space(*b)) ++b;
-        while (e > b && is_space(*(e - 1))) --e;
-        if (b < e && *b != '#') lines.push_back({b, e});
-        p = nl ? nl + 1 : file_end;
-    }
+    std::vector<Line> lines =
+        split_lines(mf, static_cast<size_t>(offset), '#', 64);
 
     const size_t n = lines.size();
     if (n == 0) {
-        cleanup();
         return 3;
     }
 
@@ -632,7 +662,6 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
     });
 
     if (bad.load() || max_index.load() == 0) {
-        cleanup();
         return 3;
     }
     const long long d = max_index.load();
@@ -644,7 +673,6 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
     if (data == nullptr || coeffs == nullptr) {
         free(data);
         free(coeffs);
-        cleanup();
         set_error(out, "Out of memory allocating the data matrix!");
         return 2;
     }
@@ -680,7 +708,6 @@ int plssvm_parse_model_svs(const char* path, int64_t offset, int64_t n_lead,
         }
     });
 
-    cleanup();
     out->data = data;
     out->coeffs = coeffs;
     out->n_lead = n_lead;
@@ -710,58 +737,23 @@ int plssvm_parse_arff_window(const char* path, int64_t offset,
     if (num_features <= 0 || row_begin < 0) return 3;
     const int64_t num_attributes = num_features + (has_label ? 1 : 0);
 
-    int fd = open(path, O_RDONLY);
-    if (fd < 0) return 2;
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        close(fd);
-        return 2;
-    }
-    const size_t size = static_cast<size_t>(st.st_size);
-    if (offset < 0 || static_cast<size_t>(offset) > size) {
-        close(fd);
+    MappedFile mf(path);
+    if (mf.status != 0) return 2;
+    if (offset < 0 || static_cast<size_t>(offset) > mf.size) {
         return 3;
     }
-    const char* base = nullptr;
-    if (size > 0) {
-        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (map == MAP_FAILED) {
-            close(fd);
-            return 2;
-        }
-        base = static_cast<const char*>(map);
-    }
-    auto cleanup = [&]() {
-        if (base) munmap(const_cast<char*>(base), size);
-        close(fd);
-    };
 
-    std::vector<Line> lines;
-    lines.reserve((size - static_cast<size_t>(offset)) / 32 + 1);
-    const char* p = base + offset;
-    const char* file_end = base + size;
-    while (p < file_end) {
-        const char* nl = static_cast<const char*>(
-            memchr(p, '\n', static_cast<size_t>(file_end - p)));
-        const char* line_end = nl ? nl : file_end;
-        const char* b = p;
-        const char* e = line_end;
-        while (b < e && is_space(*b)) ++b;
-        while (e > b && is_space(*(e - 1))) --e;
-        if (b < e && *b != '%') lines.push_back({b, e});
-        p = nl ? nl + 1 : file_end;
-    }
+    std::vector<Line> lines =
+        split_lines(mf, static_cast<size_t>(offset), '%', 32);
 
     const size_t n = lines.size();
     if (n == 0) {
-        cleanup();
         return 3;
     }
     const size_t wb = std::min(static_cast<size_t>(row_begin), n);
     const size_t we =
         row_end < 0 ? n : std::min(static_cast<size_t>(row_end), n);
     if (wb > we) {
-        cleanup();
         return 3;
     }
     const size_t window_n = we - wb;
@@ -771,7 +763,6 @@ int plssvm_parse_arff_window(const char* path, int64_t offset,
         window_n * static_cast<size_t>(num_features) + 1, sizeof(double)));
     std::vector<Line> label_tokens(n, {nullptr, nullptr});
     if (data == nullptr) {
-        cleanup();
         return 2;
     }
 
@@ -882,7 +873,6 @@ int plssvm_parse_arff_window(const char* path, int64_t offset,
 
     if (bad.load()) {
         free(data);
-        cleanup();
         return 3;
     }
 
@@ -897,7 +887,6 @@ int plssvm_parse_arff_window(const char* path, int64_t offset,
         labels_buf = static_cast<char*>(malloc(total));
         if (labels_buf == nullptr) {
             free(data);
-            cleanup();
             return 2;
         }
         char* w = labels_buf;
@@ -911,7 +900,6 @@ int plssvm_parse_arff_window(const char* path, int64_t offset,
         labels_bytes = static_cast<int64_t>(total);
     }
 
-    cleanup();
     out->data = data;
     out->labels = labels_buf;
     out->labels_bytes = labels_bytes;
@@ -936,64 +924,23 @@ int plssvm_parse_arff_data(const char* path, int64_t offset,
 int plssvm_write_arff(const char* path, const char* header,
                       const double* data, int64_t n, int64_t d,
                       const char* labels) {
-    FILE* fh = fopen(path, "w");
-    if (fh == nullptr) return 2;
-    const size_t header_len = strlen(header);
-    if (header_len > 0 && fwrite(header, 1, header_len, fh) != header_len) {
-        fclose(fh);
-        return 2;
-    }
-
-    std::vector<const char*> label_ptr;
-    if (labels != nullptr) {
-        label_ptr.resize(static_cast<size_t>(n));
-        const char* q = labels;
-        for (int64_t i = 0; i < n; ++i) {
-            label_ptr[static_cast<size_t>(i)] = q;
-            q += strlen(q) + 1;
-        }
-    }
-
-    const size_t nt = num_threads_for(static_cast<size_t>(n));
-    const int64_t chunk =
-        (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
-    std::vector<std::string> buffers(nt);
-    std::vector<std::thread> threads;
-    for (size_t t = 0; t < nt; ++t) {
-        const int64_t lo = static_cast<int64_t>(t) * chunk;
-        const int64_t hi = std::min(n, lo + chunk);
-        if (lo >= hi) break;
-        threads.emplace_back([&, t, lo, hi] {
-            std::string& buf = buffers[t];
-            buf.reserve(static_cast<size_t>((hi - lo) * (d * 18 + 16)));
+    std::vector<const char*> label_ptr = label_offsets(labels, n);
+    return threaded_write(
+        path, header, n, static_cast<size_t>(d) * 18 + 16,
+        [&](std::string& buf, int64_t i) {
             char tmp[40];
-            for (int64_t i = lo; i < hi; ++i) {
-                const double* row = data + i * d;
-                for (int64_t j = 0; j < d; ++j) {
-                    const int len =
-                        snprintf(tmp, sizeof(tmp), "%.10e,", row[j]);
-                    buf.append(tmp, static_cast<size_t>(len));
-                }
-                if (labels != nullptr) {
-                    buf += label_ptr[static_cast<size_t>(i)];
-                } else if (d > 0) {
-                    buf.pop_back();  // drop the trailing comma
-                }
-                buf += '\n';
+            const double* row = data + i * d;
+            for (int64_t j = 0; j < d; ++j) {
+                const int len = snprintf(tmp, sizeof(tmp), "%.10e,", row[j]);
+                buf.append(tmp, static_cast<size_t>(len));
             }
+            if (labels != nullptr) {
+                buf += label_ptr[static_cast<size_t>(i)];
+            } else if (d > 0) {
+                buf.pop_back();  // drop the trailing comma
+            }
+            buf += '\n';
         });
-    }
-    for (auto& th : threads) th.join();
-
-    int rc = 0;
-    for (const std::string& buf : buffers) {
-        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
-            rc = 2;
-            break;
-        }
-    }
-    if (fclose(fh) != 0) rc = 2;
-    return rc;
 }
 
 // Write a LIBSVM model file: `header` verbatim (must end with "SV\n"), then
@@ -1005,59 +952,28 @@ int plssvm_write_model(const char* path, const char* header,
                        const double* data, const double* coeffs,
                        const int64_t* order, int64_t n, int64_t d,
                        int64_t n_coeffs) {
-    FILE* fh = fopen(path, "w");
-    if (fh == nullptr) return 2;
-    const size_t header_len = strlen(header);
-    if (header_len > 0 &&
-        fwrite(header, 1, header_len, fh) != header_len) {
-        fclose(fh);
-        return 2;
-    }
-
-    const size_t nt = num_threads_for(static_cast<size_t>(n));
-    const int64_t chunk =
-        (n + static_cast<int64_t>(nt) - 1) / static_cast<int64_t>(nt);
-    std::vector<std::string> buffers(nt);
-    std::vector<std::thread> threads;
-    for (size_t t = 0; t < nt; ++t) {
-        const int64_t lo = static_cast<int64_t>(t) * chunk;
-        const int64_t hi = std::min(n, lo + chunk);
-        if (lo >= hi) break;
-        threads.emplace_back([&, t, lo, hi] {
-            std::string& buf = buffers[t];
-            buf.reserve(static_cast<size_t>((hi - lo) * (d + n_coeffs) * 8));
+    return threaded_write(
+        path, header, n, static_cast<size_t>(d + n_coeffs) * 8,
+        [&](std::string& buf, int64_t w) {
             char tmp[64];
-            for (int64_t w = lo; w < hi; ++w) {
-                const int64_t i = order ? order[w] : w;
-                const double* crow = coeffs + i * n_coeffs;
-                for (int64_t c = 0; c < n_coeffs; ++c) {
-                    const int len = py_repr(crow[c], tmp);
-                    buf.append(tmp, static_cast<size_t>(len));
-                    buf += ' ';
-                }
-                const double* row = data + i * d;
-                for (int64_t j = 0; j < d; ++j) {
-                    if (row[j] != 0.0) {
-                        const int len = snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
-                                                 static_cast<long long>(j + 1), row[j]);
-                        buf.append(tmp, static_cast<size_t>(len));
-                    }
-                }
-                buf += '\n';
+            const int64_t i = order ? order[w] : w;
+            const double* crow = coeffs + i * n_coeffs;
+            for (int64_t c = 0; c < n_coeffs; ++c) {
+                const int len = py_repr(crow[c], tmp);
+                buf.append(tmp, static_cast<size_t>(len));
+                buf += ' ';
             }
+            const double* row = data + i * d;
+            for (int64_t j = 0; j < d; ++j) {
+                if (row[j] != 0.0) {
+                    const int len =
+                        snprintf(tmp, sizeof(tmp), "%lld:%.10e ",
+                                 static_cast<long long>(j + 1), row[j]);
+                    buf.append(tmp, static_cast<size_t>(len));
+                }
+            }
+            buf += '\n';
         });
-    }
-    for (auto& th : threads) th.join();
-
-    int rc = 0;
-    for (const std::string& buf : buffers) {
-        if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), fh) != buf.size()) {
-            rc = 2;
-            break;
-        }
-    }
-    if (fclose(fh) != 0) rc = 2;
-    return rc;
 }
 
 // Byte spans [begin, end) of every DATA line (comments/blank skipped), in
@@ -1070,43 +986,15 @@ int plssvm_libsvm_line_spans(const char* path, int64_t** spans_out,
                              int64_t* n_out) {
     *spans_out = nullptr;
     *n_out = 0;
-    int fd = open(path, O_RDONLY);
-    if (fd < 0) return 2;
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        close(fd);
-        return 2;
-    }
-    const size_t size = static_cast<size_t>(st.st_size);
-    const char* base = nullptr;
-    if (size > 0) {
-        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (map == MAP_FAILED) {
-            close(fd);
-            return 2;
-        }
-        base = static_cast<const char*>(map);
-    }
+    MappedFile mf(path);
+    if (mf.status != 0) return 2;
+    std::vector<Line> lines = split_lines(mf, 0, '#', 32);
     std::vector<int64_t> spans;
-    spans.reserve(size / 32 + 2);
-    const char* p = base;
-    const char* file_end = base + size;
-    while (p < file_end) {
-        const char* nl = static_cast<const char*>(
-            memchr(p, '\n', static_cast<size_t>(file_end - p)));
-        const char* line_end = nl ? nl : file_end;
-        const char* b = p;
-        const char* e = line_end;
-        while (b < e && is_space(*b)) ++b;
-        while (e > b && is_space(*(e - 1))) --e;
-        if (b < e && *b != '#') {
-            spans.push_back(static_cast<int64_t>(b - base));
-            spans.push_back(static_cast<int64_t>(e - base));
-        }
-        p = nl ? nl + 1 : file_end;
+    spans.reserve(2 * lines.size());
+    for (const Line& ln : lines) {
+        spans.push_back(static_cast<int64_t>(ln.begin - mf.base));
+        spans.push_back(static_cast<int64_t>(ln.end - mf.base));
     }
-    if (base) munmap(const_cast<char*>(base), size);
-    close(fd);
     int64_t* out = static_cast<int64_t*>(
         malloc(std::max<size_t>(spans.size(), 1) * sizeof(int64_t)));
     if (out == nullptr) return 2;
@@ -1135,38 +1023,18 @@ int plssvm_parse_libsvm_rows(const char* path, const int64_t* spans,
         set_error(out, "invalid nrows/known_d for selected-row parse!");
         return 1;
     }
-    int fd = open(path, O_RDONLY);
-    if (fd < 0) {
-        set_error(out, std::string("Couldn't open file: '") + path + "'!");
+    MappedFile mf(path);
+    if (mf.status != 0) {
+        mf.set_io_error(out, path);
         return 2;
     }
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        close(fd);
-        set_error(out, std::string("Couldn't stat file: '") + path + "'!");
-        return 2;
-    }
-    const size_t size = static_cast<size_t>(st.st_size);
-    const char* base = nullptr;
-    if (size > 0) {
-        void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        if (map == MAP_FAILED) {
-            close(fd);
-            set_error(out, std::string("Couldn't mmap file: '") + path + "'!");
-            return 2;
-        }
-        base = static_cast<const char*>(map);
-    }
-    auto cleanup = [&]() {
-        if (base) munmap(const_cast<char*>(base), size);
-        close(fd);
-    };
+    const char* base = mf.base;
+    const size_t size = mf.size;
 
     double* data = static_cast<double*>(
         calloc(std::max<int64_t>(nrows, 1) * static_cast<size_t>(known_d),
                sizeof(double)));
     if (data == nullptr) {
-        cleanup();
         set_error(out, "Out of memory allocating the data matrix!");
         return 2;
     }
@@ -1212,7 +1080,6 @@ int plssvm_parse_libsvm_rows(const char* path, const int64_t* spans,
         }
     });
 
-    cleanup();
     if (err.has_error()) {
         free(data);
         set_error(out, err.message);
