@@ -149,6 +149,17 @@ def _run_ladder_artifact(headline: dict) -> None:
     t0 = time.perf_counter()
     print("[bench] running the BASELINE config ladder (rungs 1-5)...",
           file=sys.stderr, flush=True)
+    try:
+        _run_ladder_artifact_inner(baseline_ladder, headline, here, t0)
+    except Exception as exc:  # pragma: no cover — headline must survive
+        # the driver requires the ONE headline JSON line on stdout; a
+        # ladder/gate/artifact-IO failure (full disk, read-only checkout)
+        # must not take the whole bench down with it
+        print(f"[bench] ladder FAILED (headline unaffected): {exc!r}",
+              file=sys.stderr, flush=True)
+
+
+def _run_ladder_artifact_inner(baseline_ladder, headline, here, t0):
     results = baseline_ladder.run_ladder(scale=1.0, wanted=(1, 2, 3, 4, 5))
     best_path = os.path.join(here, "tools", "ladder_best.json")
     regressions = baseline_ladder.gate_against_best(results, best_path)
@@ -182,6 +193,17 @@ def _run_ladder_artifact(headline: dict) -> None:
         "ladder_seconds": round(time.perf_counter() - t0, 1),
     }
     path = os.path.join(here, f"LADDER_r{artifact['round']:02d}.json")
+    # a mid-round re-run must not destroy the prior run's adjudication
+    # record (the docstring promises per-round appending): fold an
+    # existing same-round artifact into previous_runs
+    if os.path.isfile(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh)
+            artifact["previous_runs"] = prior.pop("previous_runs", [])
+            artifact["previous_runs"].append(prior)
+        except (OSError, ValueError):
+            pass
     with open(path, "w") as fh:
         json.dump(artifact, fh, indent=1)
         fh.write("\n")

@@ -101,9 +101,16 @@ def main() -> int:
                 keys.append(key)
 
     if args.csv:
-        print(",".join(keys))
+        # RFC-4180 quoting via the csv module: list-valued entries (e.g.
+        # cg.iterations_per_machine: [3, 4, 5]) contain commas and would
+        # otherwise shift every following column
+        import csv as _csv
+        import sys as _sys
+
+        writer = _csv.writer(_sys.stdout, lineterminator="\n")
+        writer.writerow(keys)
         for doc in docs:
-            print(",".join(str(doc.get(k, "")) for k in keys))
+            writer.writerow([str(doc.get(k, "")) for k in keys])
     else:
         try:
             import pandas as pd

@@ -57,15 +57,22 @@ def count_collectives(hlo_text: str) -> dict:
         total = 0
         count = 0
         # e.g.:  %x = f32[131072,1026]{1,0} collective-permute(...)
+        # XLA's combiner can fuse several all-reduces into ONE tuple-
+        # result op: (f32[], f32[], f32[2]) all-reduce(...) — sum the
+        # bytes of EVERY tuple element, not just the last shape token
         for m in re.finditer(
-            rf"(\w+)\[([\d,]*)\][^=]*? {op}\(", hlo_text
+            rf"((?:\(?[^=\n]*?)?) {op}\(", hlo_text
         ):
-            dt, shape = m.group(1), m.group(2)
-            elems = 1
-            if shape:
-                for s in shape.split(","):
-                    elems *= int(s)
-            total += elems * dtype_bytes.get(dt, 4)
+            lhs = m.group(1)
+            shapes = re.findall(r"(\w+)\[([\d,]*)\]", lhs)
+            if not shapes:
+                continue
+            for dt, shape in shapes:
+                elems = 1
+                if shape:
+                    for s in shape.split(","):
+                        elems *= int(s)
+                total += elems * dtype_bytes.get(dt, 4)
             count += 1
         if count:
             out[op] = {"count": count, "bytes": total}

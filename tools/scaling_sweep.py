@@ -216,7 +216,7 @@ def main() -> int:
         mask[:dept] = 1.0
         return Xp, yp, mask
 
-    base_rate = None
+    base_per_dev = None
     for ndev in sizes:
         Xp, yp, mask = pad(max(ndev * 128, 128))
         scalars = (
@@ -241,16 +241,22 @@ def main() -> int:
             sharded = shard_arrays(mesh, Xp, X[-1], yp, y[-1], mask, dtype)
             run = lambda: solver(*sharded, *scalars)
 
-        jax.block_until_ready(run().x)  # compile
+        # time through device_get of the replicated residual scalar —
+        # block_until_ready can return early on tunneled runtimes
+        # (tools/_bench_util; the multihost leg above already does this)
+        float(jax.device_get(run().delta))  # compile
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            jax.block_until_ready(run().x)
+            float(jax.device_get(run().delta))
             best = min(best, time.perf_counter() - t0)
         rate = args.iters / best
-        if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * ndev) * 100.0
+        if base_per_dev is None:
+            # normalize by the FIRST rung's device count so a
+            # --mesh-sizes list not starting at 1 still reports
+            # efficiency vs the per-device baseline
+            base_per_dev = rate / ndev
+        eff = rate / (base_per_dev * ndev) * 100.0
         print(
             f"devices={ndev:3d}  {rate:8.2f} CG it/s  "
             f"scaling efficiency {eff:6.1f}%",

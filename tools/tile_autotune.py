@@ -184,13 +184,15 @@ def main() -> int:
         cands = candidates(m, d)
         # heuristic pick with the table DISABLED, so re-sweeps compare
         # against the hand-budgeted rule, not a previous sweep
-        os.environ["PLSSVM_TILE_TABLE"] = ""
         import plssvm_tpu.ops.pallas_matvec as pm
 
-        pm._TILE_TABLE = None
-        heur = _tuned_dual_tiles(m, m, d, args.precision)
-        pm._TILE_TABLE = None
-        del os.environ["PLSSVM_TILE_TABLE"]
+        os.environ["PLSSVM_TILE_TABLE"] = ""
+        try:
+            pm._TILE_TABLE = None
+            heur = _tuned_dual_tiles(m, m, d, args.precision)
+        finally:
+            pm._TILE_TABLE = None
+            del os.environ["PLSSVM_TILE_TABLE"]
         print(f"shape {m}x{d}: {len(cands)} candidates, heuristic "
               f"(dk={heur[0]}, tile={heur[1]})", flush=True)
         if args.dry_run:
@@ -199,12 +201,24 @@ def main() -> int:
             continue
         rates = {}
         for dk, t in cands:
-            rate = measure(m, d, dk, t, iters=args.iters,
-                           precision=args.precision)
+            # a candidate the kernel's own validation rejects (the two
+            # feasibility rules are maintained independently) must not
+            # abort the sweep and lose every measurement
+            try:
+                rate = measure(m, d, dk, t, iters=args.iters,
+                               precision=args.precision)
+            except Exception as exc:
+                print(f"  dk={dk:5d} tile={t:5d}  FAILED: {exc}",
+                      flush=True)
+                continue
             rates[(dk, t)] = rate
             mark = " <- heuristic" if (dk, t) == heur else ""
             print(f"  dk={dk:5d} tile={t:5d}  {rate:8.1f} TFLOP/s{mark}",
                   flush=True)
+        if not rates:
+            print(f"shape {m}x{d}: every candidate failed — skipped",
+                  flush=True)
+            continue
         best_cfg = max(rates, key=rates.get)
         heur_rate = rates.get(heur)
         entry = {
