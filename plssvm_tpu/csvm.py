@@ -2171,17 +2171,20 @@ class CSVM:
             coef0 = jnp.asarray(params.coef0.value, dtype=self.dtype)
 
             if kind == KernelFunctionType.LINEAR:
-                # w derives from alpha — invalidate the cached weights
-                # when alpha was replaced (same refit contract as the SV
-                # cache above)
+                # w derives from BOTH alpha and the SVs — invalidate the
+                # cached weights when either array was replaced (same
+                # refit contract as the SV device cache above)
                 if (
                     model.w is None
                     or getattr(model, "_w_alpha", None) is not model.alpha
+                    or getattr(model, "_w_sv", None)
+                    is not model.support_vectors
                 ):
                     # compute & cache w once (gpu_csvm.hpp:696-705,
                     # model.hpp:162-166); (d,) binary or (d, C) multiclass
                     model.w = np.asarray(calculate_w(sv, alpha))
                     model._w_alpha = model.alpha
+                    model._w_sv = model.support_vectors
                 w = jnp.asarray(model.w, dtype=self.dtype)
             else:
                 w = jnp.zeros((sv.shape[1],), dtype=self.dtype)

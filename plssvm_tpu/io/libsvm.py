@@ -99,7 +99,10 @@ def parse_libsvm_lines(
             idx_digits = (
                 idx_str[1:] if idx_str.startswith("+") else idx_str
             )
-            if not idx_digits.isdigit():
+            # isascii() too: str.isdigit() accepts Unicode digits ('²'
+            # passes but int() raises; Arabic-Indic '٥' even converts),
+            # which std::from_chars never would
+            if not (idx_digits.isascii() and idx_digits.isdigit()):
                 raise InvalidFileFormatError(
                     f"Can't convert '{idx_str}' to a value of type "
                     "unsigned long!"

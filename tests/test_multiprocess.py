@@ -125,15 +125,36 @@ def _spawn_workers(cmds, env, workdir):
 
 
 def _wait_workers(procs, timeout):
-    rcs = []
+    """Shared-deadline poll over the WHOLE group: a strictly ordered
+    wait would burn the full timeout on a deadlocked survivor while the
+    root cause (a worker that died at startup) sits unread; any nonzero
+    exit kills the rest immediately (the jax.distributed group can never
+    complete without it)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    rcs = [None] * len(procs)
     try:
-        for proc, logf in procs:
-            try:
-                rcs.append(proc.wait(timeout=timeout))
-            except subprocess.TimeoutExpired:
+        while any(rc is None for rc in rcs):
+            for idx, (proc, _) in enumerate(procs):
+                if rcs[idx] is None:
+                    rcs[idx] = proc.poll()
+            if any(rc not in (None, 0) for rc in rcs):
                 for q, _ in procs:
-                    q.kill()
-                raise
+                    if q.poll() is None:
+                        q.kill()
+                for idx, (proc, _) in enumerate(procs):
+                    if rcs[idx] is None:
+                        rcs[idx] = proc.wait()
+                break
+            if any(rc is None for rc in rcs):
+                if _time.monotonic() > deadline:
+                    for q, _ in procs:
+                        q.kill()
+                    raise subprocess.TimeoutExpired(
+                        "multiprocess workers", timeout
+                    )
+                _time.sleep(0.2)
     finally:
         for _, logf in procs:
             logf.close()
